@@ -1,0 +1,65 @@
+"""Shared Catalyst expression helpers.
+
+Everything here returns ``pyspark.sql.Column`` built from JVM-side
+functions — no Python UDFs — so plans stay inside whole-stage codegen and
+the same math can be mirrored 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# English stopwords used by lang-id and quality scoring. Mirrored verbatim in
+# the oracle SQL — keep the two lists in sync (tests assert this via parity).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization; identical to regexp_split_to_array(text,'\\s+')."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by single spaces.
+
+    Docs shorter than n tokens contribute their whole token sequence as one
+    shingle so every doc has a non-empty shingle set (mirrored in oracle SQL).
+    """
+    whole = F.array(F.array_join(tokens_col, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens_col) - n),
+        lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(tokens_col) >= n, grams).otherwise(whole))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns (JVM-side).
+
+    ``F.aggregate`` folds left-to-right in doubles — bit-identical to a
+    sequential SQL implementation, which is what makes the cosine queries
+    hash-match the DuckDB oracle without fuzzy comparison.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def money(c: Column | str, scale: int = 2) -> Column:
+    """Exact-decimal cast for money-like aggregations.
+
+    Summing doubles is order-dependent (partial aggregation shuffles change
+    the result run to run at scale); casting each element to DECIMAL first
+    makes SUM exact, deterministic, and engine-portable.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")

@@ -1,0 +1,196 @@
+"""Flat-array isolation-tree encoding.
+
+The reference stores trees as an object graph of ``IFNode``s
+(IFNode.scala:3-22) and flattens them to pre-order ``NodeData`` rows for
+persistence (IForest.scala:189-217). We use the flat encoding *everywhere*
+— in memory, on the wire, and on disk — because numpy index-chasing over
+flat arrays is how the scorer vectorizes (SURVEY.md §2.1 O15).
+
+Encoding (one ``Tree`` = parallel numpy arrays indexed by pre-order node id):
+    feature_index[i]  int32   — split feature (ORIGINAL column index), -1 for leaf
+    feature_value[i]  float64 — split threshold, -1.0 for leaf
+    left[i]/right[i]  int32   — child node ids, -1 for leaf
+    num_instance[i]   int64   — leaf row count, 0 for internal nodes
+
+Matches the reference's persisted ``NodeData`` sentinel conventions
+(IForest.scala:189-196) so a model round-trips bit-identically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Parquet schema of one persisted node row (reference EnsembleNodeData,
+# IForest.scala:189-196,225-228: nested struct {treeID, nodeData{...}}).
+NODE_DATA_SCHEMA = (
+    "treeID INT NOT NULL, "
+    "nodeData STRUCT<id: INT, featureIndex: INT, featureValue: DOUBLE, "
+    "leftChild: INT, rightChild: INT, numInstance: BIGINT> NOT NULL"
+)
+
+# Flat variant used on the applyInPandas wire during training (cheaper than
+# a nested struct through Arrow; nested only at the persistence boundary).
+FLAT_NODE_SCHEMA = (
+    "treeID INT, id INT, featureIndex INT, featureValue DOUBLE, "
+    "leftChild INT, rightChild INT, numInstance BIGINT"
+)
+
+
+@dataclass
+class Tree:
+    """One isolation tree as parallel pre-order flat arrays."""
+
+    feature_index: np.ndarray  # int32
+    feature_value: np.ndarray  # float64
+    left: np.ndarray  # int32
+    right: np.ndarray  # int32
+    num_instance: np.ndarray  # int64
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.feature_index)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Tree):
+            return NotImplemented
+        return (
+            np.array_equal(self.feature_index, other.feature_index)
+            and np.array_equal(self.feature_value, other.feature_value)
+            and np.array_equal(self.left, other.left)
+            and np.array_equal(self.right, other.right)
+            and np.array_equal(self.num_instance, other.num_instance)
+        )
+
+
+class TreeBuilder:
+    """Accumulates nodes in pre-order during induction; emits a Tree."""
+
+    def __init__(self) -> None:
+        self.feature_index: list[int] = []
+        self.feature_value: list[float] = []
+        self.left: list[int] = []
+        self.right: list[int] = []
+        self.num_instance: list[int] = []
+
+    def add_leaf(self, num_instance: int) -> int:
+        nid = len(self.feature_index)
+        self.feature_index.append(-1)
+        self.feature_value.append(-1.0)
+        self.left.append(-1)
+        self.right.append(-1)
+        self.num_instance.append(int(num_instance))
+        return nid
+
+    def add_internal(self, feature_index: int, feature_value: float) -> int:
+        """Reserve an internal node; children are patched in later (pre-order)."""
+        nid = len(self.feature_index)
+        self.feature_index.append(int(feature_index))
+        self.feature_value.append(float(feature_value))
+        self.left.append(-1)
+        self.right.append(-1)
+        self.num_instance.append(0)
+        return nid
+
+    def set_children(self, nid: int, left: int, right: int) -> None:
+        self.left[nid] = left
+        self.right[nid] = right
+
+    def build(self) -> Tree:
+        return Tree(
+            feature_index=np.asarray(self.feature_index, dtype=np.int32),
+            feature_value=np.asarray(self.feature_value, dtype=np.float64),
+            left=np.asarray(self.left, dtype=np.int32),
+            right=np.asarray(self.right, dtype=np.int32),
+            num_instance=np.asarray(self.num_instance, dtype=np.int64),
+        )
+
+
+def tree_to_rows(tree_id: int, tree: Tree) -> list[tuple]:
+    """Flatten one tree to (treeID, id, featureIndex, featureValue, leftChild,
+    rightChild, numInstance) rows. Node ids are already pre-order."""
+    return [
+        (
+            int(tree_id),
+            int(i),
+            int(tree.feature_index[i]),
+            float(tree.feature_value[i]),
+            int(tree.left[i]),
+            int(tree.right[i]),
+            int(tree.num_instance[i]),
+        )
+        for i in range(tree.num_nodes)
+    ]
+
+
+def rows_to_forest(rows) -> list[Tree]:
+    """Rebuild a forest from flat node rows.
+
+    Accepts any iterable of objects with attributes/keys
+    (treeID, id, featureIndex, featureValue, leftChild, rightChild,
+    numInstance). Enforces the reference's load invariants
+    (IForest.scala:259-281): ids are dense 0..n-1 per tree, root is node 0,
+    forest ordered by treeID.
+    """
+    by_tree: dict[int, list] = {}
+    for r in rows:
+        by_tree.setdefault(int(r["treeID"] if isinstance(r, dict) else r.treeID), []).append(r)
+
+    def field(r, name):
+        return r[name] if isinstance(r, dict) else getattr(r, name)
+
+    forest: list[Tree] = []
+    expected = list(range(len(by_tree)))
+    if sorted(by_tree) != expected:
+        raise ValueError(f"tree ids must be dense 0..{len(by_tree) - 1}, got {sorted(by_tree)}")
+    for tid in expected:
+        nodes = sorted(by_tree[tid], key=lambda r: field(r, "id"))
+        n = len(nodes)
+        ids = [field(r, "id") for r in nodes]
+        if ids != list(range(n)):
+            raise ValueError(f"tree {tid}: node ids must be dense 0..{n - 1}")
+        forest.append(
+            Tree(
+                feature_index=np.asarray([field(r, "featureIndex") for r in nodes], dtype=np.int32),
+                feature_value=np.asarray([field(r, "featureValue") for r in nodes], dtype=np.float64),
+                left=np.asarray([field(r, "leftChild") for r in nodes], dtype=np.int32),
+                right=np.asarray([field(r, "rightChild") for r in nodes], dtype=np.int32),
+                num_instance=np.asarray([field(r, "numInstance") for r in nodes], dtype=np.int64),
+            )
+        )
+    return forest
+
+
+@dataclass
+class PackedForest:
+    """All trees concatenated into single arrays for the batch scorer.
+
+    ``offsets[t]`` is the index of tree t's root; node ids inside each tree
+    are relative, so absolute id = offsets[t] + local id. One contiguous
+    allocation → one broadcast payload, cache-friendly descent.
+    """
+
+    offsets: np.ndarray  # int64, len T+1
+    feature_index: np.ndarray
+    feature_value: np.ndarray
+    left: np.ndarray
+    right: np.ndarray
+    num_instance: np.ndarray
+
+    @property
+    def num_trees(self) -> int:
+        return len(self.offsets) - 1
+
+
+def pack_forest(trees: list[Tree]) -> PackedForest:
+    sizes = np.array([t.num_nodes for t in trees], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    return PackedForest(
+        offsets=offsets,
+        feature_index=np.concatenate([t.feature_index for t in trees]),
+        feature_value=np.concatenate([t.feature_value for t in trees]),
+        left=np.concatenate([t.left for t in trees]),
+        right=np.concatenate([t.right for t in trees]),
+        num_instance=np.concatenate([t.num_instance for t in trees]),
+    )

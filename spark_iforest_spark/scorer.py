@@ -1,0 +1,115 @@
+"""Vectorized anomaly scoring.
+
+Reference semantics (IForest.scala:85-158): per row,
+``score = 2 ** (-avgPathLength / c(psi))`` where psi is the effective
+maxSamples, avgPathLength averages over trees the root-to-leaf descent
+(go left iff ``features[featureIndex] < featureValue``), and a leaf at
+depth d contributes ``d + c(numInstance)``.
+
+The reference scores row-at-a-time inside a boxed-Vector UDF — its own
+published bottleneck (prediction 86 s vs training 34 s on "http",
+README.md:233-249). Here the descent is level-synchronous numpy
+index-chasing over the packed flat arrays: per Arrow batch of B rows we do
+O(avg_depth) vectorized gathers per tree instead of B×T Python calls.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf infers its
+# eval type from *resolved* type hints on the scoring closure.
+import math
+
+import numpy as np
+
+from spark_iforest_spark.nodes import PackedForest
+
+EULER_CONSTANT = 0.5772156649  # same literal as IForest.scala:171
+
+
+def avg_length(size: float) -> float:
+    """Expected path length c(n) of an unsuccessful BST search.
+
+    Reference IForest.scala:151-158; n may be fractional (psi =
+    maxSamples*count when maxSamples <= 1, IForest.scala:88-89).
+    """
+    if size > 2:
+        h = math.log(size - 1) + EULER_CONSTANT
+        return 2 * h - 2 * (size - 1) / size
+    if size == 2:
+        return 1.0
+    return 0.0
+
+
+def _avg_length_vec(sizes: np.ndarray) -> np.ndarray:
+    """Vectorized c(n) over leaf instance counts (int array)."""
+    out = np.zeros(sizes.shape, dtype=np.float64)
+    big = sizes > 2
+    if big.any():
+        s = sizes[big].astype(np.float64)
+        out[big] = 2.0 * (np.log(s - 1.0) + EULER_CONSTANT) - 2.0 * (s - 1.0) / s
+    out[sizes == 2] = 1.0
+    return out
+
+
+def path_lengths(forest: PackedForest, x: np.ndarray) -> np.ndarray:
+    """Average root-to-leaf path length over all trees for each row of x.
+
+    x: (B, d) float64. Returns (B,) float64. Level-synchronous: all B rows
+    descend one tree together; rows that reached a leaf drop out of the
+    active set.
+    """
+    b = x.shape[0]
+    total = np.zeros(b, dtype=np.float64)
+    fi, fv = forest.feature_index, forest.feature_value
+    left, right, ni = forest.left, forest.right, forest.num_instance
+    rows = np.arange(b)
+    for t in range(forest.num_trees):
+        root = forest.offsets[t]
+        node = np.full(b, root, dtype=np.int64)
+        depth = np.zeros(b, dtype=np.float64)
+        active = fi[node] >= 0
+        while active.any():
+            an = node[active]
+            f = fi[an]
+            go_left = x[rows[active], f] < fv[an]
+            nxt = np.where(go_left, left[an], right[an]) + root
+            node[active] = nxt
+            depth[active] += 1.0
+            active[active] = fi[nxt] >= 0
+        total += depth + _avg_length_vec(ni[node])
+    return total / forest.num_trees
+
+
+def anomaly_scores(forest: PackedForest, x: np.ndarray, psi: float) -> np.ndarray:
+    """score = 2^(-avgPathLength / c(psi)) (IForest.scala:92-99)."""
+    norm = avg_length(psi)
+    apl = path_lengths(forest, x)
+    if norm == 0.0:
+        # psi < 2: degenerate normalizer; reference would divide by zero.
+        # Guard with the standard convention score=1 for apl=0 else 0 exponent.
+        return np.where(apl > 0, 0.0, 1.0)
+    return np.power(2.0, -apl / norm)
+
+
+def make_score_udf(forest: PackedForest, psi: float, spark=None):
+    """Build a pandas_udf(array<double> -> double) scoring closure.
+
+    If a SparkSession is given and the forest is large, ship it via
+    sparkContext.broadcast (one copy per executor, torrent transfer)
+    instead of pickling it into every task closure — the reference
+    broadcasts its model the same way (IForest.scala:90).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = None
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(forest)
+
+    @pandas_udf("double")
+    def score_udf(features: pd.Series) -> pd.Series:
+        fo = bc.value if bc is not None else forest
+        x = np.asarray(features.to_list(), dtype=np.float64)
+        if x.ndim != 2:  # ragged rows — fall back to per-row padding-free path
+            raise ValueError("feature arrays must be fixed-length per batch")
+        return pd.Series(anomaly_scores(fo, x, psi))
+
+    return score_udf
