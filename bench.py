@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Baseline context (BASELINE.md): the reference trains iforest on 567k rows /
+d=3 in 34 s and scores in 86 s on 4 cores. Headline here: train on lineitem
+(~600k rows at sf0.1, 7 numeric features, numTrees=100, maxSamples=256) and
+score all rows — same shape, so the numbers are directly comparable — plus
+the flagship pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from spark_iforest_spark import IForest
+    from spark_iforest_spark.operators import dedup, relational, similarity, text
+    from spark_iforest_spark.sources import read_table
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-iforest-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- isolation forest: train + score on lineitem numeric features ------
+    feature_cols = [
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_linenumber", "l_partkey", "l_suppkey",
+    ]
+    li = read_table(spark, SF_DIR, "lineitem")
+    feats = li.select(
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("features")
+    )
+    feats.cache().count()
+
+    model_box = {}
+
+    def train():
+        model_box["m"] = IForest(
+            numTrees=100, maxSamples=256.0, maxDepth=10, contamination=0.01, seed=7
+        ).fit(feats)
+
+    # fit() eagerly scores the training set to fix the threshold (reference
+    # semantics) — so "iforest_train" includes one full scoring pass, like
+    # the reference's own fit.
+    timed("iforest_train", train)
+
+    def score():
+        model_box["m"].transform(feats).select(F.sum("prediction")).collect()
+
+    timed("iforest_score", score)
+    feats.unpersist()
+
+    # --- pipeline operators at sf ------------------------------------------
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = read_table(spark, SF_DIR, "embeddings")
+
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
+    timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs).count())
+    timed(
+        "ann_cosine_topk",
+        lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10)).count(),
+    )
+    timed("text_quality", lambda: text.quality_score(docs).count())
+    timed(
+        "pricing_summary",
+        lambda: relational.pricing_summary(read_table(spark, SF_DIR, "lineitem")).count(),
+    )
+    timed(
+        "sessionize_events",
+        lambda: relational.sessionize(read_table(spark, SF_DIR, "events")).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,21 @@ def money(c: Column | str, scale: int = 2) -> Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal(18,{scale})")
+
+
+def money_units(c: Column | str, scale: int = 4) -> Column:
+    """Exact fixed-point units: floor(x * 10^scale) as BIGINT.
+
+    The multiply is one IEEE op — bit-identical in any engine — and floor of
+    a double is unambiguous, unlike double→DECIMAL rounding (engines disagree
+    on HALF_UP vs round-on-scaled-double in the last decimal). Summing the
+    resulting BIGINTs is exact and order-independent; divide by 10^scale at
+    the very end. Exact while |sum| * 10^scale < 2^53 (= 9e15; plenty for
+    per-group money sums — regroup or raise scale awareness beyond that).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * F.lit(float(10**scale))).cast("long")
+
+
+def units_to_double(sum_col: Column, scale: int = 4) -> Column:
+    return sum_col / F.lit(float(10**scale))

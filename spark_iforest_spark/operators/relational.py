@@ -1,0 +1,202 @@
+"""Relational/windowed analytics operators over the TPC-H-ish tables.
+
+These exercise the engine surface a data pipeline composes with the ML and
+dedup stages: scan→filter→aggregate, broadcast joins + top-k, quantile
+thresholding (the reference's O17/O18 on a SQL-checkable path), windowed
+event aggregation, and gap-based sessionization (the batch twin of the
+streaming sessionizer).
+
+Money sums use exact DECIMAL casts (functions.money) — double summation is
+partial-aggregation-order dependent and would not hash-match any oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+from spark_iforest_spark.functions import money_units, units_to_double
+
+NANOS = 1_000_000_000
+
+
+def _is_nanos(df: DataFrame, col: str) -> bool:
+    """The synthetic parquet stores TIMESTAMP(NANOS) which Spark reads as
+    BIGINT nanos under spark.sql.legacy.parquet.nanosAsLong — operators here
+    accept either that or a real timestamp column."""
+    return isinstance(df.schema[col].dataType, LongType)
+
+
+def _epoch_ns(df: DataFrame, col: str) -> F.Column:
+    if _is_nanos(df, col):
+        return F.col(col)
+    return F.unix_micros(F.col(col)) * 1000
+
+
+def _epoch_s(df: DataFrame, col: str) -> F.Column:
+    # `div` = exact integer division; float division of 1e18-scale nanos
+    # loses ULPs and can flip the floor at second boundaries
+    if _is_nanos(df, col):
+        return F.expr(f"{col} div {NANOS}")
+    return F.col(col).cast("long")
+
+
+def _date_ns(day: str) -> int:
+    return int(
+        _dt.datetime.fromisoformat(day).replace(tzinfo=_dt.timezone.utc).timestamp()
+    ) * NANOS
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary. Filter pushes to the parquet scan;
+    aggregation is partial (map-side combine) then one shuffle on the tiny
+    (returnflag, linestatus) key space."""
+    if _is_nanos(lineitem, "l_shipdate"):
+        li = lineitem.where(F.col("l_shipdate") < F.lit(_date_ns(ship_before)))
+    else:
+        li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+    disc_price = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = money_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            units_to_double(F.sum(money_units("l_quantity"))).alias("sum_qty"),
+            units_to_double(F.sum(money_units("l_extendedprice"))).alias("sum_base_price"),
+            units_to_double(F.sum(disc_price)).alias("sum_disc_price"),
+            units_to_double(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(money_units("l_quantity")) / F.lit(10000.0) / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(money_units("l_extendedprice")) / F.lit(10000.0) / cnt, 6).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style: revenue top-k for one market segment.
+
+    customer (small, filtered) broadcasts into orders; the orders→lineitem
+    join shuffles on orderkey; top-k is a global sort of the aggregated
+    (small) result with a deterministic orderkey tiebreak."""
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # NTZ order dates render as naive strings — timezone-proof across engines
+    odate = (
+        F.expr(f"o_orderdate div {NANOS}")
+        if _is_nanos(orders, "o_orderdate")
+        else F.col("o_orderdate").cast("string")
+    )
+    return (
+        orders.join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(units_to_double(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(limit)
+        .select(
+            "o_orderkey",
+            odate.alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def value_threshold_anomalies(events: DataFrame, quantile: float = 0.99) -> DataFrame:
+    """The reference's threshold flow (O17 approxQuantile + O18 predicate)
+    exercised on a SQL-checkable column: flag events whose value exceeds the
+    exact interpolated quantile. Returns the flagged rows."""
+    thr = events.select(
+        F.expr(f"percentile(value, {quantile})").alias("thr")
+    ).collect()[0]["thr"]
+    return (
+        events.where(F.col("value") > F.lit(thr))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.lit(thr), 6).alias("threshold"),
+        )
+    )
+
+
+def anomaly_rate_by_type(events: DataFrame, quantile: float = 0.99) -> DataFrame:
+    """Summary aggregation (reference O19 numAnomalies, done the scalable way:
+    where(...).count() per group, not collect().length)."""
+    thr = events.select(
+        F.expr(f"percentile(value, {quantile})").alias("thr")
+    ).collect()[0]["thr"]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("value") > thr, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(
+                F.sum(F.when(F.col("value") > thr, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("anomaly_rate"),
+        )
+    )
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregation — identical code path works on a
+    streaming DataFrame (see streaming/). Nanos input is truncated to
+    micros for F.window; hour-bucket boundaries are unaffected."""
+    if _is_nanos(events, "ts"):
+        ev = events.withColumn("_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = events.withColumn("_ts", F.col("ts"))
+    return (
+        ev.groupBy(F.window("_ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when a user is
+    idle longer than the gap. One shuffle on user_id; the window functions
+    then run partition-local. Streaming twin: streaming.sessionize_stream."""
+    ns = _epoch_ns(events, "ts")
+    ev = events.withColumn("_ts_ns", ns)
+    order = Window.partitionBy("user_id").orderBy("_ts_ns", "event_id")
+    prev_ts = F.lag(F.col("_ts_ns")).over(order)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("_ts_ns") - prev_ts > gap_seconds * NANOS), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"min(_ts_ns) div {NANOS}").alias("session_start"),
+            F.expr(f"max(_ts_ns) div {NANOS}").alias("session_end"),
+            units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
+        )
+    )

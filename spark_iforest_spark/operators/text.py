@@ -1,0 +1,101 @@
+"""Text-analysis operators over a documents table.
+
+All pure Catalyst expressions (no Python UDFs): language-ID by stopword
+ratio, quality scoring, token counting, and document fingerprinting. Each
+has an exact DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` — the
+operators are designed so both engines compute bit-identical values.
+
+Scale: every operator here is a narrow per-row projection — no shuffle, no
+Python worker, filters/pruning push straight to the parquet scan. At 100 TB
+these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spark_iforest_spark.functions import EN_STOPWORDS, tokens
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens + a BPE-ish subword count.
+
+    ``n_subwords`` approximates a BPE token budget with the common
+    [A-Za-z0-9]+-or-single-symbol regex split — a deterministic, cheap
+    stand-in for a real tokenizer at corpus-triage time.
+    """
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        F.size(F.split(F.col(text_col), r"[^A-Za-z0-9]+")).alias("n_subwords"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram/stopword language ID.
+
+    Ratio of tokens that are English stopwords; >= 0.05 → 'en', else 'unk'.
+    (The synthetic corpus is English-wordlist text with a synthetic ``lang``
+    column — the heuristic classifies the *content*, not the label.)
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = F.round(hits / F.size(toks), 6)
+    return docs.select(
+        F.col(id_col),
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0,1].
+
+    Components (each in [0,1], weights sum to 1):
+      0.3 * length_score   — min(1, n_tokens/64)
+      0.3 * stopword_score — min(1, stopword_ratio/0.08)
+      0.2 * token_len_score— 1 if mean token length in [3,10] else 0.3
+      0.2 * symbol_score   — 1 - non-alnum-space char ratio
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tokens
+    mean_tok = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens
+    n_chars = F.length(text_col)
+    n_symbol = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    length_score = F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+    stop_score = F.least(F.lit(1.0), stop_ratio / F.lit(0.08))
+    tok_len_score = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 1.0).otherwise(0.3)
+    symbol_score = F.lit(1.0) - n_symbol / n_chars
+    score = (
+        0.3 * length_score + 0.3 * stop_score + 0.2 * tok_len_score + 0.2 * symbol_score
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(stop_score, 6).alias("stopword_score"),
+        F.round(symbol_score, 6).alias("symbol_score"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint (Broder-style "fingerprint method"):
+    md5 over the sorted distinct lowercase token set. Word-order-insensitive,
+    so reordered near-duplicates collide; exact string duplicates always do.
+    """
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("exact_hash"),
+    )

@@ -1,0 +1,49 @@
+"""Source/sink helpers (SURVEY.md §2.2 S1-S5 parity + testdata plumbing).
+
+S1 CSV scan, S2/S3 model parquet sink/scan (in iforest.persistence), S4 JSON
+metadata (DefaultParamsWriter), S5 in-memory. Plus the synthetic-table
+reader that hides the TIMESTAMP(NANOS) quirk of the driver-generated
+parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. The driver's parquet stores
+    TIMESTAMP(NANOS), which Spark only reads as bigint nanos under the
+    legacy flag; operators detect the representation (operators.relational
+    _is_nanos) and stay exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """S1 parity: the reference example's CSV scan with schema inference
+    (IForestExample.scala:27-28)."""
+    return spark.read.option("inferSchema", "true").option("header", "false").csv(path)
+
+
+def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Multimodal ingestion: one row per file with (path, modificationTime,
+    length, content binary) — feed to operators.multimodal.extract_features."""
+    return spark.read.format("binaryFile").load(path_glob)
