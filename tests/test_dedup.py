@@ -1,0 +1,88 @@
+"""Dedup operator tests on tiny inline corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup of 0
+    (3, "completely different words about spark and parquet files"),
+    (4, "short text"),  # < 3 tokens: whole-text shingle
+    (5, "short text"),  # exact dup of 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_rep = {r["rep_doc_id"]: r["n_copies"] for r in out}
+    assert by_rep[0] == 2  # docs 0,1
+    assert by_rep[4] == 2  # docs 4,5
+    assert by_rep[2] == 1
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0  # identical
+    assert out[(4, 5)] == 1.0  # identical short docs via whole-text shingle
+    assert (0, 2) in out and 0.5 <= out[(0, 2)] < 1.0
+    assert not any(3 in pair for pair in out)
+
+
+def test_minhash_matches_exact(docs):
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # identical pairs always collide in every band; near-dups at j>=0.5 are
+    # probabilistic but this corpus is far above the S-curve knee
+    assert lsh == exact
+
+
+def test_simhash_matches_exact(docs):
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    sh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+          dedup.simhash_pairs(docs, threshold=0.5).collect()}
+    assert sh == exact
+
+
+def test_max_shingle_df_skew_guard(docs):
+    # with a df cap of 1 every shared shingle is dropped -> no pairs survive
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).collect()
+    assert out == []
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),  # ~parallel to 0
+            (2, [0.0, 1.0, 0.0]),    # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert list(out) == [(0, 1)]
+    assert out[(0, 1)] > 0.999
+
+
+def test_planted_neardups_at_sf0001(spark, sf_dir):
+    # the synthetic corpus has planted near-dup pairs at j >= 0.9
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = set(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+                    .select("doc_a", "doc_b").collect()))
+    lsh = set(map(tuple, dedup.minhash_lsh_pairs(docs, threshold=0.8)
+                  .select("doc_a", "doc_b").collect()))
+    assert exact, "expected planted near-dups in synthetic documents"
+    assert lsh == exact

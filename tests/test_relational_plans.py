@@ -1,0 +1,112 @@
+"""Relational operator semantics + physical-plan quality assertions.
+
+The plan tests are the 100 TB insurance: filters reach the parquet scan,
+projections prune, small sides broadcast, prediction stays codegen'd, and
+Python appears only where designed.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark import IForest
+from spark_iforest_spark.operators import relational
+from spark_iforest_spark.plans import (
+    assert_broadcast_join,
+    assert_read_schema_only,
+    formatted_plan,
+    python_eval_nodes,
+)
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions separated by 2h
+        (0, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        (1, ts("2024-01-01 10:10:00"), 1, "click", 2.0, "{}"),
+        (2, ts("2024-01-01 12:30:00"), 1, "view", 3.0, "{}"),
+        # user 2: one session
+        (3, ts("2024-01-01 09:00:00"), 2, "click", 10.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_sessionize_semantics(events):
+    out = {(r["user_id"], r["session_seq"]): r for r in relational.sessionize(events).collect()}
+    assert len(out) == 3
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+    assert out[(1, 1)]["sum_value"] == pytest.approx(3.0)
+
+
+def test_windowed_agg_semantics(events):
+    out = relational.windowed_event_agg(events).collect()
+    # 10:00 window has 2 clicks for user1
+    win10 = [r for r in out if r["window_start"] == int(ts("2024-01-01 10:00:00")
+             .replace(tzinfo=datetime.timezone.utc).timestamp())]
+    assert any(r["n_events"] == 2 and r["event_type"] == "click" for r in win10)
+
+
+def test_threshold_semantics(events):
+    out = relational.value_threshold_anomalies(events, quantile=0.5).collect()
+    # values 1,2,3,10; median 2.5; anomalies: 3, 10
+    assert sorted(r["value"] for r in out) == [3.0, 10.0]
+
+
+def test_pricing_summary_plan_pushdown(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = relational.pricing_summary(li)
+    plan = formatted_plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThan(l_shipdate" in plan
+    # column pruning: only the needed columns are read
+    assert_read_schema_only(
+        q,
+        {
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+    assert python_eval_nodes(q) == []  # pure JVM plan
+
+
+def test_top_revenue_broadcasts_customer(spark, sf_dir):
+    q = relational.top_revenue_orders(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    assert_broadcast_join(q)
+    rows = q.collect()
+    assert len(rows) == 10
+    assert rows[0]["revenue"] >= rows[-1]["revenue"]
+
+
+def test_iforest_transform_plan(spark):
+    # scoring plan: exactly one Python node (the Arrow scorer); the
+    # prediction predicate must stay JVM-side
+    df = spark.createDataFrame([([float(i)],) for i in range(32)], "features array<double>")
+    model = IForest(numTrees=5, maxDepth=4, seed=1).fit(df)
+    out = model.transform(df)
+    nodes = python_eval_nodes(out)
+    assert nodes == ["ArrowEvalPython"], nodes
+    plan = formatted_plan(out)
+    assert "CASE WHEN" in plan or "casewhen" in plan.lower()
+
+
+def test_iforest_fit_scan_prunes_to_features(spark):
+    # fit must select only the features column before shipping to Python
+    df = spark.createDataFrame(
+        [([float(i)], "junk" * 100, i) for i in range(64)],
+        "features array<double>, payload string, n long",
+    )
+    model = IForest(numTrees=3, maxSamples=16.0, maxDepth=4, seed=2).fit(df)
+    assert len(model.trees) == 3

@@ -1,0 +1,129 @@
+"""Text-analysis and similarity-search operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a good mat"),
+            (1, "zzz qqq xxx"),
+            (2, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 12
+    assert out[2]["n_tokens"] == 1
+    assert out[0]["n_chars"] == len("the cat sat on the mat and it is a good mat")
+    assert out[2]["avg_token_len"] == 3.0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"  # stopword-dense
+    assert out[1] == "unk"  # no stopwords
+
+
+def test_quality_score_ranges(docs):
+    for r in text.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["length_score"] <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.fingerprint(df).collect()}
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]  # reordered tokens collide
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+    assert out[0]["exact_hash"] != out[1]["exact_hash"]  # raw md5 differs
+
+
+EMB = [
+    (0, [1.0, 0.0]),
+    (1, [0.9, 0.1]),
+    (2, [0.0, 1.0]),
+    (3, [0.5, 0.5]),
+    (4, [-1.0, 0.0]),
+]
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(emb, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    # sign-LSH is a *near*-neighbor structure: recall is high when true
+    # neighbors are at high cosine (clusters), and legitimately poor on
+    # uniform-random vectors. Build 5 tight clusters and require recall.
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for c in range(5):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for _ in range(40):
+            v = center + 0.05 * rng.standard_normal(16)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 40 == 0)  # one query per cluster
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_topk(emb, q, k=5, dim=16, bits=4, tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in approx if r["neighbor_id"] in exact_sets[r["query_id"]])
+    assert hits / len(exact) >= 0.9
+    # and every returned neighbor is at least from the right cluster
+    cluster_of = {r["vec_id"]: r["cluster"] for r in emb.collect()}
+    assert all(cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]] for r in approx)
+
+
+def test_multimodal_roundtrip(docs):
+    media = multimodal.attach_binary_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert out[0]["n_bytes"] == len("the cat sat on the mat and it is a good mat")
+    assert len(out[0]["features"]) == 16
+    assert abs(sum(out[0]["features"]) - 1.0) < 1e-5  # L1-normalized histogram
+
+
+def test_multimodal_frame_sample(docs):
+    media = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(media, every_n_bytes=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[2]) == 1  # "one" = 3 bytes -> 1 chunk
+    assert sum(r["n_bytes"] for r in by_doc[0]) == len(
+        "the cat sat on the mat and it is a good mat"
+    )
+
+
+def test_decoder_registration(spark):
+    import numpy as np
+
+    multimodal.register_decoder("text/plain", lambda b: np.ones(4) / 4)
+    try:
+        df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+        out = multimodal.extract_features(multimodal.attach_binary_payload(df)).collect()
+        assert out[0]["features"] == [0.25, 0.25, 0.25, 0.25]
+    finally:
+        multimodal._DECODERS.clear()
