@@ -239,7 +239,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
-        "dedup_simhash": _JACCARD_PAIRS_SQL,
+        # dedup_simhash intentionally has NO oracle: its output is defined by
+        # simhash semantics (hamming <= 3 over xxhash64-based 64-bit sketches
+        # + jaccard verify) — the hash internals aren't SQL-expressible, and
+        # unlike minhash the simhash S-curve on short docs cannot guarantee
+        # recall of all jaccard>=t pairs. Deterministic => rows-only check.
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

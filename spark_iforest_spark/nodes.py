@@ -166,17 +166,24 @@ def rows_to_forest(rows) -> list[Tree]:
 class PackedForest:
     """All trees concatenated into single arrays for the batch scorer.
 
-    ``offsets[t]`` is the index of tree t's root; node ids inside each tree
-    are relative, so absolute id = offsets[t] + local id. One contiguous
-    allocation → one broadcast payload, cache-friendly descent.
+    ``offsets[t]`` is the index of tree t's root. Child pointers are
+    ABSOLUTE indices into the packed arrays; leaves self-loop (left = right
+    = own id) so the descent is branchless — every row can take a step at
+    every level, rows already at a leaf just stay put. ``leaf_adjust``
+    precomputes c(numInstance) for leaves (0 for internal nodes), and
+    ``feature_index`` is clamped to 0 at leaves (never used, keeps gathers
+    in-bounds). One contiguous allocation → one broadcast payload.
     """
 
     offsets: np.ndarray  # int64, len T+1
-    feature_index: np.ndarray
-    feature_value: np.ndarray
-    left: np.ndarray
-    right: np.ndarray
-    num_instance: np.ndarray
+    feature_index: np.ndarray  # int64, clamped >= 0 (int64 keeps every
+    #   fancy-index in the descent on numpy's same-dtype fast path)
+    feature_value: np.ndarray  # float64
+    left: np.ndarray  # int64 absolute; leaf -> self
+    right: np.ndarray  # int64 absolute; leaf -> self
+    is_leaf: np.ndarray  # bool
+    leaf_adjust: np.ndarray  # float64: c(numInstance) at leaves, else 0
+    max_depth: int  # deepest leaf across the forest
 
     @property
     def num_trees(self) -> int:
@@ -184,13 +191,41 @@ class PackedForest:
 
 
 def pack_forest(trees: list[Tree]) -> PackedForest:
+    from spark_iforest_spark.scorer import _avg_length_vec
+
     sizes = np.array([t.num_nodes for t in trees], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
+    fi = np.concatenate([t.feature_index for t in trees]).astype(np.int32)
+    fv = np.concatenate([t.feature_value for t in trees])
+    ni = np.concatenate([t.num_instance for t in trees])
+    is_leaf = fi < 0
+    n = len(fi)
+    ids = np.arange(n, dtype=np.int64)
+    left = np.concatenate(
+        [t.left.astype(np.int64) + off for t, off in zip(trees, offsets)]
+    )
+    right = np.concatenate(
+        [t.right.astype(np.int64) + off for t, off in zip(trees, offsets)]
+    )
+    left[is_leaf] = ids[is_leaf]
+    right[is_leaf] = ids[is_leaf]
+    leaf_adjust = np.zeros(n, dtype=np.float64)
+    leaf_adjust[is_leaf] = _avg_length_vec(ni[is_leaf])
+    # depth of each node via one BFS-free pass: depth(child) = depth(parent)+1,
+    # parents always precede children in pre-order
+    depth = np.zeros(n, dtype=np.int32)
+    internal = ~is_leaf
+    depth[left[internal]] = 0  # init; filled below in order
+    for i in np.flatnonzero(internal):
+        depth[left[i]] = depth[i] + 1
+        depth[right[i]] = depth[i] + 1
     return PackedForest(
         offsets=offsets,
-        feature_index=np.concatenate([t.feature_index for t in trees]),
-        feature_value=np.concatenate([t.feature_value for t in trees]),
-        left=np.concatenate([t.left for t in trees]),
-        right=np.concatenate([t.right for t in trees]),
-        num_instance=np.concatenate([t.num_instance for t in trees]),
+        feature_index=np.where(is_leaf, 0, fi).astype(np.int64),
+        feature_value=fv,
+        left=left,
+        right=right,
+        is_leaf=is_leaf,
+        leaf_adjust=leaf_adjust,
+        max_depth=int(depth[is_leaf].max()) if n else 0,
     )

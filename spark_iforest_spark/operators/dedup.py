@@ -3,24 +3,32 @@ embedding-cosine.
 
 Candidate generation differs per operator (that's the point — each trades
 recall for join volume differently), but every near-dup operator VERIFIES
-candidates with the exact same set-Jaccard expression before emitting, so
+candidates with the exact same set-Jaccard computation before emitting, so
 all three text near-dup variants return the same (doc_a, doc_b, jaccard)
 relation when recall is 1 — which is what lets one DuckDB oracle check all
 of them.
+
+Shingles are hashed to int64 JVM-side (xxhash64 inside Catalyst) before
+anything ships to Python or a shuffle: the inverted index joins on 8-byte
+keys instead of strings, and the MinHash/SimHash UDFs do pure numpy matrix
+math on Arrow int64 arrays. Set cardinalities are collision-exact w.h.p.
+(64-bit space vs ~1e3 shingles/doc).
 
 Scale notes (100 TB corpus):
 * exact: one hash-shuffle on a 32-byte digest, map-side combine free.
 * ngram-jaccard: inverted-index self-join; volume is sum of df(shingle)^2.
   ``max_shingle_df`` caps hot shingles (boilerplate) — the classic skew fix.
-* minhash-lsh: join volume drops to bucket collisions only; signature
-  computation is one Arrow batch pass (numpy matrix ops per batch).
-* simhash: cheapest candidates (4 × 16-bit band equality) for
+* minhash-lsh: join volume drops to bucket collisions only; signatures are
+  one Arrow batch pass (one (perms × shingles) matrix op per doc).
+* simhash: cheapest candidates (8 × 8-bit band equality) for
   high-similarity dedup.
-* embedding-cosine: exact O(n²) pairs — correct reference implementation;
-  the scale path is the LSH-bucketed variant in similarity.py.
+* embedding-cosine: exact O(n²) pairs — correctness reference; the scale
+  path is the LSH-bucketed variant in similarity.py.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -62,11 +70,13 @@ def exact_dedup(
     )
 
 
-def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) inverted index over distinct word n-grams."""
+def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(did, shset array<long>) — distinct word n-grams hashed JVM-side."""
     return docs.select(
         F.col(id_col).alias("did"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("sh"),
+        F.transform(
+            word_shingles(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+        ).alias("shset"),
     )
 
 
@@ -85,7 +95,9 @@ def ngram_jaccard_pairs(
     shingles appearing in more than that many docs before the join — the
     standard skew guard for boilerplate shingles at corpus scale.
     """
-    sh = _shingle_table(docs, id_col, text_col, n)
+    sh = _hashed_shingles(docs, id_col, text_col, n).select(
+        "did", F.explode("shset").alias("sh")
+    )
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
         sh = sh.join(hot, "sh", "left_anti")
@@ -117,14 +129,11 @@ def _verify_candidates(
 ) -> DataFrame:
     """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs.
 
-    Joins the candidate pairs (small) back to per-doc shingle sets and
-    evaluates set Jaccard with array intersect/union — identical math to
+    Joins the (small) candidate set back to per-doc hashed shingle sets and
+    evaluates set Jaccard with array intersect — identical math to
     ngram_jaccard_pairs, so verified output is oracle-comparable.
     """
-    shs = docs.select(
-        F.col(id_col).alias("did"),
-        word_shingles(tokens(F.col(text_col)), n).alias("shset"),
-    )
+    shs = _hashed_shingles(docs, id_col, text_col, n)
     inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
     union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
     jac = F.round(inter / union, 6)
@@ -133,6 +142,21 @@ def _verify_candidates(
         .join(shs.alias("sb"), F.col("doc_b") == F.col("sb.did"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any (band, bucket)."""
+    l, r = buckets.alias("l"), buckets.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.did") < F.col("r.did")),
+        )
+        .select(F.col("l.did").alias("doc_a"), F.col("r.did").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -147,36 +171,25 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, exact-verified.
 
-    shingle → 128 minhashes (one Arrow pass, numpy) → 32 bands × 4 rows →
-    bucket-join → distinct candidates → exact-Jaccard verify ≥ threshold.
-    With b=32,r=4 the miss probability at j=0.8 is (1-0.8^4)^32 ≈ 5e-8, so
-    the verified output equals the exact operator's in practice.
+    hashed shingles → 128 minhashes (one numpy matrix op per doc) → 32
+    bands × 4 rows → bucket-join → distinct candidates → exact-Jaccard
+    verify ≥ threshold. With b=32,r=4 the miss probability at j=0.8 is
+    (1-0.8^4)^32 ≈ 5e-8, so the verified output equals the exact
+    operator's in practice.
     """
     rows = num_perms // bands
     a_co, b_co = _minhash_coeffs(num_perms)
 
     def signatures(it):
-        import hashlib
-
         au = a_co.astype(np.uint64)[:, None]
         bu = b_co.astype(np.uint64)[:, None]
+        prime = np.uint64(_MINHASH_PRIME)
         for pdf in it:
             out_ids, out_band, out_bh = [], [], []
             for did, shset in zip(pdf["did"], pdf["shset"]):
-                base = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                            "little",
-                        )
-                        % _MINHASH_PRIME
-                        for s in shset
-                    ),
-                    dtype=np.uint64,
-                    count=len(shset),
-                )
+                base = np.asarray(shset, dtype=np.int64).astype(np.uint64) % prime
                 # (perms, shingles) matrix of universal hashes; min per row
-                sig = ((au * base[None, :] + bu) % _MINHASH_PRIME).min(axis=1)
+                sig = ((au * base[None, :] + bu) % prime).min(axis=1)
                 for band in range(bands):
                     seg = np.ascontiguousarray(sig[band * rows : (band + 1) * rows])
                     h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
@@ -185,23 +198,9 @@ def minhash_lsh_pairs(
                     out_bh.append(h)
             yield pd.DataFrame({"did": out_ids, "band": out_band, "bucket": out_bh})
 
-    shs = docs.select(
-        F.col(id_col).alias("did"),
-        word_shingles(tokens(F.col(text_col)), n).alias("shset"),
-    )
+    shs = _hashed_shingles(docs, id_col, text_col, n)
     buckets = shs.mapInPandas(signatures, schema="did long, band int, bucket string")
-    l, r = buckets.alias("l"), buckets.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.did") < F.col("r.did")),
-        )
-        .select(F.col("l.did").alias("doc_a"), F.col("r.did").alias("doc_b"))
-        .distinct()
-    )
-    return _verify_candidates(candidates, docs, id_col, text_col, n, threshold)
+    return _verify_candidates(_bucket_pairs(buckets), docs, id_col, text_col, n, threshold)
 
 
 def simhash_pairs(
@@ -210,47 +209,58 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    band_bits: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs, exact-verified.
+    """SimHash near-dup pairs: hamming(simhash) <= max_hamming, then
+    exact-Jaccard >= threshold.
 
-    64-bit simhash over shingle hashes; candidates share any of the
-    64/band_bits bit-bands (pigeonhole: guaranteed recall for hamming
-    distance < 64/band_bits); exact-Jaccard verification prunes.
+    Bands are sized so recall is EXACT by pigeonhole: max_hamming+1 bands
+    means any pair within max_hamming shares at least one full band. 16-bit
+    bands give 65k buckets per band, so candidate volume stays near-linear
+    in true near-dups at any corpus size — this is the cheap high-similarity
+    screen. Pairs with hamming above the bound are genuinely out of simhash's
+    contract on short documents (the ±1 accumulator over ~1e2 shingles is
+    noisy: empirically j=0.92 pairs can reach hamming 16/64), so this
+    operator's output is defined by simhash semantics — not interchangeable
+    with the exact-Jaccard relation like minhash_lsh_pairs' is. Deterministic
+    in (data, n, thresholds): rows-only correctness check.
     """
-    num_bands = 64 // band_bits
+    num_bands = max_hamming + 1
+    band_bits = 64 // num_bands
 
     def simhash(it):
-        import hashlib
-
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in it:
-            out_ids, out_band, out_bh = [], [], []
-            shifts = np.arange(64, dtype=np.uint64)
+            out_ids, out_sim = [], []
             for did, shset in zip(pdf["did"], pdf["shset"]):
-                acc = np.zeros(64, dtype=np.int64)
-                for s in shset:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                            "little",
-                        )
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                sh64 = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-                for band in range(num_bands):
-                    seg = (sh64 >> (band * band_bits)) & ((1 << band_bits) - 1)
-                    out_ids.append(did)
-                    out_band.append(band)
-                    out_bh.append(int(seg))
-            yield pd.DataFrame({"did": out_ids, "band": out_band, "bucket": out_bh})
+                h = np.asarray(shset, dtype=np.int64).astype(np.uint64)
+                # (shingles, 64) bit matrix summed to the ±1 accumulator
+                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sh64 = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                out_ids.append(did)
+                out_sim.append(int(np.int64(sh64)))  # reinterpret as signed
+            yield pd.DataFrame({"did": out_ids, "sim": out_sim})
 
-    shs = docs.select(
-        F.col(id_col).alias("did"),
-        word_shingles(tokens(F.col(text_col)), n).alias("shset"),
+    shs = _hashed_shingles(docs, id_col, text_col, n)
+    sims = shs.mapInPandas(simhash, schema="did long, sim long")
+    # band split JVM-side via posexplode: (band index, 16-bit bucket value)
+    bands = sims.select(
+        "did",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("sim"), i * band_bits)
+                        % F.lit(1 << band_bits)
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    buckets = shs.mapInPandas(simhash, schema="did long, band int, bucket long")
-    l, r = buckets.alias("l"), buckets.alias("r")
+    l, r = bands.alias("l"), bands.alias("r")
     candidates = (
         l.join(
             r,
@@ -258,10 +268,20 @@ def simhash_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.did") < F.col("r.did")),
         )
-        .select(F.col("l.did").alias("doc_a"), F.col("r.did").alias("doc_b"))
+        .where(F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))) <= max_hamming)
+        .select(
+            F.col("l.did").alias("doc_a"),
+            F.col("r.did").alias("doc_b"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
         .distinct()
     )
-    return _verify_candidates(candidates, docs, id_col, text_col, n, threshold)
+    verified = _verify_candidates(
+        candidates.select("doc_a", "doc_b"), docs, id_col, text_col, n, threshold
+    )
+    return verified.join(candidates, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "hamming", "jaccard"
+    )
 
 
 def embedding_cosine_pairs(

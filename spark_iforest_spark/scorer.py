@@ -52,30 +52,33 @@ def _avg_length_vec(sizes: np.ndarray) -> np.ndarray:
 def path_lengths(forest: PackedForest, x: np.ndarray) -> np.ndarray:
     """Average root-to-leaf path length over all trees for each row of x.
 
-    x: (B, d) float64. Returns (B,) float64. Level-synchronous: all B rows
-    descend one tree together; rows that reached a leaf drop out of the
-    active set.
+    x: (B, d) float64. Returns (B,) float64.
+
+    Branchless level-synchronous descent over a (T, B) node matrix: ALL
+    trees advance ALL rows one level per iteration (leaves self-loop, so no
+    active-set bookkeeping), for forest.max_depth iterations total. Python
+    overhead is O(depth) instead of O(trees × depth); the inner work is
+    whole-matrix gathers that numpy vectorizes.
     """
     b = x.shape[0]
-    total = np.zeros(b, dtype=np.float64)
+    t = forest.num_trees
     fi, fv = forest.feature_index, forest.feature_value
-    left, right, ni = forest.left, forest.right, forest.num_instance
-    rows = np.arange(b)
-    for t in range(forest.num_trees):
-        root = forest.offsets[t]
-        node = np.full(b, root, dtype=np.int64)
-        depth = np.zeros(b, dtype=np.float64)
-        active = fi[node] >= 0
-        while active.any():
-            an = node[active]
-            f = fi[an]
-            go_left = x[rows[active], f] < fv[an]
-            nxt = np.where(go_left, left[an], right[an]) + root
-            node[active] = nxt
-            depth[active] += 1.0
-            active[active] = fi[nxt] >= 0
-        total += depth + _avg_length_vec(ni[node])
-    return total / forest.num_trees
+    left, right = forest.left, forest.right
+    is_leaf, leaf_adjust = forest.is_leaf, forest.leaf_adjust
+
+    node = np.broadcast_to(forest.offsets[:t, None], (t, b)).copy()  # (T,B)
+    depth = np.zeros((t, b), dtype=np.float64)
+    # cols must be MATERIALIZED (T,B): numpy's fancy indexing with a
+    # broadcast (1,B) view falls off the fast path (~100x slower)
+    cols = np.broadcast_to(np.arange(b)[None, :], (t, b)).copy()
+    for _ in range(forest.max_depth):
+        val = x[cols, fi[node]]  # (T,B): feature value each row tests
+        go_left = val < fv[node]
+        nxt = np.where(go_left, left[node], right[node])
+        depth += ~is_leaf[node]
+        node = nxt
+    total = depth.sum(axis=0) + leaf_adjust[node].sum(axis=0)
+    return total / t
 
 
 def anomaly_scores(forest: PackedForest, x: np.ndarray, psi: float) -> np.ndarray:

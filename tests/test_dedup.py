@@ -48,12 +48,19 @@ def test_minhash_matches_exact(docs):
     assert lsh == exact
 
 
-def test_simhash_matches_exact(docs):
+def test_simhash_subset_of_exact(docs):
+    # simhash output = hamming<=3 AND jaccard>=t: a (verified) subset of the
+    # exact relation that always contains the exact duplicates (hamming 0)
     exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
              dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
-    sh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+    sh = {(r["doc_a"], r["doc_b"]): (r["hamming"], r["jaccard"]) for r in
           dedup.simhash_pairs(docs, threshold=0.5).collect()}
-    assert sh == exact
+    assert set(sh) <= set(exact)
+    for pair, (ham, jac) in sh.items():
+        assert ham <= 3
+        assert jac == exact[pair]
+    assert sh[(0, 1)] == (0, 1.0)
+    assert sh[(4, 5)] == (0, 1.0)
 
 
 def test_max_shingle_df_skew_guard(docs):
