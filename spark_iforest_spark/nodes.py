@@ -182,8 +182,10 @@ class PackedForest:
     left: np.ndarray  # int64 absolute; leaf -> self
     right: np.ndarray  # int64 absolute; leaf -> self
     is_leaf: np.ndarray  # bool
+    not_leaf_f: np.ndarray  # float64 1.0 at internal nodes (depth increment)
     leaf_adjust: np.ndarray  # float64: c(numInstance) at leaves, else 0
     max_depth: int  # deepest leaf across the forest
+    tree_depth: np.ndarray  # int32, per-tree deepest leaf
 
     @property
     def num_trees(self) -> int:
@@ -215,10 +217,16 @@ def pack_forest(trees: list[Tree]) -> PackedForest:
     # parents always precede children in pre-order
     depth = np.zeros(n, dtype=np.int32)
     internal = ~is_leaf
-    depth[left[internal]] = 0  # init; filled below in order
     for i in np.flatnonzero(internal):
         depth[left[i]] = depth[i] + 1
         depth[right[i]] = depth[i] + 1
+    tree_depth = np.array(
+        [
+            int(depth[offsets[t] : offsets[t + 1]].max()) if sizes[t] else 0
+            for t in range(len(trees))
+        ],
+        dtype=np.int32,
+    )
     return PackedForest(
         offsets=offsets,
         feature_index=np.where(is_leaf, 0, fi).astype(np.int64),
@@ -226,6 +234,8 @@ def pack_forest(trees: list[Tree]) -> PackedForest:
         left=left,
         right=right,
         is_leaf=is_leaf,
+        not_leaf_f=internal.astype(np.float64),
         leaf_adjust=leaf_adjust,
         max_depth=int(depth[is_leaf].max()) if n else 0,
+        tree_depth=tree_depth,
     )

@@ -28,8 +28,6 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -167,15 +165,22 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.8,
     num_perms: int = _MINHASH_PERMS,
-    bands: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, exact-verified.
 
-    hashed shingles → 128 minhashes (one numpy matrix op per doc) → 32
-    bands × 4 rows → bucket-join → distinct candidates → exact-Jaccard
-    verify ≥ threshold. With b=32,r=4 the miss probability at j=0.8 is
-    (1-0.8^4)^32 ≈ 5e-8, so the verified output equals the exact
-    operator's in practice.
+    hashed shingles → 128 minhashes (one numpy matrix op per doc) → 16
+    bands × 8 rows → bucket-join → distinct candidates → signature-estimate
+    prefilter → exact-Jaccard verify ≥ threshold.
+
+    Band shape tradeoff: r=8 rows/band makes a bucket collision between
+    UNRELATED docs j^8 (vs j^4 at r=4) — on corpora with a small vocabulary
+    (high baseline jaccard between random docs) that is the difference
+    between near-linear and quadratic candidate volume. Recall: miss
+    probability is (1-j^8)^16 ≈ 1e-4 at j=0.9 and 2e-6 at j=0.93; at
+    exactly j=0.8 it is ~5% — callers screening at the 0.8 knee on corpora
+    where that margin matters should pass bands=32 (r=4, miss 5e-8) and pay
+    the candidate volume.
     """
     rows = num_perms // bands
     a_co, b_co = _minhash_coeffs(num_perms)
@@ -185,22 +190,49 @@ def minhash_lsh_pairs(
         bu = b_co.astype(np.uint64)[:, None]
         prime = np.uint64(_MINHASH_PRIME)
         for pdf in it:
-            out_ids, out_band, out_bh = [], [], []
+            out_ids, out_sig = [], []
             for did, shset in zip(pdf["did"], pdf["shset"]):
                 base = np.asarray(shset, dtype=np.int64).astype(np.uint64) % prime
                 # (perms, shingles) matrix of universal hashes; min per row
                 sig = ((au * base[None, :] + bu) % prime).min(axis=1)
-                for band in range(bands):
-                    seg = np.ascontiguousarray(sig[band * rows : (band + 1) * rows])
-                    h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-                    out_ids.append(did)
-                    out_band.append(band)
-                    out_bh.append(h)
-            yield pd.DataFrame({"did": out_ids, "band": out_band, "bucket": out_bh})
+                out_ids.append(did)
+                out_sig.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"did": out_ids, "sig": out_sig})
 
     shs = _hashed_shingles(docs, id_col, text_col, n)
-    buckets = shs.mapInPandas(signatures, schema="did long, band int, bucket string")
-    return _verify_candidates(_bucket_pairs(buckets), docs, id_col, text_col, n, threshold)
+    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>")
+    # band buckets derived JVM-side: xxhash64 over each signature slice
+    buckets = sigs.select(
+        "did",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("sig"), band * rows + 1, rows))
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    candidates = _bucket_pairs(buckets)
+    # Prefilter with the minhash Jaccard ESTIMATE (signature agreement rate)
+    # before the exact verify: bucket collisions on low-similarity corpora
+    # (small vocabularies) can be 1000x the true pair count, and the exact
+    # verify joins full shingle sets — the estimate join touches only the
+    # 128-long signatures via broadcast. Margin 0.12 ≈ 3.4 sigma of the
+    # estimator's std at j≈threshold, so true pairs survive w.h.p.
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
+            lambda eq: eq,
+        )
+    )
+    prefiltered = (
+        candidates.join(F.broadcast(sigs.alias("sa")), F.col("doc_a") == F.col("sa.did"))
+        .join(F.broadcast(sigs.alias("sb")), F.col("doc_b") == F.col("sb.did"))
+        .where(est_matches / num_perms >= threshold - 0.12)
+        .select("doc_a", "doc_b")
+    )
+    return _verify_candidates(prefiltered, docs, id_col, text_col, n, threshold)
 
 
 def simhash_pairs(

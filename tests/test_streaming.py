@@ -1,0 +1,132 @@
+"""Structured Streaming twins: scorer on a stream, windowed agg, stateful
+sessionization via applyInPandasWithState."""
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark import IForest
+from spark_iforest_spark import streaming as S
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream-src-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(10)
+
+
+def test_score_stream(spark, tmpdir):
+    batch = spark.createDataFrame(
+        [([float(i), float(i)],) for i in range(64)], "features array<double>"
+    )
+    batch.write.parquet(tmpdir + "/in")
+    model = IForest(numTrees=10, maxSamples=32.0, maxDepth=6, seed=4).fit(batch)
+    model.transform(batch).collect()  # fixes the threshold (batch pass)
+    assert model.getThreshold() > 0
+
+    stream = spark.readStream.schema("features array<double>").parquet(tmpdir + "/in")
+    scored = S.score_stream(model, stream)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("select * from scored_stream").collect()
+    assert len(rows) == 64
+    assert all(0 < r["anomalyScore"] < 1 for r in rows)
+    # stream scores == batch scores for identical rows
+    batch_scores = {
+        tuple(r["features"]): r["anomalyScore"] for r in model.transform(batch).collect()
+    }
+    for r in rows:
+        assert r["anomalyScore"] == pytest.approx(batch_scores[tuple(r["features"])])
+
+
+def test_score_stream_preconditions(spark, tmpdir):
+    batch = spark.createDataFrame(
+        [([float(i)],) for i in range(32)], "features array<double>"
+    )
+    batch.write.parquet(tmpdir + "/in2")
+    stream = spark.readStream.schema("features array<double>").parquet(tmpdir + "/in2")
+    model = IForest(numTrees=5, maxSamples=16.0, maxDepth=4, seed=1).fit(batch)
+    model.setThreshold(-1.0)
+    with pytest.raises(ValueError, match="setThreshold"):
+        S.score_stream(model, stream)
+    frac = IForest(numTrees=5, maxSamples=1.0, maxDepth=4, seed=1).fit(batch)
+    frac.setThreshold(0.5)
+    with pytest.raises(ValueError, match="absolute maxSamples"):
+        S.score_stream(frac, stream)
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_windowed_agg_stream(spark, tmpdir):
+    rows = [
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 3.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(
+        tmpdir + "/ev"
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(tmpdir + "/ev")
+    q = (
+        S.windowed_agg_stream(stream)
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    out = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_stream").collect()
+    }
+    assert out[("2024-01-01T10:00:00", "click")] == 2
+    assert out[("2024-01-01T11:00:00", "view")] == 1
+
+
+def test_sessionize_stream(spark, tmpdir):
+    rows = [
+        (0, ts("2024-01-01 10:00:00"), 1),
+        (1, ts("2024-01-01 10:10:00"), 1),
+        (2, ts("2024-01-01 12:30:00"), 1),  # new session (gap > 30min)
+        (3, ts("2024-01-01 09:00:00"), 2),
+        # a late high-watermark event so earlier sessions time out
+        (4, ts("2024-01-02 00:00:00"), 99),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long").write.parquet(
+        tmpdir + "/sess"
+    )
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(
+        tmpdir + "/sess"
+    )
+    q = (
+        S.sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    out = spark.sql("select * from sess_stream").collect()
+    sessions = {(r["user_id"], r["session_start"].isoformat()): r["n_events"] for r in out}
+    # user 1's first session (2 events) closed by the gap within the batch;
+    # emitted either on gap-split or timeout
+    assert sessions.get((1, "2024-01-01T10:00:00")) == 2
