@@ -85,6 +85,15 @@ def queries() -> _T:
             _read(s, d, "events")
         ),
         "sessionize_events": lambda s, d: relational.sessionize(_read(s, d, "events")),
+        "regional_supplier_rollup": lambda s, d: relational.regional_supplier_rollup(
+            _read(s, d, "supplier"), _read(s, d, "nation"), _read(s, d, "region")
+        ),
+        "top_parts_per_brand": lambda s, d: relational.top_parts_per_brand(
+            _read(s, d, "part")
+        ),
+        "event_type_cardinality": lambda s, d: relational.event_type_cardinality(
+            _read(s, d, "events")
+        ),
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -230,6 +239,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_value
             FROM sess
             GROUP BY user_id, session_seq
+        """,
+        "regional_supplier_rollup": """
+            SELECT r_name, n_name,
+                   count(*) AS n_suppliers,
+                   sum(CAST(floor(s_acctbal * 10000.0) AS BIGINT)) / 10000.0 AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, price_rank, p_partkey, round(p_retailprice, 6) AS p_retailprice
+            FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey ASC)
+                       AS price_rank
+              FROM part
+            ) WHERE price_rank <= 3
+        """,
+        "event_type_cardinality": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,

@@ -151,6 +151,49 @@ def anomaly_rate_by_type(events: DataFrame, quantile: float = 0.99) -> DataFrame
     )
 
 
+def regional_supplier_rollup(
+    supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Dimension-chain join (supplier -> nation -> region) + rollup. Both
+    dims are tiny: broadcast-hash all the way, single shuffle for the agg."""
+    return (
+        supplier.join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            units_to_double(F.sum(money_units("s_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k via ranking window: k priciest parts per brand.
+    One shuffle on brand; rank + filter stay partition-local."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("price_rank", F.row_number().over(w))
+        .where(F.col("price_rank") <= k)
+        .select(
+            "p_brand",
+            "price_rank",
+            "p_partkey",
+            F.round("p_retailprice", 6).alias("p_retailprice"),
+        )
+    )
+
+
+def event_type_cardinality(events: DataFrame) -> DataFrame:
+    """Exact + approximate distinct-user counts per event type. The approx
+    (HLL++, rsd 5%) is the 100 TB path; exact is the oracle-checkable one."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregation — identical code path works on a
     streaming DataFrame (see streaming/). Nanos input is truncated to
