@@ -63,6 +63,9 @@ from spark_iforest_spark.trainer import train_tree
 
 _POOL_OVERSAMPLE = 1.1
 _POOL_SLACK = 1024
+# above this pool size, rid assignment switches from one global sort to
+# partition-local row numbers + driver offsets (distributed zipWithIndex)
+_POOL_GLOBAL_SORT_MAX = 20_000_000
 
 
 def _features_as_array(df: DataFrame, features_col: str) -> F.Column:
@@ -273,9 +276,39 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         pool = feats.select(F.col("features"), u_norm)
         if pool_fraction < 1.0:
             pool = pool.where(F.col("u") < pool_fraction)
-        pool = pool.withColumn(
-            "rid", F.row_number().over(Window.orderBy(F.col("u"))) - F.lit(1)
-        ).cache()
+        if target_pool <= _POOL_GLOBAL_SORT_MAX:
+            # absolute-maxSamples regime: pool is O(numTrees*maxSamples) rows
+            # regardless of input size — a single-task sort is cheap and makes
+            # rids (hence the whole forest) independent of partition layout.
+            pool = pool.withColumn(
+                "rid", F.row_number().over(Window.orderBy(F.col("u"))) - F.lit(1)
+            ).cache()
+        else:
+            # fractional-maxSamples regime at large n: psi scales with the
+            # input, a global sort would bottleneck — assign rids as
+            # partition-local row_numbers + driver-computed partition offsets
+            # (the classic distributed zipWithIndex). rids then depend on the
+            # partition layout; the sampling DISTRIBUTION is unchanged, only
+            # bitwise run-to-run reproducibility narrows to fixed layouts.
+            part_pool = pool.withColumn("part", F.spark_partition_id()).cache()
+            counts = {
+                r["part"]: r["cnt"]
+                for r in part_pool.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            offsets, acc = {}, 0
+            for p in sorted(counts):
+                offsets[p] = acc
+                acc += counts[p]
+            offset_col = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("part"),
+            )
+            w = Window.partitionBy("part").orderBy(F.col("u"))
+            pool = part_pool.withColumn(
+                "rid", F.row_number().over(w) - F.lit(1) + offset_col
+            ).drop("part")
         m = pool.count()
         if m < psi:
             # Bernoulli undershoot (possible only on tiny inputs): use all rows.

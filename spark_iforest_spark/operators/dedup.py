@@ -200,7 +200,10 @@ def minhash_lsh_pairs(
             yield pd.DataFrame({"did": out_ids, "sig": out_sig})
 
     shs = _hashed_shingles(docs, id_col, text_col, n)
-    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>")
+    # sigs feeds three plan branches (banding + both sides of the estimate
+    # join): persist so the Python signature pass runs once, not three times.
+    # Bounded: n_docs × 128 × 8 B ≈ 1 GB per billion docs, spillable.
+    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>").persist()
     # band buckets derived JVM-side: xxhash64 over each signature slice
     buckets = sigs.select(
         "did",
