@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_iforest_spark import IForest
-from spark_iforest_spark.operators import dedup, multimodal, relational, similarity, text
+from spark_iforest_spark.operators import corpus, dedup, multimodal, relational, similarity, text
 
 _T = dict[str, Callable[[SparkSession, str], DataFrame]]
 
@@ -111,6 +111,11 @@ def queries() -> _T:
             _read(s, d, "embeddings"),
             _read(s, d, "embeddings").where(F.col("vec_id") < 10),
         ),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _read(s, d, "embeddings"),
+            _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
+        "clean_corpus": lambda s, d: corpus.clean_corpus(_read(s, d, "documents")),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _read(s, d, "embeddings"),
             _read(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -350,6 +355,31 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1.0 ELSE 0.3 END)
                          + 0.2 * (1.0 - n_symbol / n_chars), 6) AS quality
             FROM c
+        """,
+        "clean_corpus": f"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(0.3 * least(1.0, len(t) / 64.0)
+                           + 0.3 * least(1.0, (len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                               / len(t)) / 0.08)
+                           + 0.2 * (CASE WHEN list_sum(list_transform(t, x -> length(x))) / len(t) >= 3.0
+                                          AND list_sum(list_transform(t, x -> length(x))) / len(t) <= 10.0
+                                         THEN 1.0 ELSE 0.3 END)
+                           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                                          / length(text)), 6) AS quality,
+                     CASE WHEN round(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                     / len(t), 6) >= 0.05
+                          THEN 'en' ELSE 'unk' END AS lang_pred
+              FROM tok
+            ),
+            reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+            SELECT q.doc_id, quality, lang_pred
+            FROM q JOIN reps ON q.doc_id = reps.doc_id
+            WHERE quality >= 0.5 AND lang_pred = 'en'
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from spark_iforest_spark.functions import cosine
 
 _LSH_SEED = 0xA11CE
+_IVF_SEED = 0x1FF
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -134,5 +135,74 @@ def lsh_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
         )
+    )
+    return _ranked(cand, k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + probed cells.
+
+    Build: fit KMeans (seeded, deterministic) on the corpus, assign every
+    vector to its nearest centroid (one narrow pass). Query: each query
+    probes its ``n_probe`` nearest centroids and ranks only those cells'
+    members by exact cosine. At 100 TB the corpus is written PARTITIONED BY
+    cell, so a probe reads only n_probe/n_centroids of the data — scan
+    pruning does the heavy lifting, no per-pair work outside probed cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import ArrayType
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).withColumn("_v", to_vec("nv"))
+    km = KMeans(k=n_centroids, seed=_IVF_SEED, featuresCol="_v", predictionCol="cell")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("neighbor_id", "nv", "cell")
+
+    centers = model.clusterCenters()
+    import numpy as np
+
+    c = np.stack(centers)
+
+    def probe_cells(it):
+        for pdf in it:
+            q = np.asarray(pdf["qv"].to_list(), dtype=np.float64)
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = qn @ cn.T  # (B, n_centroids)
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["cell"] = order.reshape(-1)
+            yield out[["query_id", "qv", "cell"]]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probed = q.mapInPandas(probe_cells, schema="query_id long, qv array<double>, cell int")
+    cand = (
+        assigned.alias("corp")
+        .join(
+            F.broadcast(probed.alias("pq")),
+            (F.col("corp.cell") == F.col("pq.cell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _ranked(cand, k)
