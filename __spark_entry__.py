@@ -116,6 +116,11 @@ def queries() -> _T:
             _read(s, d, "embeddings").where(F.col("vec_id") < 10),
         ),
         "clean_corpus": lambda s, d: corpus.clean_corpus(_read(s, d, "documents")),
+        "dedup_clusters": lambda s, d: dedup.dup_clusters(_read(s, d, "documents")),
+        "corpus_vocab": lambda s, d: text.corpus_vocab(_read(s, d, "documents")),
+        "quality_histogram": lambda s, d: text.quality_histogram(
+            _read(s, d, "documents")
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _read(s, d, "embeddings"),
             _read(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -380,6 +385,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id, quality, lang_pred
             FROM q JOIN reps ON q.doc_id = reps.doc_id
             WHERE quality >= 0.5 AND lang_pred = 'en'
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace(chr(10), chr(10) + '            ')}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, w.label
+              FROM edges e JOIN walk w ON e.dst = w.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_rep
+            FROM walk GROUP BY node
+        """,
+        "corpus_vocab": """
+            SELECT token, count(*) AS n_occurrences
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 50
+        """,
+        "quality_histogram": f"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+            ),
+            q AS (
+              SELECT round(0.3 * least(1.0, len(t) / 64.0)
+                           + 0.3 * least(1.0, (len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                               / len(t)) / 0.08)
+                           + 0.2 * (CASE WHEN list_sum(list_transform(t, x -> length(x))) / len(t) >= 3.0
+                                          AND list_sum(list_transform(t, x -> length(x))) / len(t) <= 10.0
+                                         THEN 1.0 ELSE 0.3 END)
+                           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                                          / length(text)), 6) AS quality
+              FROM tok
+            )
+            SELECT CAST(least(floor(quality * 10), 9) AS INT) AS decile,
+                   count(*) AS n_docs
+            FROM q GROUP BY 1
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -345,3 +345,59 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document in
+    a duplicate cluster mapped to the cluster's minimum doc id.
+
+    Iterative smallest-label propagation (driver loop over joins, each
+    iteration halves the remaining diameter; near-dup clusters are tiny so
+    2-4 iterations converge). The edge set comes from ngram_jaccard_pairs;
+    at corpus scale feed it minhash_lsh_pairs instead — same relation,
+    near-linear candidate generation.
+
+    Returns (doc_id, cluster_rep) for docs that have >= 1 near-duplicate.
+    """
+    pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    # undirected edges + self-loops as starting labels
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    edges = edges.cache()
+    while True:
+        # each node adopts the min label among itself and its neighbors
+        neighbor_labels = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .select(F.col("doc_a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))

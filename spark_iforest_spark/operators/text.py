@@ -99,3 +99,37 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("exact_hash"),
     )
+
+
+def corpus_vocab(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus token-frequency table, top-k by count (token tiebreak).
+
+    explode → groupBy(token) with map-side partial aggregation → global
+    top-k of the (tiny) aggregate. The full vocabulary never sits on one
+    node; only the k winners do.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def quality_histogram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Decile histogram of the quality score — the triage view a corpus
+    curator looks at before picking a cleaning threshold."""
+    q = quality_score(docs, id_col, text_col)
+    bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int")
+    return (
+        q.select(bucket.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -93,3 +93,18 @@ def test_planted_neardups_at_sf0001(spark, sf_dir):
                   .select("doc_a", "doc_b").collect()))
     assert exact, "expected planted near-dups in synthetic documents"
     assert lsh == exact
+
+
+def test_dup_clusters_transitive(spark):
+    # doc chain 0-1-2 must land in ONE cluster labeled by min id, even
+    # though (0,2) are not a near-dup pair directly
+    chain = [
+        (0, "aa bb cc dd ee ff gg hh ii jj"),
+        (1, "aa bb cc dd ee ff gg hh ii kk"),   # near-dup of 0
+        (2, "aa bb cc dd ee ff gg hh ll kk"),   # near-dup of 1, not of 0
+        (3, "totally different words here right now ok fine yes sure"),
+    ]
+    df = spark.createDataFrame(chain, ["doc_id", "text"])
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           dedup.dup_clusters(df, threshold=0.5).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}

@@ -127,3 +127,41 @@ def test_decoder_registration(spark):
         assert out[0]["features"] == [0.25, 0.25, 0.25, 0.25]
     finally:
         multimodal._DECODERS.clear()
+
+
+def test_corpus_vocab(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c")], ["doc_id", "text"]
+    )
+    out = [(r["token"], r["n_occurrences"]) for r in text.corpus_vocab(df).collect()]
+    assert out == [("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_quality_histogram_buckets(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.quality_histogram(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert all(0 <= r["decile"] <= 9 for r in out)
+
+
+def test_ivf_topk_matches_bruteforce_on_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.standard_normal(8)
+        for _ in range(30):
+            v = center + 0.05 * rng.standard_normal(8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 30 == 0)
+    exact = similarity.cosine_topk(emb, q, k=3).collect()
+    ivf = similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in ivf if r["neighbor_id"] in exact_sets[r["query_id"]])
+    assert hits / len(exact) >= 0.9
