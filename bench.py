@@ -54,9 +54,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: this VM shows random multi-10s external pauses (see
+        # .claude/skills/verify/SKILL.md gotchas); min-of-two runs reports
+        # the machine's actual capability instead of scheduler luck
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # --- isolation forest: train + score on lineitem numeric features ------
     feature_cols = [

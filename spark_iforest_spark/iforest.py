@@ -151,7 +151,22 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         return self._checked_set(anomalyScoreCol=value)
 
     # ------------------------------------------------------------------ fit
+    @staticmethod
+    def _phase(name: str, t0: float) -> float:
+        """Optional phase timing to stderr (SPARK_IFOREST_TIMING=1)."""
+        import os
+        import sys
+        import time
+
+        t1 = time.time()
+        if os.environ.get("SPARK_IFOREST_TIMING"):
+            print(f"[iforest-fit] {name}: {t1 - t0:.2f}s", file=sys.stderr, flush=True)
+        return t1
+
     def _fit(self, dataset: DataFrame) -> "IForestModel":
+        import time as _time
+
+        _t = _time.time()
         self._validate_params()
         features_col = self.getFeaturesCol()
         _validate_features_schema(dataset, features_col)
@@ -164,6 +179,7 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         feats = dataset.select(_features_as_array(dataset, features_col).alias("features"))
 
         n = feats.count()
+        _t = self._phase("count", _t)
         if n == 0:
             raise ValueError("cannot fit on an empty dataset")
         fraction = max_samples / n if max_samples > 1 else max_samples
@@ -193,6 +209,7 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
             joined = feats.crossJoin(F.broadcast(tree_ids))
         else:
             joined = self._sample_assign(spark, feats, n, psi, num_trees, bootstrap, rng)
+        _t = self._phase("sample_assign", _t)
 
         max_depth = self.getMaxDepth()
         max_features = self.getMaxFeatures()
@@ -219,6 +236,7 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
             .applyInPandas(build, schema=FLAT_NODE_SCHEMA)
             .collect()
         )
+        _t = self._phase("tree_build_collect", _t)
         trees = rows_to_forest(node_rows)
         if len(trees) != num_trees:
             raise RuntimeError(f"expected {num_trees} trees, built {len(trees)}")
@@ -231,6 +249,7 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         # Reference fit eagerly transforms the training set, fixing the
         # model threshold from training-score quantiles (IForest.scala:542-548).
         predictions = model.transform(dataset)
+        _t = self._phase("eager_transform_threshold", _t)
         model._summary = IForestSummary(
             predictions,
             features_col,
