@@ -24,7 +24,29 @@ from spark_iforest_spark.operators import corpus, dedup, multimodal, relational,
 _T = dict[str, Callable[[SparkSession, str], DataFrame]]
 
 
+_PYFILES_SENT: set[str] = set()
+
+
+def _ensure_workers_import(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so pandas_udf closures that
+    reference spark_iforest_spark by name unpickle even when the driver's
+    working directory isn't the repo root."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark_iforest_spark")
+    zip_base = os.path.join(tempfile.gettempdir(), f"spark_iforest_spark_{app_id}")
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "spark_iforest_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _PYFILES_SENT.add(app_id)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_import(spark)
     # the synthetic tables store TIMESTAMP(NANOS), which Spark only reads as
     # bigint nanos; operators detect the representation and stay exact
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
