@@ -143,6 +143,9 @@ def queries() -> _T:
         "quality_histogram": lambda s, d: text.quality_histogram(
             _read(s, d, "documents")
         ),
+        "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(
+            _read(s, d, "documents")
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _read(s, d, "embeddings"),
             _read(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -450,6 +453,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(least(floor(quality * 10), 9) AS INT) AS decile,
                    count(*) AS n_docs
             FROM q GROUP BY 1
+        """,
+        "doc_winnow_fingerprints": """
+            WITH g AS (
+              SELECT doc_id, text,
+                     length(text) - 16 + 1 AS n_grams,
+                     list_transform(range(1, length(text) - 16 + 2),
+                                    i -> md5(text[i:i+15])) AS ghash
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN n_grams - 8 + 1 >= 1
+                          THEN list_distinct(list_transform(
+                                 range(1, n_grams - 8 + 2),
+                                 j -> list_aggregate(ghash[j:j+7], 'min')))
+                          ELSE [md5(text)] END AS fps
+              FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM w
         """,
         "doc_fingerprint": """
             SELECT doc_id,

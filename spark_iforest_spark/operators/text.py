@@ -133,3 +133,55 @@ def quality_histogram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprints (MOSS-style winnowing).
+
+    Hash every k-char gram, then keep the minimum hash of each
+    ``window``-gram window; the distinct survivors are the document's
+    fingerprints. Guarantees any shared substring of length >= k+window-1
+    yields a shared fingerprint — the plagiarism/near-dup detection
+    invariant. Pure Catalyst expressions (one row per fingerprint out);
+    md5 grams keep the arithmetic engine-portable. Short docs (< k chars)
+    fall back to one whole-text fingerprint.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_grams = F.length(text_col) - k + 1
+    grams = F.when(
+        n_grams >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array(F.md5(F.col(text_col))))
+
+    def window_min(it):
+        # numpy sliding minimum over the md5 hex strings (lexicographic —
+        # identical to array_min/list min in either engine). Gram hashing
+        # stayed JVM-side; only the O(G*w) windowing runs here, vectorized.
+        for pdf in it:
+            ids, fps = [], []
+            for did, gh in zip(pdf["did"], pdf["ghash"]):
+                a = np.asarray(gh)
+                if len(a) < window:
+                    sel = np.unique(a)
+                else:
+                    m = a[: len(a) - window + 1].copy()
+                    for o in range(1, window):
+                        np.minimum(m, a[o : o + len(m)], out=m)
+                    sel = np.unique(m)
+                ids.extend([did] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    gram_df = docs.select(F.col(id_col).alias("did"), grams.alias("ghash"))
+    return gram_df.mapInPandas(window_min, schema=f"{id_col} long, fingerprint string")

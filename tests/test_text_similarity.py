@@ -165,3 +165,23 @@ def test_ivf_topk_matches_bruteforce_on_clusters(spark):
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(1 for r in ivf if r["neighbor_id"] in exact_sets[r["query_id"]])
     assert hits / len(exact) >= 0.9
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    # two docs sharing a long substring must share >= 1 fingerprint
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (0, "PREFIX_A " + base),
+            (1, "OTHER_START " + base + " SUFFIX"),
+            (2, "completely unrelated content with no overlap at all here"),
+            (3, "tiny"),  # shorter than k: whole-text fallback
+        ],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for r in text.winnow_fingerprints(df).collect():
+        out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert out[0] & out[1], "shared substring must produce a shared fingerprint"
+    assert not (out[0] & out[2])
+    assert len(out[3]) == 1
