@@ -1,9 +1,10 @@
 """Text-analysis operators over a documents table.
 
-All pure Catalyst expressions (no Python UDFs): language-ID by stopword
-ratio, quality scoring, token counting, and document fingerprinting. Each
-has an exact DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` — the
-operators are designed so both engines compute bit-identical values.
+Pure Catalyst expressions (no Python UDFs) except the winnowing
+fingerprint's sliding-min, which is one vectorized mapInPandas pass over
+JVM-computed gram hashes. Each operator has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` — designed so both engines compute
+bit-identical values.
 
 Scale: every operator here is a narrow per-row projection — no shuffle, no
 Python worker, filters/pruning push straight to the parquet scan. At 100 TB

@@ -47,3 +47,26 @@ def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """Multimodal ingestion: one row per file with (path, modificationTime,
     length, content binary) — feed to operators.multimodal.extract_features."""
     return spark.read.format("binaryFile").load(path_glob)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet sink. At 100 TB, partitioning by the
+    dominant filter key (date, cell, language, ...) is what turns full scans
+    into partition-pruned reads — verify with plans.assert_pushed_filter /
+    PartitionFilters in explain()."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_by: list[str], num_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Bucketed managed-table sink: co-locates join keys so repeated joins
+    on ``bucket_by`` skip their shuffle entirely (SortMergeJoin with no
+    Exchange). Requires a metastore-backed saveAsTable."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+        .sortBy(*bucket_by)
+        .format("parquet")
+        .saveAsTable(table)
+    )
