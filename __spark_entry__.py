@@ -350,14 +350,23 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": f"""
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) / len(t) AS r_en,
+                     len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) / len(t) AS r_es,
+                     len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','les','des'], x))) / len(t) AS r_fr,
+                     len(list_filter(t, x -> list_contains(['der','die','und','das','ein','ist','zu','den'], x))) / len(t) AS r_de
+              FROM tok
             )
             SELECT doc_id,
-                   round(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
-                         / len(t), 6) AS en_stopword_ratio,
-                   CASE WHEN round(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
-                                   / len(t), 6) >= 0.05
-                        THEN 'en' ELSE 'unk' END AS lang_pred
-            FROM tok
+                   round(r_en, 6) AS en_stopword_ratio,
+                   CASE WHEN r_en >= 0.05 AND r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+                        WHEN r_es >= 0.05 AND r_es >= r_fr AND r_es >= r_de THEN 'es'
+                        WHEN r_fr >= 0.05 AND r_fr >= r_de THEN 'fr'
+                        WHEN r_de >= 0.05 THEN 'de'
+                        ELSE 'unk' END AS lang_pred
+            FROM r
         """,
         "text_quality": f"""
             WITH tok AS (
@@ -401,14 +410,24 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1.0 ELSE 0.3 END)
                            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
                                           / length(text)), 6) AS quality,
-                     CASE WHEN round(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
-                                     / len(t), 6) >= 0.05
-                          THEN 'en' ELSE 'unk' END AS lang_pred
+                     len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) / len(t) AS r_en,
+                     len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) / len(t) AS r_es,
+                     len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','les','des'], x))) / len(t) AS r_fr,
+                     len(list_filter(t, x -> list_contains(['der','die','und','das','ein','ist','zu','den'], x))) / len(t) AS r_de
               FROM tok
             ),
+            q2 AS (
+              SELECT doc_id, quality,
+                     CASE WHEN r_en >= 0.05 AND r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+                          WHEN r_es >= 0.05 AND r_es >= r_fr AND r_es >= r_de THEN 'es'
+                          WHEN r_fr >= 0.05 AND r_fr >= r_de THEN 'fr'
+                          WHEN r_de >= 0.05 THEN 'de'
+                          ELSE 'unk' END AS lang_pred
+              FROM q
+            ),
             reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-            SELECT q.doc_id, quality, lang_pred
-            FROM q JOIN reps ON q.doc_id = reps.doc_id
+            SELECT q2.doc_id, quality, lang_pred
+            FROM q2 JOIN reps ON q2.doc_id = reps.doc_id
             WHERE quality >= 0.5 AND lang_pred = 'en'
         """,
         "dedup_clusters": f"""

@@ -9,9 +9,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-# English stopwords used by lang-id and quality scoring. Mirrored verbatim in
-# the oracle SQL — keep the two lists in sync (tests assert this via parity).
+# Per-language stopword lists used by lang-id (EN also drives quality
+# scoring). Mirrored verbatim in the oracle SQL — keep in sync.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "zu", "den"],
+}
 
 
 def tokens(text_col: str | Column) -> Column:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from spark_iforest_spark.functions import EN_STOPWORDS, tokens
+from spark_iforest_spark.functions import EN_STOPWORDS, LANG_STOPWORDS, tokens
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -40,20 +40,36 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic n-gram/stopword language ID.
+    """Heuristic stopword-ratio language ID over {en, es, fr, de}.
 
-    Ratio of tokens that are English stopwords; >= 0.05 → 'en', else 'unk'.
-    (The synthetic corpus is English-wordlist text with a synthetic ``lang``
-    column — the heuristic classifies the *content*, not the label.)
+    Per language: fraction of tokens in that language's stopword list;
+    prediction = argmax ratio if it reaches 0.05, else 'unk'. Ties break in
+    fixed en > es > fr > de order (the oracle SQL encodes the identical
+    CASE chain). (The synthetic corpus is English-wordlist text with a
+    synthetic ``lang`` column — the heuristic classifies the *content*,
+    not the label.)
     """
     toks = tokens(F.lower(F.col(text_col)))
-    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    ratio = F.round(hits / F.size(toks), 6)
+    n = F.size(toks)
+    ratios = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        ratios[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+    r = ratios
+    pred = (
+        F.when(
+            (r["en"] >= 0.05) & (r["en"] >= r["es"]) & (r["en"] >= r["fr"]) & (r["en"] >= r["de"]),
+            F.lit("en"),
+        )
+        .when((r["es"] >= 0.05) & (r["es"] >= r["fr"]) & (r["es"] >= r["de"]), F.lit("es"))
+        .when((r["fr"] >= 0.05) & (r["fr"] >= r["de"]), F.lit("fr"))
+        .when(r["de"] >= 0.05, F.lit("de"))
+        .otherwise(F.lit("unk"))
+    )
     return docs.select(
         F.col(id_col),
-        ratio.alias("en_stopword_ratio"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.round(r["en"], 6).alias("en_stopword_ratio"),
+        pred.alias("lang_pred"),
     )
 
 
