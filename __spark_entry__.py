@@ -116,6 +116,12 @@ def queries() -> _T:
         "event_type_cardinality": lambda s, d: relational.event_type_cardinality(
             _read(s, d, "events")
         ),
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            _read(s, d, "customer"), _read(s, d, "orders")
+        ),
+        "event_props_stats": lambda s, d: relational.event_props_stats(
+            _read(s, d, "events")
+        ),
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -298,6 +304,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users_exact,
                    count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "event_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """

@@ -243,3 +243,34 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
         )
     )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, min_totalprice: float = 300000.0
+) -> DataFrame:
+    """Set-difference surface: customers with no order above a price
+    threshold (anti join — the EXCEPT of the key space). The filter on the
+    right side pushes to the orders scan before the join."""
+    big = orders.where(F.col("o_totalprice") > min_totalprice)
+    return (
+        customer.join(big, customer["c_custkey"] == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured column handling: extract the JSON ``props.k`` field
+    scan-side (get_json_object stays in codegen) and aggregate it per event
+    type. The pattern for metadata-bearing event streams at scale: parse
+    only the fields the query touches, never materialize whole documents."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
