@@ -245,7 +245,8 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT quantile_cont(value, 0.99) AS thr FROM events)
             SELECT event_type,
                    count(*) AS n_total,
-                   sum(CASE WHEN value > thr THEN 1 ELSE 0 END) AS n_anomalies,
+                   CAST(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_anomalies,
                    round(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) / count(*), 6)
                      AS anomaly_rate
             FROM events, t
@@ -315,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_stats": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type

@@ -36,6 +36,27 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _dtype_tags(pdf: pd.DataFrame) -> dict[str, str]:
+    """Column -> numeric-kind tag. The driver's hash is sensitive to
+    int-vs-float (DuckDB surfaces a bare HUGEINT sum as float64, whose repr
+    differs from Spark's BIGINT even when values are equal) but NOT to
+    integer width (int32 row_number vs int64 hashed identically in r1).
+    Tag by kind so the local gate reproduces exactly that sensitivity."""
+    tags = {}
+    for c in pdf.columns:
+        kind = pdf[c].dtype.kind  # i/u int, f float, b bool, O object, ...
+        if kind == "O":
+            sample = next((v for v in pdf[c] if v is not None), None)
+            if isinstance(sample, bool):
+                kind = "b"
+            elif isinstance(sample, int):
+                kind = "i"
+            elif isinstance(sample, float):
+                kind = "f"
+        tags[c] = {"u": "i"}.get(kind, kind)
+    return tags
+
+
 def _norm(v) -> str:
     if v is None:
         return "NULL"
@@ -101,6 +122,11 @@ def main() -> int:
             problems.append(
                 f"cols {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
             )
+        if not problems:
+            st, ot = _dtype_tags(spark_pdf), _dtype_tags(oracle_pdf)
+            skew = {c: (st[c], ot[c]) for c in st if st[c] != ot.get(c)}
+            if skew:
+                problems.append(f"dtype mismatch {skew}")
         if not problems and value_hash(spark_pdf) != value_hash(oracle_pdf):
             problems.append("value-hash mismatch")
             # show first differing rows for debugging
