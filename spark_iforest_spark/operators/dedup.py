@@ -221,8 +221,14 @@ def minhash_lsh_pairs(
     # before the exact verify: bucket collisions on low-similarity corpora
     # (small vocabularies) can be 1000x the true pair count, and the exact
     # verify joins full shingle sets — the estimate join touches only the
-    # 128-long signatures via broadcast. Margin 0.12 ≈ 3.4 sigma of the
-    # estimator's std at j≈threshold, so true pairs survive w.h.p.
+    # 128-long signatures. Margin 0.12 ≈ 3.4 sigma of the estimator's std
+    # at j≈threshold, so true pairs survive w.h.p.
+    #
+    # Join strategy: sigs is CORPUS-SIZED (one row per document) — it must
+    # never broadcast (the 1 GB/billion-docs table would have to fit on the
+    # driver and every executor). The merge hint pins a sort-merge join:
+    # both sides shuffle on did, which scales linearly and lets AQE handle
+    # skew. Plan-tested in test_dedup.py (no broadcast of the sig pass).
     est_matches = F.size(
         F.filter(
             F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
@@ -230,12 +236,28 @@ def minhash_lsh_pairs(
         )
     )
     prefiltered = (
-        candidates.join(F.broadcast(sigs.alias("sa")), F.col("doc_a") == F.col("sa.did"))
-        .join(F.broadcast(sigs.alias("sb")), F.col("doc_b") == F.col("sb.did"))
+        candidates.join(sigs.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
+        .join(sigs.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
         .where(est_matches / num_perms >= threshold - 0.12)
         .select("doc_a", "doc_b")
     )
     return _verify_candidates(prefiltered, docs, id_col, text_col, n, threshold)
+
+
+def _band_buckets(sim: F.Column, num_bands: int, band_bits: int) -> F.Column:
+    """Array of ``num_bands`` bucket values: contiguous ``band_bits``-bit
+    slices of a signed-64 simhash. Extraction is shift + unsigned MASK —
+    a signed ``%`` would give band 0 (shift 0, sign intact) a negative
+    bucket for negative sims, so a mixed-sign pair agreeing only on the low
+    bits would land in different buckets and break the pigeonhole recall
+    guarantee."""
+    mask = F.lit((1 << band_bits) - 1)
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, i * band_bits).bitwiseAND(mask)
+            for i in range(num_bands)
+        ]
+    )
 
 
 def simhash_pairs(
@@ -283,17 +305,9 @@ def simhash_pairs(
     bands = sims.select(
         "did",
         "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned(F.col("sim"), i * band_bits)
-                        % F.lit(1 << band_bits)
-                    )
-                    for i in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(_band_buckets(F.col("sim"), num_bands, band_bits)).alias(
+            "band", "bucket"
+        ),
     )
     l, r = bands.alias("l"), bands.alias("r")
     candidates = (

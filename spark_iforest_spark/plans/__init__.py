@@ -71,3 +71,33 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
         )
         if name in plan
     ]
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a node line in Spark's tree-drawing plan header (the chars
+    before the operator name are drawn from ' :+-*')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*":
+        i += 1
+    return i
+
+
+def assert_no_broadcast_of(df: DataFrame, fragment: str) -> None:
+    """Assert no BroadcastExchange subtree contains a node matching
+    ``fragment`` — i.e. the relation produced by that node is never the
+    broadcast side of any join. The 100 TB guard for corpus-sized tables
+    that must flow through shuffles, not driver/executor memory."""
+    plan = formatted_plan(df)
+    header = plan.split("\n\n")[0].splitlines()
+    for idx, line in enumerate(header):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _tree_indent(line)
+        for sub in header[idx + 1:]:
+            if _tree_indent(sub) <= depth:
+                break
+            if fragment in sub:
+                raise AssertionError(
+                    f"{fragment!r} feeds a BroadcastExchange — corpus-sized "
+                    f"relation on the broadcast side\n{plan}"
+                )

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_iforest_spark.operators import dedup
+from spark_iforest_spark.plans import assert_no_broadcast_of
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog today"),
@@ -46,6 +47,35 @@ def test_minhash_matches_exact(docs):
     # identical pairs always collide in every band; near-dups at j>=0.5 are
     # probabilistic but this corpus is far above the S-curve knee
     assert lsh == exact
+
+
+def test_minhash_signature_table_never_broadcasts(spark, docs):
+    # The signature table is corpus-sized (one row per document): the code
+    # must never FORCE it to broadcast. Stats-driven broadcasts (Catalyst
+    # seeing a tiny materialized cache at test scale) are fine — disable the
+    # threshold so any BroadcastExchange left can only come from an explicit
+    # F.broadcast() hint, then assert none sits above the signature pass.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert_no_broadcast_of(dedup.minhash_lsh_pairs(docs), "MapInPandas")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_band_buckets_mixed_sign(spark):
+    # band 0 (shift 0) sees the raw signed sim: a signed % would bucket a
+    # negative sim differently from a positive sim with identical low bits.
+    # sims differ only in the top bit -> band 0..2 buckets equal, band 3 not.
+    neg = -(1 << 63) | 0x1234_5678_9ABC_DEF0
+    pos = 0x1234_5678_9ABC_DEF0
+    df = spark.createDataFrame([(neg,), (pos,)], "sim long").select(
+        dedup._band_buckets(F.col("sim"), 4, 16).alias("b")
+    )
+    b_neg, b_pos = [r["b"] for r in df.collect()]
+    assert b_neg[:3] == b_pos[:3]
+    assert b_neg[3] != b_pos[3]
+    assert all(0 <= v <= 0xFFFF for v in b_neg + b_pos)
 
 
 def test_simhash_subset_of_exact(docs):
