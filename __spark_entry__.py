@@ -134,6 +134,9 @@ def queries() -> _T:
         "embedding_neardup": lambda s, d: dedup.embedding_cosine_pairs(
             _read(s, d, "embeddings"), threshold=0.4
         ),
+        "embedding_lsh_neardup": lambda s, d: dedup.embedding_lsh_pairs(
+            _read(s, d, "embeddings"), threshold=0.4
+        ),
         # similarity search
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _read(s, d, "embeddings"),
@@ -335,6 +338,18 @@ def oracle_sql() -> dict[str, str]:
         # unlike minhash the simhash S-curve on short docs cannot guarantee
         # recall of all jaccard>=t pairs. Deterministic => rows-only check.
         "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        # the LSH-bucketed path emits the SAME relation as the exact O(n²)
+        # operator (tables auto-sized for miss<=1e-6 at the threshold), so
+        # the same SQL oracle checks it
+        "embedding_lsh_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim

@@ -361,6 +361,78 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    band_bits: int = 4,
+    target_miss: float = 1e-6,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: sign-LSH candidate generation +
+    exact cosine verify. Same output relation as embedding_cosine_pairs
+    (id_a < id_b, cos_sim >= threshold) without the O(n²) nested-loop join.
+
+    The number of hash tables is SIZED FROM THE THRESHOLD so a qualifying
+    pair is missed with probability <= ``target_miss``: a hyperplane agrees
+    on a pair at angle θ w.p. p = 1-θ/π, a ``band_bits``-bit table w.p.
+    p^b, so T = ceil(ln ε / ln(1-p^b)) tables. At threshold 0.9 that is
+    ~18 tables (cheap, the realistic dedup regime); at 0.4 it is ~81 —
+    the cost of recall at a low bar is explicit in the formula rather than
+    hidden in a fixed parameter. Candidates join on (table, bucket) equality
+    and the corpus re-joins by id via sort-merge (never broadcast).
+    """
+    import math
+
+    from spark_iforest_spark.operators.similarity import _hyperplanes
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = p**band_bits
+    tables = max(1, math.ceil(math.log(target_miss) / math.log1p(-p_band)))
+    planes = _hyperplanes(dim, band_bits, tables)  # (tables, bits, dim)
+    flat = planes.reshape(tables * band_bits, dim)
+    pack = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def bucketize(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            bits = (vecs @ flat.T > 0).astype(np.int64)  # (n, T*b)
+            sig = bits.reshape(len(vecs), tables, band_bits) @ pack  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), tables),
+                    "table_id": np.tile(np.arange(tables, dtype=np.int64), len(vecs)),
+                    "bucket": sig.reshape(-1),
+                }
+            )
+
+    e = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    buckets = e.mapInPandas(bucketize, schema="vid long, table_id long, bucket long")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+        .distinct()
+    )
+    cos = F.round(cosine(F.col("ea.v"), F.col("eb.v")), 6)
+    return (
+        cand.join(e.alias("ea").hint("merge"), F.col("id_a") == F.col("ea.vid"))
+        .join(e.alias("eb").hint("merge"), F.col("id_b") == F.col("eb.vid"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

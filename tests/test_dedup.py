@@ -114,6 +114,45 @@ def test_embedding_cosine_pairs(spark):
     assert out[(0, 1)] > 0.999
 
 
+def test_embedding_lsh_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+             dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           dedup.embedding_lsh_pairs(emb, threshold=0.4).collect()}
+    assert exact, "expected qualifying pairs in synthetic embeddings"
+    assert lsh == exact
+
+
+def test_embedding_lsh_plan_is_bucketed(spark, sf_dir):
+    # no O(n²) nested-loop join, and the corpus table must never be forced
+    # to the broadcast side (stats-driven broadcasts disabled to isolate)
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.embedding_lsh_pairs(emb, threshold=0.4)
+        assert "NestedLoop" not in formatted_plan(df)
+        assert_no_broadcast_of(df, "MapInPandas")
+        assert_no_broadcast_of(df, "Scan parquet")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_embedding_lsh_table_sizing_by_threshold():
+    # recall math: high thresholds are cheap, low thresholds visibly not
+    import math
+
+    def tables_for(t, b=4, eps=1e-6):
+        p = 1.0 - math.acos(t) / math.pi
+        return max(1, math.ceil(math.log(eps) / math.log1p(-(p**b))))
+
+    assert tables_for(0.9) < 25
+    assert tables_for(0.4) > 60
+
+
 def test_planted_neardups_at_sf0001(spark, sf_dir):
     # the synthetic corpus has planted near-dup pairs at j >= 0.9
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
