@@ -66,6 +66,41 @@ def test_cosine_topk_exact(spark):
     assert out[0]["cos_sim"] > out[1]["cos_sim"]
 
 
+def test_cosine_topk_two_phase_rank(spark):
+    # the heavy rank must run per-input-partition first (window keyed by
+    # spark_partition_id) so no single task sees |corpus| rows per query
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    plan = formatted_plan(similarity.cosine_topk(emb, q, k=2))
+    assert plan.count("Window (") == 2
+    assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_ivf_plan_has_no_row_udf(spark):
+    # array->vector for KMeans must be the JVM expression, not a Python UDF
+    from spark_iforest_spark.plans import python_eval_nodes
+
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    nodes = python_eval_nodes(similarity.ivf_topk(emb, q, n_centroids=2, n_probe=1))
+    assert "BatchEvalPython" not in nodes
+    assert nodes == ["MapInPandas"]  # the probe pass, by design
+
+
+def test_topk_recall_gate(spark):
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    exact = similarity.cosine_topk(emb, q, k=2)
+    full = exact.select("query_id", "neighbor_id")
+    ok = similarity.topk_recall(exact, full).collect()[0]
+    assert ok["n_expected"] == 2 and ok["recall_ok"]
+    half = full.where(F.col("neighbor_id") == 1)
+    bad = similarity.topk_recall(exact, half).collect()[0]
+    assert bad["n_expected"] == 2 and not bad["recall_ok"]
+
+
 def test_lsh_topk_recall_on_clustered_data(spark):
     # sign-LSH is a *near*-neighbor structure: recall is high when true
     # neighbors are at high cosine (clusters), and legitimately poor on
