@@ -81,6 +81,39 @@ def _iforest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of the flagship iforest path: every column is
+    either SQL-derivable from the input (n_scored) or a pinned invariant of
+    the isolation-forest contract — scores in (0,1), threshold in (0,1),
+    anomaly count within ±50% of contamination·n, and the prediction column
+    consistent with the summary's numAnomalies. A scorer/threshold
+    regression flips a boolean and hash-mismatches the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("features"))
+    contamination = 0.1
+    model = IForest(
+        numTrees=50, maxSamples=64.0, maxDepth=8, contamination=contamination, seed=42
+    ).fit(df)
+    scored = model.transform(df)
+    thr = float(model.getThreshold())
+    n_anom = int(model.summary.numAnomalies)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.min("anomalyScore").alias("_min_s"),
+        F.max("anomalyScore").alias("_max_s"),
+        F.sum(F.col("prediction").cast("long")).alias("_n_pred"),
+    ).select(
+        "n_scored",
+        ((F.col("_min_s") > 0) & (F.col("_max_s") < 1)).alias("scores_in_unit"),
+        F.lit(0.0 < thr < 1.0).alias("threshold_in_unit"),
+        (
+            (F.col("_n_pred") >= F.floor(F.col("n_scored") * contamination * 0.5))
+            & (F.col("_n_pred") <= F.ceil(F.col("n_scored") * contamination * 1.5))
+        ).alias("contamination_ok"),
+        (F.col("_n_pred") == F.lit(n_anom)).alias("summary_consistent"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: isolation-forest anomaly scoring on sf0.001 embeddings."""
     return _iforest_score(spark, "/root/testdata/sf0.001")
@@ -89,9 +122,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------- queries
 def queries() -> _T:
     return {
-        # isolation forest (SURVEY §2.1 O1-O19 end-to-end; deterministic, rows-only)
+        # isolation forest (SURVEY §2.1 O1-O19 end-to-end). The per-row
+        # scores/threshold are seeded-RNG outputs — not SQL-expressible, so
+        # iforest_score and iforest_summary stay rows-only BY DESIGN; their
+        # externally checked twin is iforest_checks (oracle pins row count +
+        # contract invariants), plus pytest's hand-computed c(n) and AUC.
         "iforest_score": _iforest_score,
         "iforest_summary": _iforest_summary,
+        "iforest_checks": _iforest_checks,
         # relational / threshold parity surface (O17/O18/O19 on SQL-checkable path)
         "pricing_summary": lambda s, d: relational.pricing_summary(_read(s, d, "lineitem")),
         "top_revenue_orders": lambda s, d: relational.top_revenue_orders(
@@ -101,6 +139,15 @@ def queries() -> _T:
             _read(s, d, "events")
         ),
         "anomaly_rate_by_type": lambda s, d: relational.anomaly_rate_by_type(
+            _read(s, d, "events")
+        ),
+        # GK-sketch threshold twins: same relations, mergeable bounded-memory
+        # quantile (the 100 TB path) — exact when n <= accuracy, so the
+        # discrete-quantile oracle pins them
+        "value_threshold_anomalies_approx": lambda s, d: relational.value_threshold_anomalies_approx(
+            _read(s, d, "events")
+        ),
+        "anomaly_rate_by_type_approx": lambda s, d: relational.anomaly_rate_by_type_approx(
             _read(s, d, "events")
         ),
         "windowed_event_agg": lambda s, d: relational.windowed_event_agg(
@@ -113,8 +160,20 @@ def queries() -> _T:
         "top_parts_per_brand": lambda s, d: relational.top_parts_per_brand(
             _read(s, d, "part")
         ),
+        # exact columns oracle-checked directly; the HLL++ column via the
+        # _approx gate's 3-sigma invariant (sketch values are impl-specific)
         "event_type_cardinality": lambda s, d: relational.event_type_cardinality(
             _read(s, d, "events")
+        ).select("event_type", "n_users_exact", "n_events"),
+        "event_type_cardinality_approx": lambda s, d: relational.event_type_cardinality(
+            _read(s, d, "events")
+        ).select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.15
+            ).alias("approx_ok"),
         ),
         "customers_without_orders": lambda s, d: relational.customers_without_orders(
             _read(s, d, "customer"), _read(s, d, "orders")
@@ -244,6 +303,14 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iforest_checks": """
+            SELECT count(*) AS n_scored,
+                   TRUE AS scores_in_unit,
+                   TRUE AS threshold_in_unit,
+                   TRUE AS contamination_ok,
+                   TRUE AS summary_consistent
+            FROM embeddings
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) / 10000.0 AS sum_qty,
@@ -279,6 +346,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anomaly_rate_by_type": """
             WITH t AS (SELECT quantile_cont(value, 0.99) AS thr FROM events)
+            SELECT event_type,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_anomalies,
+                   round(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) / count(*), 6)
+                     AS anomaly_rate
+            FROM events, t
+            GROUP BY event_type
+        """,
+        # approx_percentile at accuracy>=n returns the exact DISCRETE
+        # quantile (smallest value with cumulative fraction >= q) ==
+        # DuckDB's quantile_disc
+        "value_threshold_anomalies_approx": """
+            WITH t AS (SELECT quantile_disc(value, 0.99) AS thr FROM events)
+            SELECT event_id, event_type,
+                   round(value, 6) AS value,
+                   round(thr, 6) AS threshold
+            FROM events, t WHERE value > thr
+        """,
+        "anomaly_rate_by_type_approx": """
+            WITH t AS (SELECT quantile_disc(value, 0.99) AS thr FROM events)
             SELECT event_type,
                    count(*) AS n_total,
                    CAST(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) AS BIGINT)
@@ -341,6 +429,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users_exact,
                    count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "event_type_cardinality_approx": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS approx_ok
             FROM events GROUP BY event_type
         """,
         "customers_without_orders": """

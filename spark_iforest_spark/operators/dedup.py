@@ -439,30 +439,39 @@ def dup_clusters(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document in
     a duplicate cluster mapped to the cluster's minimum doc id.
 
-    Iterative smallest-label propagation (driver loop over joins, each
-    iteration halves the remaining diameter; near-dup clusters are tiny so
-    2-4 iterations converge). The edge set comes from ngram_jaccard_pairs;
-    at corpus scale feed it minhash_lsh_pairs instead — same relation,
-    near-linear candidate generation.
+    Iterative smallest-label propagation (driver loop over joins; each
+    iteration halves the remaining diameter, so rounds = O(log diameter)).
+    Both the edge table and each round's label table are localCheckpoint'd:
+    without truncation the logical plan doubles per round and a
+    large-diameter component (boilerplate chains) stalls planning long
+    before the data is the problem. Checkpointing keeps every round's plan
+    two joins deep regardless of iteration count.
+
+    ``pairs`` injects any (doc_a, doc_b) near-dup relation as the edge
+    source; by default edges come from ngram_jaccard_pairs. At corpus scale
+    pass minhash_lsh_pairs(...) — same relation, near-linear candidates.
 
     Returns (doc_id, cluster_rep) for docs that have >= 1 near-duplicate.
     """
-    pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold).select(
-        "doc_a", "doc_b"
-    )
-    # undirected edges + self-loops as starting labels
-    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    pairs = pairs.select("doc_a", "doc_b")
+    # undirected edges, materialized once (also cuts the pair-generation
+    # join out of every iteration's plan)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
-    edges = edges.cache()
     while True:
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
@@ -474,7 +483,7 @@ def dup_clusters(
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -482,7 +491,6 @@ def dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -113,42 +113,81 @@ def top_revenue_orders(
     )
 
 
-def value_threshold_anomalies(events: DataFrame, quantile: float = 0.99) -> DataFrame:
-    """The reference's threshold flow (O17 approxQuantile + O18 predicate)
-    exercised on a SQL-checkable column: flag events whose value exceeds the
-    exact interpolated quantile. Returns the flagged rows."""
-    thr = events.select(
-        F.expr(f"percentile(value, {quantile})").alias("thr")
+def exact_quantile(events: DataFrame, quantile: float, col: str = "value") -> float:
+    """Exact interpolated quantile (Spark ``percentile``). NOTE the memory
+    profile: exact percentile is an ObjectHashAggregate that buffers every
+    value per partition — fine to tens of millions of rows, wrong at 100 TB.
+    The scale path is :func:`sketch_quantile` (mergeable GK sketch, bounded
+    memory), the same O17 choice the reference's model threshold uses."""
+    return events.select(
+        F.expr(f"percentile({col}, {quantile})").alias("thr")
     ).collect()[0]["thr"]
-    return (
-        events.where(F.col("value") > F.lit(thr))
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 6).alias("value"),
-            F.round(F.lit(thr), 6).alias("threshold"),
-        )
+
+
+def sketch_quantile(
+    events: DataFrame, quantile: float, col: str = "value", accuracy: int = 1_000_000
+) -> float:
+    """Mergeable-sketch quantile (``approx_percentile``, GK): bounded
+    O(accuracy) memory per partition and a combine-able partial state — the
+    100 TB twin of :func:`exact_quantile`. The sketch's rank error is at
+    most n/accuracy, so for n < accuracy it returns exactly the smallest
+    data value whose cumulative fraction >= quantile (the DISCRETE
+    quantile, DuckDB's quantile_disc)."""
+    return events.select(
+        F.expr(f"approx_percentile({col}, {quantile}, {accuracy})").alias("thr")
+    ).collect()[0]["thr"]
+
+
+def _flag_above(events: DataFrame, thr: float) -> DataFrame:
+    return events.where(F.col("value") > F.lit(thr)).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.lit(thr), 6).alias("threshold"),
     )
+
+
+def _rate_by_type(events: DataFrame, thr: float) -> DataFrame:
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("value") > thr, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(
+            F.sum(F.when(F.col("value") > thr, 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("anomaly_rate"),
+    )
+
+
+def value_threshold_anomalies(events: DataFrame, quantile: float = 0.99) -> DataFrame:
+    """The reference's threshold flow (O17 quantile + O18 predicate) on a
+    SQL-checkable column: flag events above the exact interpolated quantile.
+    Exact percentile buffers all values (see :func:`exact_quantile`); use
+    :func:`value_threshold_anomalies_approx` at scale."""
+    return _flag_above(events, exact_quantile(events, quantile))
+
+
+def value_threshold_anomalies_approx(
+    events: DataFrame, quantile: float = 0.99, accuracy: int = 1_000_000
+) -> DataFrame:
+    """Scale-safe twin of :func:`value_threshold_anomalies`: the threshold
+    comes from the mergeable GK sketch instead of the all-values-in-memory
+    exact percentile. Oracle-checkable because the sketch is exact (discrete
+    quantile) while n < accuracy."""
+    return _flag_above(events, sketch_quantile(events, quantile, accuracy=accuracy))
 
 
 def anomaly_rate_by_type(events: DataFrame, quantile: float = 0.99) -> DataFrame:
     """Summary aggregation (reference O19 numAnomalies, done the scalable way:
-    where(...).count() per group, not collect().length)."""
-    thr = events.select(
-        F.expr(f"percentile(value, {quantile})").alias("thr")
-    ).collect()[0]["thr"]
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(F.col("value") > thr, 1).otherwise(0)).alias("n_anomalies"),
-            F.round(
-                F.sum(F.when(F.col("value") > thr, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("anomaly_rate"),
-        )
-    )
+    conditional count per group, not collect().length). Threshold memory
+    profile as in :func:`value_threshold_anomalies`."""
+    return _rate_by_type(events, exact_quantile(events, quantile))
+
+
+def anomaly_rate_by_type_approx(
+    events: DataFrame, quantile: float = 0.99, accuracy: int = 1_000_000
+) -> DataFrame:
+    """Scale-safe twin of :func:`anomaly_rate_by_type` (GK-sketch threshold)."""
+    return _rate_by_type(events, sketch_quantile(events, quantile, accuracy=accuracy))
 
 
 def regional_supplier_rollup(
@@ -185,11 +224,17 @@ def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def event_type_cardinality(events: DataFrame) -> DataFrame:
-    """Exact + approximate distinct-user counts per event type. The approx
-    (HLL++, rsd 5%) is the 100 TB path; exact is the oracle-checkable one."""
+def event_type_cardinality(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Exact + approximate distinct-user counts per event type. The exact
+    count shuffles every distinct (event_type, user_id) pair; the HLL++
+    sketch (``approx_count_distinct``, relative std dev ``rsd``) is a
+    constant-size mergeable state per group — the 100 TB path. The exact
+    column is oracle-checked directly; the approx column via the
+    event_type_cardinality_approx gate's |approx-exact| <= 3·rsd·exact
+    invariant (HLL values themselves are implementation-specific)."""
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -164,6 +164,27 @@ def test_planted_neardups_at_sf0001(spark, sf_dir):
     assert lsh == exact
 
 
+def test_dup_clusters_long_chain_and_injected_edges(spark):
+    # 8-doc chain of sliding 12-token windows (stride 2 over unique tokens):
+    # adjacent docs share 8/12 shingles (j=0.67 >= 0.5), distance-2 docs only
+    # 6/14 (j=0.43 < 0.5) — so the graph is a true path with diameter 7,
+    # needing ~3 propagation rounds; exercises the localCheckpoint path
+    toks = [f"w{i:02d}" for i in range(30)]
+    chain = [(i, " ".join(toks[2 * i : 2 * i + 12])) for i in range(8)]
+    df = spark.createDataFrame(chain, ["doc_id", "text"])
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           dedup.dup_clusters(df, threshold=0.5).collect()}
+    assert out == {i: 0 for i in range(8)}
+    # injected edge source: same result when the pair relation is minhash's
+    # (bands=32 per the minhash docstring — chain pairs sit at j=0.67, far
+    # below the r=8 S-curve knee)
+    out2 = {r["doc_id"]: r["cluster_rep"] for r in
+            dedup.dup_clusters(
+                df, pairs=dedup.minhash_lsh_pairs(df, threshold=0.5, bands=32)
+            ).collect()}
+    assert out2 == out
+
+
 def test_dup_clusters_transitive(spark):
     # doc chain 0-1-2 must land in ONE cluster labeled by min id, even
     # though (0,2) are not a near-dup pair directly
