@@ -283,25 +283,43 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         approximate draws-with-replacement from the full input (duplicate
         multiplicity differs in O(psi/n)); exact when the pool is the whole
         input (small n), which is where anyone would notice.
+
+        Joint-distribution caveat (PARITY.md deviation 2): all trees draw
+        from the SAME pool, so while each tree's sample is exactly uniform
+        psi-of-n, pairwise tree-sample overlap at n >> pool size is
+        ~psi/(1.1*numTrees) instead of the reference's psi^2/n — trees are
+        mildly positively correlated, a slightly smaller effective
+        ensemble. AUC parity is pinned in test_reference_parity.
         """
         seed = self.getSeed()
         target_pool = int(_POOL_OVERSAMPLE * num_trees * psi) + _POOL_SLACK
         pool_fraction = min(1.0, target_pool / n)
 
+        # u (30-bit hash scaled to [0,1)) drives the Bernoulli pool filter;
+        # rid ORDER uses the full 64-bit hash — 30 bits collide between
+        # distinct vectors at pool sizes >~ 2^15 and row_number tie order is
+        # partition-layout-dependent, so sorting by u alone would weaken the
+        # layout-independence claim. Full-64-bit ties happen only for
+        # identical feature vectors, which are interchangeable for training.
         denom = 1 << 30
-        u_norm = (F.pmod(F.xxhash64(F.col("features"), F.lit(seed)), F.lit(denom)) / denom).alias(
-            "u"
+        h = F.xxhash64(F.col("features"), F.lit(seed))
+        pool = feats.select(
+            F.col("features"), h.alias("h"), (F.pmod(h, F.lit(denom)) / denom).alias("u")
         )
-        pool = feats.select(F.col("features"), u_norm)
         if pool_fraction < 1.0:
             pool = pool.where(F.col("u") < pool_fraction)
+        # pools are localCheckpoint'd, not cache()d: same one-pass
+        # materialization, but the lineage truncation freezes the partition
+        # layout (no silent recompute after cache eviction) and Spark's
+        # ContextCleaner reclaims the blocks once the fit drops its
+        # references — cache() entries would pin executor memory forever.
         if target_pool <= _POOL_GLOBAL_SORT_MAX:
             # absolute-maxSamples regime: pool is O(numTrees*maxSamples) rows
             # regardless of input size — a single-task sort is cheap and makes
             # rids (hence the whole forest) independent of partition layout.
             pool = pool.withColumn(
-                "rid", F.row_number().over(Window.orderBy(F.col("u"))) - F.lit(1)
-            ).cache()
+                "rid", F.row_number().over(Window.orderBy(F.col("h"))) - F.lit(1)
+            ).localCheckpoint(eager=False)
         else:
             # fractional-maxSamples regime at large n: psi scales with the
             # input, a global sort would bottleneck — assign rids as
@@ -309,7 +327,9 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
             # (the classic distributed zipWithIndex). rids then depend on the
             # partition layout; the sampling DISTRIBUTION is unchanged, only
             # bitwise run-to-run reproducibility narrows to fixed layouts.
-            part_pool = pool.withColumn("part", F.spark_partition_id()).cache()
+            part_pool = pool.withColumn("part", F.spark_partition_id()).localCheckpoint(
+                eager=False
+            )
             counts = {
                 r["part"]: r["cnt"]
                 for r in part_pool.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -324,16 +344,17 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
                 ),
                 F.col("part"),
             )
-            w = Window.partitionBy("part").orderBy(F.col("u"))
+            w = Window.partitionBy("part").orderBy(F.col("h"))
             pool = part_pool.withColumn(
                 "rid", F.row_number().over(w) - F.lit(1) + offset_col
             ).drop("part")
         m = pool.count()
         if m < psi:
-            # Bernoulli undershoot (possible only on tiny inputs): use all rows.
-            pool.unpersist()
+            # Bernoulli undershoot (possible only on tiny inputs): use all
+            # rows, hash-ordered so the fallback stays layout-independent.
             pool = feats.select(
-                "features", F.row_number().over(Window.orderBy(F.lit(1))).alias("rid")
+                "features",
+                F.row_number().over(Window.orderBy(h)).alias("rid"),
             ).withColumn("rid", F.col("rid") - F.lit(1))
             m = n
 
@@ -386,6 +407,8 @@ class IForestModel(Model, IForestParams, MLWritable, MLReadable):
         self._set_default_params()
         self._trees: list[Tree] = trees or []
         self._packed: PackedForest | None = None
+        self._forest_bc = None
+        self._forest_bc_app: str | None = None
         self._threshold: float = -1.0
         self._summary: IForestSummary | None = None
         self._parent_estimator = None
@@ -424,6 +447,18 @@ class IForestModel(Model, IForestParams, MLWritable, MLReadable):
             self._packed = pack_forest(self._trees)
         return self._packed
 
+    def _forest_broadcast(self, spark):
+        """One sparkContext.broadcast of the packed forest per model per
+        application, reused across transform() calls — repeated transforms
+        on a long-lived session must not accrue executor copies. The
+        broadcast is destroyed by Spark's ContextCleaner once the model is
+        garbage collected."""
+        sc = spark.sparkContext
+        if self._forest_bc is None or self._forest_bc_app != sc.applicationId:
+            self._forest_bc = sc.broadcast(self._packed_forest())
+            self._forest_bc_app = sc.applicationId
+        return self._forest_bc
+
     # ---------------------------------------------------------- transform
     def _transform(self, dataset: DataFrame) -> DataFrame:
         features_col = self.getFeaturesCol()
@@ -447,7 +482,9 @@ class IForestModel(Model, IForestParams, MLWritable, MLReadable):
             psi = max_samples * dataset.count()
 
         spark = dataset.sparkSession
-        score_udf = make_score_udf(self._packed_forest(), psi, spark=spark)
+        score_udf = make_score_udf(
+            self._packed_forest(), psi, bc=self._forest_broadcast(spark)
+        )
         scored = dataset.withColumn(
             score_col, score_udf(_features_as_array(dataset, features_col))
         )

@@ -201,9 +201,14 @@ def minhash_lsh_pairs(
 
     shs = _hashed_shingles(docs, id_col, text_col, n)
     # sigs feeds three plan branches (banding + both sides of the estimate
-    # join): persist so the Python signature pass runs once, not three times.
-    # Bounded: n_docs × 128 × 8 B ≈ 1 GB per billion docs, spillable.
-    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>").persist()
+    # join): localCheckpoint so the Python signature pass runs once, not
+    # three times. Bounded: n_docs × 128 × 8 B ≈ 1 GB per billion docs,
+    # spillable. Checkpoint (not persist): ContextCleaner reclaims the
+    # blocks when the returned DataFrame is dropped — a persist() here
+    # would pin executor memory with no unpersist hook in a lazy API.
+    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>").localCheckpoint(
+        eager=False
+    )
     # band buckets derived JVM-side: xxhash64 over each signature slice
     buckets = sigs.select(
         "did",

@@ -107,19 +107,20 @@ def anomaly_scores(forest: PackedForest, x: np.ndarray, psi: float) -> np.ndarra
     return np.power(2.0, -apl / norm)
 
 
-def make_score_udf(forest: PackedForest, psi: float, spark=None):
+def make_score_udf(forest: PackedForest, psi: float, spark=None, bc=None):
     """Build a pandas_udf(array<double> -> double) scoring closure.
 
-    If a SparkSession is given and the forest is large, ship it via
-    sparkContext.broadcast (one copy per executor, torrent transfer)
-    instead of pickling it into every task closure — the reference
-    broadcasts its model the same way (IForest.scala:90).
+    Ship the forest via sparkContext.broadcast (one copy per executor,
+    torrent transfer) instead of pickling it into every task closure — the
+    reference broadcasts its model the same way (IForest.scala:90). Pass a
+    pre-built ``bc`` to reuse one broadcast across many transform() calls
+    (IForestModel caches it per application); otherwise a SparkSession
+    creates a fresh one.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = None
-    if spark is not None:
+    if bc is None and spark is not None:
         bc = spark.sparkContext.broadcast(forest)
 
     @pandas_udf("double")

@@ -50,15 +50,17 @@ def test_minhash_matches_exact(docs):
 
 
 def test_minhash_signature_table_never_broadcasts(spark, docs):
-    # The signature table is corpus-sized (one row per document): the code
-    # must never FORCE it to broadcast. Stats-driven broadcasts (Catalyst
-    # seeing a tiny materialized cache at test scale) are fine — disable the
-    # threshold so any BroadcastExchange left can only come from an explicit
-    # F.broadcast() hint, then assert none sits above the signature pass.
+    # The signature and shingle tables are corpus-sized (one row per
+    # document): the code must never FORCE either to broadcast. Stats-driven
+    # broadcasts (Catalyst seeing tiny test-scale tables) are fine — disable
+    # the threshold so any BroadcastExchange left could only come from an
+    # explicit F.broadcast() hint, and assert there are none anywhere.
+    from spark_iforest_spark.plans import formatted_plan
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        assert_no_broadcast_of(dedup.minhash_lsh_pairs(docs), "MapInPandas")
+        assert "BroadcastExchange" not in formatted_plan(dedup.minhash_lsh_pairs(docs))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
