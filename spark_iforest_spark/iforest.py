@@ -114,6 +114,15 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         self._validate_params()
         return self
 
+    def setParams(self, **kwargs) -> "IForest":
+        """Bulk re-set, the reference wrapper's surface
+        (pyspark_iforest/ml/iforest.py:256-264): accepts the same keyword
+        set as the constructor, validates, returns self."""
+        bad = set(kwargs) - {p.name for p in self.params}
+        if bad:
+            raise TypeError(f"unknown params: {sorted(bad)}")
+        return self._checked_set(**kwargs)
+
     def setNumTrees(self, value: int) -> "IForest":
         return self._checked_set(numTrees=value)
 

@@ -62,6 +62,20 @@ def test_kwargs_constructor():
         IForest(noSuchParam=1)
 
 
+def test_set_params_bulk():
+    # the reference python wrapper's setParams surface: bulk keyword re-set
+    est = IForest(numTrees=5)
+    ret = est.setParams(numTrees=7, maxDepth=4, contamination=0.3)
+    assert ret is est
+    assert est.getNumTrees() == 7
+    assert est.getMaxDepth() == 4
+    assert est.getContamination() == pytest.approx(0.3)
+    with pytest.raises(TypeError):
+        est.setParams(noSuchParam=1)
+    with pytest.raises(ValueError):
+        est.setParams(contamination=2.0)
+
+
 @pytest.mark.parametrize(
     "setter,value",
     [
