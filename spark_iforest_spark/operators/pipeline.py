@@ -1,0 +1,221 @@
+"""Training-data pipeline operators: splits, PII redaction, repetition
+quality, benchmark decontamination, sequence packing.
+
+These extend the reference's surface (it is an anomaly-detection library;
+SURVEY.md §2 has no data-curation ops) with the curation passes a
+large-scale LLM pretraining pipeline runs over a 100 TB corpus. Design
+rules shared by every operator here:
+
+* Pure Catalyst expressions — no Python UDFs, no driver collects; per-row
+  operators run at scan speed and fuse into the parquet read.
+* Deterministic and engine-portable: randomness comes from ``md5`` (bit
+  identical in Spark and DuckDB) so every operator has an EXACT SQL twin in
+  ``__spark_entry__.oracle_sql`` — including the "random" split.
+* Shuffles only where semantics require one, always on a bounded key
+  (hash bucket, benchmark n-gram set), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from spark_iforest_spark.functions import tokens, word_shingles
+
+# RE2-and-Java-compatible regex subset so the DuckDB oracle's
+# regexp_extract_all/regexp_replace produce bit-identical results.
+PII_PATTERNS = (
+    # (name, pattern, replacement) — applied in this order.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def _md5_u32(col, salt: str) -> F.Column:
+    """First 8 hex chars of md5(value|salt) as a uniform integer in
+    [0, 2^32). md5 is identical across engines, so assignments derived from
+    it are oracle-exact (unlike xxhash64, which DuckDB lacks)."""
+    h = F.md5(F.concat_ws("|", col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    The canonical leakage-safe split: membership is a pure function of
+    (id, salt), so re-running on a grown corpus never moves an old document
+    across splits, and the same row always lands in the same split on any
+    cluster layout. Zero shuffle — a per-row projection the optimizer fuses
+    into the scan; at 100 TB this is the only split strategy that works
+    (a global orderBy+limit split is a full sort).
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = float(sum(weights))
+    u = _md5_u32(F.col(id_col), salt)
+    edges = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        edges.append(int(acc * 2**32))
+    expr = F.lit(labels[-1])
+    for edge, lab in zip(reversed(edges), reversed(labels[:-1])):
+        expr = F.when(u < edge, F.lit(lab)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses.
+
+    Counts are measured per category on the ORIGINAL text
+    (``regexp_extract_all``), then the replacements are applied in the
+    fixed PII_PATTERNS order. All JVM-side regex — no Python in the path;
+    at 100 TB this is a scan-speed projection. The regexes stay inside the
+    RE2 ∩ java.util.regex subset so the DuckDB oracle matches exactly.
+    """
+    out = docs.select(F.col(id_col), F.col(text_col))
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    * ``dup_token_frac`` — 1 − |distinct tokens| / |tokens| (boilerplate and
+      keyword-stuffing detector).
+    * ``top_token_share`` — frequency of the modal token / |tokens|.
+    * ``dup_bigram_frac`` — 1 − |distinct bigrams| / |bigrams|.
+
+    All array expressions over the token list; the modal count is
+    O(|tokens|·|distinct|) per row, fine for documents (≤ a few k tokens) and
+    still embarrassingly parallel at corpus scale. No shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(top / n, 6).alias("top_token_share"),
+        F.when(ng > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / ng, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_contaminated: bool = True,
+) -> DataFrame:
+    """Drop documents sharing any word n-gram with a benchmark/eval set.
+
+    The standard eval-decontamination pass. Benchmark n-grams (small — eval
+    sets are KBs-to-MBs even when the corpus is 100 TB) are broadcast; the
+    corpus side streams through a broadcast semi-join at scan speed, so the
+    only shuffle is the distinct() over CONTAMINATED ids (a small set).
+    ``broadcast_contaminated=False`` falls back to a shuffle anti-join for
+    adversarial corpora where contamination is a large fraction.
+
+    Shingle comparison is on xxhash64(n-gram) — 64-bit collisions would
+    only ever remove an extra doc (conservative direction for
+    decontamination).
+    """
+    def sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    word_shingles(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+                )
+            ).alias("sh"),
+        )
+
+    bench_sh = sh(benchmark).select("sh").distinct()
+    contaminated = (
+        sh(docs)
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if broadcast_contaminated:
+        contaminated = F.broadcast(contaminated)
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to ~budget-token training sequences (bins).
+
+    Deterministic contiguous packing: documents are hash-bucketed
+    (md5-derived, oracle-portable), ordered by id within their bucket, and
+    a running token cumsum places each doc in bin ``floor((cum−1)/budget)``.
+    A doc straddling a boundary belongs to the bin its cumsum ends in, so
+    bins are budget-sized up to one straddler — the usual streaming-pack
+    tradeoff, chosen because it needs ONE window pass instead of bin-state.
+
+    Scale: the window partitions by bucket — with n_buckets sized to the
+    cluster (e.g. 10k at 100 TB) every partition sorts only corpus/n_buckets
+    rows in parallel; nothing is global. Compare a single global cumsum
+    window, which would serialize the corpus through one task.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    bucket = (_md5_u32(F.col(id_col), "pack") % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(F.col(id_col), bucket, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            (F.col("bucket").cast("long") * F.lit(2**32))
+            + F.floor((F.col("cum_tokens") - 1) / budget_tokens),
+        )
+        .select(id_col, "bucket", "n_tokens", "bin_id")
+    )

@@ -16,7 +16,7 @@ so everything here is north-star extension surface:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -49,13 +49,67 @@ def windowed_agg_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Event-time tumbling aggregation with late-data watermark."""
+    """Event-time tumbling aggregation with late-data watermark.
+
+    The ``value`` sum uses the same exact fixed-point units as the batch
+    twin (operators.relational.windowed_event_agg) so replaying a bounded
+    stream produces bit-identical results to the batch plan — which is what
+    the ``streaming_windowed_agg`` driver gate checks against the same
+    DuckDB oracle as the batch gate."""
+    from spark_iforest_spark.functions import money_units, units_to_double
+
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over one synthetic parquet table (streams need an
+    explicit schema — taken from a batch footer read). The driver tables
+    store TIMESTAMP(NANOS); ``ts``/``o_orderdate`` surface per the same
+    legacy-flag rules as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def nanos_to_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Convert a bigint-nanos column (legacy nanos read) to a timestamp;
+    no-op if it is already a timestamp."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def run_to_batch(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Replay a bounded stream to completion and return the materialized
+    result (memory sink + availableNow trigger).
+
+    This is the batch-equivalence harness: for deterministic pipelines
+    (stateless projections in append mode; aggregations in complete mode,
+    where the watermark never drops state) the returned frame must equal
+    the batch plan on the same input — the driver gates assert exactly
+    that against the batch DuckDB oracles. Bounded-replay only; a real
+    deployment uses a durable sink + checkpointLocation instead.
+    """
+    spark = stream_df.sparkSession
+    spark.catalog.dropTempView(name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 _SESSION_SCHEMA = StructType(
