@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_iforest_spark import IForest
-from spark_iforest_spark.operators import corpus, dedup, multimodal, relational, similarity, text
+from spark_iforest_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    text,
+)
 
 _T = dict[str, Callable[[SparkSession, str], DataFrame]]
 
@@ -51,6 +59,32 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # bigint nanos; operators detect the representation and stay exact
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Deterministic PII suffix appended to each document so the redact_pii gate
+# exercises real matches (the synthetic corpus contains none). Includes the
+# overlap case from the operator contract: an SSN-shaped email local part
+# that the email pass consumes before the SSN pass runs.
+_PII_SUFFIX_SQL = (
+    "' ping u' || CAST(doc_id AS VARCHAR) || '@ex-mail.com call 555-123-4567"
+    " ssn 123-45-6789 ip 10.1.2.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' x 987-65-4321@ex.com'"
+)
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" ping u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-mail.com call 555-123-4567 ssn 123-45-6789 ip 10.1.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" x 987-65-4321@ex.com"),
+        ),
+    )
 
 
 # --------------------------------------------------------------- iforest
@@ -260,11 +294,71 @@ def queries() -> _T:
         "multimodal_features": lambda s, d: multimodal.extract_features(
             multimodal.attach_binary_payload(_read(s, d, "documents"))
         ).select("doc_id", "n_bytes", "content_md5"),
+        # training-data curation pipeline (operators/pipeline.py) — all
+        # md5-portable by design, so every gate here is oracle-exact
+        "hash_split": lambda s, d: pipeline.hash_split(
+            _read(s, d, "documents")
+        ).select("doc_id", "split"),
+        "hash_split_counts": lambda s, d: pipeline.hash_split(_read(s, d, "documents"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        ),
+        "redact_pii": lambda s, d: pipeline.redact_pii(
+            _pii_augmented(_read(s, d, "documents"))
+        ),
+        "repetition_stats": lambda s, d: pipeline.repetition_stats(
+            _read(s, d, "documents")
+        ),
+        "decontaminate_survivors": lambda s, d: pipeline.decontaminate(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
+        ).select("doc_id"),
+        "pack_sequences": lambda s, d: pipeline.pack_sequences(
+            _read(s, d, "documents")
+        ),
     }
 
 
 # ---------------------------------------------------------------- oracles
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
+
+# md5-hex -> u32, identical to pipeline._md5_u32 (DuckDB parses '0x..' casts)
+def _md5_u32_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || '|{salt}'), 1, 8)"
+        " AS BIGINT)"
+    )
+
+
+def _hash_split_case_sql() -> str:
+    edges = pipeline.split_edges((0.8, 0.1, 0.1))
+    return (
+        f"CASE WHEN u < {edges[0]} THEN 'train' "
+        f"WHEN u < {edges[1]} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Progressive redaction chain generated from the SAME PII_PATTERNS the
+    Spark operator uses — counts measured on the text as each pass sees it."""
+    ctes = [f"s0 AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0 FROM documents)"]
+    prev = "t0"
+    names = []
+    for i, (name, pat, repl) in enumerate(pipeline.PII_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT *, len(regexp_extract_all({prev}, '{p}')) AS n_{name},"
+            f" regexp_replace({prev}, '{p}', '{repl}', 'g') AS t{i} FROM s{i-1})"
+        )
+        prev = f"t{i}"
+        names.append(f"n_{name}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, "
+        + ", ".join(names)
+        + f", {prev} AS clean_text FROM s{len(pipeline.PII_PATTERNS)}"
+    )
 
 # shared CTE fragments (DuckDB list/lambda syntax)
 _SHINGLES_CTE = """
@@ -699,6 +793,73 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "hash_split": f"""
+            SELECT doc_id, {_hash_split_case_sql()} AS split
+            FROM (SELECT doc_id, {_md5_u32_sql('doc_id', 'split')} AS u
+                  FROM documents)
+        """,
+        "hash_split_counts": f"""
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM (SELECT doc_id, {_hash_split_case_sql()} AS split
+                  FROM (SELECT doc_id, {_md5_u32_sql('doc_id', 'split')} AS u
+                        FROM documents))
+            GROUP BY split
+        """,
+        "redact_pii": _pii_oracle_sql(),
+        "repetition_stats": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+            ),
+            c AS (
+              SELECT doc_id, t, len(t) AS n,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])
+                          ELSE CAST([] AS VARCHAR[]) END AS g
+              FROM tok
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   round(1.0 - len(list_distinct(t)) / n, 6) AS dup_token_frac,
+                   round(list_max(list_transform(list_distinct(t),
+                                                 x -> len(list_filter(t, y -> y = x))))
+                         / n, 6) AS top_token_share,
+                   CASE WHEN len(g) > 0
+                        THEN round(1.0 - len(list_distinct(g)) / len(g), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM c
+        """,
+        # string-equality n-gram containment (the Spark side compares
+        # xxhash64(shingle) — identical semantics absent 64-bit collisions,
+        # and a collision only ever drops an extra doc: the conservative
+        # direction for decontamination)
+        "decontaminate_survivors": f"""
+            WITH {_SHINGLES_CTE},
+            bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+            contaminated AS (
+              SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (sh)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {_md5_u32_sql('doc_id', 'pack')} % 64 AS bucket,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   bucket * 4294967296
+                   + CAST(floor((greatest(cum, 1) - 1) / 256.0) AS BIGINT) AS bin_id
+            FROM c
         """,
     }
 

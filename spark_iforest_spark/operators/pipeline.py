@@ -40,6 +40,18 @@ def _md5_u32(col, salt: str) -> F.Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
+def split_edges(weights: tuple[float, ...]) -> list[int]:
+    """Cumulative u32 bucket edges for ``hash_split`` — exposed so oracle
+    SQL can embed the exact same integers (same float accumulation order)."""
+    total = float(sum(weights))
+    edges = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        edges.append(int(acc * 2**32))
+    return edges
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -58,13 +70,8 @@ def hash_split(
     """
     if len(weights) != len(labels):
         raise ValueError("weights and labels must align")
-    total = float(sum(weights))
     u = _md5_u32(F.col(id_col), salt)
-    edges = []
-    acc = 0.0
-    for w in weights[:-1]:
-        acc += w / total
-        edges.append(int(acc * 2**32))
+    edges = split_edges(weights)
     expr = F.lit(labels[-1])
     for edge, lab in zip(reversed(edges), reversed(labels[:-1])):
         expr = F.when(u < edge, F.lit(lab)).otherwise(expr)
@@ -76,20 +83,21 @@ def redact_pii(
 ) -> DataFrame:
     """Redact emails / SSNs / phone numbers / IPv4 addresses.
 
-    Counts are measured per category on the ORIGINAL text
-    (``regexp_extract_all``), then the replacements are applied in the
-    fixed PII_PATTERNS order. All JVM-side regex — no Python in the path;
-    at 100 TB this is a scan-speed projection. The regexes stay inside the
-    RE2 ∩ java.util.regex subset so the DuckDB oracle matches exactly.
+    Replacements apply sequentially in PII_PATTERNS order, and each count is
+    measured on the text AS IT STANDS when that pattern runs — so counts
+    always equal the number of replacements actually applied, even when
+    categories overlap (an SSN-shaped local part inside an email is consumed
+    by the email pass and does NOT increment n_ssn). All JVM-side regex — no
+    Python in the path; at 100 TB this is a scan-speed projection. The
+    regexes stay inside the RE2 ∩ java.util.regex subset so the DuckDB
+    oracle matches exactly.
     """
     out = docs.select(F.col(id_col), F.col(text_col))
     clean = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         )
         clean = F.regexp_replace(clean, pat, repl)
     return out.select(F.col(id_col), *counts, clean.alias("clean_text"))
@@ -192,7 +200,9 @@ def pack_sequences(
 
     Deterministic contiguous packing: documents are hash-bucketed
     (md5-derived, oracle-portable), ordered by id within their bucket, and
-    a running token cumsum places each doc in bin ``floor((cum−1)/budget)``.
+    a running token cumsum places each doc in bin ``floor((cum−1)/budget)``
+    (cumsum clamped to >= 1 so zero-token docs at a bucket head stay in bin
+    0 instead of underflowing into the previous bucket's id space).
     A doc straddling a boundary belongs to the bin its cumsum ends in, so
     bins are budget-sized up to one straddler — the usual streaming-pack
     tradeoff, chosen because it needs ONE window pass instead of bin-state.
@@ -215,7 +225,7 @@ def pack_sequences(
         .withColumn(
             "bin_id",
             (F.col("bucket").cast("long") * F.lit(2**32))
-            + F.floor((F.col("cum_tokens") - 1) / budget_tokens),
+            + F.floor((F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / budget_tokens),
         )
         .select(id_col, "bucket", "n_tokens", "bin_id")
     )
