@@ -88,12 +88,33 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------- iforest
+_IFOREST_CONTAMINATION = 0.1
+_IFOREST_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _iforest_fitted(spark: SparkSession, sf_dir: str):
+    """One fit per (session, sf_dir): the three iforest gates share the same
+    deterministic (data, seed) model, so the correctness run trains once
+    instead of three times."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IFOREST_MEMO:
+        emb = _read(spark, sf_dir, "embeddings")
+        df = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("features")
+        )
+        model = IForest(
+            numTrees=50,
+            maxSamples=64.0,
+            maxDepth=8,
+            contamination=_IFOREST_CONTAMINATION,
+            seed=42,
+        ).fit(df)
+        _IFOREST_MEMO[key] = (model, df)
+    return _IFOREST_MEMO[key]
+
+
 def _iforest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("features"))
-    model = IForest(
-        numTrees=50, maxSamples=64.0, maxDepth=8, contamination=0.1, seed=42
-    ).fit(df)
+    model, df = _iforest_fitted(spark, sf_dir)
     out = model.transform(df)
     return out.select(
         "vec_id",
@@ -103,11 +124,7 @@ def _iforest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _iforest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("features"))
-    model = IForest(
-        numTrees=50, maxSamples=64.0, maxDepth=8, contamination=0.1, seed=42
-    ).fit(df)
+    model, df = _iforest_fitted(spark, sf_dir)
     s = model.summary
     return spark.createDataFrame(
         [(s.predictions.count(), s.numAnomalies, round(model.getThreshold(), 6))],
@@ -122,12 +139,8 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomaly count within ±50% of contamination·n, and the prediction column
     consistent with the summary's numAnomalies. A scorer/threshold
     regression flips a boolean and hash-mismatches the oracle."""
-    emb = _read(spark, sf_dir, "embeddings")
-    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("features"))
-    contamination = 0.1
-    model = IForest(
-        numTrees=50, maxSamples=64.0, maxDepth=8, contamination=contamination, seed=42
-    ).fit(df)
+    model, df = _iforest_fitted(spark, sf_dir)
+    contamination = _IFOREST_CONTAMINATION
     scored = model.transform(df)
     thr = float(model.getThreshold())
     n_anom = int(model.summary.numAnomalies)

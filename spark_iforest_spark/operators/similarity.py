@@ -25,28 +25,47 @@ _LSH_SEED = 0xA11CE
 _IVF_SEED = 0x1FF
 
 
-def _ranked(pairs: DataFrame, k: int) -> DataFrame:
-    """Two-phase top-k: per-input-partition partial top-k, then the global
-    per-query rank. The phase-1 window key includes spark_partition_id() so
-    the heavy rank runs at full parallelism (#partitions × |Q| groups)
-    instead of funneling |corpus| candidate rows per query into one task;
-    a partition-local top-k is always a superset of the global top-k, so
-    phase 2 ranks at most #partitions × k rows per query. The ordering
-    (cos_sim desc, neighbor_id asc) is total per query, so the final
-    relation is deterministic regardless of partition layout."""
+def _ranked(pairs: DataFrame, k: int, two_phase: bool = True) -> DataFrame:
+    """Per-query top-k with a scale-dependent plan.
+
+    ``two_phase=True`` (the 100× shape): per-input-partition partial top-k
+    first — the phase-1 window key includes spark_partition_id() so the
+    heavy rank runs at full parallelism (#partitions × |Q| groups) instead
+    of funneling |corpus| candidate rows per query into one task; a
+    partition-local top-k is always a superset of the global top-k, so
+    phase 2 ranks at most #partitions × k rows per query.
+
+    ``two_phase=False`` (small-candidate bypass): one window straight on
+    query_id. When per-partition candidate volume is within ~an order of
+    magnitude of k, the extra phase-1 shuffle costs more than it saves
+    (measured: 2× at a 2,000-row corpus) — callers auto-pick via
+    ``_auto_two_phase``. Ordering (cos_sim desc, neighbor_id asc) is total
+    per query, so both plans emit the identical relation."""
     order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
-    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
-    local = (
-        pairs.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= k)
-    )
+    if two_phase:
+        w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+        pairs = (
+            pairs.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w1))
+            .where(F.col("_r") <= k)
+        )
     w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        local.withColumn("rank", F.row_number().over(w2))
+        pairs.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def _auto_two_phase(corpus: DataFrame, k: int, factor: int = 50) -> bool:
+    """Pick the top-k plan from corpus shape: two-phase pays off once a
+    single partition holds ≫ k candidate rows (phase 2 then sees
+    #partitions × k rows per query instead of |corpus|). The count is one
+    cheap metadata-backed job against the corpus source; partition count
+    comes from the compiled plan without running anything."""
+    n = corpus.count()
+    parts = max(1, corpus.rdd.getNumPartitions())
+    return n / parts > factor * k
 
 
 def cosine_topk(
@@ -55,14 +74,18 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is a (id, vector) DataFrame assumed small — it is broadcast,
     so the corpus is scanned once with no shuffle until the final per-query
     top-k window (rows there are |Q|×|corpus| filtered down; for large Q use
-    lsh_topk). Ties break on neighbor_id for determinism.
+    lsh_topk). Ties break on neighbor_id for determinism. ``two_phase=None``
+    auto-picks the rank plan from corpus size (see _ranked).
     """
+    if two_phase is None:
+        two_phase = _auto_two_phase(emb, k)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
     )
@@ -74,7 +97,7 @@ def cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
     )
-    return _ranked(pairs, k)
+    return _ranked(pairs, k, two_phase)
 
 
 def topk_recall(exact: DataFrame, approx: DataFrame, floor: float = 0.9) -> DataFrame:
@@ -111,12 +134,19 @@ def lsh_topk(
     dim: int = 64,
     bits: int = 8,
     tables: int = 8,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH bucketing + exact cosine re-rank.
 
     Each vector hashes to ``tables`` buckets (sign pattern of ``bits``
     random hyperplanes, deterministic seed). Candidates = bucket collisions;
     exact cosine ranks them; top-k per query. Deterministic end to end.
+
+    Scale shape: the corpus bucketize emits ONLY (id, table, bucket) — 24
+    bytes/row — so the bucket join never carries vectors ×tables; corpus
+    vectors re-join ONCE per surviving candidate by id via sort-merge (the
+    same pattern as dedup.embedding_lsh_pairs). Query vectors ride along on
+    the broadcast side (|Q|×tables rows, already tiny).
 
     Sizing: a pair at angle θ collides in one table w.p. (1-θ/π)^bits, so
     recall at LOW cosine (the clusterless/random regime, neighbors at
@@ -125,57 +155,65 @@ def lsh_topk(
     High-similarity corpora can afford bits=8+ with few tables.
     """
     planes = _hyperplanes(dim, bits, tables)
+    flat = planes.reshape(tables * bits, dim)
+    pack = 1 << np.arange(bits, dtype=np.int64)
 
-    def bucketize(alias_id: str):
+    def bucketize(alias_id: str, keep_vec: bool):
         def fn(it):
             for pdf in it:
+                if not len(pdf):
+                    continue
                 vecs = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-                ids = pdf[id_col].to_numpy()
-                rows_id, rows_t, rows_b, rows_v = [], [], [], []
-                if len(vecs):
-                    for t in range(tables):
-                        proj = vecs @ planes[t].T  # (n, bits)
-                        sig = ((proj > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
-                        rows_id.extend(ids.tolist())
-                        rows_t.extend([t] * len(ids))
-                        rows_b.extend(sig.tolist())
-                        rows_v.extend(pdf[vec_col].to_list())
-                yield pd.DataFrame(
-                    {alias_id: rows_id, "table_id": rows_t, "bucket": rows_b, "v": rows_v}
-                )
+                sig = (
+                    (vecs @ flat.T > 0).astype(np.int64).reshape(len(vecs), tables, bits)
+                    @ pack
+                )  # (n, tables)
+                out = {
+                    alias_id: np.repeat(pdf[id_col].to_numpy(), tables),
+                    "table_id": np.tile(np.arange(tables, dtype=np.int64), len(vecs)),
+                    "bucket": sig.reshape(-1),
+                }
+                if keep_vec:
+                    out["qv"] = [v for v in pdf[vec_col].to_list() for _ in range(tables)]
+                yield pd.DataFrame(out)
 
         return fn
 
-    corpus_b = emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
-        bucketize("neighbor_id"), schema="neighbor_id long, table_id int, bucket long, v array<double>"
+    corpus = emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    corpus_b = corpus.mapInPandas(
+        bucketize("neighbor_id", False),
+        schema="neighbor_id long, table_id long, bucket long",
     )
     query_b = queries.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     ).mapInPandas(
-        bucketize("query_id"), schema="query_id long, table_id int, bucket long, v array<double>"
+        bucketize("query_id", True),
+        schema="query_id long, table_id long, bucket long, qv array<double>",
+    )
+    cand_ids = (
+        corpus_b.join(
+            F.broadcast(query_b),
+            (corpus_b.table_id == query_b.table_id)
+            & (corpus_b.bucket == query_b.bucket)
+            & (corpus_b.neighbor_id != query_b.query_id),
+        )
+        .select("query_id", "neighbor_id", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).cast("array<double>").alias("nv")
     )
     cand = (
-        corpus_b.alias("c")
-        .join(
-            F.broadcast(query_b.alias("q")),
-            (F.col("c.table_id") == F.col("q.table_id"))
-            & (F.col("c.bucket") == F.col("q.bucket"))
-            & (F.col("c.neighbor_id") != F.col("q.query_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("q.v").alias("qv"),
-            F.col("c.v").alias("nv"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        cand_ids.join(nvec.hint("merge"), F.col("neighbor_id") == F.col("_nid"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
         )
     )
-    return _ranked(cand, k)
+    if two_phase is None:
+        two_phase = _auto_two_phase(emb, k)
+    return _ranked(cand, k, two_phase)
 
 
 def ivf_topk(
@@ -186,6 +224,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + probed cells.
 
@@ -247,4 +286,6 @@ def ivf_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _ranked(cand, k)
+    if two_phase is None:
+        two_phase = _auto_two_phase(emb, k)
+    return _ranked(cand, k, two_phase)

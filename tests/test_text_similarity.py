@@ -67,15 +67,47 @@ def test_cosine_topk_exact(spark):
 
 
 def test_cosine_topk_two_phase_rank(spark):
-    # the heavy rank must run per-input-partition first (window keyed by
-    # spark_partition_id) so no single task sees |corpus| rows per query
+    # at scale the heavy rank must run per-input-partition first (window
+    # keyed by spark_partition_id) so no single task sees |corpus| rows per
+    # query — forced on here; small corpora auto-bypass (test below)
     from spark_iforest_spark.plans import formatted_plan
 
     emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
     q = emb.where(F.col("vec_id") == 0)
-    plan = formatted_plan(similarity.cosine_topk(emb, q, k=2))
+    plan = formatted_plan(similarity.cosine_topk(emb, q, k=2, two_phase=True))
     assert plan.count("Window (") == 2
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_cosine_topk_small_input_bypass(spark):
+    # a tiny corpus auto-picks the single-window plan (the extra phase-1
+    # shuffle costs more than it saves), and both plans emit identical rows
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    assert formatted_plan(similarity.cosine_topk(emb, q, k=2)).count("Window (") == 1
+    a = sorted(map(tuple, similarity.cosine_topk(emb, q, k=2, two_phase=True).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk(emb, q, k=2, two_phase=False).collect()))
+    assert a == b
+
+
+def test_lsh_bucket_exchange_carries_no_vectors(spark):
+    # the corpus-side bucketize must emit only (id, table, bucket) — the
+    # ×tables bucket join never ships vectors; vectors re-join by id via
+    # sort-merge afterwards (100 TB shape)
+    import re
+
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    plan = formatted_plan(similarity.lsh_topk(emb, q, k=2, dim=2, bits=2, tables=4))
+    args = re.findall(r"\(\d+\) MapInPandas\n(?:.*\n)*?Arguments: (.*)", plan)
+    corpus_side = [a for a in args if "neighbor_id#" in a]
+    assert corpus_side and all("qv#" not in a and "#126L, v#" not in a for a in corpus_side)
+    assert not any(", v#" in a for a in corpus_side)
+    assert "SortMergeJoin" in plan  # the vector re-join
 
 
 def test_ivf_plan_has_no_row_udf(spark):
