@@ -161,6 +161,19 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-replay streaming gate: readStream(events) → watermark +
+    tumbling window → memory sink (complete mode, availableNow). The
+    result must equal the batch windowed_event_agg relation exactly."""
+    from spark_iforest_spark import streaming as stm
+
+    _ensure_workers_import(spark)
+    ev = stm.nanos_to_ts(stm.read_stream_table(spark, sf_dir, "events"), "ts")
+    return stm.run_to_batch(
+        stm.windowed_agg_stream(ev), "streaming_windowed_agg_gate", "complete"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: isolation-forest anomaly scoring on sf0.001 embeddings."""
     return _iforest_score(spark, "/root/testdata/sf0.001")
@@ -286,6 +299,12 @@ def queries() -> _T:
         ),
         "clean_corpus": lambda s, d: corpus.clean_corpus(_read(s, d, "documents")),
         "dedup_clusters": lambda s, d: dedup.dup_clusters(_read(s, d, "documents")),
+        # same clusters from the SCALE edge source: minhash-LSH emits the
+        # same pair relation, so the identical recursive-CTE oracle pins it
+        "dedup_clusters_minhash": lambda s, d: dedup.dup_clusters(
+            _read(s, d, "documents"),
+            pairs=dedup.minhash_lsh_pairs(_read(s, d, "documents")),
+        ),
         "corpus_vocab": lambda s, d: text.corpus_vocab(_read(s, d, "documents")),
         "quality_histogram": lambda s, d: text.quality_histogram(
             _read(s, d, "documents")
@@ -307,6 +326,9 @@ def queries() -> _T:
         "multimodal_features": lambda s, d: multimodal.extract_features(
             multimodal.attach_binary_payload(_read(s, d, "documents"))
         ).select("doc_id", "n_bytes", "content_md5"),
+        # structured streaming: bounded replay of the windowed agg must be
+        # bit-identical to the batch plan, so the BATCH oracle checks it
+        "streaming_windowed_agg": _streaming_windowed_agg,
         # training-data curation pipeline (operators/pipeline.py) — all
         # md5-portable by design, so every gate here is oracle-exact
         "hash_split": lambda s, d: pipeline.hash_split(
@@ -484,6 +506,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "windowed_event_agg": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_windowed_agg": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
                    event_type,
                    count(*) AS n_events,
@@ -731,6 +761,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT q2.doc_id, quality, lang_pred
             FROM q2 JOIN reps ON q2.doc_id = reps.doc_id
             WHERE quality >= 0.5 AND lang_pred = 'en'
+        """,
+        "dedup_clusters_minhash": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace(chr(10), chr(10) + '            ')}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, w.label
+              FROM edges e JOIN walk w ON e.dst = w.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_rep
+            FROM walk GROUP BY node
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace(chr(10), chr(10) + '            ')}),

@@ -321,6 +321,12 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         # materialization, but the lineage truncation freezes the partition
         # layout (no silent recompute after cache eviction) and Spark's
         # ContextCleaner reclaims the blocks once the fit drops its
+        # reference. TRADEOFF: localCheckpoint blocks are NOT fault-tolerant
+        # — losing an executor mid-fit fails the job instead of recomputing
+        # as cache() would. Acceptable here because a fit is one bounded job
+        # (re-run it); deterministic rids make the retry bit-identical. For
+        # clusters where executor loss is routine, swap for
+        # checkpoint(reliable) at the cost of an HDFS round-trip.
         # references — cache() entries would pin executor memory forever.
         if target_pool <= _POOL_GLOBAL_SORT_MAX:
             # absolute-maxSamples regime: pool is O(numTrees*maxSamples) rows

@@ -206,6 +206,8 @@ def minhash_lsh_pairs(
     # spillable. Checkpoint (not persist): ContextCleaner reclaims the
     # blocks when the returned DataFrame is dropped — a persist() here
     # would pin executor memory with no unpersist hook in a lazy API.
+    # (Not fault-tolerant: executor loss fails the query instead of
+    # recomputing; fine for a single bounded job, see dup_clusters note.)
     sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>").localCheckpoint(
         eager=False
     )
@@ -455,7 +457,12 @@ def dup_clusters(
     without truncation the logical plan doubles per round and a
     large-diameter component (boilerplate chains) stalls planning long
     before the data is the problem. Checkpointing keeps every round's plan
-    two joins deep regardless of iteration count.
+    two joins deep regardless of iteration count. TRADEOFF: localCheckpoint
+    blocks are not fault-tolerant — an executor loss anywhere in the
+    many-round propagation fails the job (cache() would recompute). On
+    clusters where that risk is material, pass a reliable checkpoint dir
+    (spark.sparkContext.setCheckpointDir) and swap .localCheckpoint() for
+    .checkpoint(): same plan-truncation, HDFS-backed recovery.
 
     ``pairs`` injects any (doc_a, doc_b) near-dup relation as the edge
     source; by default edges come from ngram_jaccard_pairs. At corpus scale

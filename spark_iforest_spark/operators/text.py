@@ -158,6 +158,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 16,
     window: int = 8,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Rolling-hash document fingerprints (MOSS-style winnowing).
 
@@ -165,26 +166,45 @@ def winnow_fingerprints(
     ``window``-gram window; the distinct survivors are the document's
     fingerprints. Guarantees any shared substring of length >= k+window-1
     yields a shared fingerprint — the plagiarism/near-dup detection
-    invariant. Pure Catalyst expressions (one row per fingerprint out);
-    md5 grams keep the arithmetic engine-portable. Short docs (< k chars)
-    fall back to one whole-text fingerprint.
+    invariant. Short docs (< k chars) fall back to one whole-text
+    fingerprint.
+
+    ``gram_hash`` picks the scale/portability tradeoff (measured at sf0.1,
+    ~3.1k docs, 1.41M grams, local[8]):
+
+    * ``"md5"`` (default, the gate path) — hex-string grams, fingerprint is
+      a string. Engine-portable, so the DuckDB oracle reproduces the exact
+      min-selection; 4.2-7.2 s (2.4 s of it is the JVM md5 itself, the rest
+      lexicographic string windowing).
+    * ``"xxhash64"`` — int64 grams end to end, fingerprint is a long.
+      ~2-3× faster (2.4 s) and 4× lighter in the exchange (8-byte vs
+      32-byte keys) — the 100 TB path. Not oracle-expressible (DuckDB lacks
+      xxhash64, and min-by-different-hash selects different grams), so it
+      is pinned by the winnowing-guarantee property test instead.
     """
     import numpy as np
     import pandas as pd
 
+    if gram_hash == "xxhash64":
+        hash_fn, out_type = F.xxhash64, "long"
+    elif gram_hash == "md5":
+        hash_fn, out_type = F.md5, "string"
+    else:
+        raise ValueError(f"unknown gram_hash {gram_hash!r}")
     n_grams = F.length(text_col) - k + 1
     grams = F.when(
         n_grams >= window,
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))),
+            lambda i: hash_fn(F.col(text_col).substr(i, F.lit(k))),
         ),
-    ).otherwise(F.array(F.md5(F.col(text_col))))
+    ).otherwise(F.array(hash_fn(F.col(text_col))))
 
     def window_min(it):
-        # numpy sliding minimum over the md5 hex strings (lexicographic —
-        # identical to array_min/list min in either engine). Gram hashing
-        # stayed JVM-side; only the O(G*w) windowing runs here, vectorized.
+        # numpy sliding minimum over the gram hashes (lexicographic for md5
+        # hex — identical to array_min/list min in either engine — or int64
+        # for xxhash64). Gram hashing stayed JVM-side; only the O(G*w)
+        # windowing runs here, vectorized.
         for pdf in it:
             ids, fps = [], []
             for did, gh in zip(pdf["did"], pdf["ghash"]):
@@ -201,4 +221,6 @@ def winnow_fingerprints(
             yield pd.DataFrame({id_col: ids, "fingerprint": fps})
 
     gram_df = docs.select(F.col(id_col).alias("did"), grams.alias("ghash"))
-    return gram_df.mapInPandas(window_min, schema=f"{id_col} long, fingerprint string")
+    return gram_df.mapInPandas(
+        window_min, schema=f"{id_col} long, fingerprint {out_type}"
+    )

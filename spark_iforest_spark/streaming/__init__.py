@@ -15,6 +15,8 @@ so everything here is north-star extension surface:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -51,11 +53,11 @@ def windowed_agg_stream(
 ) -> DataFrame:
     """Event-time tumbling aggregation with late-data watermark.
 
-    The ``value`` sum uses the same exact fixed-point units as the batch
-    twin (operators.relational.windowed_event_agg) so replaying a bounded
-    stream produces bit-identical results to the batch plan — which is what
-    the ``streaming_windowed_agg`` driver gate checks against the same
-    DuckDB oracle as the batch gate."""
+    The output schema and the ``value`` fixed-point units are identical to
+    the batch twin (operators.relational.windowed_event_agg) so replaying a
+    bounded stream produces bit-identical results to the batch plan — which
+    is what the ``streaming_windowed_agg`` driver gate checks against the
+    same DuckDB oracle as the batch gate."""
     from spark_iforest_spark.functions import money_units, units_to_double
 
     return (
@@ -65,7 +67,12 @@ def windowed_agg_stream(
             F.count(F.lit(1)).alias("n_events"),
             units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -73,10 +80,25 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` over one synthetic parquet table (streams need an
     explicit schema — taken from a batch footer read). The driver tables
     store TIMESTAMP(NANOS); ``ts``/``o_orderdate`` surface per the same
-    legacy-flag rules as the batch reader."""
+    legacy-flag rules as the batch reader.
+
+    NOTE: this sets ``spark.sql.legacy.parquet.nanosAsLong`` session-wide
+    and leaves it set — the flag must still be true when the stream's
+    micro-batches actually READ the nanos files, so it cannot be scoped to
+    the schema probe. It is the same flag sources.read_table sets for every
+    batch read of these tables, so batch/stream semantics stay consistent
+    within a session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the streaming file source only accepts directories; a single-file
+        # table streams via its parent dir + a glob pinned to that file
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     return spark.readStream.schema(schema).parquet(path)
 
 

@@ -200,3 +200,30 @@ def test_dup_clusters_transitive(spark):
     out = {r["doc_id"]: r["cluster_rep"] for r in
            dedup.dup_clusters(df, threshold=0.5).collect()}
     assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_dup_clusters_minhash_edges_match_jaccard_edges(spark):
+    """The scale edge source (minhash-LSH pairs) must produce the exact
+    same clusters as the exact n-gram Jaccard edge source."""
+    from spark_iforest_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " ok"),  # near dup of 0/1
+        (3, "completely different text about mountain weather patterns"),
+        (4, "completely different text about mountain weather patterns"),  # dup of 3
+        (5, "a lone unique document with nothing in common whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.dup_clusters(docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.dup_clusters(docs, pairs=dedup.minhash_lsh_pairs(docs)).collect(),
+        )
+    )
+    assert a == b
+    assert (0, 0) in a and (1, 0) in a and (4, 3) in a
+    assert all(r[0] != 5 for r in a)  # singletons excluded

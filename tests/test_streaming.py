@@ -74,32 +74,54 @@ def ts(s):
     return datetime.datetime.fromisoformat(s)
 
 
-def test_windowed_agg_stream(spark, tmpdir):
+def test_windowed_agg_stream_equals_batch(spark, tmpdir):
+    from spark_iforest_spark.operators import relational
+
     rows = [
         (ts("2024-01-01 10:05:00"), "click", 1.0),
         (ts("2024-01-01 10:15:00"), "click", 2.0),
         (ts("2024-01-01 11:05:00"), "view", 3.0),
     ]
-    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(
-        tmpdir + "/ev"
-    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    df.write.parquet(tmpdir + "/ev")
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, value double"
     ).parquet(tmpdir + "/ev")
-    q = (
-        S.windowed_agg_stream(stream)
-        .writeStream.format("memory")
-        .queryName("win_stream")
-        .outputMode("complete")
-        .start()
+    got = S.run_to_batch(S.windowed_agg_stream(stream), "win_stream", "complete")
+    # the bounded replay must be bit-identical to the batch twin
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, relational.windowed_event_agg(df).collect())
     )
-    _drain(q)
-    out = {
-        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
-        for r in spark.sql("select * from win_stream").collect()
-    }
-    assert out[("2024-01-01T10:00:00", "click")] == 2
-    assert out[("2024-01-01T11:00:00", "view")] == 1
+    counts = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    assert sorted(counts.values()) == [1, 2]
+
+
+def test_stream_replay_matches_batch_on_testdata(spark, sf_dir):
+    """read_stream_table + nanos_to_ts + run_to_batch on the real synthetic
+    events table (TIMESTAMP(NANOS) parquet): replay == batch plan."""
+    from spark_iforest_spark.operators import relational
+    from spark_iforest_spark.sources import read_table
+
+    ev = S.nanos_to_ts(S.read_stream_table(spark, sf_dir, "events"), "ts")
+    got = sorted(
+        map(tuple, S.run_to_batch(S.windowed_agg_stream(ev), "win_replay", "complete").collect())
+    )
+    expected = sorted(
+        map(tuple, relational.windowed_event_agg(read_table(spark, sf_dir, "events")).collect())
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_nanos_to_ts(spark):
+    epoch_ns = 1704103200 * 10**9 + 123_000  # nanos, micro-aligned
+    df = spark.createDataFrame([(epoch_ns,)], "ts long")
+    out = S.nanos_to_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    got = out.collect()[0].ts
+    assert got.microsecond == 123
+    # already-timestamp input is returned untouched
+    tdf = spark.createDataFrame([(ts("2024-01-01 10:00:00"),)], "ts timestamp")
+    assert S.nanos_to_ts(tdf) is tdf
 
 
 def test_sessionize_stream(spark, tmpdir):

@@ -246,9 +246,15 @@ def test_winnow_fingerprints_shared_substring(spark):
         ],
         ["doc_id", "text"],
     )
-    out = {}
-    for r in text.winnow_fingerprints(df).collect():
-        out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
-    assert out[0] & out[1], "shared substring must produce a shared fingerprint"
-    assert not (out[0] & out[2])
-    assert len(out[3]) == 1
+    for gram_hash in ("md5", "xxhash64"):
+        out = {}
+        for r in text.winnow_fingerprints(df, gram_hash=gram_hash).collect():
+            out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert out[0] & out[1], "shared substring must produce a shared fingerprint"
+        assert not (out[0] & out[2])
+        assert len(out[3]) == 1
+    # the scale path emits int64 fingerprints (8-byte exchange keys)
+    row = text.winnow_fingerprints(df, gram_hash="xxhash64").first()
+    assert isinstance(row["fingerprint"], int)
+    with pytest.raises(ValueError):
+        text.winnow_fingerprints(df, gram_hash="sha1")
