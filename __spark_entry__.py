@@ -353,11 +353,23 @@ def queries() -> _T:
         "pack_sequences": lambda s, d: pipeline.pack_sequences(
             _read(s, d, "documents")
         ),
+        "stratified_sample": lambda s, d: pipeline.stratified_sample(
+            _read(s, d, "documents"), _STRATA_FRACTIONS, default_fraction=0.1
+        ).select("doc_id", "lang"),
+        "mixture_sample": lambda s, d: pipeline.mixture_sample(
+            _read(s, d, "documents"), _MIX_BUDGETS
+        ),
     }
 
 
 # ---------------------------------------------------------------- oracles
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
+
+# gate parameters for the sampling operators (oracle SQL derives the exact
+# same integer edges from these dicts)
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
+_MIX_BUDGETS = {"en": 5000, "es": 2000, "zh": 1000}
+
 
 # md5-hex -> u32, identical to pipeline._md5_u32 (DuckDB parses '0x..' casts)
 def _md5_u32_sql(expr: str, salt: str) -> str:
@@ -373,6 +385,21 @@ def _hash_split_case_sql() -> str:
         f"CASE WHEN u < {edges[0]} THEN 'train' "
         f"WHEN u < {edges[1]} THEN 'val' ELSE 'test' END"
     )
+
+
+def _strata_edge_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {int(f * 2**32)}"
+        for s, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"CASE lang {branches} ELSE {int(0.1 * 2**32)} END"
+
+
+def _mix_budget_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(_MIX_BUDGETS.items())
+    )
+    return f"CASE lang {branches} ELSE 0 END"
 
 
 def _pii_oracle_sql() -> str:
@@ -901,6 +928,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     {_md5_u32_sql('doc_id', 'strata')} AS u
+              FROM documents
+            ) WHERE u < {_strata_edge_case_sql()}
+        """,
+        "mixture_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     {_md5_u32_sql('doc_id', 'mix')} AS u,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c
+            WHERE cum_tokens - n_tokens < {_mix_budget_case_sql()}
         """,
         "pack_sequences": f"""
             WITH t AS (

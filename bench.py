@@ -54,16 +54,22 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # best-of-2: this VM shows random multi-10s external pauses (see
-        # .claude/skills/verify/SKILL.md gotchas); min-of-two runs reports
-        # the machine's actual capability instead of scheduler luck
+        # best-of-3: this VM shows random multi-10s external pauses with a
+        # ~2-4x spread on identical code (see SCALE.md postmortem and
+        # .claude/skills/verify/SKILL.md gotchas); min-of-three reports the
+        # machine's actual capability instead of scheduler luck
+        import gc
+
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # drop dead localCheckpoint/broadcast refs NOW so ContextCleaner
+        # reclaims blocks between queries instead of under the next timing
+        gc.collect()
 
     # --- isolation forest: train + score on lineitem numeric features ------
     feature_cols = [

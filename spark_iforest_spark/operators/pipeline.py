@@ -78,6 +78,73 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling by hashed id.
+
+    Keeps a row iff md5_u32(id|salt) < fraction(stratum)·2³² — the
+    downsampling primitive for rebalancing a corpus (e.g. cap English at
+    50%, keep all low-resource languages). Same leakage-safe properties as
+    hash_split: membership is a pure function of (id, salt), stable under
+    corpus growth and cluster layout. Zero shuffle — a scan-fused filter;
+    at 100 TB this is the only sampler that doesn't need a count first
+    (unlike df.sampleBy, whose per-partition RNG also isn't reproducible
+    across layouts or engines).
+    """
+    u = _md5_u32(F.col(id_col), salt)
+    edge = F.lit(int(default_fraction * 2**32))
+    for stratum, frac in sorted(fractions.items()):
+        edge = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 2**32))).otherwise(
+            edge
+        )
+    return df.where(u < edge)
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget mixture construction: per stratum, a deterministic
+    random order (md5-hashed id) with a running token cumsum, keeping every
+    document that STARTS before its stratum's budget is exhausted — the
+    greedy prefix that builds a pretraining mix ("20B tokens of en, 5B of
+    es, ...") in one pass.
+
+    One shuffle, partitioned by stratum. With few strata the window's
+    parallelism is #strata — at 100 TB sub-bucket the order key (the same
+    trick as pack_sequences) or run per-stratum jobs; budgets are
+    typically per-language so #strata is small and each partition is a
+    single ordered scan. Output keeps (n_tokens, cum_tokens) so the budget
+    invariant is externally checkable.
+    """
+    u = _md5_u32(F.col(id_col), salt)
+    n_tok = F.size(tokens(F.col(text_col)))
+    budget = F.lit(0)
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum, F.lit(int(b))).otherwise(budget)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(strata_col), u.alias("u"), n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
 def redact_pii(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

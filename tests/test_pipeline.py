@@ -196,3 +196,51 @@ def test_pack_sequences_deterministic(spark):
     a = sorted(map(tuple, pipeline.pack_sequences(df).collect()))
     b = sorted(map(tuple, pipeline.pack_sequences(df).collect()))
     assert a == b
+
+
+# -------------------------------------------------- stratified / mixture
+def test_stratified_sample_rates_and_stability(spark):
+    n = 4000
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out = pipeline.stratified_sample(df, {"en": 0.5, "zh": 0.1}).collect()
+    got = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert abs(got["en"] / (n / 2) - 0.5) < 0.05
+    assert abs(got["zh"] / (n / 2) - 0.1) < 0.03
+    # default fraction 0.0 drops unlisted strata entirely
+    only_en = pipeline.stratified_sample(df, {"en": 0.5}).collect()
+    assert all(r.lang == "en" for r in only_en)
+    # membership is stable under corpus growth (same property as hash_split)
+    small = {r.doc_id for r in pipeline.stratified_sample(df.where("doc_id < 1000"), {"en": 0.5, "zh": 0.1}).collect()}
+    big = {r.doc_id for r in out}
+    assert small == {d for d in big if d < 1000}
+
+
+def test_mixture_sample_budget_invariants(spark):
+    rows = []
+    for i in range(300):
+        lang = ["en", "es", "zh"][i % 3]
+        rows.append((i, " ".join(["tok"] * (5 + i % 30)), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    budgets = {"en": 400, "es": 150}
+    out = pipeline.mixture_sample(df, budgets).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "es"}  # zh has no budget -> excluded
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.cum_tokens)
+        # every selected doc STARTS under budget; total <= budget + straddler
+        assert all(r.cum_tokens - r.n_tokens < budgets[lang] for r in docs)
+        assert docs[-1].cum_tokens < budgets[lang] + max(r.n_tokens for r in docs)
+        # the selection is a contiguous cumsum prefix
+        cums = [r.cum_tokens for r in docs]
+        toks = [r.n_tokens for r in docs]
+        assert all(cums[i] == cums[i - 1] + toks[i] for i in range(1, len(docs)))
+    # deterministic across invocations
+    again = pipeline.mixture_sample(df, budgets).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
