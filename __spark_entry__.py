@@ -353,6 +353,13 @@ def queries() -> _T:
         "pack_sequences": lambda s, d: pipeline.pack_sequences(
             _read(s, d, "documents")
         ),
+        "split_leakage": lambda s, d: pipeline.split_leakage(
+            _read(s, d, "documents")
+        ),
+        "winnow_pairs": lambda s, d: dedup.winnow_pairs(_read(s, d, "documents")),
+        "source_quality_report": lambda s, d: corpus.source_quality_report(
+            _read(s, d, "documents")
+        ),
         "stratified_sample": lambda s, d: pipeline.stratified_sample(
             _read(s, d, "documents"), _STRATA_FRACTIONS, default_fraction=0.1
         ).select("doc_id", "lang"),
@@ -928,6 +935,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "split_leakage": f"""
+            SELECT content_hash, n_copies, n_splits FROM (
+              SELECT md5(text) AS content_hash,
+                     count(*) AS n_copies,
+                     count(DISTINCT split) AS n_splits
+              FROM (SELECT text, {_hash_split_case_sql()} AS split
+                    FROM (SELECT text, {_md5_u32_sql('doc_id', 'split')} AS u
+                          FROM documents))
+              GROUP BY md5(text)
+            ) WHERE n_splits >= 2
+        """,
+        "winnow_pairs": """
+            WITH g AS (
+              SELECT doc_id, text,
+                     length(text) - 16 + 1 AS n_grams,
+                     list_transform(range(1, length(text) - 16 + 2),
+                                    i -> md5(text[i:i+15])) AS ghash
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN n_grams - 8 + 1 >= 1
+                          THEN list_distinct(list_transform(
+                                 range(1, n_grams - 8 + 2),
+                                 j -> list_aggregate(ghash[j:j+7], 'min')))
+                          ELSE [md5(text)] END AS fps
+              FROM g
+            ),
+            fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM fp a JOIN fp b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "source_quality_report": f"""
+            WITH tok AS (
+              SELECT source, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+            ),
+            q AS (
+              SELECT source, text,
+                     round(0.3 * least(1.0, len(t) / 64.0)
+                           + 0.3 * least(1.0, (len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                               / len(t)) / 0.08)
+                           + 0.2 * (CASE WHEN list_sum(list_transform(t, x -> length(x))) / len(t) >= 3.0
+                                          AND list_sum(list_transform(t, x -> length(x))) / len(t) <= 10.0
+                                         THEN 1.0 ELSE 0.3 END)
+                           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                                          / length(text)), 6) AS quality,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+              FROM tok
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+                   round(sum(CAST(floor(quality * 1000000.0) AS BIGINT)) / 1000000.0
+                         / count(*), 6) AS mean_quality,
+                   round(CAST(sum(n_tokens) AS BIGINT) / count(*), 6) AS mean_tokens
+            FROM q GROUP BY source
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM (

@@ -38,3 +38,38 @@ def clean_corpus(
         .where((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
         .select(id_col, "quality", "lang_pred")
     )
+
+
+def source_quality_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus triage: the table a curator reads before setting
+    per-source sampling weights (feeding pipeline.stratified_sample /
+    mixture_sample).
+
+    Per source: n_docs, n_dup_docs (docs minus distinct content hashes),
+    mean_quality, mean_tokens. Single scan + one groupBy(source) shuffle
+    with map-side combine (#sources groups). Quality is summed in exact
+    fixed-point units so the mean is identical under any partial-
+    aggregation order — required at scale, where partition counts change
+    run to run.
+    """
+    from spark_iforest_spark.functions import money_units, tokens, units_to_double
+
+    q = quality_score(docs, id_col, text_col, keep=(source_col, text_col))
+    base = q.select(
+        F.col(source_col),
+        money_units("quality", 6).alias("q_units"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy(source_col).agg(
+        n.alias("n_docs"),
+        (n - F.countDistinct("h")).alias("n_dup_docs"),
+        F.round(units_to_double(F.sum("q_units"), 6) / n, 6).alias("mean_quality"),
+        F.round(F.sum("n_tokens") / n, 6).alias("mean_tokens"),
+    )

@@ -440,6 +440,53 @@ def embedding_lsh_pairs(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+    max_fingerprint_df: int | None = None,
+    gram_hash: str = "md5",
+) -> DataFrame:
+    """MOSS-style near-dup pairs from shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing >= min_shared fingerprints.
+
+    Catches SUBSTRING-level duplication (shared passages >= k+window-1
+    chars) that token-shingle Jaccard misses when the surrounding documents
+    differ. Same inverted-index shape as ngram_jaccard_pairs: join volume
+    is Σ df(fingerprint)² — ``max_fingerprint_df`` caps hot (boilerplate)
+    fingerprints, the standard guard at corpus scale; ``gram_hash=
+    'xxhash64'`` switches to the int64 fast path (see winnow_fingerprints).
+    """
+    from spark_iforest_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window, gram_hash)
+    if max_fingerprint_df is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_fingerprint_df)
+            .select("fingerprint")
+        )
+        # hot set is bounded by |fps|/cap rows — broadcastable by definition
+        fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -145,6 +145,36 @@ def mixture_sample(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Audit: exact-duplicate content that crosses split boundaries.
+
+    ``hash_split`` assigns by id, so byte-identical texts under DIFFERENT
+    ids can land in different splits — the classic route for test-set
+    contamination. Returns (content_hash, n_copies, n_splits) for every
+    content hash seen in >= 2 splits; an empty result certifies the split
+    is leakage-free at the exact-dup level. (Fix = dedup before splitting,
+    or split on a content-derived id.) One digest-keyed shuffle with
+    map-side combine — same cost shape as exact_dedup.
+    """
+    s = hash_split(docs, id_col, weights, labels, salt)
+    return (
+        s.select(F.md5(F.col(text_col)).alias("content_hash"), "split")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .where(F.col("n_splits") >= 2)
+    )
+
+
 def redact_pii(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -73,7 +73,12 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Composite document-quality score in [0,1].
 
     Components (each in [0,1], weights sum to 1):
@@ -81,6 +86,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
       0.3 * stopword_score — min(1, stopword_ratio/0.08)
       0.2 * token_len_score— 1 if mean token length in [3,10] else 0.3
       0.2 * symbol_score   — 1 - non-alnum-space char ratio
+
+    ``keep`` passes extra input columns through unchanged, so downstream
+    aggregations (corpus.source_quality_report) stay single-scan instead of
+    re-joining the score back to the input by id.
     """
     toks = tokens(F.lower(F.col(text_col)))
     n_tokens = F.size(toks)
@@ -98,6 +107,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.round(length_score, 6).alias("length_score"),
         F.round(stop_score, 6).alias("stopword_score"),
         F.round(symbol_score, 6).alias("symbol_score"),

@@ -227,3 +227,41 @@ def test_dup_clusters_minhash_edges_match_jaccard_edges(spark):
     assert a == b
     assert (0, 0) in a and (1, 0) in a and (4, 3) in a
     assert all(r[0] != 5 for r in a)  # singletons excluded
+
+
+def test_winnow_pairs_shared_passage(spark):
+    from spark_iforest_spark.operators import dedup
+
+    passage = "a distinctive shared passage long enough to survive winnowing"
+    df = spark.createDataFrame(
+        [
+            (0, "intro one " + passage + " outro alpha"),
+            (1, "different intro " + passage + " other outro"),
+            (2, "completely unrelated text with zero char overlap anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    for gram_hash in ("md5", "xxhash64"):
+        pairs = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in dedup.winnow_pairs(df, gram_hash=gram_hash).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+        assert all(2 not in p for p in pairs)
+    # a high min_shared threshold filters the pair out
+    assert (
+        dedup.winnow_pairs(df, min_shared=10 ** 6).count() == 0
+    )
+
+
+def test_winnow_pairs_hot_fingerprint_cap(spark):
+    from spark_iforest_spark.operators import dedup
+
+    boiler = "standard footer boilerplate appearing everywhere in the corpus"
+    df = spark.createDataFrame(
+        [(i, f"doc body number {i} " + boiler) for i in range(8)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.winnow_pairs(df).count()
+    capped = dedup.winnow_pairs(df, max_fingerprint_df=3).count()
+    assert uncapped > 0 and capped < uncapped

@@ -244,3 +244,23 @@ def test_mixture_sample_budget_invariants(spark):
     # deterministic across invocations
     again = pipeline.mixture_sample(df, budgets).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------- split_leakage
+def test_split_leakage_detects_cross_split_dups(spark):
+    # same text under 60 different ids: ids hash across splits, so the
+    # shared content must be flagged; unique texts must not be
+    rows = [(i, "the exact same leaked document text") for i in range(60)]
+    rows += [(100 + i, f"unique document number {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    leaks = pipeline.split_leakage(df).collect()
+    assert len(leaks) == 1
+    assert leaks[0].n_copies == 60 and leaks[0].n_splits >= 2
+
+
+def test_split_leakage_empty_when_deduped(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert pipeline.split_leakage(df).count() == 0

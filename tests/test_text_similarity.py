@@ -258,3 +258,20 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert isinstance(row["fingerprint"], int)
     with pytest.raises(ValueError):
         text.winnow_fingerprints(df, gram_hash="sha1")
+
+
+def test_source_quality_report(spark):
+    from spark_iforest_spark.operators import corpus
+
+    rows = [
+        (0, "the quick brown fox is in the barn and it is fine", "web"),
+        (1, "the quick brown fox is in the barn and it is fine", "web"),  # dup
+        (2, "one two three", "web"),
+        (3, "a tidy book paragraph of decent length and the usual words", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in corpus.source_quality_report(df).collect()}
+    assert out["web"].n_docs == 3 and out["web"].n_dup_docs == 1
+    assert out["books"].n_docs == 1 and out["books"].n_dup_docs == 0
+    assert out["web"].mean_tokens == round((12 + 12 + 3) / 3, 6)
+    assert 0.0 < out["web"].mean_quality <= 1.0
