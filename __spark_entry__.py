@@ -353,6 +353,12 @@ def queries() -> _T:
         "pack_sequences": lambda s, d: pipeline.pack_sequences(
             _read(s, d, "documents")
         ),
+        # the end-to-end curation composition: clean -> decontaminate ->
+        # split -> pack, one declarative plan, one composed oracle
+        "curate_corpus": lambda s, d: corpus.curate_corpus(
+            _read(s, d, "documents"),
+            benchmark=_read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
+        ),
         "split_leakage": lambda s, d: pipeline.split_leakage(
             _read(s, d, "documents")
         ),
@@ -935,6 +941,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "curate_corpus": f"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(0.3 * least(1.0, len(t) / 64.0)
+                           + 0.3 * least(1.0, (len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                                               / len(t)) / 0.08)
+                           + 0.2 * (CASE WHEN list_sum(list_transform(t, x -> length(x))) / len(t) >= 3.0
+                                          AND list_sum(list_transform(t, x -> length(x))) / len(t) <= 10.0
+                                         THEN 1.0 ELSE 0.3 END)
+                           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                                          / length(text)), 6) AS quality,
+                     len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) / len(t) AS r_en,
+                     len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) / len(t) AS r_es,
+                     len(list_filter(t, x -> list_contains(['le','la','de','et','un','est','les','des'], x))) / len(t) AS r_fr,
+                     len(list_filter(t, x -> list_contains(['der','die','und','das','ein','ist','zu','den'], x))) / len(t) AS r_de
+              FROM tok
+            ),
+            q2 AS (
+              SELECT doc_id, quality,
+                     CASE WHEN r_en >= 0.05 AND r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+                          WHEN r_es >= 0.05 AND r_es >= r_fr AND r_es >= r_de THEN 'es'
+                          WHEN r_fr >= 0.05 AND r_fr >= r_de THEN 'fr'
+                          WHEN r_de >= 0.05 THEN 'de'
+                          ELSE 'unk' END AS lang_pred
+              FROM q
+            ),
+            reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            cleaned AS (
+              SELECT q2.doc_id FROM q2 JOIN reps ON q2.doc_id = reps.doc_id
+              WHERE quality >= 0.5 AND lang_pred = 'en'
+            ),
+            stok AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+            ),
+            sshset AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                            ELSE [array_to_string(t, ' ')] END
+                     ) AS shs
+              FROM stok
+            ),
+            ssh AS (SELECT doc_id, unnest(shs) AS sh FROM sshset),
+            bsh AS (SELECT DISTINCT sh FROM ssh WHERE doc_id % 100 = 0),
+            contaminated AS (SELECT DISTINCT s.doc_id FROM ssh s JOIN bsh USING (sh)),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN cleaned c ON d.doc_id = c.doc_id
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            sp AS (
+              SELECT doc_id, text,
+                     {_hash_split_case_sql()} AS split,
+                     {_md5_u32_sql('doc_id', 'pack')} % 64 AS bucket,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+              FROM (SELECT doc_id, text,
+                           {_md5_u32_sql('doc_id', 'split')} AS u FROM kept)
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY split, bucket ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sp
+            )
+            SELECT doc_id, split, bucket, n_tokens,
+                   bucket * 4294967296
+                   + CAST(floor((greatest(cum, 1) - 1) / 256.0) AS BIGINT) AS bin_id
+            FROM c
         """,
         "split_leakage": f"""
             SELECT content_hash, n_copies, n_splits FROM (

@@ -25,18 +25,63 @@ def clean_corpus(
 
     Keeps the lowest doc_id among exact duplicates. Returns
     (doc_id, quality, lang_pred) for survivors.
+
+    Plan shape: quality and language are computed in ONE projection over
+    one scan (keep= threading, no id re-joins of the same relation); the
+    only shuffles are the digest groupBy for dup reps and the rep
+    semi-join. At 100 TB: scan + one 32-byte-key exchange.
     """
-    q = quality_score(docs, id_col, text_col).select(id_col, "quality")
-    l = lang_id(docs, id_col, text_col).select(id_col, "lang_pred")
+    ql = lang_id(
+        quality_score(docs, id_col, text_col, keep=(text_col,)),
+        id_col,
+        text_col,
+        keep=("quality",),
+    ).select(id_col, "quality", "lang_pred")
     digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
     reps = digests.groupBy("h").agg(F.min(id_col).alias(id_col)).select(id_col)
     return (
-        docs.select(id_col)
-        .join(q, id_col)
-        .join(l, id_col)
-        .join(reps, id_col, "left_semi")
+        ql.join(reps, id_col, "left_semi")
         .where((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
         .select(id_col, "quality", "lang_pred")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    budget_tokens: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The full curation pass, end to end: quality + language + exact-dup
+    filtering (clean_corpus) → optional benchmark decontamination →
+    leakage-safe hash split → per-split sequence packing. Returns
+    (doc_id, split, bucket, n_tokens, bin_id) — one row per surviving doc,
+    already assigned to a training sequence that never crosses splits.
+
+    This is the composition a pretraining-data job actually runs; every
+    stage is the already-gated operator, and the whole chain remains one
+    declarative plan: the per-row gates (quality, language, split, token
+    count) fuse into scans, and every shuffle is on a narrow bounded key —
+    the dedup digest groupBy, the contaminated-id distinct, id semi-joins,
+    and the packing window. Nothing corpus-sized is ever broadcast.
+    """
+    from spark_iforest_spark.operators.pipeline import (
+        decontaminate,
+        hash_split,
+        pack_sequences,
+    )
+
+    keep = clean_corpus(docs, id_col, text_col, min_quality, lang).select(id_col)
+    kept = docs.join(keep, id_col, "left_semi")
+    if benchmark is not None:
+        kept = decontaminate(kept, benchmark, id_col, text_col)
+    split = hash_split(kept, id_col)
+    return pack_sequences(
+        split, id_col, text_col, budget_tokens, n_buckets, partition_extra=("split",)
     )
 
 

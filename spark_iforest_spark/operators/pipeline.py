@@ -292,6 +292,7 @@ def pack_sequences(
     text_col: str = "text",
     budget_tokens: int = 256,
     n_buckets: int = 64,
+    partition_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign documents to ~budget-token training sequences (bins).
 
@@ -308,21 +309,29 @@ def pack_sequences(
     cluster (e.g. 10k at 100 TB) every partition sorts only corpus/n_buckets
     rows in parallel; nothing is global. Compare a single global cumsum
     window, which would serialize the corpus through one task.
+
+    ``partition_extra`` prepends columns to the packing key (e.g. the split
+    label, so training sequences never mix train and test docs); bin_id is
+    then unique only WITHIN each partition_extra value — carry those
+    columns alongside bin_id downstream.
     """
     n_tok = F.size(tokens(F.col(text_col)))
     bucket = (_md5_u32(F.col(id_col), "pack") % n_buckets).alias("bucket")
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*partition_extra, "bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.select(F.col(id_col), bucket, n_tok.alias("n_tokens"))
+        docs.select(
+            F.col(id_col), *[F.col(c) for c in partition_extra], bucket,
+            n_tok.alias("n_tokens"),
+        )
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn(
             "bin_id",
             (F.col("bucket").cast("long") * F.lit(2**32))
             + F.floor((F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / budget_tokens),
         )
-        .select(id_col, "bucket", "n_tokens", "bin_id")
+        .select(id_col, *partition_extra, "bucket", "n_tokens", "bin_id")
     )

@@ -39,7 +39,12 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic stopword-ratio language ID over {en, es, fr, de}.
 
     Per language: fraction of tokens in that language's stopword list;
@@ -47,7 +52,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     fixed en > es > fr > de order (the oracle SQL encodes the identical
     CASE chain). (The synthetic corpus is English-wordlist text with a
     synthetic ``lang`` column — the heuristic classifies the *content*,
-    not the label.)
+    not the label.) ``keep`` passes extra input columns through so callers
+    composing per-row gates (corpus.clean_corpus) stay single-scan.
     """
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
@@ -68,6 +74,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.round(r["en"], 6).alias("en_stopword_ratio"),
         pred.alias("lang_pred"),
     )

@@ -264,3 +264,50 @@ def test_split_leakage_empty_when_deduped(spark):
         "doc_id long, text string",
     )
     assert pipeline.split_leakage(df).count() == 0
+
+
+# ---------------------------------------------------------- curate_corpus
+def test_curate_corpus_composition(spark):
+    from spark_iforest_spark.operators import corpus
+
+    good = (
+        "the cat and the dog sat in a big warm house and it is a good day "
+        "to read of the things in the world and talk of it all"
+    )
+    rows = [
+        (0, good),
+        (1, good),  # exact dup of 0 -> dropped (rep is 0)
+        (2, good + " extra words of the day"),  # survives (near-dup ok, exact-dedup only)
+        (3, "zzz qqq xxx"),  # low quality -> dropped
+        (100, good + " benchmark marker phrase here"),  # shares 3-grams with 0/2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 100)
+    out = corpus.curate_corpus(docs, benchmark=bench).collect()
+    # everything sharing benchmark n-grams is gone, as are dups/low quality
+    assert out == []
+    # without a benchmark: quality+dedup filtering and packing still apply
+    out2 = {r.doc_id: r for r in corpus.curate_corpus(docs).collect()}
+    assert set(out2) == {0, 2, 100}
+    for r in out2.values():
+        assert r.split in ("train", "val", "test")
+        assert r.bin_id // 2**32 == r.bucket
+
+
+def test_curate_corpus_bins_never_cross_splits(spark):
+    from spark_iforest_spark.operators import corpus
+
+    filler = "the of and a to in is it good day word line part time"
+    docs = spark.createDataFrame(
+        [(i, f"{filler} number {i} {filler}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = corpus.curate_corpus(docs, budget_tokens=64, n_buckets=4).collect()
+    assert len(out) == 400  # all pass quality/lang, no dups
+    per_bin_splits = {}
+    for r in out:
+        per_bin_splits.setdefault((r.split, r.bin_id), set()).add(r.split)
+    # bin_id is only unique within a split; (split, bin_id) keys must each
+    # contain exactly one split value, and distinct splits must exist
+    assert all(len(v) == 1 for v in per_bin_splits.values())
+    assert len({s for s, _ in per_bin_splits}) == 3
