@@ -98,7 +98,8 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
-        sh = sh.join(hot, "sh", "left_anti")
+        # hot set is bounded by |shingle rows|/cap — broadcastable by definition
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
