@@ -87,6 +87,20 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
     )
 
 
+# Reshape the (newline-free) synthetic docs into 8-token lines so the
+# line_dedup gate exercises real cross-document line collisions — near-dup
+# documents share most of their 8-grams, unrelated documents almost none.
+# The oracle reproduces this reshape in SQL (same CTE, see oracle_sql).
+def _lines_augmented(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    return docs.withColumn("text", F.array_join(lines, "\n"))
+
+
 # --------------------------------------------------------------- iforest
 _IFOREST_CONTAMINATION = 0.1
 _IFOREST_MEMO: dict[tuple[str, str], tuple] = {}
@@ -371,6 +385,33 @@ def queries() -> _T:
         ).select("doc_id", "lang"),
         "mixture_sample": lambda s, d: pipeline.mixture_sample(
             _read(s, d, "documents"), _MIX_BUDGETS
+        ),
+        # temporal joins: as-of (union-window, one shuffle — no range
+        # explosion) and a bucketized range self-join (equi-join on
+        # gap-sized time bins). Oracles use DuckDB's native ASOF JOIN /
+        # non-equi join — independent implementations, not transcriptions.
+        "events_asof_order": lambda s, d: relational.asof_join(
+            _read(s, d, "events"),
+            _read(s, d, "orders"),
+            "user_id", "o_custkey", "ts", "o_orderdate",
+            payload=["o_orderkey", "o_totalprice"],
+            tiebreak="o_orderkey",
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.round("o_totalprice", 6).alias("last_order_price"),
+        ),
+        "event_follow_counts": lambda s, d: relational.event_follow_counts(
+            _read(s, d, "events")
+        ),
+        # cross-corpus line dedup over docs reshaped into 8-token lines
+        # (synthetic corpus has no newlines; reshape mirrored in the oracle)
+        "line_dedup": lambda s, d: pipeline.line_dedup(
+            _lines_augmented(_read(s, d, "documents"))
+        ),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
+            _read(s, d, "documents")
         ),
     }
 
@@ -1116,6 +1157,97 @@ def oracle_sql() -> dict[str, str]:
                    bucket * 4294967296
                    + CAST(floor((greatest(cum, 1) - 1) / 256.0) AS BIGINT) AS bin_id
             FROM c
+        """,
+        # DuckDB's native ASOF JOIN — an independent implementation of the
+        # same point-in-time semantics as the Spark union-window plan
+        # (inclusive <=; right side pre-collapsed per (key, ts) so both
+        # engines resolve ties identically)
+        "events_asof_order": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   r.o_orderkey AS last_orderkey,
+                   round(r.o_totalprice, 6) AS last_order_price
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        # plain non-equi range join — DuckDB runs it as an IEJoin; the
+        # Spark side must produce identical pairs from its bucketized plan
+        "event_follow_counts": """
+            SELECT a.event_type AS lead_type, b.event_type AS follow_type,
+                   count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_ns(b.ts) > epoch_ns(a.ts)
+             AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
+            GROUP BY 1, 2
+        """,
+        "line_dedup": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents
+            ),
+            docs2 AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
+                         i -> array_to_string(t[i*8+1 : i*8+8], ' ')
+                       ), chr(10)) AS text
+              FROM tok
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM docs2
+            ),
+            counts AS (
+              SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN counts c USING (line) WHERE c.n_docs < 2
+            ),
+            rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(r.clean_md5, md5('')) AS clean_md5
+            FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+            FROM ranked WHERE rank <= 3
         """,
     }
 

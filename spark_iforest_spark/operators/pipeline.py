@@ -286,6 +286,59 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-corpus line deduplication: drop every line
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents, keep the
+    surviving lines in original order. This is the boilerplate killer (nav
+    bars, cookie banners, license headers) that document-level dedup can't
+    touch because the documents differ outside the repeated lines.
+
+    Returns (doc_id, n_lines, n_kept, clean_md5) — the md5 of the rebuilt
+    text bounds output width while still pinning the exact reconstruction
+    (order included) for the oracle.
+
+    Scale shape: lines are keyed by md5(line) so the count-aggregate and the
+    count-join shuffle 16-byte digests, never line text (the text rides only
+    the lines side of one shuffle). Two digest-keyed shuffles + one doc_id
+    regroup; no all-pairs anywhere. 128-bit keys make digest collisions
+    negligible; a collision could only MERGE two lines' counts — the
+    conservative (over-removal) direction.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.md5(F.col("line")))
+    counts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("n_docs"))
+    kept = lines.join(counts, "_h").where(F.col("n_docs") < min_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from spark_iforest_spark.functions import money_units, units_to_double
 
@@ -32,6 +32,14 @@ def _is_nanos(df: DataFrame, col: str) -> bool:
 def _epoch_ns(df: DataFrame, col: str) -> F.Column:
     if _is_nanos(df, col):
         return F.col(col)
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        # naive wall-clock arithmetic (timestampdiff on NTZ) — timezone-proof
+        # epoch nanos, matching how DuckDB compares naive TIMESTAMPs; a cast
+        # through TIMESTAMP_LTZ would shift by the session timezone
+        return (
+            F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+            * 1000
+        )
     return F.unix_micros(F.col(col)) * 1000
 
 
@@ -300,6 +308,120 @@ def customers_without_orders(
     return (
         customer.join(big, customer["c_custkey"] == big["o_custkey"], "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every left row the payload of
+    the LATEST right row with the same key and ``right_ts <= left_ts``
+    (left-outer: NULL payload when no right row precedes).
+
+    Spark-first plan — the naive formulation (equi-join on key + range
+    predicate + max-per-left-row) materializes |L|x|R| pairs per key before
+    reducing; at 100 TB that join is the whole job. Instead both sides union
+    into one relation, shuffle ONCE on the key, and a running
+    ``last(payload, ignorenulls)`` window fills each left row from the
+    nearest preceding right row: one exchange + one sort, O(n log n) per
+    key, zero pair blow-up — the temporal-join shape used by kdb asof and
+    Flink temporal tables.
+
+    Determinism: right rows sharing (key, ts) are collapsed first, keeping
+    the row with the greatest ``tiebreak`` (default: first payload column),
+    so the window's answer never depends on shuffle order. At equal
+    timestamps the right row sorts BEFORE the left row (inclusive <=
+    semantics, matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    tb = tiebreak or payload[0]
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        _epoch_ns(right, right_ts).alias("_t"),
+        *[F.col(c) for c in payload],
+    )
+    rw = Window.partitionBy("_k", "_t").orderBy(F.col(tb).desc())
+    r1 = (
+        r.withColumn("_rn", F.row_number().over(rw))
+        .where(F.col("_rn") == 1)
+        .select("_k", "_t", F.struct(*[F.col(c) for c in payload]).alias("_p"))
+    )
+    l1 = left.select(
+        F.col(left_on).alias("_k"),
+        _epoch_ns(left, left_ts).alias("_t"),
+        F.lit(None).cast(r1.schema["_p"].dataType).alias("_p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r2 = r1.withColumn("_l", F.lit(None).cast(l1.schema["_l"].dataType))
+    u = l1.unionByName(r2).withColumn("_side", F.col("_l").isNotNull().cast("int"))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_fp", F.last("_p", ignorenulls=True).over(w))
+    return filled.where(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_fp.{c}").alias(c) for c in payload],
+    )
+
+
+def event_follow_counts(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Time-range self-join: how often does event type B follow event type A
+    from the same user within ``gap_seconds``? Returns (lead_type,
+    follow_type, n_pairs).
+
+    Scale shape: the range predicate ``0 < b.ts - a.ts <= gap`` is NOT an
+    equi-join, and Spark's fallback for it is a broadcast-nested-loop — dead
+    at 100 TB. Bucketizing ts into gap-sized bins makes it one: a follower
+    within ``gap`` of a lead lives either in the lead's bin or the next one,
+    so the lead side explodes to exactly 2 (user, bucket) keys and the join
+    is a plain shuffled equi-join with the exact range check applied
+    post-join. Cost: 2x one side, vs |events_per_user|^2 for the naive plan.
+
+    Pairs at identical timestamps are excluded (strict >) so the count never
+    depends on tie order.
+    """
+    gap_ns = gap_seconds * NANOS
+    base = events.select(
+        "user_id",
+        _epoch_ns(events, "ts").alias("_t"),
+        "event_id",
+        "event_type",
+    )
+    lead = base.select(
+        "user_id",
+        F.col("_t").alias("_lead_t"),
+        F.col("event_type").alias("lead_type"),
+        # integer div — float division of 1e18-scale nanos loses ULPs and
+        # can flip the bucket at a bin boundary
+        F.explode(
+            F.array(
+                F.expr(f"_t div {gap_ns}"),
+                F.expr(f"_t div {gap_ns}") + 1,
+            )
+        ).alias("_bucket"),
+    )
+    follow = base.select(
+        "user_id",
+        F.col("_t").alias("_follow_t"),
+        F.col("event_type").alias("follow_type"),
+        F.expr(f"_t div {gap_ns}").alias("_bucket"),
+    )
+    return (
+        lead.join(follow, ["user_id", "_bucket"])
+        .where(
+            (F.col("_follow_t") > F.col("_lead_t"))
+            & (F.col("_follow_t") - F.col("_lead_t") <= gap_ns)
+        )
+        .groupBy("lead_type", "follow_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

@@ -13,7 +13,7 @@ these run at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from spark_iforest_spark.functions import EN_STOPWORDS, LANG_STOPWORDS, tokens
 
@@ -240,4 +240,49 @@ def winnow_fingerprints(
     gram_df = docs.select(F.col(id_col).alias("did"), grams.alias("ghash"))
     return gram_df.mapInPandas(
         window_min, schema=f"{id_col} long, fingerprint {out_type}"
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus TF-IDF: the k most characteristic terms per document.
+
+    score(t, d) = tf(t, d) * (N + 1) / (df(t) + 1) — the smoothed-idf
+    RATIONAL variant (no log). The log is a monotone transform of the idf
+    factor, so per-fixed-df rankings are identical; using one division and
+    one multiply keeps every value a deterministic IEEE expression that the
+    DuckDB oracle reproduces bit-for-bit (libm log implementations are not
+    pinned across engines). Ties break score desc, term asc.
+
+    Scale shape: tf is one (doc, term)-keyed shuffle with map-side combine;
+    df reuses tf's output with a term-keyed reshuffle (vocab-sized, small);
+    the df table joins back term-keyed, and the final top-k is a
+    vocab-bounded window per doc. N is a driver scalar (one count job) —
+    metadata, not data, on the driver. No all-pairs, no full-text shuffle:
+    after the first aggregate everything is (term, counts) tuples.
+    """
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * (F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0)))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
