@@ -413,6 +413,12 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        # exact heavy hitters via per-partition Misra-Gries candidates +
+        # one bounded-width exact pass; candidates only ever over-include,
+        # so the oracle's naive full-vocab SQL pins the exact output
+        "heavy_hitter_tokens": lambda s, d: text.heavy_hitter_tokens(
+            _read(s, d, "documents")
+        ),
     }
 
 
@@ -1248,6 +1254,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
             FROM ranked WHERE rank <= 3
+        """,
+        "heavy_hitter_tokens": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+              FROM documents
+            ),
+            t AS (
+              SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM t)
+            SELECT token, n AS n_occurrences, n_total
+            FROM t, tot WHERE n > n_total / 51.0
         """,
     }
 

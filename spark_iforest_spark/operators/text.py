@@ -286,3 +286,86 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """EXACT corpus heavy hitters without a full-vocabulary shuffle: every
+    token whose total count strictly exceeds n_total_tokens / (k + 1).
+
+    Two passes:
+
+    1. *Candidate generation* — a per-partition Misra-Gries summary (k
+       counters, mapInPandas). Pigeonhole: a token with global count
+       > n/(k+1) must exceed n_p/(k+1) in at least one partition (else the
+       partition sums contradict), and MG with k counters never evicts an
+       item above that partition-local bar — so the union of partition
+       summaries (<= k x n_partitions tokens, collected to the driver as a
+       bounded candidate literal) is a SUPERSET of every true heavy hitter.
+    2. *Exact counting* — one scan where each token maps to itself if it is
+       a candidate and to NULL otherwise, then a single groupBy over
+       <= k x n_partitions + 1 groups. The NULL group counts the entire
+       non-candidate tail, so total corpus tokens comes from the same
+       aggregate — one shuffle of bounded width, no second scan.
+
+    The naive groupBy(token) shuffles the whole vocabulary — at web scale
+    (URLs, typos, hashes) that is billions of keys; here the shuffle width
+    is bounded by k x partitions regardless of vocabulary. MG is genuinely
+    imperative per-partition state — exactly the mapInPandas escape hatch —
+    while the exact pass that defines the OUTPUT stays pure Catalyst, so
+    the result is oracle-checkable (candidate generation only ever
+    over-includes; the exact pass decides).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    def mg_partition(it):
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for txt in pdf[text_col]:
+                if txt is None:
+                    continue
+                for tok in _re.split(r"\s+", txt.lower()):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": pd.Series(list(counters), dtype=object)})
+
+    candidates = [
+        r["token"]
+        for r in docs.select(text_col).mapInPandas(mg_partition, "token string").collect()
+    ]
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).where(F.col("token") != "")
+    keyed = tok.select(
+        F.when(F.col("token").isin(candidates), F.col("token")).alias("cand")
+    )
+    counts = keyed.groupBy("cand").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.where(F.col("cand").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.col("n_total") / (k + 1.0))
+        .select(
+            F.col("cand").alias("token"),
+            F.col("n").alias("n_occurrences"),
+            "n_total",
+        )
+    )

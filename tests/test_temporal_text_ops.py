@@ -127,3 +127,55 @@ def test_tfidf_top_terms(spark):
     # doc3: cherry 2*(4/3)=2.67 beats date 1*(4/2)=2.0
     assert got[(3, 1)]["term"] == "cherry" and got[(3, 2)]["term"] == "date"
     assert got[(3, 1)]["tf"] == 2 and got[(3, 1)]["df"] == 2
+
+
+def test_asof_join_random_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        L = [(i, int(rng.integers(0, 4)), int(rng.integers(0, 50))) for i in range(40)]
+        R = [
+            (int(rng.integers(0, 4)), int(rng.integers(0, 50)), j, float(j) / 3.0)
+            for j in range(30)
+        ]
+        left = spark.createDataFrame(L, "event_id long, k long, t long")
+        right = spark.createDataFrame(R, "k long, t long, okey long, val double")
+        out = {
+            r["event_id"]: (r["okey"], r["val"])
+            for r in relational.asof_join(
+                left, right, "k", "k", "t", "t", payload=["okey", "val"],
+                tiebreak="okey",
+            ).collect()
+        }
+        for i, k, t in L:
+            cands = [(rt, okey, val) for (rk, rt, okey, val) in R if rk == k and rt <= t]
+            if not cands:
+                assert out[i] == (None, None)
+            else:
+                mt = max(c[0] for c in cands)
+                okey = max(c[1] for c in cands if c[0] == mt)
+                val = next(c[2] for c in cands if c[0] == mt and c[1] == okey)
+                assert out[i] == (okey, val)
+
+
+def test_heavy_hitter_tokens_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a c b d")], "doc_id long, text string"
+    )
+    # n_total=10, k=3 -> threshold 10/4=2.5: only 'a' (6) qualifies
+    out = text.heavy_hitter_tokens(docs, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["token"] == "a" and out[0]["n_occurrences"] == 6
+    assert out[0]["n_total"] == 10
+    # k=50 -> threshold 10/51: every token qualifies, with exact counts
+    out = {r["token"]: r["n_occurrences"] for r in text.heavy_hitter_tokens(docs, k=50).collect()}
+    assert out == {"a": 6, "b": 2, "c": 1, "d": 1}
+
+
+def test_heavy_hitter_tokens_partition_invariant(spark):
+    rows = [(i, "hot " * 20 + f"cold{i} rare{i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, text.heavy_hitter_tokens(docs, k=5).collect()))
+    b = sorted(map(tuple, text.heavy_hitter_tokens(docs.repartition(7), k=5).collect()))
+    assert a == b and len(a) >= 1  # 'hot' dominates regardless of layout
