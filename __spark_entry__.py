@@ -188,6 +188,16 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-replay streaming dedup gate: the digest set emitted by the
+    streaming dropDuplicates must equal batch SELECT DISTINCT md5(text)."""
+    from spark_iforest_spark import streaming as stm
+
+    _ensure_workers_import(spark)
+    docs = stm.read_stream_table(spark, sf_dir, "documents")
+    return stm.run_to_batch(stm.dedup_stream(docs), "streaming_dedup_gate")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: isolation-forest anomaly scoring on sf0.001 embeddings."""
     return _iforest_score(spark, "/root/testdata/sf0.001")
@@ -343,6 +353,7 @@ def queries() -> _T:
         # structured streaming: bounded replay of the windowed agg must be
         # bit-identical to the batch plan, so the BATCH oracle checks it
         "streaming_windowed_agg": _streaming_windowed_agg,
+        "streaming_dedup_exact": _streaming_dedup_exact,
         # training-data curation pipeline (operators/pipeline.py) — all
         # md5-portable by design, so every gate here is oracle-exact
         "hash_split": lambda s, d: pipeline.hash_split(
@@ -1254,6 +1265,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
             FROM ranked WHERE rank <= 3
+        """,
+        "streaming_dedup_exact": """
+            SELECT DISTINCT md5(text) AS content_md5 FROM documents
         """,
         "heavy_hitter_tokens": """
             WITH tok AS (

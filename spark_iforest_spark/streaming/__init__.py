@@ -134,6 +134,42 @@ def run_to_batch(stream_df: DataFrame, name: str, output_mode: str = "append") -
     return spark.table(name)
 
 
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    within_watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct content digest once.
+
+    ``dropDuplicates`` on the md5 digest — state is one 16-byte key per
+    DISTINCT content ever seen, which grows unboundedly on an infinite
+    stream. Pass ``within_watermark=(ts_col, delay)`` to switch to
+    ``dropDuplicatesWithinWatermark``: duplicates are then only suppressed
+    inside the watermark horizon and state is GC'd past it — the bounded
+    production configuration (dedup across horizons belongs to the batch
+    compaction pass, operators.dedup.exact_dedup).
+
+    Output is the digest set (not a winner row): which PHYSICAL row
+    survives a streaming dropDuplicates depends on micro-batch arrival
+    order, but the digest SET is deterministic — equal to the batch
+    ``SELECT DISTINCT md5(text)`` relation, which is what the driver gate
+    replays and checks.
+    """
+    if within_watermark is not None:
+        ts_col, delay = within_watermark
+        # the event-time column must survive projection up to the dedup
+        # node or the watermark is lost; it drops only afterwards
+        return (
+            docs.withWatermark(ts_col, delay)
+            .select(F.col(ts_col), F.md5(F.col(text_col)).alias("content_md5"))
+            .dropDuplicatesWithinWatermark(["content_md5"])
+            .select("content_md5")
+        )
+    return docs.select(F.md5(F.col(text_col)).alias("content_md5")).dropDuplicates(
+        ["content_md5"]
+    )
+
+
 _SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -152,3 +152,30 @@ def test_sessionize_stream(spark, tmpdir):
     # user 1's first session (2 events) closed by the gap within the batch;
     # emitted either on gap-split or timeout
     assert sessions.get((1, "2024-01-01T10:00:00")) == 2
+
+
+def test_dedup_stream_digest_set(spark, tmpdir):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(tmpdir + "/docs")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(tmpdir + "/docs")
+    got = sorted(r["content_md5"] for r in S.run_to_batch(S.dedup_stream(stream), "dd_stream").collect())
+    want = sorted(r[0] for r in df.select(F.md5("text")).distinct().collect())
+    assert got == want
+
+
+def test_dedup_stream_within_watermark(spark, tmpdir):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(t0, "a"), (t0 + datetime.timedelta(minutes=1), "a"), (t0, "b")]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    df.write.parquet(tmpdir + "/docs2")
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(tmpdir + "/docs2")
+    out = S.run_to_batch(
+        S.dedup_stream(stream, within_watermark=("ts", "1 hour")), "dd_stream_wm"
+    )
+    # within one watermark horizon the duplicate 'a' collapses
+    assert sorted(r["content_md5"] for r in out.collect()) == sorted(
+        r[0] for r in df.select(F.md5("text")).distinct().collect()
+    )
