@@ -424,6 +424,14 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        # per-group GK-sketch quantiles (exact == quantile_disc at gate n)
+        # and rows-frame trailing-window stats
+        "group_quantiles": lambda s, d: relational.group_quantiles(
+            _read(s, d, "events")
+        ),
+        "rolling_event_stats": lambda s, d: relational.rolling_event_stats(
+            _read(s, d, "events")
+        ),
         # exact heavy hitters via per-partition Misra-Gries candidates +
         # one bounded-width exact pass; candidates only ever over-include,
         # so the oracle's naive full-vocab SQL pins the exact output
@@ -1268,6 +1276,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_exact": """
             SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        """,
+        "group_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_disc(value, 0.5), 6) AS p5,
+                   round(quantile_disc(value, 0.9), 6) AS p9,
+                   round(quantile_disc(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "rolling_event_stats": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_prev,
+                   CASE WHEN count(*) OVER w > 0
+                        THEN round(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w
+                                   / 1000000.0 / count(*) OVER w, 6)
+                        ELSE NULL END AS mean_prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
         """,
         "heavy_hitter_tokens": """
             WITH tok AS (

@@ -311,6 +311,53 @@ def customers_without_orders(
     )
 
 
+def group_quantiles(
+    events: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    col: str = "value",
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """Per-group quantiles via the mergeable GK sketch (``approx_percentile``
+    grouped) — one shuffle on the group key, O(accuracy) state per group, the
+    way per-segment latency/size percentiles are computed at 100 TB. Exact
+    (discrete quantile) while each group's n <= accuracy, which is what lets
+    the quantile_disc oracle pin it bit-for-bit at test scale."""
+    aggs = [
+        F.round(
+            F.expr(f"approx_percentile({col}, {q}, {accuracy})"), 6
+        ).alias(f"p{str(q)[2:]}")
+        for q in quantiles
+    ]
+    return events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+
+
+def rolling_event_stats(
+    events: DataFrame, window_rows: int = 5
+) -> DataFrame:
+    """Per-user trailing-window statistics: each event annotated with the
+    count and fixed-point mean of its user's previous ``window_rows`` values
+    (event itself excluded) — the feature-engineering shape for "recent
+    behavior" signals. One shuffle on user_id; the rows-frame window then
+    runs partition-local, state bounded by window_rows."""
+    order = Window.partitionBy("user_id").orderBy(
+        _epoch_ns(events, "ts"), "event_id"
+    )
+    frame = order.rowsBetween(-window_rows, -1)
+    n_prev = F.count(F.lit(1)).over(frame)
+    sum_prev = F.sum(money_units("value", 6)).over(frame)
+    return events.select(
+        "event_id",
+        "user_id",
+        n_prev.alias("n_prev"),
+        F.when(n_prev > 0, F.round(units_to_double(sum_prev, 6) / n_prev, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_prev_value"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

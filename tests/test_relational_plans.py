@@ -110,3 +110,35 @@ def test_iforest_fit_scan_prunes_to_features(spark):
     )
     model = IForest(numTrees=3, maxSamples=16.0, maxDepth=4, seed=2).fit(df)
     assert len(model.trees) == 3
+
+
+def test_group_quantiles_discrete(spark):
+    rows = [(i, ts(f"2024-01-01 10:00:{i:02d}"), 1, "a", float(v), "{}")
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["event_type"]: r for r in relational.group_quantiles(ev).collect()}
+    # discrete quantile: smallest value with cumulative fraction >= q
+    assert out["a"]["n"] == 10
+    assert out["a"]["p5"] == 5.0
+    assert out["a"]["p9"] == 9.0
+    assert out["a"]["p99"] == 10.0
+
+
+def test_rolling_event_stats_semantics(spark):
+    rows = [
+        (0, ts("2024-01-01 10:00:00"), 1, "a", 2.0, "{}"),
+        (1, ts("2024-01-01 10:01:00"), 1, "a", 4.0, "{}"),
+        (2, ts("2024-01-01 10:02:00"), 1, "a", 9.0, "{}"),
+        (3, ts("2024-01-01 09:00:00"), 2, "a", 7.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["event_id"]: r for r in relational.rolling_event_stats(ev, window_rows=2).collect()}
+    # first event per user: empty frame -> 0 / NULL
+    assert out[0]["n_prev"] == 0 and out[0]["mean_prev_value"] is None
+    assert out[3]["n_prev"] == 0
+    assert out[1]["n_prev"] == 1 and out[1]["mean_prev_value"] == 2.0
+    assert out[2]["n_prev"] == 2 and out[2]["mean_prev_value"] == 3.0
