@@ -424,6 +424,12 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        "normalize_text": lambda s, d: pipeline.normalize_text(
+            _read(s, d, "documents")
+        ),
+        "chunk_documents": lambda s, d: pipeline.chunk_documents(
+            _read(s, d, "documents")
+        ),
         # per-group GK-sketch quantiles (exact == quantile_disc at gate n)
         # and rows-frame trailing-window stats
         "group_quantiles": lambda s, d: relational.group_quantiles(
@@ -1276,6 +1282,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_exact": """
             SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   length(text) AS n_chars_raw,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_md5
+            FROM documents
+        """,
+        "chunk_documents": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+            ),
+            cl AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS BIGINT))),
+                       i -> t[i*48+1 : i*48+64]
+                     ) AS chunks
+              FROM tok
+            ),
+            ch AS (
+              SELECT doc_id,
+                     unnest(chunks) AS ctoks,
+                     generate_subscripts(chunks, 1) - 1 AS chunk_id
+              FROM cl
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(ctoks, ' ')) AS chunk_md5
+            FROM ch
         """,
         "group_quantiles": """
             SELECT event_type, count(*) AS n,

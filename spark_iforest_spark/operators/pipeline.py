@@ -286,6 +286,61 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization: lowercase + collapse whitespace runs +
+    trim — the pre-pass that makes downstream exact/fuzzy dedup keys stable
+    against formatting noise. (Unicode NFC is deliberately out of scope:
+    JVM and DuckDB normalizers disagree on edge cases, and the corpus
+    tables are ASCII; a production pass would add a tested ICU step.)
+    Pure scan-speed projection; output carries the md5 so the gate pins the
+    exact normalized bytes without shipping full text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows (stride =
+    chunk_tokens − overlap) — the context-window chunking pass for
+    embedding/retrieval pipelines. Every doc yields >= 1 chunk (short docs
+    produce one partial chunk). Per-row explode, no shuffle: chunking
+    parallelism is corpus parallelism, and downstream per-chunk operators
+    (embedding, dedup) see a normal table with (doc_id, chunk_id) identity.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "ctoks")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("ctoks").alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.col("ctoks"), " ")).alias("chunk_md5"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

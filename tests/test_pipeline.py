@@ -311,3 +311,40 @@ def test_curate_corpus_bins_never_cross_splits(spark):
     # contain exactly one split value, and distinct splits must exist
     assert all(len(v) == 1 for v in per_bin_splits.values())
     assert len({s for s, _ in per_bin_splits}) == 3
+
+
+def test_normalize_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "  Hello   WORLD "), (2, "already normal")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pipeline.normalize_text(docs).collect()}
+    import hashlib
+
+    assert out[1]["norm_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert out[1]["n_chars_norm"] == len("hello world")
+    assert out[2]["norm_md5"] == hashlib.md5(b"already normal").hexdigest()
+
+
+def test_chunk_documents_overlap(spark):
+    import hashlib
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = sorted(
+        pipeline.chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 2 over 10 tokens: ceil((10-2)/2) = 4 chunks
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    # chunk 1 covers tokens 3..6 (overlap of 2 with chunk 0)
+    assert out[1]["chunk_md5"] == hashlib.md5(" ".join(words[2:6]).encode()).hexdigest()
+    # last chunk is full here (tokens 7..10)
+    assert out[3]["n_chunk_tokens"] == 4
+    assert out[3]["chunk_md5"] == hashlib.md5(" ".join(words[6:10]).encode()).hexdigest()
+
+
+def test_chunk_documents_short_doc(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = pipeline.chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_id"] == 0 and out[0]["n_chunk_tokens"] == 2
