@@ -424,6 +424,17 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        # skew-resistant salted join: must produce EXACTLY the plain-join
+        # relation (aggregated to keep the gate small); oracle is the
+        # plain SQL join — salting must be invisible in the result
+        "salted_join_check": lambda s, d: relational.salted_join(
+            _read(s, d, "events"), _read(s, d, "orders"), "user_id", "o_custkey"
+        )
+        .groupBy("event_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("o_orderkey").alias("okey_checksum"),
+        ),
         "normalize_text": lambda s, d: pipeline.normalize_text(
             _read(s, d, "documents")
         ),
@@ -1282,6 +1293,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_exact": """
             SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        """,
+        "salted_join_check": """
+            SELECT event_type, o_orderpriority,
+                   count(*) AS n_pairs,
+                   CAST(sum(o_orderkey) AS BIGINT) AS okey_checksum
+            FROM events JOIN orders ON user_id = o_custkey
+            GROUP BY event_type, o_orderpriority
         """,
         "normalize_text": """
             SELECT doc_id,

@@ -311,6 +311,34 @@ def customers_without_orders(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: scatter left rows across ``salt`` sub-keys
+    (deterministic hash of the whole left row) and replicate the right side
+    ``salt``× so every sub-key still sees all its matches. A hot key's rows
+    then spread over ``salt`` tasks instead of one straggler.
+
+    The result is EXACTLY the plain inner join (every left row carries one
+    sub-key; the right side covers all of them) — asserted by test and by
+    the driver gate's plain-SQL oracle. Cost: ``salt``× the right side
+    through the shuffle. Use when the hot side is too big to broadcast and
+    the other side is small enough to replicate; for moderate skew prefer
+    AQE's runtime skew-join split, which needs no replication at all.
+    """
+    lcols = [F.col(c) for c in left.columns]
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(*lcols), F.lit(salt)))
+    r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    cond = (l[left_on] == r[right_on]) & (l["_salt"] == r["_salt"])
+    return l.join(r, cond).select(
+        *[l[c] for c in left.columns], *[r[c] for c in right.columns]
+    )
+
+
 def group_quantiles(
     events: DataFrame,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),

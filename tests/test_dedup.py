@@ -265,3 +265,11 @@ def test_winnow_pairs_hot_fingerprint_cap(spark):
     uncapped = dedup.winnow_pairs(df).count()
     capped = dedup.winnow_pairs(df, max_fingerprint_df=3).count()
     assert uncapped > 0 and capped < uncapped
+
+
+def test_minhash_and_simhash_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for fn in (dedup.minhash_lsh_pairs, dedup.simhash_pairs):
+        a = sorted(map(tuple, fn(docs).collect()))
+        b = sorted(map(tuple, fn(docs.repartition(7)).collect()))
+        assert a == b, fn.__name__

@@ -142,3 +142,17 @@ def test_rolling_event_stats_semantics(spark):
     assert out[3]["n_prev"] == 0
     assert out[1]["n_prev"] == 1 and out[1]["mean_prev_value"] == 2.0
     assert out[2]["n_prev"] == 2 and out[2]["mean_prev_value"] == 3.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "lid long, k long"
+    )
+    right = spark.createDataFrame(
+        [(0, "x"), (0, "y"), (1, "z"), (5, "w")], "rk long, tag string"
+    )
+    salted = relational.salted_join(left, right, "k", "rk", salt=4)
+    plain = left.join(right, left["k"] == right["rk"])
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.select("lid", "k", "rk", "tag").collect())
+    )
