@@ -424,6 +424,10 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        "table_profile": lambda s, d: relational.table_profile(
+            _read(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
         # skew-resistant salted join: must produce EXACTLY the plain-join
         # relation (aggregated to keep the gate small); oracle is the
         # plain SQL join — salting must be invisible in the result
@@ -1293,6 +1297,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_exact": """
             SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        """,
+        "table_profile": """
+            SELECT col AS column,
+                   n_rows, n_nulls, min_value, max_value, mean_value
+            FROM (
+              SELECT 'l_quantity' AS col, count(l_quantity) AS n_rows,
+                     count(*) - count(l_quantity) AS n_nulls,
+                     round(min(l_quantity), 6) AS min_value,
+                     round(max(l_quantity), 6) AS max_value,
+                     round(CAST(sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) AS BIGINT)
+                           / 10000.0 / count(l_quantity), 6) AS mean_value
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(l_extendedprice),
+                     count(*) - count(l_extendedprice),
+                     round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+                     round(CAST(sum(CAST(floor(l_extendedprice * 10000.0) AS BIGINT)) AS BIGINT)
+                           / 10000.0 / count(l_extendedprice), 6)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(l_discount),
+                     count(*) - count(l_discount),
+                     round(min(l_discount), 6), round(max(l_discount), 6),
+                     round(CAST(sum(CAST(floor(l_discount * 10000.0) AS BIGINT)) AS BIGINT)
+                           / 10000.0 / count(l_discount), 6)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', count(l_tax),
+                     count(*) - count(l_tax),
+                     round(min(l_tax), 6), round(max(l_tax), 6),
+                     round(CAST(sum(CAST(floor(l_tax * 10000.0) AS BIGINT)) AS BIGINT)
+                           / 10000.0 / count(l_tax), 6)
+              FROM lineitem
+            )
         """,
         "salted_join_check": """
             SELECT event_type, o_orderpriority,

@@ -311,6 +311,40 @@ def customers_without_orders(
     )
 
 
+def table_profile(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
+    """Single-scan numeric column profiler (the ANALYZE/data-triage view):
+    one row per column with count / nulls / min / max / exact fixed-point
+    mean. All statistics come out of ONE aggregate over one scan — 4×N
+    partial states, not N passes — then a constant-size explode unpivots
+    the single result row. Mean uses integer units (money_units) so it is
+    bit-stable under any partial-aggregation order, which is what lets the
+    oracle pin it exactly."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.sum(money_units(c, scale)).alias(f"{c}__units"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.round(
+                units_to_double(F.col(f"{c}__units"), scale) / F.col(f"{c}__n"), 6
+            ).alias("mean_value"),
+        )
+        for c in columns
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

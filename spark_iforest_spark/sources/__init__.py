@@ -70,3 +70,29 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL corpus reader — the lingua franca of LLM training data (one
+    JSON document per line, typically *.jsonl or *.jsonl.gz; Spark's text
+    codecs decompress transparently). Pass an explicit ``schema`` in
+    production: schema inference reads the data TWICE and widens types on
+    dirty corpora; a declared schema keeps the scan single-pass and lets
+    column pruning reach the parser (Jackson parses only requested
+    fields)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None) -> None:
+    """JSONL sink (optionally gzip/zstd-compressed) — the interchange
+    format for handing a curated corpus to a tokenizer pipeline. Prefer
+    zstd on real exports: gzip is not splittable, so one giant .gz file
+    serializes the downstream read; many moderate files (repartition
+    first) keep both sides parallel."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

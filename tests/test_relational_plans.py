@@ -156,3 +156,21 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.select("lid", "k", "rk", "tag").collect())
     )
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = relational.table_profile(li, ["l_quantity", "l_discount"])
+    # one scan: assert on the pre-execution plan (post-AQE explain renders
+    # the initial plan a second time)
+    plan = formatted_plan(q)
+    assert plan.count("+- Scan parquet") == 1
+    out = {r["column"]: r for r in q.collect()}
+    assert out["l_quantity"]["n_nulls"] == 0
+    assert out["l_quantity"]["min_value"] >= 0
+    # exact mean cross-check against a direct fixed-point computation
+    direct = li.agg(
+        (F.sum(F.floor(F.col("l_discount") * 10000).cast("long")) / 10000.0
+         / F.count("l_discount")).alias("m")
+    ).collect()[0]["m"]
+    assert out["l_discount"]["mean_value"] == round(direct, 6)

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_iforest_spark.plans import count_shuffles, formatted_plan
+from spark_iforest_spark import sources
 from spark_iforest_spark.sources import read_table, write_bucketed, write_partitioned
 
 
@@ -87,3 +88,13 @@ def test_binary_file_ingestion_end_to_end(spark, tmpdir):
     for r in frames:
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_bytes
     assert per_doc == {i: len(d) for i, d in payloads.items()}
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = sources.read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    sources.write_jsonl(docs, out, compression="gzip")
+    back = sources.read_jsonl(spark, out, schema=docs.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # schema-first read: declared schema is honored exactly
+    assert back.schema == docs.schema
