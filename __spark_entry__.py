@@ -459,6 +459,25 @@ def queries() -> _T:
         "heavy_hitter_tokens": lambda s, d: text.heavy_hitter_tokens(
             _read(s, d, "documents")
         ),
+        # BM25 retrieval + unigram-LM typicality: integer-unit scores
+        # (micro / ppb) so the per-doc sums are order-independent and the
+        # DuckDB twin is bit-identical (log-free rational idf, see docstring)
+        "bm25_topk": lambda s, d: text.bm25_topk(
+            _read(s, d, "documents"), _BM25_TERMS
+        ),
+        "token_typicality": lambda s, d: text.token_typicality(
+            _read(s, d, "documents")
+        ),
+        # wide daily activity matrix (explicit pivot values: one aggregate,
+        # stable schema), single-pass CUBE rollup, and latest-per-key
+        # changelog compaction
+        "event_type_pivot": lambda s, d: relational.event_type_pivot(
+            _read(s, d, "events")
+        ),
+        "orders_cube": lambda s, d: relational.orders_cube(_read(s, d, "orders")),
+        "latest_event_per_user": lambda s, d: relational.latest_event_per_user(
+            _read(s, d, "events")
+        ),
     }
 
 
@@ -469,6 +488,8 @@ _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
 # same integer edges from these dicts)
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
 _MIX_BUDGETS = {"en": 5000, "es": 2000, "zh": 1000}
+# bm25 gate query — terms present in the synthetic vocabulary
+_BM25_TERMS = ("query", "spark", "vector")
 
 
 # md5-hex -> u32, identical to pipeline._md5_u32 (DuckDB parses '0x..' casts)
@@ -1398,6 +1419,97 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM t)
             SELECT token, n AS n_occurrences, n_total
             FROM t, tot WHERE n > n_total / 51.0
+        """,
+        # float ops mirror the Spark expression tree parenthesis-for-
+        # parenthesis (left-assoc), so every double is correctly rounded the
+        # same way in both engines; scores floor to integer micros before the
+        # sum, making the aggregate order-independent
+        "bm25_topk": """
+            WITH stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(regexp_split_to_array(lower(text), '\\s+')))
+                          AS BIGINT) AS tot
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM toks WHERE term IN ('query', 'spark', 'vector')
+              GROUP BY 1, 2, 3
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     count(*) AS n_hit_terms,
+                     CAST(sum(CAST(floor(
+                       1000000.0 * ((stats.n + 1.0) / (df.df + 1.0))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (stats.tot / stats.n)))
+                     ) AS BIGINT)) AS BIGINT) AS score_micros
+              FROM tf JOIN df USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, rank, n_hit_terms, score_micros FROM (
+              SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id ASC)
+                          AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "token_typicality": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents
+            ),
+            tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            vocab AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab),
+            model AS (
+              SELECT term,
+                     CAST(floor(1000000000.0 * (cnt / tot)) AS BIGINT) AS p_ppb
+              FROM vocab, tot
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(m.p_ppb) AS BIGINT) AS sum_ppb,
+                   CAST(floor(CAST(sum(m.p_ppb) AS BIGINT) / count(*)) AS BIGINT)
+                     AS typicality_ppb
+            FROM tok2 t JOIN model m USING (term)
+            GROUP BY t.doc_id
+        """,
+        "event_type_pivot": """
+            SELECT epoch_ns(ts) // 86400000000000 AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1
+        """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, '(all)') AS status,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 10000.0) AS BIGINT)) / 10000.0
+                     AS sum_totalprice
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                   event_type, value
+            FROM (
+              SELECT user_id, event_id, ts, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts) DESC, event_id DESC)
+                       AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
     }
 

@@ -298,6 +298,91 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def event_type_pivot(
+    events: DataFrame,
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> DataFrame:
+    """Wide daily activity matrix: one row per day, one count column per
+    event type (the dashboard/feature-store layout).
+
+    Uses ``groupBy(day).pivot(type, values)`` with the value list given
+    EXPLICITLY: Spark otherwise runs an extra distinct-scan job to discover
+    the pivot columns, and the output schema would depend on the data — a
+    schema-stability hazard in a pipeline (and a second pass at 100 TB).
+    With fixed values the plan is a single aggregate whose shuffle key is
+    the day (≈ one group per day — tiny); unseen types produce a 0 column,
+    unexpected types are dropped (they'd otherwise silently widen the
+    schema downstream)."""
+    day = F.expr(f"_ts_s div 86400").alias("day")
+    ev = events.withColumn("_ts_s", _epoch_s(events, "ts"))
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", list(types))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination —
+    per-(status, priority) cells, per-status and per-priority margins, and
+    the grand total — in ONE aggregation pass.
+
+    ``cube()`` expands to grouping sets inside a single shuffle with
+    map-side partial aggregation (4 aggregate rows per input row, but the
+    post-shuffle key space is |status|×|priority| cells plus margins —
+    still tiny). The alternative — four separate groupBy jobs unioned —
+    scans the table four times; at 100 TB the single-pass cube is the only
+    sane layout for a rollup dashboard. Aggregated-out dimensions are
+    reported as '(all)' (the data's own values are never NULL here, so the
+    marker is unambiguous); money sums use exact integer units."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            units_to_double(F.sum(money_units("o_totalprice"))).alias("sum_totalprice"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "sum_totalprice",
+        )
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Current-state view: each user's most recent event (the classic
+    changelog→snapshot compaction, e.g. CDC upsert resolution).
+
+    One shuffle on user_id, then a partition-local row_number — Spark plans
+    a WindowGroupLimit (rank-pushdown) so each partition keeps one running
+    winner per user instead of sorting whole user histories. Ties on ts
+    break by event_id desc, making the winner total and deterministic.
+    At 100 TB this beats the groupBy(max(struct(ts, ...))) idiom only in
+    readability — both shuffle the same rows; the window form keeps ALL
+    payload columns without packing them into the max struct."""
+    ns = _epoch_ns(events, "ts")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_ts_ns").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_ts_ns", ns)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"_ts_ns div {NANOS}").alias("ts_s"),
+            "event_type",
+            "value",
+        )
+    )
+
+
 def customers_without_orders(
     customer: DataFrame, orders: DataFrame, min_totalprice: float = 300000.0
 ) -> DataFrame:

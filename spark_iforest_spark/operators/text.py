@@ -288,6 +288,119 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document retrieval: top-k documents for a bag-of-terms query.
+
+    Per matched (doc, term): score = idf(t) * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)) — the standard Okapi tf-saturation and length
+    normalization. idf uses the smoothed RATIONAL form (N+1)/(df+1) instead
+    of the usual log: Spark's Math.log and DuckDB's libm ln differ in the
+    last ulp (measured: 39/160 probe values), so a log-based score cannot
+    hash-match an external oracle; per fixed df the two are monotone-
+    equivalent. Per-term scores are floored to integer MICRO-units before
+    the per-doc sum, so the sum is exact integer arithmetic — independent
+    of partial-aggregation order and bit-identical across engines (the same
+    money-units trick as pricing_summary).
+
+    Scale shape: the exploded token stream is filtered to the query terms
+    BEFORE any shuffle (an isin over a tiny literal list, pushed to the
+    scan), so tf's groupBy shuffles only matching (doc, term) rows — corpus
+    scan stays full-width but the shuffle is query-bounded. df is an
+    aggregate of tf's (tiny) output; avgdl is one count/sum job (driver
+    scalars, metadata not data). Final rank is a global sort of the
+    aggregated candidate set; for the multi-query batch case, lift
+    query_terms into a broadcast table and add query_id to every key.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("tot"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    unit = F.floor(F.lit(1e6) * idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum(unit).alias("score_micros"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micros").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "n_hit_terms", "score_micros")
+    )
+
+
+def token_typicality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM document quality score (CCNet-style, log-free).
+
+    Build a corpus unigram model p(t) = count(t)/total_tokens, then score
+    each document by the average model probability of its tokens —
+    rare-token-heavy documents (OCR noise, codes, mangled encodings) score
+    low, fluent in-distribution text scores high. Production CCNet uses
+    average log-prob (perplexity); the log is dropped for engine
+    portability (see bm25_topk) and per-token probabilities are floored to
+    integer PARTS-PER-BILLION before the per-doc sum, making the aggregate
+    exact integer arithmetic — order-independent and oracle-exact.
+
+    Scale shape: the vocab build is one token-keyed shuffle with map-side
+    combine (the same shape as corpus_vocab); scoring re-joins the token
+    stream to the vocab term-keyed and regroups by doc. The vocab table is
+    Zipf-skewed but the join key space is the vocabulary, not the corpus —
+    at 100 TB broadcast the head (or the whole vocab if it fits) and let
+    AQE skew-split the tail.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    # cnt/tot first (both exact longs -> one correctly-rounded double), then
+    # scale: identical operation order in the DuckDB twin, so bit-identical
+    p_ppb = F.floor(F.lit(1e9) * (F.col("cnt") / F.col("tot"))).alias("p_ppb")
+    model = vocab.crossJoin(F.broadcast(total)).select("term", p_ppb)
+    return (
+        tok.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("p_ppb").alias("sum_ppb"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_ppb",
+            F.floor(F.col("sum_ppb") / F.col("n_tokens")).alias("typicality_ppb"),
+        )
+    )
+
+
 def heavy_hitter_tokens(
     docs: DataFrame,
     id_col: str = "doc_id",
