@@ -25,6 +25,7 @@ from spark_iforest_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    semantic,
     similarity,
     text,
 )
@@ -477,6 +478,19 @@ def queries() -> _T:
         "orders_cube": lambda s, d: relational.orders_cube(_read(s, d, "orders")),
         "latest_event_per_user": lambda s, d: relational.latest_event_per_user(
             _read(s, d, "events")
+        ),
+        # hypertable-style multi-grain time rollup: one-pass ROLLUP
+        "event_time_rollup": lambda s, d: relational.event_time_rollup(
+            _read(s, d, "events")
+        ),
+        # SemDeDup-style cluster pruning: kept set is rows-only (seeded
+        # k-means internals aren't SQL); the checks twin pins the contract
+        # invariants against the oracle (iforest_checks pattern)
+        "semantic_prune": lambda s, d: semantic.semantic_prune(
+            _read(s, d, "embeddings")
+        ),
+        "semantic_prune_checks": lambda s, d: semantic.semantic_prune_checks(
+            _read(s, d, "embeddings")
         ),
     }
 
@@ -1510,6 +1524,29 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "event_time_rollup": """
+            SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+                        WHEN day IS NOT NULL THEN 'day'
+                        ELSE 'total' END AS grain,
+                   coalesce(day, -1) AS day,
+                   coalesce(hour, -1) AS hour,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0
+                     AS sum_value
+            FROM (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                         epoch_ns(ts) // 3600000000000 AS hour,
+                         value
+                  FROM events)
+            GROUP BY ROLLUP (day, hour)
+        """,
+        "semantic_prune_checks": """
+            SELECT count(*) AS n_input,
+                   TRUE AS per_cluster_capped,
+                   TRUE AS totals_consistent,
+                   TRUE AS boundary_ordered,
+                   TRUE AS ids_preserved
+            FROM embeddings
         """,
     }
 

@@ -354,6 +354,42 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def event_time_rollup(events: DataFrame) -> DataFrame:
+    """Multi-grain time rollup — the hypertable / continuous-aggregate
+    layout: hour cells, day subtotals, and the grand total from ONE
+    aggregation pass via ``rollup(day, hour)`` (grouping sets
+    (day,hour),(day),()).
+
+    The alternative — three groupBy jobs unioned — scans the table three
+    times; ROLLUP expands grouping sets inside a single shuffle with
+    map-side partial aggregation, and the post-shuffle key space is the
+    hour count plus margins (tiny at any corpus size). Aggregated-out
+    grains surface as -1 (epoch grains are never negative, so the sentinel
+    is unambiguous and keeps the column type LONG instead of nullable);
+    ``grain`` labels each row for downstream filters. Money-style integer
+    micro-units make the sums order-independent and oracle-exact."""
+    ev = events.withColumn("_ts_s", _epoch_s(events, "ts"))
+    day = F.expr("_ts_s div 86400").alias("day")
+    hour = F.expr("_ts_s div 3600").alias("hour")
+    return (
+        ev.rollup(day, hour)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_to_double(F.sum(money_units("value", 6)), 6).alias("sum_value"),
+        )
+        .select(
+            F.when(F.col("hour").isNotNull(), F.lit("hour"))
+            .when(F.col("day").isNotNull(), F.lit("day"))
+            .otherwise(F.lit("total"))
+            .alias("grain"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Current-state view: each user's most recent event (the classic
     changelog→snapshot compaction, e.g. CDC upsert resolution).

@@ -1,0 +1,103 @@
+"""Semantics tests for k-means clustering, SemDeDup-style pruning, and the
+multi-grain time rollup."""
+
+from spark_iforest_spark.operators import relational, semantic
+
+NS = 1_000_000_000
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _two_blob_corpus(spark):
+    # two well-separated directions; ids 0-3 hug [1,0], 10-13 hug [0,1];
+    # ids 3 and 13 are the angled-away (diverse) members of their blobs
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [0.98, 0.02]),
+        (3, [0.80, 0.40]),
+        (10, [0.0, 1.0]),
+        (11, [0.01, 0.99]),
+        (12, [0.02, 0.98]),
+        (13, [0.40, 0.80]),
+    ]
+    return _emb(spark, rows)
+
+
+def test_kmeans_clusters_partitions_the_corpus(spark):
+    out = semantic.kmeans_clusters(_two_blob_corpus(spark), n_clusters=2).collect()
+    assert len(out) == 8
+    by_id = {r["vec_id"]: r for r in out}
+    # each blob lands in one cluster, blobs in different clusters
+    a = {by_id[i]["cluster_id"] for i in (0, 1, 2, 3)}
+    b = {by_id[i]["cluster_id"] for i in (10, 11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert all(-1.0 <= r["cos_to_centroid"] <= 1.0 for r in out)
+
+
+def test_semantic_prune_diverse_keeps_outlier(spark):
+    corpus = _two_blob_corpus(spark)
+    kept = semantic.semantic_prune(corpus, n_clusters=2, keep_per_cluster=1).collect()
+    # one survivor per cluster, and 'diverse' keeps the member FARTHEST
+    # from its centroid — the angled-away ids 3 and 13
+    assert sorted(r["vec_id"] for r in kept) == [3, 13]
+    assert all(r["rank_in_cluster"] == 1 for r in kept)
+
+
+def test_semantic_prune_prototypical_inverts(spark):
+    corpus = _two_blob_corpus(spark)
+    kept = semantic.semantic_prune(
+        corpus, n_clusters=2, keep_per_cluster=1, keep="prototypical"
+    ).collect()
+    assert sorted(r["vec_id"] for r in kept) != [3, 13]
+    # prototypical survivors hug their centroid at least as closely as the
+    # diverse ones (strictly, in this construction)
+    div = semantic.semantic_prune(corpus, n_clusters=2, keep_per_cluster=1).collect()
+    assert min(r["cos_to_centroid"] for r in kept) > max(
+        r["cos_to_centroid"] for r in div
+    )
+
+
+def test_semantic_prune_caps_and_small_clusters(spark):
+    corpus = _two_blob_corpus(spark)
+    kept = semantic.semantic_prune(corpus, n_clusters=2, keep_per_cluster=10).collect()
+    # keep > cluster size keeps everything, never invents rows
+    assert len(kept) == 8
+
+
+def test_semantic_prune_checks_all_green(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = semantic.semantic_prune_checks(emb).collect()[0]
+    assert row["n_input"] == emb.count()
+    assert row["per_cluster_capped"] and row["totals_consistent"]
+    assert row["boundary_ordered"] and row["ids_preserved"]
+
+
+# --------------------------------------------------------- time rollup
+def test_event_time_rollup_margins(spark):
+    h = 3600 * NS
+    rows = [
+        (0, 0 * h, 1, "a", 1.0, "{}"),
+        (1, 0 * h + NS, 1, "a", 2.0, "{}"),
+        (2, 1 * h, 1, "a", 4.0, "{}"),
+        (3, 25 * h, 1, "a", 8.0, "{}"),  # next day
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    out = relational.event_time_rollup(ev).collect()
+    by_key = {(r["grain"], r["day"], r["hour"]): r for r in out}
+    assert by_key[("hour", 0, 0)]["n_events"] == 2
+    assert by_key[("hour", 0, 0)]["sum_value"] == 3.0
+    assert by_key[("hour", 0, 1)]["sum_value"] == 4.0
+    assert by_key[("hour", 1, 25)]["sum_value"] == 8.0
+    assert by_key[("day", 0, -1)]["n_events"] == 3
+    assert by_key[("day", 0, -1)]["sum_value"] == 7.0
+    assert by_key[("day", 1, -1)]["n_events"] == 1
+    assert by_key[("total", -1, -1)]["n_events"] == 4
+    assert by_key[("total", -1, -1)]["sum_value"] == 15.0
+    # exactly hours + days + grand total, nothing else
+    assert len(out) == 3 + 2 + 1
