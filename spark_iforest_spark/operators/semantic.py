@@ -1,39 +1,117 @@
-"""Semantic-embedding clustering operators: seeded k-means assignment and
+"""Semantic-embedding clustering operators: sample-fit spherical k-means and
 cluster-based corpus pruning — the SemDeDup / coreset-selection pass of an
 LLM training-data pipeline (prune semantically redundant documents using
 their embeddings, not their tokens).
 
-Scale shape: the k-means fit is Spark ML's distributed Lloyd's (JVM, seeded);
-the centroid table is k×d driver-side floats — metadata, not data — embedded
-as a literal array so the per-row assignment/cosine runs in whole-stage
-codegen with ZERO extra shuffles or Python workers. The only shuffle in
+Design: centroids are fit on a BOUNDED DETERMINISTIC SAMPLE (md5-hash
+order, layout-independent) with driver-side numpy spherical k-means — the
+realistic 100 TB shape: nobody runs Lloyd's over the full corpus; you fit a
+coarse quantizer on ~10⁴-10⁶ sampled rows (metadata-sized) and assign the
+corpus at scan speed. Assignment is a pure Catalyst expression against the
+literal centroid matrix (k×d doubles inline in the plan): cosine to every
+centroid via a JVM fold, argmax by array_position — whole-stage codegen,
+ZERO extra shuffles, no Python workers. The only shuffle in
 ``semantic_prune`` is the per-cluster ranking window, whose partition count
 is the cluster count: size n_clusters to the corpus (≈ corpus_size/10k) so
 each window partition holds a bounded member list. Nothing is all-pairs.
+(For n_clusters beyond a few hundred, swap the literal-matrix lookup for a
+mapInPandas matmul — same relation, same determinism.)
 
-Cluster assignments come from a seeded iterative optimizer, so gates built
-on this module follow the iforest pattern: the raw relation is rows-only,
-and an oracle-checked ``semantic_prune_checks`` pins the contract invariants
+Spark ML's distributed KMeans was deliberately NOT used: its kmeans||
+init samples per-partition, so the fitted model — and therefore the kept
+set — changes with partition layout (measured: 250-row symmetric
+difference between local[4]x4 and x32 layouts on 500 vectors). The
+sample-fit is bit-deterministic in (data, seed) on ANY layout, which is
+what lets the rows-only gate and cross-session reruns agree.
+
+Cluster assignments still come from a seeded iterative optimizer, so gates
+follow the iforest pattern: the raw relation is rows-only, and the
+oracle-checked ``semantic_prune_checks`` pins the contract invariants
 (counts, per-cluster caps, keep-order boundary) that any correct
 implementation must satisfy.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from spark_iforest_spark.functions import cosine
+from spark_iforest_spark.operators.pipeline import _md5_u32
 
 _KMEANS_SEED = 0x5EED
 
 
-def _centroid_literal(centers) -> F.Column:
-    """k×d centroid matrix as a nested array literal — k·d doubles inline in
-    the plan (metadata-sized), so centroid lookup is `element_at` in codegen
-    instead of a join or a Python closure."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+def _spherical_kmeans(Xn: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded spherical k-means (cosine distance) on a normalized sample.
+    k-means++ init, Lloyd iterations, deterministic farthest-point reseed
+    for empty clusters. Pure numpy on the driver — the sample is bounded,
+    so this is O(sample·k·d) metadata work, not a distributed job."""
+    rng = np.random.default_rng(seed)
+    n = Xn.shape[0]
+    idx = [int(rng.integers(n))]
+    d = np.maximum(1.0 - Xn @ Xn[idx[0]], 0.0)
+    for _ in range(1, min(k, n)):
+        tot = d.sum()
+        probs = d / tot if tot > 0 else np.full(n, 1.0 / n)
+        nxt = int(rng.choice(n, p=probs))
+        idx.append(nxt)
+        d = np.minimum(d, np.maximum(1.0 - Xn @ Xn[nxt], 0.0))
+    while len(idx) < k:  # degenerate: fewer sample points than clusters
+        idx.append(idx[-1])
+    C = Xn[idx].copy()
+    for _ in range(max_iter):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        new_c = np.empty_like(C)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                new_c[j] = v / nv if nv > 1e-12 else C[j]
+            else:
+                new_c[j] = Xn[int((1.0 - sims.max(axis=1)).argmax())]
+        if np.allclose(new_c, C, rtol=0, atol=1e-12):
+            C = new_c
+            break
+        C = new_c
+    return C
+
+
+def _fit_centroids(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    sample_n: int,
+    max_iter: int,
+) -> np.ndarray:
+    """Deterministic bounded fit sample: rows in md5(id)-hash order (a total
+    order independent of partition layout), first ``sample_n``. At 100 TB
+    raise sample_n (driver holds sample_n·d doubles — 10⁶×768 ≈ 6 GB is the
+    practical ceiling) or pre-aggregate with a coarser first-level sample."""
+    rows = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            _md5_u32(F.col(id_col), "kmeans-sample").alias("_u"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_u", "_id")
+        .limit(sample_n)
+        .collect()
     )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _spherical_kmeans(Xn, n_clusters, seed, max_iter)
+
+
+def _centroid_literal(centers: np.ndarray) -> F.Column:
+    """k×d centroid matrix as a nested array literal — metadata-sized for a
+    coarse quantizer, so centroid scoring runs in codegen instead of a join
+    or a Python closure."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
 
 
 def kmeans_clusters(
@@ -42,31 +120,29 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = _KMEANS_SEED,
+    sample_n: int = 4096,
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Seeded k-means cluster assignment: (id, cluster_id, cos_to_centroid).
+    """Cluster assignment: (id, cluster_id, cos_to_centroid).
 
-    Fit is pyspark.ml KMeans (distributed Lloyd's, kmeans|| init, JVM
-    vectors via ``array_to_vector`` — no Python row path). The transform
-    assigns each vector once; cosine-to-own-centroid is computed JVM-side
-    against the literal centroid matrix, giving downstream operators a
-    prototypicality score without a second pass over the data.
+    Centroids from the deterministic sample fit (module docstring);
+    assignment is argmax-cosine over the literal centroid matrix, computed
+    JVM-side per row — a scan-speed projection with no shuffle, no Python,
+    and identical output on any partition layout. Ties (exactly equal
+    cosines) resolve to the lowest cluster index via array_position's
+    first-match semantics.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_arr")
-    ).withColumn("_v", array_to_vector("_arr"))
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="cluster_id"
-    ).fit(corpus)
-    cent = _centroid_literal(model.clusterCenters())
-    assigned = model.transform(corpus)
-    own = F.element_at(cent, F.col("cluster_id") + 1)
-    return assigned.select(
+    cents = _fit_centroids(
+        emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter
+    )
+    cent_arr = _centroid_literal(cents)
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cent_arr, lambda c: cosine(v, c))
+    best = F.array_max(sims)
+    return emb.select(
         F.col(id_col),
-        F.col("cluster_id").cast("int").alias("cluster_id"),
-        F.round(cosine(F.col("_arr"), own), 6).alias("cos_to_centroid"),
+        (F.array_position(sims, best) - 1).cast("int").alias("cluster_id"),
+        F.round(best, 6).alias("cos_to_centroid"),
     )
 
 
@@ -80,14 +156,14 @@ def semantic_prune(
     seed: int = _KMEANS_SEED,
 ) -> DataFrame:
     """Cluster-based corpus pruning: keep ``keep_per_cluster`` members per
-    k-means cluster.
+    cluster.
 
     ``keep='diverse'`` ranks members by cosine-to-centroid ASCENDING —
     SemDeDup's choice (Abbas et al. 2023): within a semantic cluster the
     members far from the centroid carry the cluster's variety, the ones
     hugging it are the redundant mass. ``keep='prototypical'`` inverts the
     order (descending) for coreset/exemplar selection. Ties break by id, so
-    the kept set is total-ordered and deterministic given the fitted model.
+    the kept set is total-ordered and bit-deterministic in (data, seed).
 
     Returns (id, cluster_id, rank_in_cluster, cos_to_centroid) for kept
     rows; join back to the corpus by id to materialize the pruned table.
@@ -116,7 +192,7 @@ def semantic_prune_checks(
     seed: int = _KMEANS_SEED,
 ) -> DataFrame:
     """Oracle-checkable invariants of ``semantic_prune`` (iforest_checks
-    pattern — the k-means internals aren't SQL-expressible, but any correct
+    pattern — the k-means iteration isn't SQL-expressible, but any correct
     pruning must satisfy these, so a regression flips a boolean and
     hash-mismatches the pinned oracle):
 

@@ -67,6 +67,16 @@ def test_semantic_prune_caps_and_small_clusters(spark):
     assert len(kept) == 8
 
 
+def test_semantic_prune_partition_invariant(spark, sf_dir):
+    # the kept set must be a pure function of (data, seed) — Spark ML's
+    # kmeans|| init failed this (layout-dependent fit); the sample-fit
+    # spherical k-means must not
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, semantic.semantic_prune(emb.repartition(3)).collect()))
+    b = sorted(map(tuple, semantic.semantic_prune(emb.repartition(17)).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_semantic_prune_checks_all_green(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = semantic.semantic_prune_checks(emb).collect()[0]
