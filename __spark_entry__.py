@@ -492,6 +492,19 @@ def queries() -> _T:
         "semantic_prune_checks": lambda s, d: semantic.semantic_prune_checks(
             _read(s, d, "embeddings")
         ),
+        # single-scan expectations gate (Deequ shape): NULL verdicts count
+        # as violations; includes rules that genuinely fail on the data so
+        # the counting path is exercised
+        "validate_lineitem": lambda s, d: relational.validate_table(
+            _read(s, d, "lineitem"),
+            {
+                "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+                "quantity_in_1_50": (F.col("l_quantity") >= 1)
+                & (F.col("l_quantity") <= 50),
+                "discount_le_8pct": F.col("l_discount") <= 0.08,
+                "positive_price": F.col("l_extendedprice") > 0,
+            },
+        ),
     }
 
 
@@ -1547,6 +1560,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS boundary_ordered,
                    TRUE AS ids_preserved
             FROM embeddings
+        """,
+        "validate_lineitem": """
+            WITH a AS (
+              SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+                CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN l_discount <= 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3
+              FROM lineitem
+            )
+            SELECT 'orderkey_not_null' AS rule, n_rows, v0 AS n_violations, v0 = 0 AS pass FROM a
+            UNION ALL SELECT 'quantity_in_1_50', n_rows, v1, v1 = 0 FROM a
+            UNION ALL SELECT 'discount_le_8pct', n_rows, v2, v2 = 0 FROM a
+            UNION ALL SELECT 'positive_price', n_rows, v3, v3 = 0 FROM a
         """,
     }
 

@@ -354,6 +354,41 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def validate_table(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Single-pass data-quality validation: one row per rule with
+    (rule, n_rows, n_violations, pass) — the expectations gate a pipeline
+    runs before promoting a table (Deequ/Great-Expectations shape, but one
+    declarative plan).
+
+    Every rule is a boolean Column evaluated per row; a NULL verdict counts
+    as a VIOLATION (a rule that can't prove itself passes, fails) — the
+    conservative direction for data contracts. All rules aggregate in ONE
+    scan (map-side partial agg of k counters, no shuffle of data rows);
+    the per-rule layout comes from unpivoting the single result row with
+    ``stack``, so adding a rule adds a counter, not a pass. At 100 TB this
+    is strictly cheaper than k separate count jobs — the scan dominates and
+    it happens once."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(cond, 0).otherwise(1)).alias(f"_v{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    names = list(rules)
+    stack_args = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    return (
+        df.agg(*aggs)
+        .select(
+            F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
+            F.col("_n").alias("n_rows"),
+        )
+        .select(
+            "rule",
+            "n_rows",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("pass"),
+        )
+    )
+
+
 def event_time_rollup(events: DataFrame) -> DataFrame:
     """Multi-grain time rollup — the hypertable / continuous-aggregate
     layout: hour cells, day subtotals, and the grand total from ONE

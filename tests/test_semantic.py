@@ -85,6 +85,30 @@ def test_semantic_prune_checks_all_green(spark, sf_dir):
     assert row["boundary_ordered"] and row["ids_preserved"]
 
 
+# ------------------------------------------------------ validate_table
+def test_validate_table_null_is_violation(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "k int, v double"
+    )
+    out = {
+        r["rule"]: r
+        for r in relational.validate_table(
+            df,
+            {
+                "v_positive": F.col("v") > 0,       # NULL and -5 violate
+                "k_not_null": F.col("k").isNotNull(),  # passes
+            },
+        ).collect()
+    }
+    assert out["v_positive"]["n_violations"] == 2
+    assert out["v_positive"]["pass"] is False
+    assert out["k_not_null"]["n_violations"] == 0
+    assert out["k_not_null"]["pass"] is True
+    assert all(r["n_rows"] == 3 for r in out.values())
+
+
 # --------------------------------------------------------- time rollup
 def test_event_time_rollup_margins(spark):
     h = 3600 * NS
