@@ -189,6 +189,28 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join gate: readStream(events) ⋈ broadcast static orders
+    snapshot, aggregated in complete mode — the replay must equal the batch
+    join relation (same oracle as salted_join_check)."""
+    from spark_iforest_spark import streaming as stm
+
+    _ensure_workers_import(spark)
+    ev = stm.read_stream_table(spark, sf_dir, "events")
+    dim = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderkey"
+    )
+    agg = (
+        stm.enrich_stream(ev, dim, "user_id", "o_custkey")
+        .groupBy("event_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("o_orderkey").alias("okey_checksum"),
+        )
+    )
+    return stm.run_to_batch(agg, "streaming_enrich_gate", "complete")
+
+
 def _streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-replay streaming dedup gate: the digest set emitted by the
     streaming dropDuplicates must equal batch SELECT DISTINCT md5(text)."""
@@ -355,6 +377,7 @@ def queries() -> _T:
         # bit-identical to the batch plan, so the BATCH oracle checks it
         "streaming_windowed_agg": _streaming_windowed_agg,
         "streaming_dedup_exact": _streaming_dedup_exact,
+        "streaming_enriched_agg": _streaming_enriched_agg,
         # training-data curation pipeline (operators/pipeline.py) — all
         # md5-portable by design, so every gate here is oracle-exact
         "hash_split": lambda s, d: pipeline.hash_split(
@@ -1345,6 +1368,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_exact": """
             SELECT DISTINCT md5(text) AS content_md5 FROM documents
+        """,
+        "streaming_enriched_agg": """
+            SELECT event_type, o_orderpriority,
+                   count(*) AS n_pairs,
+                   CAST(sum(o_orderkey) AS BIGINT) AS okey_checksum
+            FROM events JOIN orders ON user_id = o_custkey
+            GROUP BY event_type, o_orderpriority
         """,
         "table_profile": """
             SELECT col AS column,

@@ -134,6 +134,31 @@ def run_to_batch(stream_df: DataFrame, name: str, output_mode: str = "append") -
     return spark.table(name)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the current
+    snapshot of a static/batch dimension table.
+
+    The dim side is explicitly ``broadcast`` — the canonical shape: the
+    stream side then never shuffles for the join (stateless per-batch
+    BroadcastHashJoin), so throughput is scan-bound and there is no
+    streaming join state at all (unlike stream-stream joins). At 100 TB/day
+    stream volumes the dim broadcast re-resolves per micro-batch, which is
+    also what picks up slowly-changing dim updates between batches; a dim
+    too large to broadcast belongs in a stream-stream join with watermarks
+    instead."""
+    if not stream.isStreaming:
+        raise ValueError("enrich_stream expects a streaming DataFrame")
+    return stream.join(
+        F.broadcast(dim), stream[on_left] == dim[on_right], how
+    )
+
+
 def dedup_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -112,6 +112,42 @@ def test_stream_replay_matches_batch_on_testdata(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_enrich_stream_replay_matches_batch_join(spark, sf_dir):
+    """Stream-static broadcast join: replayed enrichment aggregate equals
+    the batch join relation on the same tables."""
+    from spark_iforest_spark.sources import read_table
+
+    ev = S.read_stream_table(spark, sf_dir, "events")
+    dim = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderkey"
+    )
+    agg = (
+        S.enrich_stream(ev, dim, "user_id", "o_custkey")
+        .groupBy("event_type", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ck"))
+    )
+    got = sorted(
+        map(tuple, S.run_to_batch(agg, "enrich_replay", "complete").collect())
+    )
+    bev = read_table(spark, sf_dir, "events")
+    expected = sorted(
+        map(
+            tuple,
+            bev.join(dim, bev.user_id == dim.o_custkey)
+            .groupBy("event_type", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ck"))
+            .collect(),
+        )
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_enrich_stream_rejects_batch_input(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        S.enrich_stream(df, df, "k", "k")
+
+
 def test_nanos_to_ts(spark):
     epoch_ns = 1704103200 * 10**9 + 123_000  # nanos, micro-aligned
     df = spark.createDataFrame([(epoch_ns,)], "ts long")
