@@ -1,13 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": {...}, "calibration": {...}, "load_flag": bool}
 
 Baseline context (BASELINE.md): the reference trains iforest on 567k rows /
 d=3 in 34 s and scores in 86 s on 4 cores. Headline here: train on lineitem
 (~600k rows at sf0.1, 7 numeric features, numTrees=100, maxSamples=256) and
 score all rows — same shape, so the numbers are directly comparable — plus
 the flagship pipeline operators.
+
+Self-diagnosis (round-4): this VM shows random multi-10s external pauses
+with a 2-4x spread on identical code (SCALE.md postmortem; the recorded
+BENCH_r03 train time was 3.4x the idle-machine number). So the artifact now
+carries its own evidence: ``runs`` records EVERY per-run time (not just the
+min), a fixed-work single-thread calibration probe runs before and after
+the queries (``calibration``), and each query re-runs (bounded) until its
+two fastest runs agree within 2x. ``load_flag`` is true when any query's
+best-two spread stayed >= 2x or the probe pair disagrees by >= 1.5x — a
+reviewer can tell load-contaminated recordings from plan regressions
+without access to the machine.
 """
 
 from __future__ import annotations
@@ -21,6 +33,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _calibration_probe() -> float:
+    """Fixed-work single-thread probe (~0.3 s idle): repeated 256x256
+    float64 matmuls. Identical work every call — on an unloaded machine the
+    before/after probes agree tightly; external load inflates them, which
+    stamps the contamination into the artifact itself."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((256, 256))
+    b = rng.standard_normal((256, 256))
+    t0 = time.time()
+    for _ in range(120):
+        a = a @ b
+        a /= np.abs(a).max() + 1.0  # keep values bounded, defeat dead-code elim
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -52,21 +81,32 @@ def main() -> None:
     spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    unstable: list[str] = []
+    _calibration_probe()  # warm numpy/BLAS so the timed probe is pure compute
+    probe_start = _calibration_probe()
 
     def timed(name: str, fn) -> None:
-        # best-of-3: this VM shows random multi-10s external pauses with a
-        # ~2-4x spread on identical code (see SCALE.md postmortem and
-        # .claude/skills/verify/SKILL.md gotchas); min-of-three reports the
-        # machine's actual capability instead of scheduler luck
+        # min-of-N with spread control: 3 base runs, then keep re-running
+        # (bounded at 5 total) until the two fastest runs agree within 2x —
+        # min-of-N reports the machine's capability instead of scheduler
+        # luck, and the full run list ships in the JSON so a contaminated
+        # recording is self-evident
         import gc
 
-        best = None
-        for _ in range(3):
+        runs: list[float] = []
+        while True:
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+            srt = sorted(runs)
+            stable = len(runs) >= 3 and srt[1] <= 2.0 * srt[0]
+            if stable or len(runs) >= 5:
+                if not stable:
+                    unstable.append(name)
+                break
+        all_runs[name] = runs
+        timings[name] = round(min(runs), 3)
         # drop dead localCheckpoint/broadcast refs NOW so ContextCleaner
         # reclaims blocks between queries instead of under the next timing
         gc.collect()
@@ -128,6 +168,8 @@ def main() -> None:
         lambda: relational.sessionize(read_table(spark, SF_DIR, "events")).count(),
     )
 
+    probe_end = _calibration_probe()
+    probe_spread = max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -137,6 +179,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "runs": all_runs,
+                "calibration": {
+                    "probe_start_sec": probe_start,
+                    "probe_end_sec": probe_end,
+                },
+                "load_flag": bool(unstable) or probe_spread >= 1.5,
+                "unstable_queries": unstable,
             }
         )
     )

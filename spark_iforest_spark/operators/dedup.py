@@ -98,8 +98,10 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
-        # hot set is bounded by |shingle rows|/cap — broadcastable by definition
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # no forced broadcast: the |rows|/cap bound on the hot set GROWS
+        # with the corpus, so at 100 TB it can exceed the 8 GB broadcast
+        # limit — let AQE pick broadcast when runtime stats say it's small
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -471,8 +473,9 @@ def winnow_pairs(
             .where(F.col("df") > max_fingerprint_df)
             .select("fingerprint")
         )
-        # hot set is bounded by |fps|/cap rows — broadcastable by definition
-        fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+        # no forced broadcast (see ngram_jaccard_pairs): the hot-set bound
+        # grows with the corpus — AQE decides from runtime size
+        fps = fps.join(hot, "fingerprint", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

@@ -42,6 +42,73 @@ def decode_stub(payload: bytes) -> np.ndarray:
     return hist / hist.sum()
 
 
+def decode_png_header(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) PNG decode of the header plane: pure-Python ``struct``
+    parse of the signature + IHDR chunk — no media libs needed. Features:
+    [width, height, bit_depth, color_type, compression, filter, interlace,
+    n_chunks, total_bytes]. Pixel decode would slot in the same way with
+    zlib+Paeth; the metadata plane is what corpus triage filters on
+    (resolution/color-type predicates) before any expensive decode.
+    """
+    import struct
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    n_chunks, off = 0, 8
+    while off + 8 <= len(payload):
+        clen = struct.unpack(">I", payload[off : off + 4])[0]
+        n_chunks += 1
+        off += 12 + clen  # length + type + data + crc
+    return np.array(
+        [w, h, depth, color, comp, filt, interlace, n_chunks, len(payload)],
+        dtype=np.float64,
+    )
+
+
+def decode_wav_header(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) WAV decode of the RIFF/fmt/data headers via
+    ``struct``. Features: [n_channels, sample_rate, bits_per_sample,
+    n_frames, duration_ms, byte_rate, audio_format, data_bytes, total_bytes].
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = None
+    data_size = 0
+    off = 12
+    while off + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[off : off + 8])
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack("<HHIIHH", payload[off + 8 : off + 24])
+        elif cid == b"data":
+            data_size = clen
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    audio_format, n_ch, rate, byte_rate, block_align, bits = fmt
+    n_frames = data_size // block_align if block_align else 0
+    duration_ms = 1000.0 * n_frames / rate if rate else 0.0
+    return np.array(
+        [n_ch, rate, bits, n_frames, duration_ms, byte_rate, audio_format, data_size, len(payload)],
+        dtype=np.float64,
+    )
+
+
+# Builtin header decoders: registered at import so the register_decoder plug
+# point always has real (non-stub) users; decode_stub stays the fallback for
+# media types with no registered decoder (full pixel/sample decode needs
+# libs this container doesn't ship).
+register_decoder("image/png", decode_png_header)
+register_decoder("audio/wav", decode_wav_header)
+
+
 def attach_binary_payload(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -68,23 +135,32 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     feature_dim: int = 16,
+    media_type: str = "text/plain",
+    media_type_col: str | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Output: (id, n_bytes, content_md5, features array<double>). The md5 and
     byte length are computed from the same bytes the decoder sees — they
     double as integrity checks against the SQL oracle.
+
+    Decoder dispatch: ``media_type_col`` names a string column for per-row
+    dispatch (mixed-modality tables); otherwise every row decodes as
+    ``media_type``. A type with no registered decoder falls back to
+    decode_stub; builtin real decoders cover image/png and audio/wav.
     """
+    cols = [id_col, payload_col] + ([media_type_col] if media_type_col else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, n_bytes, md5s, feats = [], [], [], []
-            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+            mts = pdf[media_type_col] if media_type_col else [media_type] * len(pdf)
+            for did, payload, mt in zip(pdf[id_col], pdf[payload_col], mts):
                 raw = bytes(payload)
                 ids.append(did)
                 n_bytes.append(len(raw))
                 md5s.append(hashlib.md5(raw).hexdigest())
-                decoder = _DECODERS.get("text/plain", decode_stub)
+                decoder = _DECODERS.get(mt, decode_stub)
                 feats.append([round(float(x), 6) for x in decoder(raw)[:feature_dim]])
             yield pd.DataFrame(
                 {
@@ -95,7 +171,7 @@ def extract_features(
                 }
             )
 
-    return media.select(id_col, payload_col).mapInPandas(
+    return media.select(*cols).mapInPandas(
         run, schema=f"{id_col} long, n_bytes int, content_md5 string, features array<double>"
     )
 

@@ -113,6 +113,7 @@ def mixture_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "mix",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Token-budget mixture construction: per stratum, a deterministic
     random order (md5-hashed id) with a running token cumsum, keeping every
@@ -120,27 +121,48 @@ def mixture_sample(
     greedy prefix that builds a pretraining mix ("20B tokens of en, 5B of
     es, ...") in one pass.
 
-    One shuffle, partitioned by stratum. With few strata the window's
-    parallelism is #strata — at 100 TB sub-bucket the order key (the same
-    trick as pack_sequences) or run per-stratum jobs; budgets are
-    typically per-language so #strata is small and each partition is a
-    single ordered scan. Output keeps (n_tokens, cum_tokens) so the budget
-    invariant is externally checkable.
+    Scale shape — two-pass cumsum so parallelism is #strata × n_buckets,
+    not #strata: the order key u is range-bucketed (bucket = u div width,
+    monotone in u, so (bucket, u, id) ordering == (u, id) ordering), pass 1
+    aggregates per-(stratum, bucket) token totals (a tiny relation) and a
+    window over it yields each bucket's starting offset; pass 2 cumsums
+    WITHIN each (stratum, bucket) window and adds the broadcast offset.
+    Identical relation to the single-window plan (exact integer sums), but
+    no per-stratum single-task scan at 100 TB. ``n_buckets=1`` degenerates
+    to the single-window plan (used by the equality test). Output keeps
+    (n_tokens, cum_tokens) so the budget invariant is externally checkable.
     """
     u = _md5_u32(F.col(id_col), salt)
     n_tok = F.size(tokens(F.col(text_col)))
     budget = F.lit(0)
     for stratum, b in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == stratum, F.lit(int(b))).otherwise(budget)
-    w = (
+    width = -(-(2**32) // max(1, n_buckets))  # ceil; floor(u/width) ∈ [0, n_buckets)
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        u.alias("u"),
+        n_tok.alias("n_tokens"),
+        budget.alias("_budget"),
+    ).withColumn("_b", F.floor(F.col("u") / F.lit(width)))
+    bucket_tot = base.groupBy(strata_col, "_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_off = (
         Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        strata_col, "_b", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy(strata_col, "_b")
         .orderBy("u", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(F.col(id_col), F.col(strata_col), u.alias("u"), n_tok.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        base.join(F.broadcast(offsets), [strata_col, "_b"])
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w_in))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
 

@@ -48,7 +48,31 @@ def _epoch_s(df: DataFrame, col: str) -> F.Column:
     # loses ULPs and can flip the floor at second boundaries
     if _is_nanos(df, col):
         return F.expr(f"{col} div {NANOS}")
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        # NTZ cannot cast to BIGINT; wall-clock diff = naive-as-UTC epoch
+        # seconds (truncating), consistent with _epoch_ns
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
     return F.col(col).cast("long")
+
+
+def _to_utc_ts(df: DataFrame, col: str) -> F.Column:
+    """Epoch-preserving conversion of an event-time column to TIMESTAMP
+    (LTZ), for operators that need a true timestamp (F.window, watermarks):
+    bigint nanos truncate to micros; TIMESTAMP_NTZ reinterprets the naive
+    value as UTC epoch (timezone-proof, the same reading _epoch_ns uses);
+    TIMESTAMP passes through."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if isinstance(dt, TimestampNTZType):
+        return F.timestamp_micros(
+            F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            )
+        )
+    return F.col(col)
 
 
 def _date_ns(day: str) -> int:
@@ -63,6 +87,11 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
     (returnflag, linestatus) key space."""
     if _is_nanos(lineitem, "l_shipdate"):
         li = lineitem.where(F.col("l_shipdate") < F.lit(_date_ns(ship_before)))
+    elif isinstance(lineitem.schema["l_shipdate"].dataType, TimestampNTZType):
+        # NTZ literal comparison — wall-clock, timezone-proof, pushes to scan
+        li = lineitem.where(
+            F.col("l_shipdate") < F.lit(ship_before).cast("timestamp_ntz")
+        )
     else:
         li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
     disc_price = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -251,10 +280,7 @@ def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregation — identical code path works on a
     streaming DataFrame (see streaming/). Nanos input is truncated to
     micros for F.window; hour-bucket boundaries are unaffected."""
-    if _is_nanos(events, "ts"):
-        ev = events.withColumn("_ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = events.withColumn("_ts", F.col("ts"))
+    ev = events.withColumn("_ts", _to_utc_ts(events, "ts"))
     return (
         ev.groupBy(F.window("_ts", window).alias("w"), F.col("event_type"))
         .agg(
@@ -363,22 +389,33 @@ def validate_table(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
     Every rule is a boolean Column evaluated per row; a NULL verdict counts
     as a VIOLATION (a rule that can't prove itself passes, fails) — the
     conservative direction for data contracts. All rules aggregate in ONE
-    scan (map-side partial agg of k counters, no shuffle of data rows);
-    the per-rule layout comes from unpivoting the single result row with
-    ``stack``, so adding a rule adds a counter, not a pass. At 100 TB this
-    is strictly cheaper than k separate count jobs — the scan dominates and
-    it happens once."""
+    scan (map-side partial agg of k counters, no shuffle of data rows); the
+    per-rule layout comes from unpivoting the single result row with
+    ``explode(array(struct(...)))`` — rule names travel as ``lit`` values,
+    never interpolated into SQL text, so any name (quotes, commas) is safe.
+    Adding a rule adds a counter, not a pass. At 100 TB this is strictly
+    cheaper than k separate count jobs — the scan dominates and it happens
+    once."""
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.when(cond, 0).otherwise(1)).alias(f"_v{i}")
         for i, cond in enumerate(rules.values())
     ]
     names = list(rules)
-    stack_args = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"), F.col(f"_v{i}").alias("n_violations")
+            )
+            for i, n in enumerate(names)
+        ]
+    )
     return (
         df.agg(*aggs)
+        .select(F.explode(pairs).alias("_p"), F.col("_n").alias("n_rows"))
         .select(
-            F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
-            F.col("_n").alias("n_rows"),
+            F.col("_p.rule").alias("rule"),
+            F.col("_p.n_violations").alias("n_violations"),
+            "n_rows",
         )
         .select(
             "rule",

@@ -14,8 +14,9 @@ ZERO extra shuffles, no Python workers. The only shuffle in
 ``semantic_prune`` is the per-cluster ranking window, whose partition count
 is the cluster count: size n_clusters to the corpus (≈ corpus_size/10k) so
 each window partition holds a bounded member list. Nothing is all-pairs.
-(For n_clusters beyond a few hundred, swap the literal-matrix lookup for a
-mapInPandas matmul — same relation, same determinism.)
+For n_clusters beyond a few hundred the literal-matrix lookup automatically
+switches to a vectorized mapInPandas matmul (``kmeans_clusters(...,
+assign=...)``) — same relation, same determinism, plan stays small.
 
 Spark ML's distributed KMeans was deliberately NOT used: its kmeans||
 init samples per-partition, so the fitted model — and therefore the kept
@@ -64,6 +65,11 @@ def _spherical_kmeans(Xn: np.ndarray, k: int, seed: int, max_iter: int) -> np.nd
         sims = Xn @ C.T
         assign = sims.argmax(axis=1)
         new_c = np.empty_like(C)
+        # farthest-first point order for empty-cluster reseeds: each empty
+        # cluster in a round takes the NEXT distinct farthest point, so two
+        # empty clusters never collapse onto the same centroid
+        far_order = np.argsort(sims.max(axis=1), kind="stable")
+        far_pos = 0
         for j in range(k):
             members = Xn[assign == j]
             if len(members):
@@ -71,7 +77,8 @@ def _spherical_kmeans(Xn: np.ndarray, k: int, seed: int, max_iter: int) -> np.nd
                 nv = np.linalg.norm(v)
                 new_c[j] = v / nv if nv > 1e-12 else C[j]
             else:
-                new_c[j] = Xn[int((1.0 - sims.max(axis=1)).argmax())]
+                new_c[j] = Xn[int(far_order[min(far_pos, len(far_order) - 1)])]
+                far_pos += 1
         if np.allclose(new_c, C, rtol=0, atol=1e-12):
             C = new_c
             break
@@ -122,27 +129,82 @@ def kmeans_clusters(
     seed: int = _KMEANS_SEED,
     sample_n: int = 4096,
     max_iter: int = 25,
+    assign: str = "auto",
+    matmul_threshold: int = 256,
 ) -> DataFrame:
     """Cluster assignment: (id, cluster_id, cos_to_centroid).
 
-    Centroids from the deterministic sample fit (module docstring);
-    assignment is argmax-cosine over the literal centroid matrix, computed
-    JVM-side per row — a scan-speed projection with no shuffle, no Python,
-    and identical output on any partition layout. Ties (exactly equal
-    cosines) resolve to the lowest cluster index via array_position's
-    first-match semantics.
+    Centroids from the deterministic sample fit (module docstring); two
+    assignment strategies emitting the same relation:
+
+    * ``assign='literal'`` — argmax-cosine over the literal centroid matrix,
+      computed JVM-side per row: a scan-speed codegen projection with no
+      shuffle and no Python. The right plan while k×d fits comfortably in a
+      plan literal (a few hundred clusters).
+    * ``assign='matmul'`` — one vectorized mapInPandas pass: an Arrow batch
+      of vectors against the centroid matrix as a single BLAS matmul. The
+      large-k path (k in the thousands), where a k-element expression tree
+      per row would bloat the plan and defeat codegen.
+
+    ``assign='auto'`` picks matmul when n_clusters > matmul_threshold. Ties
+    (exactly equal cosines) resolve to the lowest cluster index in both
+    branches (array_position first-match / np.argmax first-max). Zero-norm
+    input vectors (cosine undefined) are pinned to cluster 0 with
+    cos_to_centroid 0.0 in both branches rather than emitting NaN.
     """
+    if assign == "auto":
+        assign = "matmul" if n_clusters > matmul_threshold else "literal"
+    if assign not in ("literal", "matmul"):
+        raise ValueError("assign must be 'auto', 'literal' or 'matmul'")
     cents = _fit_centroids(
         emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter
     )
-    cent_arr = _centroid_literal(cents)
-    v = F.col(vec_col).cast("array<double>")
-    sims = F.transform(cent_arr, lambda c: cosine(v, c))
-    best = F.array_max(sims)
-    return emb.select(
-        F.col(id_col),
-        (F.array_position(sims, best) - 1).cast("int").alias("cluster_id"),
-        F.round(best, 6).alias("cos_to_centroid"),
+    if assign == "literal":
+        from spark_iforest_spark.functions import l2_norm
+
+        cent_arr = _centroid_literal(cents)
+        v = F.col(vec_col).cast("array<double>")
+        nonzero = l2_norm(v) > 0.0
+        sims = F.transform(
+            cent_arr, lambda c: F.when(nonzero, cosine(v, c)).otherwise(F.lit(0.0))
+        )
+        best = F.array_max(sims)
+        return emb.select(
+            F.col(id_col),
+            (F.array_position(sims, best) - 1).cast("int").alias("cluster_id"),
+            F.round(best, 6).alias("cos_to_centroid"),
+        )
+
+    import pandas as pd
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+
+    def assign_fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            sims = (V @ C.T) / (np.maximum(vn, 1e-300)[:, None] * cn[None, :])
+            sims[vn == 0.0] = 0.0
+            best_j = sims.argmax(axis=1)
+            best = sims[np.arange(len(sims)), best_j]
+            # HALF_UP at 6 decimals, matching JVM F.round (np.round is
+            # half-to-even and would disagree on exact .5 boundaries)
+            rounded = np.sign(best) * np.floor(np.abs(best) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": best_j.astype(np.int32),
+                    "cos_to_centroid": rounded,
+                }
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        assign_fn,
+        schema=f"{id_col} {id_type}, cluster_id int, cos_to_centroid double",
     )
 
 

@@ -57,14 +57,50 @@ def _ranked(pairs: DataFrame, k: int, two_phase: bool = True) -> DataFrame:
     )
 
 
-def _auto_two_phase(corpus: DataFrame, k: int, factor: int = 50) -> bool:
-    """Pick the top-k plan from corpus shape: two-phase pays off once a
-    single partition holds ≫ k candidate rows (phase 2 then sees
-    #partitions × k rows per query instead of |corpus|). The count is one
-    cheap metadata-backed job against the corpus source; partition count
-    comes from the compiled plan without running anything."""
+# (session id, analyzed-plan semantic hash) -> (row count, partition count).
+# The heuristic below needs corpus shape once per distinct corpus plan, not
+# once per top-k call — the 6 ANN-family gates all scan the same embeddings
+# source, so a correctness run pays for exactly one count job.
+_SHAPE_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
+
+
+def _corpus_shape(corpus: DataFrame) -> tuple[int, int]:
+    key = None
+    try:  # classic (non-Connect) API; fall back to uncached on anything else
+        key = (
+            id(corpus.sparkSession),
+            corpus._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        pass
+    if key is not None and key in _SHAPE_CACHE:
+        return _SHAPE_CACHE[key]
     n = corpus.count()
     parts = max(1, corpus.rdd.getNumPartitions())
+    if key is not None:
+        _SHAPE_CACHE[key] = (n, parts)
+    return n, parts
+
+
+def _auto_two_phase(
+    corpus: DataFrame, k: int, factor: int = 50, n_rows: int | None = None
+) -> bool:
+    """Pick the top-k plan from corpus shape: two-phase pays off once a
+    single partition holds ≫ k candidate rows (phase 2 then sees
+    #partitions × k rows per query instead of |corpus|). Callers that know
+    the corpus size pass ``n_rows`` and no job runs at all; otherwise the
+    (count, partitions) pair is computed once per distinct corpus plan per
+    session and memoized — repeated top-k calls over the same source (the
+    common case) never re-execute the upstream plan. NOTE: when ``corpus``
+    is a computed DataFrame (not a file scan) the first call does execute
+    it once; pass ``n_rows`` or an explicit ``two_phase`` to avoid that."""
+    if n_rows is not None:
+        try:
+            parts = max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+        except Exception:
+            parts = 32
+        return n_rows / parts > factor * k
+    n, parts = _corpus_shape(corpus)
     return n / parts > factor * k
 
 
@@ -75,6 +111,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_phase: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -82,10 +119,11 @@ def cosine_topk(
     so the corpus is scanned once with no shuffle until the final per-query
     top-k window (rows there are |Q|×|corpus| filtered down; for large Q use
     lsh_topk). Ties break on neighbor_id for determinism. ``two_phase=None``
-    auto-picks the rank plan from corpus size (see _ranked).
+    auto-picks the rank plan from corpus size (see _ranked); ``n_rows`` is
+    an optional caller-known corpus size that makes the auto-pick free.
     """
     if two_phase is None:
-        two_phase = _auto_two_phase(emb, k)
+        two_phase = _auto_two_phase(emb, k, n_rows=n_rows)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
     )
@@ -135,6 +173,7 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 8,
     two_phase: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH bucketing + exact cosine re-rank.
 
@@ -212,7 +251,7 @@ def lsh_topk(
         )
     )
     if two_phase is None:
-        two_phase = _auto_two_phase(emb, k)
+        two_phase = _auto_two_phase(emb, k, n_rows=n_rows)
     return _ranked(cand, k, two_phase)
 
 
@@ -225,6 +264,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     two_phase: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + probed cells.
 
@@ -287,5 +327,5 @@ def ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if two_phase is None:
-        two_phase = _auto_two_phase(emb, k)
+        two_phase = _auto_two_phase(emb, k, n_rows=n_rows)
     return _ranked(cand, k, two_phase)

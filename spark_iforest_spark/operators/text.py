@@ -288,19 +288,19 @@ def tfidf_top_terms(
     )
 
 
-def bm25_topk(
+def bm25_batch_topk(
     docs: DataFrame,
-    query_terms: tuple[str, ...],
+    queries: dict[str, tuple[str, ...]],
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 document retrieval: top-k documents for a bag-of-terms query.
+    """BM25 retrieval for a BATCH of queries: top-k docs per query_id.
 
-    Per matched (doc, term): score = idf(t) * tf*(k1+1) / (tf + k1*(1 - b +
-    b*dl/avgdl)) — the standard Okapi tf-saturation and length
+    Per matched (query, doc, term): score = idf(t) * tf*(k1+1) / (tf +
+    k1*(1 - b + b*dl/avgdl)) — the standard Okapi tf-saturation and length
     normalization. idf uses the smoothed RATIONAL form (N+1)/(df+1) instead
     of the usual log: Spark's Math.log and DuckDB's libm ln differ in the
     last ulp (measured: 39/160 probe values), so a log-based score cannot
@@ -310,47 +310,87 @@ def bm25_topk(
     of partial-aggregation order and bit-identical across engines (the same
     money-units trick as pricing_summary).
 
-    Scale shape: the exploded token stream is filtered to the query terms
-    BEFORE any shuffle (an isin over a tiny literal list, pushed to the
-    scan), so tf's groupBy shuffles only matching (doc, term) rows — corpus
-    scan stays full-width but the shuffle is query-bounded. df is an
-    aggregate of tf's (tiny) output; avgdl is one count/sum job (driver
-    scalars, metadata not data). Final rank is a global sort of the
-    aggregated candidate set; for the multi-query batch case, lift
-    query_terms into a broadcast table and add query_id to every key.
+    Scale shape: the exploded token stream is filtered to the UNION of all
+    query terms before any shuffle (an isin over a driver literal, pushed
+    toward the scan), then mapped to query_ids by a broadcast-hash join
+    against the tiny (query_id, term) table — so tf's groupBy shuffles only
+    matching (query, doc, term) rows. df is per (query_id, term), an
+    aggregate of tf's small output; avgdl is one count/sum job (driver
+    scalars, metadata not data). The final per-query rank is a
+    rank-filtered window that Spark plans as WindowGroupLimit (partial
+    top-k per input partition BEFORE the shuffle, like partial
+    aggregation) — no single-partition global sort anywhere, even for a
+    one-query batch.
     """
-    terms = sorted(set(t.lower() for t in query_terms))
+    spark = docs.sparkSession
+    q_rows = [
+        (qid, t.lower())
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(w.lower() for w in terms))
+    ]
+    all_terms = sorted(set(t for _, t in q_rows))
+    q_table = spark.createDataFrame(q_rows, "query_id string, term string")
     stats = docs.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("tot"),
     ).collect()[0]
     n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
-    toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    ).where(F.col("term").isin(terms))
-    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .where(F.col("term").isin(all_terms))
+        .join(F.broadcast(q_table), "term")
+    )
+    tf = toks.groupBy("query_id", id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0))
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )
     unit = F.floor(F.lit(1e6) * idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
     scored = (
-        tf.join(F.broadcast(df), "term")
-        .groupBy(id_col)
+        tf.join(F.broadcast(df), ["query_id", "term"])
+        .groupBy("query_id", id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
             F.sum(unit).alias("score_micros"),
         )
     )
-    w = Window.orderBy(F.col("score_micros").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(id_col, "rank", "n_hit_terms", "score_micros")
+        .select("query_id", id_col, "rank", "n_hit_terms", "score_micros")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Single-query BM25 top-k: a one-entry batch of ``bm25_batch_topk``.
+
+    Same relation as before the batch refactor (query_id projected away) —
+    and the old global single-partition ``Window.orderBy`` is gone: the
+    rank-filtered window is WindowGroupLimit-planned, so each input
+    partition ships at most k candidates into the final ordering.
+    """
+    out = bm25_batch_topk(
+        docs, {"q0": query_terms}, id_col=id_col, text_col=text_col, k=k, k1=k1, b=b
+    )
+    return out.select(id_col, "rank", "n_hit_terms", "score_micros")
 
 
 def token_typicality(
@@ -437,13 +477,19 @@ def heavy_hitter_tokens(
 
     import pandas as pd
 
+    # Java regex \s (used by the exact pass's JVM split) is ASCII-only:
+    # [ \t\n\x0b\f\r]. Python re \s is Unicode-aware, so splitting with it
+    # here would diverge on U+00A0/U+2028-style whitespace and could break
+    # the candidate-superset guarantee. Match the JVM class exactly.
+    _jvm_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
     def mg_partition(it):
         counters: dict[str, int] = {}
         for pdf in it:
             for txt in pdf[text_col]:
                 if txt is None:
                     continue
-                for tok in _re.split(r"\s+", txt.lower()):
+                for tok in _jvm_ws.split(txt.lower()):
                     if not tok:
                         continue
                     if tok in counters:

@@ -103,10 +103,28 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def nanos_to_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Convert a bigint-nanos column (legacy nanos read) to a timestamp;
-    no-op if it is already a timestamp."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Normalize an event-time column to TIMESTAMP (LTZ) for watermarks.
+
+    * bigint nanos (legacy nanos read) → truncate to micros.
+    * TIMESTAMP_NTZ (the testdata's timestamp[us] parquet) → reinterpret
+      the naive value as UTC epoch micros via wall-clock timestampdiff —
+      watermarks reject NTZ event time, and a plain NTZ→LTZ cast would
+      shift by the session timezone; this conversion is timezone-proof and
+      matches the batch operators' _epoch_ns NTZ branch exactly.
+    * already TIMESTAMP → no-op.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+                )
+            ),
+        )
     return df
 
 
@@ -192,6 +210,58 @@ def dedup_stream(
         )
     return docs.select(F.md5(F.col(text_col)).alias("content_md5")).dropDuplicates(
         ["content_md5"]
+    )
+
+
+def follow_pairs_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream SELF-JOIN: (lead, follow) event pairs from
+    the same user with 0 < follow.ts − lead.ts <= gap — the streaming twin
+    of operators.relational.event_follow_counts' pair relation.
+
+    Both sides carry a watermark and the join condition time-bounds each
+    side against the other, so Spark derives a state-eviction horizon: a
+    buffered lead can be dropped once the follow-side watermark passes
+    lead.ts + gap (state is O(events within watermark+gap), not O(stream)).
+    This is the canonical bounded-state stream-stream join shape; without
+    the time bound the state grows forever and the plan is rejected for
+    append mode. Emits the pair rows (append-deterministic set); the
+    follow-counts aggregate is a batch groupBy over the replayed result —
+    chaining the aggregation INSIDE the stream would need a windowed key to
+    ever emit in append mode, which event_follow_counts' (type, type) key
+    is not.
+
+    Pairs at identical timestamps are excluded (strict >), matching the
+    batch twin, so the pair set never depends on tie order.
+    """
+    if not events.isStreaming:
+        raise ValueError("follow_pairs_stream expects a streaming DataFrame")
+    lead = events.select(
+        F.col("user_id"),
+        F.col(ts_col).alias("lead_ts"),
+        F.col("event_id").alias("lead_id"),
+        F.col("event_type").alias("lead_type"),
+    ).withWatermark("lead_ts", watermark)
+    follow = events.select(
+        F.col("user_id").alias("_follow_user"),
+        F.col(ts_col).alias("follow_ts"),
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+    ).withWatermark("follow_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("_follow_user"))
+        & (F.col("follow_ts") > F.col("lead_ts"))
+        & (
+            F.col("follow_ts")
+            <= F.col("lead_ts") + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        )
+    )
+    return lead.join(follow, cond).select(
+        "user_id", "lead_id", "follow_id", "lead_type", "follow_type"
     )
 
 

@@ -246,6 +246,21 @@ def test_mixture_sample_budget_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_mixture_sample_subbucket_equals_single_window(spark):
+    """The two-pass sub-bucketed cumsum (n_buckets>1, the 100x-parallel
+    plan) must emit the exact relation of the single-window plan
+    (n_buckets=1) on a forced multi-partition layout."""
+    rows = []
+    for i in range(400):
+        lang = ["en", "es", "zh", "fr"][i % 4]
+        rows.append((i * 7 + 3, " ".join(["tok"] * (3 + i % 41)), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(7)
+    budgets = {"en": 500, "es": 120, "fr": 1}
+    single = sorted(map(tuple, pipeline.mixture_sample(df, budgets, n_buckets=1).collect()))
+    bucketed = sorted(map(tuple, pipeline.mixture_sample(df, budgets, n_buckets=8).collect()))
+    assert single == bucketed and len(single) > 0
+
+
 # ---------------------------------------------------------- split_leakage
 def test_split_leakage_detects_cross_split_dups(spark):
     # same text under 60 different ids: ids hash across splits, so the

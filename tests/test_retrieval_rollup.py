@@ -65,6 +65,60 @@ def test_bm25_no_python_nodes(spark):
     assert python_eval_nodes(text.bm25_topk(docs, ("spark",))) == []
 
 
+def test_bm25_batch_topk_per_query_isolation(spark):
+    # two queries over one corpus in ONE plan; each query's ranking ignores
+    # the other's terms entirely
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark filler"),
+            (2, "vector vector filler"),
+            (3, "filler filler filler"),
+        ],
+    )
+    out = text.bm25_batch_topk(docs, {"qa": ("spark",), "qb": ("vector",)}, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert [r["doc_id"] for r in by_q["qa"]] == [1]
+    assert [r["doc_id"] for r in by_q["qb"]] == [2]
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_bm25_single_query_equals_batch(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark vector query filler"),
+            (2, "spark spark spark filler"),
+            (3, "filler filler filler filler"),
+        ],
+    )
+    single = sorted(
+        map(tuple, text.bm25_topk(docs, ("spark", "vector"), k=10).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            text.bm25_batch_topk(docs, {"q0": ("spark", "vector")}, k=10)
+            .select("doc_id", "rank", "n_hit_terms", "score_micros")
+            .collect(),
+        )
+    )
+    assert single == batch and len(single) == 2
+
+
+def test_bm25_rank_is_window_group_limited(spark):
+    """Round-4 perf fix: the final rank must be WindowGroupLimit-planned
+    (partial per-partition top-k before the shuffle), not a bare global
+    single-partition Window sort."""
+    from spark_iforest_spark.plans import formatted_plan
+
+    docs = _docs(spark, [(1, "spark a")])
+    plan = formatted_plan(text.bm25_topk(docs, ("spark",)))
+    assert "WindowGroupLimit" in plan
+
+
 # ------------------------------------------------------- token_typicality
 def test_token_typicality_prefers_common_tokens(spark):
     # "common" appears 8x corpus-wide, each rare token once; the all-common

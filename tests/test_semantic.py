@@ -85,6 +85,53 @@ def test_semantic_prune_checks_all_green(spark, sf_dir):
     assert row["boundary_ordered"] and row["ids_preserved"]
 
 
+def test_kmeans_matmul_branch_matches_literal(spark, sf_dir):
+    """The large-k mapInPandas matmul assignment must emit the same relation
+    as the codegen literal-matrix branch at the gate params."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit = sorted(
+        map(tuple, semantic.kmeans_clusters(emb, n_clusters=8, assign="literal").collect())
+    )
+    mm = sorted(
+        map(tuple, semantic.kmeans_clusters(emb, n_clusters=8, assign="matmul").collect())
+    )
+    assert lit == mm and len(lit) > 0
+
+
+def test_kmeans_zero_vector_pinned_not_nan(spark):
+    """A zero-norm vector has no cosine; both branches must pin it to
+    cluster 0 with cos 0.0 instead of emitting NaN / cluster_id -1."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (10, [0.0, 1.0]),
+        (11, [0.01, 0.99]),
+        (99, [0.0, 0.0]),
+    ]
+    emb = _emb(spark, rows)
+    for assign in ("literal", "matmul"):
+        out = {
+            r["vec_id"]: r
+            for r in semantic.kmeans_clusters(emb, n_clusters=2, assign=assign).collect()
+        }
+        assert out[99]["cluster_id"] == 0
+        assert out[99]["cos_to_centroid"] == 0.0
+
+
+def test_spherical_kmeans_empty_cluster_reseeds_distinct():
+    """Two clusters emptied in the same Lloyd round must reseed to DISTINCT
+    farthest points, not collapse onto one duplicate centroid."""
+    import numpy as np
+
+    # 6 distinct unit directions; k=4 with a seed whose kmeans++ init picks
+    # near-duplicate starts forces empty-cluster reseeds during Lloyd
+    angles = np.array([0.0, 0.03, 0.06, 1.5, 1.53, 3.0])
+    Xn = np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    C = semantic._spherical_kmeans(Xn, k=4, seed=7, max_iter=25)
+    # no duplicate centroids when >= k distinct points exist
+    assert len({tuple(np.round(c, 9)) for c in C}) == len(C)
+
+
 # ------------------------------------------------------ validate_table
 def test_validate_table_null_is_violation(spark):
     from pyspark.sql import functions as F
@@ -107,6 +154,17 @@ def test_validate_table_null_is_violation(spark):
     assert out["k_not_null"]["n_violations"] == 0
     assert out["k_not_null"]["pass"] is True
     assert all(r["n_rows"] == 3 for r in out.values())
+
+
+def test_validate_table_rule_names_with_quotes_and_commas(spark):
+    """Rule names are lit values, not SQL text — quotes/commas in a name
+    must label rows verbatim, not break parsing (round-4 ADVICE fix)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    name = "k 'is', positive, really"
+    out = {r["rule"]: r for r in relational.validate_table(df, {name: F.col("k") > 0}).collect()}
+    assert out[name]["pass"] is True and out[name]["n_rows"] == 2
 
 
 # --------------------------------------------------------- time rollup

@@ -90,6 +90,75 @@ def test_binary_file_ingestion_end_to_end(spark, tmpdir):
     assert per_doc == {i: len(d) for i, d in payloads.items()}
 
 
+def test_png_wav_header_decoders_end_to_end(spark, tmpdir):
+    """Round-4: the register_decoder plug point proven with REAL formats —
+    pure-struct PNG/WAV header parsers, exercised from the binaryFile
+    source through per-row media-type dispatch. The stub stays the
+    fallback for unregistered types."""
+    import os
+    import struct
+
+    from spark_iforest_spark.operators import multimodal
+    from spark_iforest_spark.sources import read_binary_files
+
+    def png_bytes(w, h, depth=8, color=2):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+            + struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
+        )
+
+    def wav_bytes(n_ch, rate, bits, n_frames):
+        block = n_ch * bits // 8
+        data = b"\x00" * (n_frames * block)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    media_dir = str(tmpdir) + "/typed_media"
+    os.makedirs(media_dir)
+    files = {
+        0: ("img.png", png_bytes(640, 480)),
+        1: ("clip.wav", wav_bytes(2, 44100, 16, 22050)),
+        2: ("blob.bin", b"opaque-payload-no-decoder"),
+    }
+    for i, (name, data) in files.items():
+        with open(f"{media_dir}/{i}_{name}", "wb") as fh:
+            fh.write(data)
+
+    media = read_binary_files(spark, media_dir + "/*").select(
+        F.regexp_extract(F.col("path"), r"/(\d+)_", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.when(F.col("path").endswith(".png"), "image/png")
+        .when(F.col("path").endswith(".wav"), "audio/wav")
+        .otherwise("application/octet-stream")
+        .alias("media_type"),
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.extract_features(media, media_type_col="media_type").collect()
+    }
+    # PNG header plane: [w, h, depth, color, comp, filt, interlace, n_chunks, bytes]
+    assert out[0].features[:4] == [640.0, 480.0, 8.0, 2.0]
+    assert out[0].features[7] == 2.0  # IHDR + IEND
+    # WAV header plane: [ch, rate, bits, frames, dur_ms, byte_rate, fmt, data, bytes]
+    assert out[1].features[:4] == [2.0, 44100.0, 16.0, 22050.0]
+    assert out[1].features[4] == 500.0  # 22050 frames @ 44.1kHz = 500 ms
+    # unregistered type falls back to the stub histogram (L1-normalized)
+    assert abs(sum(out[2].features) - 1.0) < 1e-6
+    # direct decoder behavior: malformed payloads raise like real decoders
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_png_header(b"not a png")
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav_header(b"RIFFxxxxNOPE")
+
+
 def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     docs = sources.read_table(spark, sf_dir, "documents")
     out = str(tmp_path / "docs_jsonl")

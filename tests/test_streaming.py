@@ -142,6 +142,42 @@ def test_enrich_stream_replay_matches_batch_join(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_follow_pairs_stream_replay_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream self-join: the replayed pair set,
+    aggregated to follow-counts, must equal the batch
+    event_follow_counts relation on the same events table."""
+    from spark_iforest_spark.operators import relational
+    from spark_iforest_spark.sources import read_table
+
+    ev = S.nanos_to_ts(S.read_stream_table(spark, sf_dir, "events"), "ts")
+    pairs = S.run_to_batch(
+        S.follow_pairs_stream(ev, gap_seconds=300), "follow_replay", "append"
+    )
+    got = sorted(
+        map(
+            tuple,
+            pairs.groupBy("lead_type", "follow_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            relational.event_follow_counts(
+                read_table(spark, sf_dir, "events"), gap_seconds=300
+            ).collect(),
+        )
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_follow_pairs_stream_rejects_batch_input(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        S.follow_pairs_stream(df)
+
+
 def test_enrich_stream_rejects_batch_input(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
