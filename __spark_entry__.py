@@ -649,11 +649,13 @@ def queries() -> _T:
         "rolling_event_stats": lambda s, d: relational.rolling_event_stats(
             _read(s, d, "events")
         ),
-        # BM25 retrieval: integer-unit scores (micros) so the per-doc sums
-        # are order-independent and the DuckDB twin is bit-identical
-        # (log-free rational idf, see docstring). WindowGroupLimit rank.
-        "bm25_topk": lambda s, d: text.bm25_topk(
-            _read(s, d, "documents"), _BM25_TERMS
+        # BM25 retrieval, BATCH form: two queries through one broadcast
+        # (query_id, term) table in a single plan. Integer-unit scores
+        # (micros) so the per-doc sums are order-independent and the DuckDB
+        # twin is bit-identical (log-free rational idf, see docstring).
+        # WindowGroupLimit rank — no global single-partition sort.
+        "bm25_topk": lambda s, d: text.bm25_batch_topk(
+            _read(s, d, "documents"), _BM25_QUERIES
         ),
         # wide daily activity matrix (explicit pivot values: one aggregate,
         # stable schema) and latest-per-key changelog compaction
@@ -720,8 +722,22 @@ _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
 # same integer edges from these dicts)
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
 _MIX_BUDGETS = {"en": 5000, "es": 2000, "zh": 1000}
-# bm25 gate query — terms present in the synthetic vocabulary
-_BM25_TERMS = ("query", "spark", "vector")
+# bm25 gate queries — terms present in the synthetic vocabulary; TWO
+# queries so the gate exercises the batch path's per-query isolation
+# (per-query df, broadcast query table, WindowGroupLimit rank)
+_BM25_QUERIES = {
+    "q0": ("query", "spark", "vector"),
+    "q1": ("hash", "join", "merge"),
+}
+
+
+def _bm25_values_sql() -> str:
+    rows = [
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(_BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    ]
+    return ", ".join(rows)
 
 
 # md5-hex -> u32, identical to pipeline._md5_u32 (DuckDB parses '0x..' casts)
@@ -1590,13 +1606,14 @@ def oracle_sql() -> dict[str, str]:
         # parenthesis (left-assoc), so every double is correctly rounded the
         # same way in both engines; scores floor to integer micros before the
         # sum, making the aggregate order-independent
-        "bm25_topk": """
+        "bm25_topk": f"""
             WITH stats AS (
               SELECT count(*) AS n,
                      CAST(sum(len(regexp_split_to_array(lower(text), '\\s+')))
                           AS BIGINT) AS tot
               FROM documents
             ),
+            q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             toks AS (
               SELECT doc_id,
                      len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
@@ -1604,24 +1621,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             tf AS (
-              SELECT doc_id, dl, term, count(*) AS tf
-              FROM toks WHERE term IN ('query', 'spark', 'vector')
-              GROUP BY 1, 2, 3
+              SELECT q.query_id, t.doc_id, t.dl, t.term, count(*) AS tf
+              FROM toks t JOIN q ON t.term = q.term
+              GROUP BY 1, 2, 3, 4
             ),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            df AS (SELECT query_id, term, count(*) AS df FROM tf GROUP BY 1, 2),
             scored AS (
-              SELECT tf.doc_id,
+              SELECT tf.query_id, tf.doc_id,
                      count(*) AS n_hit_terms,
                      CAST(sum(CAST(floor(
                        1000000.0 * ((stats.n + 1.0) / (df.df + 1.0))
                        * (tf.tf * 2.2)
                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (stats.tot / stats.n)))
                      ) AS BIGINT)) AS BIGINT) AS score_micros
-              FROM tf JOIN df USING (term) CROSS JOIN stats
-              GROUP BY tf.doc_id
+              FROM tf JOIN df USING (query_id, term) CROSS JOIN stats
+              GROUP BY tf.query_id, tf.doc_id
             )
-            SELECT doc_id, rank, n_hit_terms, score_micros FROM (
-              SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id ASC)
+            SELECT query_id, doc_id, rank, n_hit_terms, score_micros FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_micros DESC, doc_id ASC)
                           AS rank
               FROM scored
             ) WHERE rank <= 10

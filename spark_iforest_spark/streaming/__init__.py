@@ -102,6 +102,43 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+_RATE_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def rate_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 500,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Synthetic UNBOUNDED event stream from Spark's built-in ``rate``
+    source, shaped like the events table (event_id, ts, user_id,
+    event_type, value).
+
+    The file source replays a fixed directory and finishes — it can never
+    exercise live trigger semantics (micro-batch cadence, backpressure,
+    a query that must be stopped rather than awaited). The rate source is
+    the standard generator for exactly that: deterministic monotonically
+    increasing ``value`` longs at a controlled rate, event-time = wall
+    clock, no external dependencies. Columns derive arithmetically from
+    ``value`` so any downstream invariant (type distribution, user
+    cardinality) is checkable without coordinating with the generator.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    types = F.array(*[F.lit(t) for t in _RATE_EVENT_TYPES])
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(types, (F.col("value") % 5 + 1).cast("int")).alias("event_type"),
+        (F.col("value") % 1000 / F.lit(10.0)).alias("value"),
+    )
+
+
 def nanos_to_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize an event-time column to TIMESTAMP (LTZ) for watermarks.
 

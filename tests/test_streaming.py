@@ -172,6 +172,37 @@ def test_follow_pairs_stream_replay_matches_batch(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_rate_source_windowed_agg_live_trigger(spark):
+    """Non-file streaming source: the windowed agg runs over the built-in
+    rate source with a live micro-batch trigger, is stopped (not awaited),
+    and must have produced schema-correct aggregates whose event types come
+    from the arithmetic mapping."""
+    import time as _time
+
+    ev = S.rate_events_stream(spark, rows_per_second=200, num_partitions=2)
+    agg = S.windowed_agg_stream(ev, window="1 second", watermark="2 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_agg")
+        .outputMode("complete")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 20
+        rows = []
+        while _time.time() < deadline:
+            _time.sleep(0.5)
+            rows = spark.table("rate_agg").collect()
+            if len(rows) >= 2 and sum(r["n_events"] for r in rows) >= 100:
+                break
+    finally:
+        q.stop()
+    assert sum(r["n_events"] for r in rows) >= 100
+    assert {r["event_type"] for r in rows} <= set(S._RATE_EVENT_TYPES)
+    assert all(r["window_start"] % 1 == 0 and r["sum_value"] >= 0 for r in rows)
+
+
 def test_follow_pairs_stream_rejects_batch_input(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError):
