@@ -219,27 +219,16 @@ def _streaming_follow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text-analysis panel: token stats ⋈ lang-id ⋈ quality ⋈
-    fingerprints ⋈ repetition ⋈ unigram-LM typicality, one row per doc_id.
-    Merges six formerly separate gates into one relation (all six operators
-    still run; the oracle joins their six SQL twins the same way).
-    Typicality's (n_tokens, sum_ppb) are renamed lm_* — its token filter
-    (term != '') counts differently from token_stats' raw split."""
-    docs = _read(spark, sf_dir, "documents")
-    parts = [
-        text.token_stats(docs),
-        text.lang_id(docs),
-        text.quality_score(docs),
-        text.fingerprint(docs),
-        pipeline.repetition_stats(docs).withColumnRenamed("n_tokens", "rep_n_tokens"),
-        text.token_typicality(docs)
-        .withColumnRenamed("n_tokens", "lm_n_tokens")
-        .withColumnRenamed("sum_ppb", "lm_sum_ppb"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.join(p, "doc_id")
-    return out
+    """Per-document text-analysis panel: token stats + lang-id + quality +
+    fingerprints + repetition + unigram-LM typicality, one row per doc_id.
+    Merges six formerly separate gates into one relation via
+    text.signals_panel — a SINGLE-SCAN fused projection (the expression
+    builders are shared with the standalone operators, pinned equal by a
+    pytest equality test) plus typicality's vocab join; the oracle joins
+    the six SQL twins. Typicality's (n_tokens, sum_ppb) surface as lm_*
+    — its token filter (term != '') counts differently from token_stats'
+    raw split."""
+    return text.signals_panel(_read(spark, sf_dir, "documents"))
 
 
 def _event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

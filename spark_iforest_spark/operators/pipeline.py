@@ -236,6 +236,12 @@ def repetition_stats(
     O(|tokens|·|distinct|) per row, fine for documents (≤ a few k tokens) and
     still embarrassingly parallel at corpus scale. No shuffle.
     """
+    return docs.select(F.col(id_col), *repetition_cols(text_col))
+
+
+def repetition_cols(text_col: str = "text") -> list:
+    """Aliased repetition-signal expressions (shared by repetition_stats
+    and text.signals_panel)."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     top = F.array_max(
@@ -252,8 +258,7 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     ng = F.size(grams)
-    return docs.select(
-        F.col(id_col),
+    return [
         n.alias("n_tokens"),
         F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
             "dup_token_frac"
@@ -262,7 +267,7 @@ def repetition_stats(
         F.when(ng > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / ng, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-    )
+    ]
 
 
 def decontaminate(

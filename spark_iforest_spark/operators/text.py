@@ -18,16 +18,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 from spark_iforest_spark.functions import EN_STOPWORDS, LANG_STOPWORDS, tokens
 
 
-def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document token counts: whitespace tokens + a BPE-ish subword count.
-
-    ``n_subwords`` approximates a BPE token budget with the common
-    [A-Za-z0-9]+-or-single-symbol regex split — a deterministic, cheap
-    stand-in for a real tokenizer at corpus-triage time.
-    """
+def token_stat_cols(text_col: str = "text") -> list:
+    """Aliased per-row token-stat expressions (shared by token_stats and
+    the fused signals_panel — one definition, one hash-pinned semantics)."""
     toks = tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col),
+    return [
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.round(
@@ -36,7 +31,17 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             6,
         ).alias("avg_token_len"),
         F.size(F.split(F.col(text_col), r"[^A-Za-z0-9]+")).alias("n_subwords"),
-    )
+    ]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens + a BPE-ish subword count.
+
+    ``n_subwords`` approximates a BPE token budget with the common
+    [A-Za-z0-9]+-or-single-symbol regex split — a deterministic, cheap
+    stand-in for a real tokenizer at corpus-triage time.
+    """
+    return docs.select(F.col(id_col), *token_stat_cols(text_col))
 
 
 def lang_id(
@@ -55,6 +60,13 @@ def lang_id(
     not the label.) ``keep`` passes extra input columns through so callers
     composing per-row gates (corpus.clean_corpus) stay single-scan.
     """
+    return docs.select(
+        F.col(id_col), *[F.col(c) for c in keep], *lang_id_cols(text_col)
+    )
+
+
+def lang_id_cols(text_col: str = "text") -> list:
+    """Aliased lang-id expressions (shared by lang_id / signals_panel)."""
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     ratios = {}
@@ -72,12 +84,10 @@ def lang_id(
         .when(r["de"] >= 0.05, F.lit("de"))
         .otherwise(F.lit("unk"))
     )
-    return docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
+    return [
         F.round(r["en"], 6).alias("en_stopword_ratio"),
         pred.alias("lang_pred"),
-    )
+    ]
 
 
 def quality_score(
@@ -98,6 +108,14 @@ def quality_score(
     aggregations (corpus.source_quality_report) stay single-scan instead of
     re-joining the score back to the input by id.
     """
+    return docs.select(
+        F.col(id_col), *[F.col(c) for c in keep], *quality_cols(text_col)
+    )
+
+
+def quality_cols(text_col: str = "text") -> list:
+    """Aliased quality-score expressions (shared by quality_score /
+    signals_panel)."""
     toks = tokens(F.lower(F.col(text_col)))
     n_tokens = F.size(toks)
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
@@ -112,14 +130,22 @@ def quality_score(
     score = (
         0.3 * length_score + 0.3 * stop_score + 0.2 * tok_len_score + 0.2 * symbol_score
     )
-    return docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
+    return [
         F.round(length_score, 6).alias("length_score"),
         F.round(stop_score, 6).alias("stopword_score"),
         F.round(symbol_score, 6).alias("symbol_score"),
         F.round(score, 6).alias("quality"),
-    )
+    ]
+
+
+def fingerprint_cols(text_col: str = "text") -> list:
+    """Aliased fingerprint expressions (shared by fingerprint /
+    signals_panel)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
+    return [
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("exact_hash"),
+    ]
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -127,12 +153,45 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     md5 over the sorted distinct lowercase token set. Word-order-insensitive,
     so reordered near-duplicates collide; exact string duplicates always do.
     """
-    toks = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
-    return docs.select(
+    return docs.select(F.col(id_col), *fingerprint_cols(text_col))
+
+
+def signals_panel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused per-document signal panel: token stats + lang-id + quality +
+    fingerprints + repetition signals in ONE single-scan projection, plus
+    the unigram-LM typicality columns (renamed ``lm_*``) via its vocab
+    join.
+
+    This is the production shape for corpus triage at 100 TB: running the
+    five per-row operators separately and joining on doc_id costs five
+    scans and five shuffles; here every per-row column comes from the same
+    projection the optimizer fuses into the scan (the expression builders
+    are SHARED with the individual operators, so values are identical by
+    construction — pinned by an equality test), and the only join is the
+    vocabulary-keyed one typicality genuinely needs. ``rep_n_tokens`` is
+    repetition_stats' n_tokens (raw split) and ``lm_n_tokens`` is
+    typicality's (empty-filtered) — kept distinct on purpose.
+    """
+    from spark_iforest_spark.operators.pipeline import repetition_cols
+
+    rep = repetition_cols(text_col)
+    per_row = docs.select(
         F.col(id_col),
-        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
-        F.md5(F.col(text_col)).alias("exact_hash"),
+        *token_stat_cols(text_col),
+        *lang_id_cols(text_col),
+        *quality_cols(text_col),
+        *fingerprint_cols(text_col),
+        rep[0].alias("rep_n_tokens"),
+        *rep[1:],
     )
+    lm = (
+        token_typicality(docs, id_col, text_col)
+        .withColumnRenamed("n_tokens", "lm_n_tokens")
+        .withColumnRenamed("sum_ppb", "lm_sum_ppb")
+    )
+    return per_row.join(lm, id_col)
 
 
 def corpus_vocab(
