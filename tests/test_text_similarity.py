@@ -275,3 +275,36 @@ def test_source_quality_report(spark):
     assert out["books"].n_docs == 1 and out["books"].n_dup_docs == 0
     assert out["web"].mean_tokens == round((12 + 12 + 3) / 3, 6)
     assert 0.0 < out["web"].mean_quality <= 1.0
+
+
+def test_lsh_topk_layout_invariant(spark, sf_dir):
+    """sign-LSH ANN is a pure function of (data, seed): hyperplanes are
+    seeded and ties break on neighbor_id, so the relation must not change
+    with partition layout (the cross-session determinism probe from the
+    verify notes)."""
+    from spark_iforest_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    a = sorted(map(tuple, similarity.lsh_topk(emb.repartition(3), q, bits=4, tables=8).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk(emb.repartition(17), q, bits=4, tables=8).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_auto_two_phase_count_memoized(spark, sf_dir):
+    """Round-4 fix: the corpus-shape probe runs at most one count job per
+    distinct corpus plan per session — repeated top-k builds over the same
+    source reuse the cached (rows, partitions) pair."""
+    from spark_iforest_spark.operators import similarity
+
+    similarity._SHAPE_CACHE.clear()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    for _ in range(3):
+        similarity.cosine_topk(emb, q)  # plan construction triggers the probe
+        similarity.lsh_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), q)
+    assert len(similarity._SHAPE_CACHE) == 1
+    # explicit n_rows hint: no probe at all
+    similarity._SHAPE_CACHE.clear()
+    similarity.cosine_topk(emb, q, n_rows=500)
+    assert len(similarity._SHAPE_CACHE) == 0
