@@ -254,7 +254,8 @@ def _event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join gate: readStream(events) ⋈ broadcast static orders
     snapshot, aggregated in complete mode — the replay must equal the batch
-    join relation (same oracle as salted_join_check)."""
+    join relation (checked inside enriched_agg_check's variant union,
+    against the same plain-join oracle as the salted batch variant)."""
     from spark_iforest_spark import streaming as stm
 
     _ensure_workers_import(spark)
