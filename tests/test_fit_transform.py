@@ -166,3 +166,34 @@ def test_fractional_psi_norm_factor(spark):
     s10 = model.transform(df).collect()[0]["anomalyScore"]
     s5 = model.transform(small).collect()[0]["anomalyScore"]
     assert s10 != pytest.approx(s5)  # same row scores differently — by design
+
+
+def test_fit_layout_invariant(spark, sf_dir):
+    """The whole fit->score path must be a pure function of (data, seed):
+    rids come from a full-64-bit-hash order (not partition layout), the
+    assign table is driver-side numpy, and tree induction depends on each
+    group's row MULTISET (per-feature min/max + counts), not arrival
+    order. Fit on two different layouts and compare score relations."""
+    from pyspark.sql import functions as F
+
+    from spark_iforest_spark import IForest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    outs = []
+    for parts in (3, 17):
+        m = IForest(
+            numTrees=20, maxSamples=64.0, maxDepth=8, contamination=0.1, seed=11
+        ).fit(emb.repartition(parts))
+        outs.append(
+            sorted(
+                map(
+                    tuple,
+                    m.transform(emb)
+                    .select("vec_id", F.round("anomalyScore", 9), "prediction")
+                    .collect(),
+                )
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) > 0
