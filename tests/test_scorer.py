@@ -98,3 +98,30 @@ def test_deeper_rows_score_lower():
     forest = pack_forest([tree])
     scores = anomaly_scores(forest, np.array([[5.0], [15.0]]), 16.0)
     assert scores[0] > scores[1]
+
+
+def test_exact_threshold_orderstat_matches_approx_quantile(spark):
+    """The order-statistic threshold plan must return EXACTLY Spark's
+    approxQuantile(relErr=0) value: rank = ceil(q*n) ascending, threshold =
+    min of the top (n-rank+1). Probed across sizes, contaminations, and
+    heavy duplicates (3-decimal values)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    for n, cont in [(97, 0.1), (100, 0.25), (64, 0.5), (33, 0.9), (50, 1.0), (10, 0.3), (7, 0.01)]:
+        vals = np.round(rng.random(n), 3)
+        df = spark.createDataFrame([(float(v),) for v in vals], "s double")
+        q = 1.0 - cont
+        aq = df.approxQuantile("s", [q], 0.0)[0]
+        rank = math.ceil(q * n)
+        k = n - rank + 1
+        os_ = (
+            df.orderBy(F.col("s").desc())
+            .limit(int(k))
+            .agg(F.min("s"))
+            .collect()[0][0]
+        )
+        assert os_ == aq, (n, cont, os_, aq)
