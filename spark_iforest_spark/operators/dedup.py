@@ -102,6 +102,11 @@ def ngram_jaccard_pairs(
         # with the corpus, so at 100 TB it can exceed the 8 GB broadcast
         # limit — let AQE pick broadcast when runtime stats say it's small
         sh = sh.join(hot, "sh", "left_anti")
+    # sh feeds three plan branches (both self-join sides + sizes):
+    # localCheckpoint so tokenize→shingle→hash→explode runs once, not three
+    # times. Bounded: Σ|shingle| rows × 16 B, spillable; same
+    # reclaim/fault-tolerance tradeoff as minhash_lsh_pairs' signatures.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
