@@ -970,11 +970,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
-        # dedup_simhash intentionally has NO oracle: its output is defined by
-        # simhash semantics (hamming <= 3 over xxhash64-based 64-bit sketches
-        # + jaccard verify) — the hash internals aren't SQL-expressible, and
-        # unlike minhash the simhash S-curve on short docs cannot guarantee
-        # recall of all jaccard>=t pairs. Deterministic => rows-only check.
+        # Full value oracle for simhash (round 5 — was the last rows-only
+        # family): the operator hashes shingles with md5-64 instead of
+        # xxhash64 precisely so DuckDB can recompute the identical bit
+        # patterns, rebuild each doc's 64-bit sketch (majority vote per bit),
+        # brute-force hamming<=3 pairs (pigeonhole recall makes this the
+        # same pair set as Spark's banded join), and re-verify exact jaccard.
+        "dedup_simhash": f"""
+            WITH {_SHINGLES_CTE},
+            hs AS (
+              SELECT doc_id,
+                     list_transform(shs,
+                        s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS hl
+              FROM shset
+            ),
+            sim AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(range(0, 64), b ->
+                       CASE WHEN 2 * len(list_filter(hl,
+                                     x -> ((x >> b) & 1) = 1)) > len(hl)
+                            THEN (1::UBIGINT << b) ELSE 0::UBIGINT END))
+                       AS UBIGINT) AS sim
+              FROM hs
+            ),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ),
+            inter AS (
+              SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM cand c
+            JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1736,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
                 "top_parts_per_brand",
                 "customers_without_orders",
                 "ann_cosine_topk",
+                "dedup_simhash",
                 "clean_corpus",
                 "multimodal_features",
                 "hash_split",

@@ -78,6 +78,30 @@ def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     )
 
 
+def _md5_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(did, shset array<long>) — distinct word n-grams hashed to the first
+    64 bits of their md5, assembled as ``(hi32 << 32) | lo32`` from two
+    ``conv(hex, 16, 10)`` parses (conv output fits a signed long per half;
+    the shift wraps to the signed reinterpretation of the u64).
+
+    md5 instead of xxhash64 deliberately: simhash's output VALUES depend on
+    the hash bit patterns (unlike Jaccard, which is hash-invariant), and md5
+    is the one 64-bit-prefixable hash both Spark and DuckDB implement
+    identically — it is what makes the ``dedup_simhash`` gate fully
+    value-checkable by the external oracle. Jaccard-based operators keep the
+    cheaper xxhash64."""
+    def _h64(s: F.Column) -> F.Column:
+        md = F.md5(s)
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    return docs.select(
+        F.col(id_col).alias("did"),
+        F.transform(word_shingles(tokens(F.col(text_col)), n), _h64).alias("shset"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -294,8 +318,13 @@ def simhash_pairs(
     contract on short documents (the ±1 accumulator over ~1e2 shingles is
     noisy: empirically j=0.92 pairs can reach hamming 16/64), so this
     operator's output is defined by simhash semantics — not interchangeable
-    with the exact-Jaccard relation like minhash_lsh_pairs' is. Deterministic
-    in (data, n, thresholds): rows-only correctness check.
+    with the exact-Jaccard relation like minhash_lsh_pairs' is.
+
+    Shingles hash via md5-64 (``_md5_shingles``), not xxhash64: the output
+    values depend on the hash bits, and md5 is reproducible in DuckDB, so
+    the external oracle recomputes the full simhash → hamming → jaccard
+    pipeline and value-checks this relation exactly (pigeonhole recall makes
+    brute-force hamming<=max_hamming the same pair set as the banded join).
     """
     num_bands = max_hamming + 1
     band_bits = 64 // num_bands
@@ -314,7 +343,7 @@ def simhash_pairs(
                 out_sim.append(int(np.int64(sh64)))  # reinterpret as signed
             yield pd.DataFrame({"did": out_ids, "sim": out_sim})
 
-    shs = _hashed_shingles(docs, id_col, text_col, n)
+    shs = _md5_shingles(docs, id_col, text_col, n)
     sims = shs.mapInPandas(simhash, schema="did long, sim long")
     # band split JVM-side via posexplode: (band index, 16-bit bucket value)
     bands = sims.select(
