@@ -3,9 +3,13 @@
 ``queries()`` maps every implemented operator (SURVEY.md §2 parity surface
 plus the training-data-pipeline extensions) to a (spark, sf_dir) callable;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one. Isolation-forest and LSH-internal queries are
-deliberately oracle-free (RNG/hash internals aren't SQL-expressible); they
-are deterministic in (data, seed) so the rows-only check is stable.
+SQL-expressible one. Isolation-forest and approximate-ANN internals are
+the only oracle-free relations (RNG internals aren't SQL-expressible);
+each is deterministic in (data, seed) AND anchored by a hash-checked twin
+gate — ``iforest_checks`` (which includes a driver-side numpy bit-exact
+rescore of the flagship scores) and ``ann_recall``. Since round 5 simhash
+hashes shingles with md5-64, so even ``dedup_simhash`` is fully
+value-checked by DuckDB.
 """
 
 from __future__ import annotations
@@ -138,13 +142,43 @@ def _iforest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_rescore_ok(model, df) -> bool:
+    """Driver-side numpy self-oracle for the flagship scoring path: collect
+    (features, anomalyScore) for a bounded deterministic slice and recompute
+    the scores in-process with the SAME PackedForest via
+    ``scorer.anomaly_scores`` — no Arrow transfer, no broadcast, no
+    pandas_udf batching. Bit-exact equality (np.array_equal) pins the whole
+    distributed serialization/udf pipeline, upgrading ``iforest_score`` from
+    invariant-checked to value-checked. The slice cap keeps the collect
+    bounded at any sf (scoring is per-row independent, so a subset check is
+    exact for those rows)."""
+    import numpy as np
+
+    from spark_iforest_spark import scorer
+
+    rows = (
+        model.transform(df)
+        .select("features", "anomalyScore")
+        .orderBy("vec_id")
+        .limit(10_000)
+        .collect()
+    )
+    x = np.array([r["features"] for r in rows], dtype=np.float64)
+    got = np.array([r["anomalyScore"] for r in rows], dtype=np.float64)
+    psi = float(model.getMaxSamples())  # gate model uses absolute maxSamples
+    exp = scorer.anomaly_scores(model._packed_forest(), x, psi)
+    return bool(np.array_equal(got, exp))
+
+
 def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable twin of the flagship iforest path: every column is
     either SQL-derivable from the input (n_scored) or a pinned invariant of
     the isolation-forest contract — scores in (0,1), threshold in (0,1),
-    anomaly count within ±50% of contamination·n, and the prediction column
-    consistent with the summary's numAnomalies. A scorer/threshold
-    regression flips a boolean and hash-mismatches the oracle."""
+    anomaly count within ±50% of contamination·n, the prediction column
+    consistent with the summary's numAnomalies, and (round 5) the scores
+    themselves bit-equal to a driver-side pure-numpy rescore
+    (``_exact_rescore_ok``). A scorer/threshold regression flips a boolean
+    and hash-mismatches the oracle."""
     model, df = _iforest_fitted(spark, sf_dir)
     contamination = _IFOREST_CONTAMINATION
     scored = model.transform(df)
@@ -164,6 +198,7 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_n_pred") <= F.ceil(F.col("n_scored") * contamination * 1.5))
         ).alias("contamination_ok"),
         (F.col("_n_pred") == F.lit(n_anom)).alias("summary_consistent"),
+        F.lit(_exact_rescore_ok(model, df)).alias("scores_exact_match"),
     )
 
 
@@ -304,8 +339,10 @@ def queries() -> _T:
         # isolation forest (SURVEY §2.1 O1-O19 end-to-end). The per-row
         # scores/threshold are seeded-RNG outputs — not SQL-expressible, so
         # iforest_score stays rows-only BY DESIGN; the externally checked
-        # twin is iforest_checks (oracle pins row count + contract
-        # invariants), plus pytest's hand-computed c(n) and AUC.
+        # twin is iforest_checks, whose oracle pins row count + contract
+        # invariants + (round 5) bit-exact equality of the scores against a
+        # driver-side pure-numpy rescore — the flagship's VALUES are pinned,
+        # not just its invariants. Plus pytest's hand-computed c(n) and AUC.
         "iforest_score": _iforest_score,
         "iforest_checks": _iforest_checks,
         # relational / threshold parity surface (O17/O18/O19 on SQL-checkable path)
@@ -826,7 +863,8 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS scores_in_unit,
                    TRUE AS threshold_in_unit,
                    TRUE AS contamination_ok,
-                   TRUE AS summary_consistent
+                   TRUE AS summary_consistent,
+                   TRUE AS scores_exact_match
             FROM embeddings
         """,
         "pricing_summary": """
