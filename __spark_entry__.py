@@ -759,8 +759,12 @@ _BM25_QUERIES = {
 
 
 def _bm25_values_sql() -> str:
+    # single-quote-escape when interpolating into the VALUES list — the
+    # current queries are [a-z0-9]+, but a quoted term must not silently
+    # break the oracle SQL (same injection-shaped fragility validate_table
+    # fixed in round 4)
     rows = [
-        f"('{qid}', '{t}')"
+        "('{}', '{}')".format(qid.replace("'", "''"), t.replace("'", "''"))
         for qid, terms in sorted(_BM25_QUERIES.items())
         for t in sorted(set(terms))
     ]

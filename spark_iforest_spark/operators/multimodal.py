@@ -85,7 +85,12 @@ def decode_wav_header(payload: bytes) -> np.ndarray:
     off = 12
     while off + 8 <= len(payload):
         cid, clen = struct.unpack("<4sI", payload[off : off + 8])
+        # bound the unpack by the actual payload: a fmt chunk whose declared
+        # length runs past the end must raise the documented ValueError, not
+        # struct.error from a short slice
         if cid == b"fmt " and clen >= 16:
+            if off + 24 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", payload[off + 8 : off + 24])
         elif cid == b"data":
             data_size = clen
@@ -148,8 +153,26 @@ def extract_features(
     dispatch (mixed-modality tables); otherwise every row decodes as
     ``media_type``. A type with no registered decoder falls back to
     decode_stub; builtin real decoders cover image/png and audio/wav.
+
+    Per-row fault isolation: one malformed/truncated payload in a 100 TB
+    corpus must not fail the whole mapInPandas task, so decoder errors
+    (ValueError/struct.error) degrade that ROW to the stub histogram — and
+    to null features when even the stub can't run (empty payload). Direct
+    decoder calls still raise; only the batch pipeline degrades.
     """
+    import struct
+
     cols = [id_col, payload_col] + ([media_type_col] if media_type_col else [])
+
+    def safe_decode(decoder, raw: bytes):
+        try:
+            return decoder(raw)
+        except (ValueError, struct.error):
+            pass
+        try:
+            return decode_stub(raw)
+        except NotImplementedError:
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,7 +184,12 @@ def extract_features(
                 n_bytes.append(len(raw))
                 md5s.append(hashlib.md5(raw).hexdigest())
                 decoder = _DECODERS.get(mt, decode_stub)
-                feats.append([round(float(x), 6) for x in decoder(raw)[:feature_dim]])
+                vec = safe_decode(decoder, raw)
+                feats.append(
+                    None
+                    if vec is None
+                    else [round(float(x), 6) for x in vec[:feature_dim]]
+                )
             yield pd.DataFrame(
                 {
                     id_col: ids,

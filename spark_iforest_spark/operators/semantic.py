@@ -151,6 +151,13 @@ def kmeans_clusters(
     branches (array_position first-match / np.argmax first-max). Zero-norm
     input vectors (cosine undefined) are pinned to cluster 0 with
     cos_to_centroid 0.0 in both branches rather than emitting NaN.
+
+    Branch equality caveat: the matmul branch accumulates the dot product
+    via BLAS while the literal branch uses a JVM left-fold, so the two can
+    differ in fp summation order — a HALF_UP round-6 value or an argmax
+    near-tie sitting exactly on the rounding/tie boundary may flip between
+    branches. They are equal up to fp summation order (pinned exactly equal
+    on the gate data by pytest), not bit-identical by construction.
     """
     if assign == "auto":
         assign = "matmul" if n_clusters > matmul_threshold else "literal"

@@ -57,18 +57,24 @@ def _ranked(pairs: DataFrame, k: int, two_phase: bool = True) -> DataFrame:
     )
 
 
-# (session id, analyzed-plan semantic hash) -> (row count, partition count).
-# The heuristic below needs corpus shape once per distinct corpus plan, not
-# once per top-k call — the 6 ANN-family gates all scan the same embeddings
-# source, so a correctness run pays for exactly one count job.
-_SHAPE_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
+# (application id, analyzed-plan semantic hash) -> (row count, partition
+# count). The heuristic below needs corpus shape once per distinct corpus
+# plan, not once per top-k call — the 6 ANN-family gates all scan the same
+# embeddings source, so a correctness run pays for exactly one count job.
+# Keyed on applicationId (stable for the JVM app's lifetime) rather than
+# id(session), which CPython can reuse after a session is collected; FIFO
+# capped so a long-lived driver looping over many distinct plans can't grow
+# it unboundedly. The entry is a plan-shape heuristic only — stale counts
+# after an underlying file change mis-pick the plan, never the answer.
+_SHAPE_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
+_SHAPE_CACHE_MAX = 256
 
 
 def _corpus_shape(corpus: DataFrame) -> tuple[int, int]:
     key = None
     try:  # classic (non-Connect) API; fall back to uncached on anything else
         key = (
-            id(corpus.sparkSession),
+            corpus.sparkSession.sparkContext.applicationId,
             corpus._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:
@@ -78,6 +84,8 @@ def _corpus_shape(corpus: DataFrame) -> tuple[int, int]:
     n = corpus.count()
     parts = max(1, corpus.rdd.getNumPartitions())
     if key is not None:
+        while len(_SHAPE_CACHE) >= _SHAPE_CACHE_MAX:
+            _SHAPE_CACHE.pop(next(iter(_SHAPE_CACHE)))
         _SHAPE_CACHE[key] = (n, parts)
     return n, parts
 

@@ -394,11 +394,18 @@ def bm25_batch_topk(
         F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("tot"),
     ).collect()[0]
     n_docs, avgdl = stats["n"], stats["tot"] / stats["n"]
+    # tokenize ONCE per row — the split is the dominant per-row cost, and a
+    # projection that mentions tokens() twice plans two RegExpReplace/Split
+    # chains; materialize the array in a prior select and derive dl + the
+    # exploded terms from it.
     toks = (
         docs.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+        )
+        .select(
             F.col(id_col),
-            F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
         )
         .where(F.col("term").isin(all_terms))
         .join(F.broadcast(q_table), "term")

@@ -274,6 +274,15 @@ def follow_pairs_stream(
 
     Pairs at identical timestamps are excluded (strict >), matching the
     batch twin, so the pair set never depends on tie order.
+
+    Precision contract: comparisons happen on the TIMESTAMP event-time
+    column, i.e. at MICROsecond precision (``nanos_to_ts`` truncates
+    legacy bigint-nanos input). The batch twin compares full nanosecond
+    epochs, so on nanos input a gap or tie that straddles a sub-microsecond
+    boundary can differ between the two variants; on timestamp[us] input
+    (the current testdata) the two are identical. Streaming event time is
+    inherently timestamp-typed — nanos callers who need exact parity should
+    pre-truncate the batch side to micros.
     """
     if not events.isStreaming:
         raise ValueError("follow_pairs_stream expects a streaming DataFrame")

@@ -167,3 +167,29 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
     # schema-first read: declared schema is honored exactly
     assert back.schema == docs.schema
+
+
+def test_extract_features_degrades_malformed_rows(spark):
+    from spark_iforest_spark.operators import multimodal
+
+    # one malformed payload must not fail the whole mapInPandas task: the
+    # row degrades to stub-histogram features; an empty payload (stub also
+    # unrunnable) degrades to null features. Healthy rows are untouched.
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"\x00" * 10, "image/png"),      # truncated PNG
+        (1, b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01", "audio/wav"),  # truncated fmt
+        (2, b"healthy opaque payload", "application/octet-stream"),
+        (3, b"", "image/png"),                                       # empty
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.extract_features(media, media_type_col="media_type").collect()
+    }
+    assert len(out) == 4
+    for did in (0, 1, 2):  # degraded + healthy rows all get stub histograms
+        assert abs(sum(out[did].features) - 1.0) < 1e-4
+    assert out[3].features is None
+    assert out[3].n_bytes == 0
