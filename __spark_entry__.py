@@ -236,6 +236,33 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionize_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-replay of the merge-correct session_window sessionizer
+    (round 5): complete-mode replay equals the batch sessionize relation
+    exactly; session_seq is recovered afterwards as a batch row_number over
+    session_start (per-user sessions are >gap apart, so unambiguous)."""
+    from pyspark.sql import Window
+
+    from spark_iforest_spark import streaming as stm
+
+    _ensure_workers_import(spark)
+    ev = stm.nanos_to_ts(stm.read_stream_table(spark, sf_dir, "events"), "ts")
+    sess = stm.run_to_batch(
+        stm.sessionize_stream_merging(ev, watermark="31 days"),
+        "sessionize_stream_merge_gate",
+        "complete",
+    )
+    seq = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(seq).cast("long").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "sum_value",
+    )
+
+
 def _streaming_follow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM self-join gate (round 4): the replayed
     (lead, follow) pair set from streaming.follow_pairs_stream, aggregated
@@ -368,7 +395,15 @@ def queries() -> _T:
             ("batch", relational.windowed_event_agg(_read(s, d, "events"))),
             ("stream", _streaming_windowed_agg(s, d)),
         ),
-        "sessionize_events": lambda s, d: relational.sessionize(_read(s, d, "events")),
+        # batch sessionize + session_window streaming replay (round 5): the
+        # merge-correct streaming variant must reproduce the batch relation
+        # exactly, so both variants share one oracle. session_seq for the
+        # stream side is a batch row_number over session_start — sessions of
+        # one user are >gap apart, so the ordering is unambiguous.
+        "sessionize_events": lambda s, d: _tagged_union(
+            ("batch", relational.sessionize(_read(s, d, "events"))),
+            ("stream_merge", _sessionize_stream_merge(s, d)),
+        ),
         "regional_supplier_rollup": lambda s, d: relational.regional_supplier_rollup(
             _read(s, d, "supplier"), _read(s, d, "nation"), _read(s, d, "region")
         ),
@@ -1811,7 +1846,6 @@ def oracle_sql() -> dict[str, str]:
                 "iforest_checks",
                 "pricing_summary",
                 "top_revenue_orders",
-                "sessionize_events",
                 "regional_supplier_rollup",
                 "top_parts_per_brand",
                 "customers_without_orders",
@@ -1851,6 +1885,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # stream replay must equal the batch plan, so BOTH variants check
         # against the one batch oracle
+        "sessionize_events": _variants_sql(
+            ("batch", base["sessionize_events"]),
+            ("stream_merge", base["sessionize_events"]),
+        ),
         "windowed_event_agg": _variants_sql(
             ("batch", base["windowed_event_agg"]),
             ("stream", base["windowed_event_agg"]),

@@ -10,7 +10,9 @@ so everything here is north-star extension surface:
   preconditions (absolute maxSamples, explicit threshold).
 * ``windowed_agg_stream`` — tumbling event-time window + watermark.
 * ``sessionize_stream`` — gap-session assembly with
-  ``applyInPandasWithState`` (custom stateful operator).
+  ``applyInPandasWithState`` (custom stateful operator, near-ordered input).
+* ``sessionize_stream_merging`` — built-in ``session_window`` twin that
+  stays correct under cross-micro-batch late/out-of-order arrival.
 """
 
 from __future__ import annotations
@@ -339,6 +341,15 @@ def sessionize_stream(
     Emits a session row when a user is idle past the gap (state timeout) —
     the streaming twin of operators.relational.sessionize. State per key is
     three longs; timeouts are event-time based off the watermark.
+
+    Arrival-order contract: events are sorted WITHIN each micro-batch, but
+    per-user state keeps only (start, last, n) — an event older than an
+    already-processed event of the same user arriving in a LATER micro-batch
+    cannot re-split or back-extend the session. For input that can be
+    late/out-of-order across batches use ``sessionize_stream_merging``
+    (built-in session_window, merge-correct within the watermark); this
+    variant is the custom-stateful-operator demonstration for near-ordered
+    input.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -392,5 +403,54 @@ def sessionize_stream(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_stream_merging(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Late-data-correct streaming sessionization via the built-in
+    ``session_window``: Spark's state store merges/extends session windows
+    as late events arrive (within the watermark), so the final relation is
+    invariant to cross-micro-batch arrival order — the property the custom
+    applyInPandasWithState variant cannot provide (its per-user state keeps
+    only (start, last, n) and cannot re-split on a late older event).
+
+    Output matches operators.relational.sessionize: (user_id,
+    session_start, session_end, n_events, sum_value) with epoch-second
+    start/end — the built-in window end is last_event + gap, so the gap is
+    subtracted back out to recover last-event time. Same microsecond
+    precision contract as follow_pairs_stream (the batch twin's gap test is
+    nanosecond-exact on legacy bigint-nanos input).
+
+    In complete output mode the replayed relation equals the batch twin
+    exactly (the watermark never drops emitted output); in append mode a
+    session emits once the watermark passes its window end.
+    """
+    if not events.isStreaming:
+        raise ValueError("sessionize_stream_merging expects a streaming DataFrame")
+    from spark_iforest_spark.functions import money_units, units_to_double
+
+    gap = f"{gap_seconds} seconds"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_to_double(F.sum(money_units(value_col, 6)), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start"),
+            (F.col("session_window.end") - F.expr(f"INTERVAL {gap_seconds} SECONDS"))
+            .cast("long")
+            .alias("session_end"),
+            "n_events",
+            "sum_value",
         )
     )

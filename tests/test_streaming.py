@@ -282,3 +282,90 @@ def test_dedup_stream_within_watermark(spark, tmpdir):
     assert sorted(r["content_md5"] for r in out.collect()) == sorted(
         r[0] for r in df.select(F.md5("text")).distinct().collect()
     )
+
+
+def _shuffled_event_files(spark, sf_dir, tmpdir, n_files=4, seed=7):
+    """Copy the events table into n_files parquet dirs with rows shuffled
+    across files: with maxFilesPerTrigger=1 each file is one micro-batch,
+    so event time arrives genuinely out of order ACROSS batches (late rows
+    inside the watermark) — the regime the near-ordered single-file replay
+    gates never exercise."""
+    import random
+
+    from spark_iforest_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.collect()
+    random.Random(seed).shuffle(rows)
+    n = len(rows)
+    root = tmpdir + "/shuffled_events"
+    for i in range(n_files):
+        chunk = rows[i * n // n_files : (i + 1) * n // n_files]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            f"{root}/f{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/f*")
+    )
+    return S.nanos_to_ts(stream, "ts"), ev
+
+
+def test_sessionize_merging_out_of_order_replay(spark, sf_dir, tmpdir):
+    """session_window sessionization must be invariant to cross-batch
+    arrival order: a shuffled-file replay (complete mode, watermark wider
+    than the span so late rows stay inside it) equals the batch relation."""
+    from spark_iforest_spark.operators import relational
+
+    st, ev_batch = _shuffled_event_files(spark, sf_dir, tmpdir)
+    got = sorted(
+        map(
+            tuple,
+            S.run_to_batch(
+                S.sessionize_stream_merging(st, watermark="31 days"),
+                "sess_merge_ooo",
+                "complete",
+            ).collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            relational.sessionize(ev_batch)
+            .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+            .collect(),
+        )
+    )
+    assert len(got) > 10
+    assert got == expected
+
+
+def test_follow_pairs_out_of_order_replay(spark, sf_dir, tmpdir):
+    """The watermarked stream-stream self-join buffers both sides in state,
+    so the pair set must also be arrival-order invariant (within the
+    watermark): shuffled-file replay == batch event_follow_counts."""
+    from spark_iforest_spark.operators import relational
+
+    st, ev_batch = _shuffled_event_files(spark, sf_dir, tmpdir, seed=13)
+    pairs = S.run_to_batch(
+        S.follow_pairs_stream(st, gap_seconds=300, watermark="31 days"),
+        "follow_ooo",
+        "append",
+    )
+    got = sorted(
+        map(
+            tuple,
+            pairs.groupBy("lead_type", "follow_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            relational.event_follow_counts(ev_batch, gap_seconds=300).collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == expected
