@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, DoubleType, NumericType
 from pyspark.sql.window import Window
 
+from spark_iforest_spark.checkpoint import snapshot
 from spark_iforest_spark.nodes import (
     FLAT_NODE_SCHEMA,
     PackedForest,
@@ -329,16 +330,20 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         # — losing an executor mid-fit fails the job instead of recomputing
         # as cache() would. Acceptable here because a fit is one bounded job
         # (re-run it); deterministic rids make the retry bit-identical. For
-        # clusters where executor loss is routine, swap for
-        # checkpoint(reliable) at the cost of an HDFS round-trip.
+        # clusters where executor loss is routine, set
+        # spark.spark_iforest.reliableCheckpoint=true + a checkpoint dir
+        # (checkpoint.snapshot) at the cost of a distributed-FS round-trip.
         # references — cache() entries would pin executor memory forever.
         if target_pool <= _POOL_GLOBAL_SORT_MAX:
             # absolute-maxSamples regime: pool is O(numTrees*maxSamples) rows
             # regardless of input size — a single-task sort is cheap and makes
             # rids (hence the whole forest) independent of partition layout.
-            pool = pool.withColumn(
-                "rid", F.row_number().over(Window.orderBy(F.col("h"))) - F.lit(1)
-            ).localCheckpoint(eager=False)
+            pool = snapshot(
+                pool.withColumn(
+                    "rid", F.row_number().over(Window.orderBy(F.col("h"))) - F.lit(1)
+                ),
+                eager=False,
+            )
         else:
             # fractional-maxSamples regime at large n: psi scales with the
             # input, a global sort would bottleneck — assign rids as
@@ -346,8 +351,8 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
             # (the classic distributed zipWithIndex). rids then depend on the
             # partition layout; the sampling DISTRIBUTION is unchanged, only
             # bitwise run-to-run reproducibility narrows to fixed layouts.
-            part_pool = pool.withColumn("part", F.spark_partition_id()).localCheckpoint(
-                eager=False
+            part_pool = snapshot(
+                pool.withColumn("part", F.spark_partition_id()), eager=False
             )
             counts = {
                 r["part"]: r["cnt"]

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from spark_iforest_spark.checkpoint import snapshot
 from spark_iforest_spark.functions import cosine, tokens, word_shingles
 
 # MinHash universal-hash parameters: h_i(x) = (a_i*x + b_i) mod PRIME.
@@ -130,7 +131,7 @@ def ngram_jaccard_pairs(
     # localCheckpoint so tokenize→shingle→hash→explode runs once, not three
     # times. Bounded: Σ|shingle| rows × 16 B, spillable; same
     # reclaim/fault-tolerance tradeoff as minhash_lsh_pairs' signatures.
-    sh = sh.localCheckpoint(eager=False)
+    sh = snapshot(sh, eager=False)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -240,8 +241,8 @@ def minhash_lsh_pairs(
     # would pin executor memory with no unpersist hook in a lazy API.
     # (Not fault-tolerant: executor loss fails the query instead of
     # recomputing; fine for a single bounded job, see dup_clusters note.)
-    sigs = shs.mapInPandas(signatures, schema="did long, sig array<long>").localCheckpoint(
-        eager=False
+    sigs = snapshot(
+        shs.mapInPandas(signatures, schema="did long, sig array<long>"), eager=False
     )
     # band buckets derived JVM-side: xxhash64 over each signature slice
     buckets = sigs.select(
@@ -546,7 +547,7 @@ def dup_clusters(
     blocks are not fault-tolerant — an executor loss anywhere in the
     many-round propagation fails the job (cache() would recompute). On
     clusters where that risk is material, pass a reliable checkpoint dir
-    (spark.sparkContext.setCheckpointDir) and swap .localCheckpoint() for
+    (spark.sparkContext.setCheckpointDir) and flip checkpoint.snapshot's
     .checkpoint(): same plan-truncation, HDFS-backed recovery.
 
     ``pairs`` injects any (doc_a, doc_b) near-dup relation as the edge
@@ -560,14 +561,15 @@ def dup_clusters(
     pairs = pairs.select("doc_a", "doc_b")
     # undirected edges, materialized once (also cuts the pair-generation
     # join out of every iteration's plan)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
+    edges = snapshot(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
+    labels = snapshot(
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     while True:
         # each node adopts the min label among itself and its neighbors
@@ -575,12 +577,11 @@ def dup_clusters(
             edges.join(labels, edges["doc_b"] == labels["node"])
             .select(F.col("doc_a").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = snapshot(
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -294,3 +294,38 @@ def test_simhash_duckdb_oracle_parity(spark, sf_dir):
     exp = sorted(tuple(r) for r in con.execute(se.oracle_sql()["dedup_simhash"]).fetchall())
     assert len(got) > 0
     assert got == exp
+
+
+def test_reliable_checkpoint_equality(spark, sf_dir, tmp_path):
+    # Flipping snapshot() to reliable checkpoint (checkpoint dir + conf)
+    # must change ONLY the storage/recovery story: minhash pairs, duplicate
+    # clusters, and the iforest fit/score relations stay identical.
+    from spark_iforest_spark import IForest
+    from spark_iforest_spark.checkpoint import RELIABLE_CONF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+
+    def run_all():
+        pairs = sorted(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+        clusters = sorted(map(tuple, dedup.dup_clusters(docs).collect()))
+        model = IForest(
+            numTrees=10, maxSamples=32.0, maxDepth=6, contamination=0.1, seed=7
+        ).fit(emb)
+        scored = sorted(
+            (r["vec_id"], r["anomalyScore"])
+            for r in model.transform(emb).collect()
+        )
+        return pairs, clusters, scored
+
+    base = run_all()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        reliable = run_all()
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+    assert base == reliable
+    assert len(base[0]) > 0 and len(base[1]) > 0 and len(base[2]) > 0
