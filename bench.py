@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
-   "runs": {...}, "calibration": {...}, "load_flag": bool}
+   "runs": {...}, "calibration": {...}, "load_flag": bool,
+   "scaling": {...}, "errors": {...}}
 
 Baseline context (BASELINE.md): the reference trains iforest on 567k rows /
 d=3 in 34 s and scores in 86 s on 4 cores. Headline here: train on lineitem
@@ -10,29 +11,96 @@ d=3 in 34 s and scores in 86 s on 4 cores. Headline here: train on lineitem
 score all rows — same shape, so the numbers are directly comparable — plus
 the flagship pipeline operators.
 
-Self-diagnosis (round-4): this VM shows random multi-10s external pauses
-with a 2-4x spread on identical code (SCALE.md postmortem; the recorded
-BENCH_r03 train time was 3.4x the idle-machine number). So the artifact now
-carries its own evidence: ``runs`` records EVERY per-run time (not just the
-min), a fixed-work single-thread calibration probe runs before and after
-the queries (``calibration``), and each query re-runs (bounded) until its
-two fastest runs agree within 2x. ``load_flag`` is true when any query's
-best-two spread stayed >= 2x or the probe pair disagrees by >= 1.5x — a
-reviewer can tell load-contaminated recordings from plan regressions
-without access to the machine.
+Self-diagnosis (round 4): this VM shows random multi-10s external pauses
+with a 2-4x spread on identical code (SCALE.md postmortem). The artifact
+carries its own evidence: ``runs`` records EVERY per-run time, a fixed-work
+single-thread calibration probe runs before and after (``calibration``),
+each query re-runs (bounded) until its two fastest runs agree within 2x,
+and ``load_flag`` marks recordings a reviewer should distrust.
+
+Round 5 additions:
+* ``scaling`` — the same suite, single-run, at a 5x tier derived from
+  sf0.1 (tools/scale_tier.py; .benchdata/, generated on first use). Each
+  query's measured sf0.5/sf0.1 ratio turns SCALE.md's analytic linearity
+  arguments into data; ratios well above the work factor are flagged
+  in-artifact (``superlinear``).
+* ``errors`` — an in-process stderr tap records the FIRST lines of any
+  Python/JVM traceback plus an error-line count, so a transient retried
+  executor stack (BENCH_r04's truncated tail) is distinguishable from a
+  swallowed failure without the full log.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import threading
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# the scale tier only makes sense relative to the default sf0.1 run; it is
+# skipped automatically when benching another dir, or explicitly with =0
+SCALE_TIER = os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0"
+SCALE_FACTOR = 5
+BENCHDATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf0.5")
+
+_ERR_HEAD_LINES = 20
+_ERR_PATTERN = re.compile(
+    r"Traceback \(most recent call|^\s*at [\w$.]+\(|\b(?:Exception|Error)\b"
+)
+
+
+class _StderrTap:
+    """Pass-through tap on fd 2: forwards every byte to the real stderr
+    while scanning for exception heads. Captures JVM stack traces too (the
+    local-mode JVM inherits this process's stderr), which a stdout-tail
+    recorder structurally cannot keep once the run scrolls past them."""
+
+    def __init__(self) -> None:
+        self.error_lines = 0
+        self.first_head: list[str] = []
+        self._in_head = False
+
+    def start(self) -> None:
+        self._orig = os.dup(2)
+        r, self._w = os.pipe()
+        os.dup2(self._w, 2)
+        self._thread = threading.Thread(target=self._pump, args=(r,), daemon=True)
+        self._thread.start()
+
+    def _scan(self, line: str) -> None:
+        if _ERR_PATTERN.search(line):
+            self.error_lines += 1
+            if not self.first_head:
+                self._in_head = True
+        if self._in_head and len(self.first_head) < _ERR_HEAD_LINES:
+            self.first_head.append(line.rstrip()[:300])
+            if len(self.first_head) >= _ERR_HEAD_LINES:
+                self._in_head = False
+
+    def _pump(self, r: int) -> None:
+        buf = b""
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                break
+            os.write(self._orig, chunk)
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                self._scan(ln.decode("utf-8", "replace"))
+
+    def stop(self) -> None:
+        os.dup2(self._orig, 2)
+        os.close(self._w)
+        self._thread.join(timeout=2.0)
+        os.close(self._orig)
 
 
 def _calibration_probe() -> float:
@@ -52,71 +120,21 @@ def _calibration_probe() -> float:
     return round(time.time() - t0, 3)
 
 
-def main() -> None:
-    from pyspark.sql import SparkSession, functions as F
+def run_suite(spark, sf_dir: str, timed) -> None:
+    """The 8 headline queries against one sf dir; ``timed(name, fn)`` does
+    the measurement so the primary tier (min-of-N, spread control) and the
+    scale tier (single run) share one definition of the workload."""
+    from pyspark.sql import functions as F
 
     from spark_iforest_spark import IForest
     from spark_iforest_spark.operators import dedup, relational, similarity, text
     from spark_iforest_spark.sources import read_table
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("spark-iforest-bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "4g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm the Python worker pool + Arrow paths so the first timed query
-    # doesn't absorb one-time JVM/worker startup (a cluster amortizes these)
-    from pyspark.sql.functions import pandas_udf
-
-    # lambda form: this module uses `from __future__ import annotations`,
-    # which stringifies hints and breaks pandas_udf type inference
-    _warm = pandas_udf(lambda v: v, "double")
-    spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
-
-    timings: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    unstable: list[str] = []
-    _calibration_probe()  # warm numpy/BLAS so the timed probe is pure compute
-    probe_start = _calibration_probe()
-
-    def timed(name: str, fn) -> None:
-        # min-of-N with spread control: 3 base runs, then keep re-running
-        # (bounded at 5 total) until the two fastest runs agree within 2x —
-        # min-of-N reports the machine's capability instead of scheduler
-        # luck, and the full run list ships in the JSON so a contaminated
-        # recording is self-evident
-        import gc
-
-        runs: list[float] = []
-        while True:
-            t0 = time.time()
-            fn()
-            runs.append(round(time.time() - t0, 3))
-            srt = sorted(runs)
-            stable = len(runs) >= 3 and srt[1] <= 2.0 * srt[0]
-            if stable or len(runs) >= 5:
-                if not stable:
-                    unstable.append(name)
-                break
-        all_runs[name] = runs
-        timings[name] = round(min(runs), 3)
-        # drop dead localCheckpoint/broadcast refs NOW so ContextCleaner
-        # reclaims blocks between queries instead of under the next timing
-        gc.collect()
-
-    # --- isolation forest: train + score on lineitem numeric features ------
     feature_cols = [
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_linenumber", "l_partkey", "l_suppkey",
     ]
-    li = read_table(spark, SF_DIR, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem")
     # the local sf parquet is a handful of files (=> a handful of input
     # splits); spread to all cores like a real cluster's scan would be
     feats = li.select(
@@ -142,9 +160,8 @@ def main() -> None:
     timed("iforest_score", score)
     feats.unpersist()
 
-    # --- pipeline operators at sf ------------------------------------------
-    docs = read_table(spark, SF_DIR, "documents").repartition(int(CPUS)).cache()
-    emb = read_table(spark, SF_DIR, "embeddings").repartition(int(CPUS)).cache()
+    docs = read_table(spark, sf_dir, "documents").repartition(int(CPUS)).cache()
+    emb = read_table(spark, sf_dir, "embeddings").repartition(int(CPUS)).cache()
     docs.count(), emb.count()
 
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
@@ -161,16 +178,148 @@ def main() -> None:
     timed("text_quality", lambda: text.quality_score(docs).count())
     timed(
         "pricing_summary",
-        lambda: relational.pricing_summary(read_table(spark, SF_DIR, "lineitem")).count(),
+        lambda: relational.pricing_summary(read_table(spark, sf_dir, "lineitem")).count(),
     )
     timed(
         "sessionize_events",
-        lambda: relational.sessionize(read_table(spark, SF_DIR, "events")).count(),
+        lambda: relational.sessionize(read_table(spark, sf_dir, "events")).count(),
     )
+    docs.unpersist()
+    emb.unpersist()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    tap = _StderrTap()
+    tap.start()
+    py_errors: dict[str, list[str]] = {}
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-iforest-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python worker pool + Arrow paths so the first timed query
+    # doesn't absorb one-time JVM/worker startup (a cluster amortizes these)
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: this module uses `from __future__ import annotations`,
+    # which stringifies hints and breaks pandas_udf type inference
+    _warm = pandas_udf(lambda v: v, "double")
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
+
+    timings: dict[str, float | None] = {}
+    all_runs: dict[str, list[float]] = {}
+    unstable: list[str] = []
+    _calibration_probe()  # warm numpy/BLAS so the timed probe is pure compute
+    probe_start = _calibration_probe()
+
+    def timed(name: str, fn) -> None:
+        # min-of-N with spread control: 3 base runs, then keep re-running
+        # (bounded at 5 total) until the two fastest runs agree within 2x —
+        # min-of-N reports the machine's capability instead of scheduler
+        # luck, and the full run list ships in the JSON so a contaminated
+        # recording is self-evident
+        import gc
+
+        runs: list[float] = []
+        while True:
+            t0 = time.time()
+            try:
+                fn()
+            except Exception:
+                # record the head, null the query, keep the suite running —
+                # a one-query failure must not cost the whole artifact
+                py_errors[name] = traceback.format_exc().splitlines()[:_ERR_HEAD_LINES]
+                all_runs[name] = runs
+                timings[name] = None
+                return
+            runs.append(round(time.time() - t0, 3))
+            srt = sorted(runs)
+            stable = len(runs) >= 3 and srt[1] <= 2.0 * srt[0]
+            if stable or len(runs) >= 5:
+                if not stable:
+                    unstable.append(name)
+                break
+        all_runs[name] = runs
+        timings[name] = round(min(runs), 3)
+        # drop dead snapshot/broadcast refs NOW so ContextCleaner reclaims
+        # blocks between queries instead of under the next timing
+        gc.collect()
+
+    run_suite(spark, SF_DIR, timed)
 
     probe_end = _calibration_probe()
+
+    # ---- derived 5x scale tier (single-run; ratios are the payload) -------
+    scaling: dict | None = None
+    if SCALE_TIER and SF_DIR.rstrip("/").endswith("sf0.1"):
+        from tools.scale_tier import ensure_benchdata
+
+        try:
+            generated = ensure_benchdata(spark, SF_DIR, BENCHDATA_DIR, SCALE_FACTOR)
+            tier_times: dict[str, float | None] = {}
+
+            def timed_once(name: str, fn) -> None:
+                # min-of-2: a single run on this VM false-flags superlinear
+                # scaling routinely (validated: a 10.8x single-run minhash
+                # ratio re-measured at 1.3x min-of-3 on a quiet machine)
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    try:
+                        fn()
+                    except Exception:
+                        py_errors[f"sf0.5:{name}"] = traceback.format_exc().splitlines()[
+                            :_ERR_HEAD_LINES
+                        ]
+                        tier_times[name] = best
+                        return
+                    dt = round(time.time() - t0, 3)
+                    best = dt if best is None else min(best, dt)
+                tier_times[name] = best
+
+            tier_probe_start = _calibration_probe()
+            run_suite(spark, BENCHDATA_DIR, timed_once)
+            tier_probe_end = _calibration_probe()
+            ratios = {
+                q: round(tier_times[q] / timings[q], 2)
+                for q in tier_times
+                if tier_times.get(q) and timings.get(q)
+            }
+            scaling = {
+                "sf": "0.5-derived",
+                "factor": SCALE_FACTOR,
+                "generated_this_run": generated,
+                "queries": tier_times,
+                "ratio_vs_sf0.1": ratios,
+                # single-run tier: flag ratios clearly above the work factor
+                # (1.6x slack for the lost min-of-N + fixed overheads)
+                "superlinear": sorted(
+                    q for q, r in ratios.items() if r > SCALE_FACTOR * 1.6
+                ),
+                "calibration": {
+                    "probe_start_sec": tier_probe_start,
+                    "probe_end_sec": tier_probe_end,
+                },
+            }
+        except Exception:
+            py_errors["scale_tier"] = traceback.format_exc().splitlines()[
+                :_ERR_HEAD_LINES
+            ]
+
     probe_spread = max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
-    total = round(sum(timings.values()), 3)
+    ok_timings = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(ok_timings.values()), 3)
+    tap.stop()
     print(
         json.dumps(
             {
@@ -186,6 +335,12 @@ def main() -> None:
                 },
                 "load_flag": bool(unstable) or probe_spread >= 1.5,
                 "unstable_queries": unstable,
+                "scaling": scaling,
+                "errors": {
+                    "stderr_error_lines": tap.error_lines,
+                    "first_incident_head": tap.first_head,
+                    "python_exceptions": py_errors,
+                },
             }
         )
     )
