@@ -51,8 +51,10 @@ SCALE_FACTOR = 5
 BENCHDATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf0.5")
 
 _ERR_HEAD_LINES = 20
+# suffix-match Exception/Error: JVM classes are SparkException,
+# OutOfMemoryError etc. — a \b-anchored bare word would miss all of them
 _ERR_PATTERN = re.compile(
-    r"Traceback \(most recent call|^\s*at [\w$.]+\(|\b(?:Exception|Error)\b"
+    r"Traceback \(most recent call|^\s*at [\w$.]+\(|\w*(?:Exception|Error)\b"
 )
 
 
