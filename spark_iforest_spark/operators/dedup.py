@@ -307,6 +307,7 @@ def simhash_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_hamming: int = 3,
+    shingle_hash: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash) <= max_hamming, then
     exact-Jaccard >= threshold.
@@ -321,12 +322,18 @@ def simhash_pairs(
     operator's output is defined by simhash semantics — not interchangeable
     with the exact-Jaccard relation like minhash_lsh_pairs' is.
 
-    Shingles hash via md5-64 (``_md5_shingles``), not xxhash64: the output
-    values depend on the hash bits, and md5 is reproducible in DuckDB, so
-    the external oracle recomputes the full simhash → hamming → jaccard
-    pipeline and value-checks this relation exactly (pigeonhole recall makes
-    brute-force hamming<=max_hamming the same pair set as the banded join).
+    ``shingle_hash='md5'`` (default) hashes shingles via md5-64
+    (``_md5_shingles``): the output values depend on the hash bits, and md5
+    is reproducible in DuckDB, so the external oracle recomputes the full
+    simhash → hamming → jaccard pipeline and value-checks this relation
+    exactly (pigeonhole recall makes brute-force hamming<=max_hamming the
+    same pair set as the banded join). ``shingle_hash='xxhash64'`` is the
+    throughput option for production corpora (one codegen'd hash vs
+    md5+2×conv per shingle) — statistically identical behavior, different
+    concrete pair set, not externally value-checkable.
     """
+    if shingle_hash not in ("md5", "xxhash64"):
+        raise ValueError("shingle_hash must be 'md5' or 'xxhash64'")
     num_bands = max_hamming + 1
     band_bits = 64 // num_bands
 
@@ -344,7 +351,8 @@ def simhash_pairs(
                 out_sim.append(int(np.int64(sh64)))  # reinterpret as signed
             yield pd.DataFrame({"did": out_ids, "sim": out_sim})
 
-    shs = _md5_shingles(docs, id_col, text_col, n)
+    mk_shingles = _md5_shingles if shingle_hash == "md5" else _hashed_shingles
+    shs = mk_shingles(docs, id_col, text_col, n)
     sims = shs.mapInPandas(simhash, schema="did long, sim long")
     # band split JVM-side via posexplode: (band index, 16-bit bucket value)
     bands = sims.select(

@@ -329,3 +329,51 @@ def test_reliable_checkpoint_equality(spark, sf_dir, tmp_path):
         spark.conf.set(RELIABLE_CONF, "false")
     assert base == reliable
     assert len(base[0]) > 0 and len(base[1]) > 0 and len(base[2]) > 0
+
+
+def test_md5_shingle_hash_matches_python(spark):
+    # the simhash oracle's foundation: Spark's conv-assembled 64-bit md5
+    # prefix must equal int(md5(s).hexdigest()[:16], 16) reinterpreted
+    # signed, for arbitrary token strings (unicode, quotes, empties-ish)
+    import hashlib
+    import random
+    import string
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice(string.ascii_letters + "éßµ'\"\\") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    from spark_iforest_spark.operators.dedup import _md5_shingles
+
+    # reuse the operator's own hash path: one-token docs, n=1 → shset=[h64(s)]
+    got = {
+        r["did"]: r["shset"][0]
+        for r in _md5_shingles(
+            df.select(F.monotonically_increasing_id().alias("doc_id"), F.col("s").alias("text")),
+            "doc_id", "text", 1,
+        ).collect()
+    }
+    back = {r["doc_id"]: r["s"] for r in df.select(F.monotonically_increasing_id().alias("doc_id"), "s").collect()}
+    assert len(got) == 200
+    import numpy as np
+
+    for did, h in got.items():
+        w = back[did]
+        exp = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+        assert np.uint64(np.int64(h)) == np.uint64(exp), w
+
+
+def test_simhash_xxhash64_fast_path(docs):
+    # the throughput variant obeys the same contract (hamming<=3, verified
+    # jaccard, exact dups always found) on a different concrete pair set
+    out = {(r["doc_a"], r["doc_b"]): (r["hamming"], r["jaccard"]) for r in
+           dedup.simhash_pairs(docs, threshold=0.5, shingle_hash="xxhash64").collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert set(out) <= exact
+    assert all(h <= 3 and j >= 0.5 for h, j in out.values())
+    assert out[(0, 1)] == (0, 1.0)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, shingle_hash="sha1")
