@@ -191,11 +191,29 @@ def run_suite(spark, sf_dir: str, timed) -> None:
 
 
 def main() -> None:
+    import signal
+
     from pyspark.sql import SparkSession, functions as F
 
     tap = _StderrTap()
     tap.start()
     py_errors: dict[str, list[str]] = {}
+
+    # emit whatever has been measured if the harness times us out — a
+    # partial artifact (primary tier complete, scale tier truncated) beats
+    # no artifact; SIGKILL can't be helped
+    emitted = {"done": False}
+    state: dict = {}
+
+    def _emit_and_exit(signum, frame):
+        if not emitted["done"] and state:
+            emitted["done"] = True
+            state.setdefault("errors", {})["killed_by_signal"] = signum
+            print(json.dumps(state), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -260,6 +278,26 @@ def main() -> None:
     run_suite(spark, SF_DIR, timed)
 
     probe_end = _calibration_probe()
+    state.update(
+        {
+            "metric": "headline_total",
+            "value": round(sum(v for v in timings.values() if v), 3),
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "runs": dict(all_runs),
+            "calibration": {
+                "probe_start_sec": probe_start,
+                "probe_end_sec": probe_end,
+            },
+            "load_flag": bool(unstable)
+            or max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
+            >= 1.5,
+            "unstable_queries": list(unstable),
+            "scaling": None,
+            "errors": {"partial": "scale tier interrupted"},
+        }
+    )
 
     # ---- derived 5x scale tier (single-run; ratios are the payload) -------
     scaling: dict | None = None
@@ -270,7 +308,16 @@ def main() -> None:
             generated = ensure_benchdata(spark, SF_DIR, BENCHDATA_DIR, SCALE_FACTOR)
             tier_times: dict[str, float | None] = {}
 
+            tier_t0 = time.time()
+            tier_budget = float(os.environ.get("SPARK_GRAFT_TIER_BUDGET_SEC", "300"))
+            truncated = []
+
             def timed_once(name: str, fn) -> None:
+                # respect the tier budget: a slow machine must not starve
+                # the artifact of the (already measured) primary tier
+                if time.time() - tier_t0 > tier_budget:
+                    truncated.append(name)
+                    return
                 # min-of-2: a single run on this VM false-flags superlinear
                 # scaling routinely (validated: a 10.8x single-run minhash
                 # ratio re-measured at 1.3x min-of-3 on a quiet machine)
@@ -308,6 +355,7 @@ def main() -> None:
                 "superlinear": sorted(
                     q for q, r in ratios.items() if r > SCALE_FACTOR * 1.6
                 ),
+                "truncated_by_budget": truncated,
                 "calibration": {
                     "probe_start_sec": tier_probe_start,
                     "probe_end_sec": tier_probe_end,
@@ -322,6 +370,7 @@ def main() -> None:
     ok_timings = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok_timings.values()), 3)
     tap.stop()
+    emitted["done"] = True
     print(
         json.dumps(
             {
