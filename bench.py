@@ -47,8 +47,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # the scale tier only makes sense relative to the default sf0.1 run; it is
 # skipped automatically when benching another dir, or explicitly with =0
 SCALE_TIER = os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0"
-SCALE_FACTOR = 5
-BENCHDATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf0.5")
+# replication factor for the derived tier; 5 (=> sf0.5) is the per-round
+# default, larger one-off factors (e.g. 25 => sf2.5) stress-test scaling —
+# each factor materializes its own .benchdata/sf<f/10> dir
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_TIER_FACTOR", "5"))
+_TIER_SF = f"{SCALE_FACTOR * 0.1:g}"
+BENCHDATA_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"sf{_TIER_SF}"
+)
 
 _ERR_HEAD_LINES = 20
 # suffix-match Exception/Error: JVM classes are SparkException,
@@ -327,7 +333,7 @@ def main() -> None:
                     try:
                         fn()
                     except Exception:
-                        py_errors[f"sf0.5:{name}"] = traceback.format_exc().splitlines()[
+                        py_errors[f"sf{_TIER_SF}:{name}"] = traceback.format_exc().splitlines()[
                             :_ERR_HEAD_LINES
                         ]
                         tier_times[name] = best
@@ -345,7 +351,7 @@ def main() -> None:
                 if tier_times.get(q) and timings.get(q)
             }
             scaling = {
-                "sf": "0.5-derived",
+                "sf": f"{_TIER_SF}-derived",
                 "factor": SCALE_FACTOR,
                 "generated_this_run": generated,
                 "queries": tier_times,
