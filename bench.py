@@ -47,6 +47,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # the scale tier only makes sense relative to the default sf0.1 run; it is
 # skipped automatically when benching another dir, or explicitly with =0
 SCALE_TIER = os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0"
+# local mode hosts driver + all executor threads in ONE JVM, so this heap is
+# the whole cluster's memory: 4g suffices through the 5x tier; the 25x
+# one-off needs ~16g (the Σdf² jaccard shuffle OOMs a 4g heap — documented
+# in SCALE.md as the executor-sizing constraint it maps to on a real fleet)
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 # replication factor for the derived tier; 5 (=> sf0.5) is the per-round
 # default, larger one-off factors (e.g. 25 => sf2.5) stress-test scaling —
 # each factor materializes its own .benchdata/sf<f/10> dir
@@ -227,7 +232,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
