@@ -455,8 +455,9 @@ def queries() -> _T:
         # cos 0.35-0.5. IVF must probe 7/8 cells and sign-LSH needs shallow
         # 4-bit tables x24 for recall>=0.9 here; clustered real corpora run
         # probe/nc ~1-5% and deeper hashes. Params are explicit so the
-        # ann_recall gate pins the contract. The two approximate variants
-        # share one rows-only union; their external check is ann_recall.
+        # ann_recall gate pins the contract. The three approximate variants
+        # (ivf, lsh, pq) share one rows-only union; their external check is
+        # ann_recall.
         "ann_approx_topk": lambda s, d: _tagged_union(
             (
                 "ivf",
@@ -472,6 +473,15 @@ def queries() -> _T:
                     _read(s, d, "embeddings"),
                     _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                     bits=4, tables=24,
+                ),
+            ),
+            # round 5: product quantization — the 16-byte-per-vector scan
+            # path (packed codes + ADC lookup + bounded exact re-rank)
+            (
+                "pq",
+                similarity.pq_topk(
+                    _read(s, d, "embeddings"),
+                    _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                 ),
             ),
         ),
@@ -504,6 +514,19 @@ def queries() -> _T:
                         _read(s, d, "embeddings"),
                         _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                         bits=4, tables=24,
+                    ),
+                ),
+            ),
+            (
+                "pq",
+                similarity.topk_recall(
+                    similarity.cosine_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                    ),
+                    similarity.pq_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                     ),
                 ),
             ),
@@ -1902,7 +1925,9 @@ def oracle_sql() -> dict[str, str]:
             ("lsh", base["embedding_neardup"]),
         ),
         "ann_recall": _variants_sql(
-            ("ivf", base["ann_recall"]), ("lsh", base["ann_recall"])
+            ("ivf", base["ann_recall"]),
+            ("lsh", base["ann_recall"]),
+            ("pq", base["ann_recall"]),
         ),
         "dedup_clusters": _variants_sql(
             ("ngram_edges", base["dedup_clusters"]),

@@ -308,3 +308,78 @@ def test_auto_two_phase_count_memoized(spark, sf_dir):
     similarity._SHAPE_CACHE.clear()
     similarity.cosine_topk(emb, q, n_rows=500)
     assert len(similarity._SHAPE_CACHE) == 0
+
+
+def test_pq_encode_packed_codes_match_numpy(spark, sf_dir):
+    """The packed int64 code must decompose into m sub-codes, each the
+    argmin-distance centroid index of the NORMALIZED subvector — verified
+    by an independent driver-side numpy re-encode of the whole corpus."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity._pq_codebooks(emb, "vec_id", "embedding", 8, 16, 1, 4096, 10)
+    got = {r["vec_id"]: r["code"] for r in similarity.pq_encode(emb, cb).collect()}
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    m, kc, sub = cb.shape
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        exp = 0
+        for j in range(m):
+            xj = vn[j * sub : (j + 1) * sub]
+            exp |= int(((cb[j] - xj) ** 2).sum(axis=1).argmin()) << (8 * j)
+        assert got[r["vec_id"]] == exp
+    assert len(got) == len(rows)
+
+
+def test_pq_topk_recall_and_exact_cos_values(spark, sf_dir):
+    """PQ holds recall >= 0.9 on the clusterless corpus (the adversarial
+    regime), and because survivors re-rank by EXACT cosine, every pair PQ
+    shares with the exact relation carries the identical cos_sim value."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.cosine_topk(emb, q).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.pq_topk(emb, q).collect()
+    }
+    hits = set(exact) & set(pq)
+    assert len(hits) / len(exact) >= 0.9
+    assert all(exact[p] == pq[p] for p in hits)  # bit-equal, not approx
+
+
+def test_pq_topk_layout_invariant(spark, sf_dir):
+    """Codebooks fit on an md5-ordered sample, argmin ties to the lowest
+    index, every selection totally ordered by (score, id) — so the PQ
+    relation is a pure function of (data, seed) under any partitioning."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    a = sorted(map(tuple, similarity.pq_topk(emb.repartition(3), q).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(emb.repartition(17), q).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pq_scan_reads_codes_not_vectors(spark, sf_dir):
+    """The 100 TB contract: the heavy ADC scan consumes the 16-byte
+    (id, code) relation — its MapInPandas input carries no vector column —
+    and the surviving candidates re-join vectors via sort-merge."""
+    import re
+
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    plan = formatted_plan(similarity.pq_topk(emb, q, n_rows=500))
+    args = re.findall(r"\(\d+\) MapInPandas\n(?:.*\n)*?Arguments: (.*)", plan)
+    adc_side = [a for a in args if "adc_scan(" in a]
+    assert adc_side and all("embedding#" not in a for a in adc_side)
+    assert "SortMergeJoin" in plan  # exact re-rank vector join
+    import numpy as np
+
+    with pytest.raises(ValueError):  # >256 centroids must refuse to pack
+        similarity.pq_encode(emb, np.zeros((8, 300, 8)))
+    with pytest.raises(ValueError):  # >8 subspaces must refuse to pack
+        similarity.pq_encode(emb, np.zeros((9, 16, 8)))
