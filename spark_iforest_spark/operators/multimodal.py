@@ -106,12 +106,143 @@ def decode_wav_header(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_jpeg_header(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) JPEG decode of the marker plane: walk the marker
+    stream to the SOFn frame header. Features: [width, height, precision,
+    n_components, progressive, n_segments, total_bytes] — progressive=1
+    for SOF2 (the web's progressive JPEG), 0 for baseline SOF0/1/3.
+    Entropy-coded pixel data (after SOS) is never touched; the marker
+    plane is what triage predicates (resolution, channel count,
+    progressive-ness) filter on before any expensive decode."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    off, n_segments = 2, 0
+    sof = None
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError("JPEG marker stream corrupt")
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            off += 1
+            continue
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            off += 2  # standalone markers carry no length
+            continue
+        seg_len = struct.unpack(">H", payload[off + 2 : off + 4])[0]
+        if seg_len < 2 or off + 2 + seg_len > len(payload):
+            raise ValueError("JPEG segment truncated")
+        n_segments += 1
+        # SOFn frame headers: C0-CF minus DHT (C4), JPGn (C8), DAC (CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                raise ValueError("JPEG SOF truncated")
+            precision, h, w, n_comp = struct.unpack(
+                ">BHHB", payload[off + 4 : off + 10]
+            )
+            sof = (w, h, precision, n_comp, 1.0 if marker == 0xC2 else 0.0)
+        if marker == 0xDA:  # SOS: entropy data follows, header plane done
+            break
+        off += 2 + seg_len
+    if sof is None:
+        raise ValueError("JPEG missing SOF frame header")
+    w, h, precision, n_comp, progressive = sof
+    return np.array(
+        [w, h, precision, n_comp, progressive, n_segments, len(payload)],
+        dtype=np.float64,
+    )
+
+
+def decode_gif_header(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) GIF decode of the header + logical screen
+    descriptor. Features: [width, height, version (87/89), has_gct,
+    gct_colors, bg_color_index, total_bytes]."""
+    import struct
+
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (
+        b"7a",
+        b"9a",
+    ):
+        raise ValueError("not a GIF payload")
+    version = 87.0 if payload[4:6] == b"7a" else 89.0
+    w, h, packed, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    has_gct = (packed >> 7) & 1
+    gct_colors = 2 ** ((packed & 0x07) + 1) if has_gct else 0
+    return np.array(
+        [w, h, version, has_gct, gct_colors, bg, len(payload)], dtype=np.float64
+    )
+
+
+def decode_mp4_header(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) MP4/ISO-BMFF decode of the box plane: walk the
+    top-level boxes (size+fourcc, 64-bit largesize and to-end sizes
+    handled), then the ``moov`` children to the ``mvhd`` movie header.
+    Features: [duration_seconds, timescale, duration_units, mvhd_version,
+    n_top_boxes, has_ftyp, total_bytes] — the video triage plane
+    (duration/brand predicates) without touching a single sample; frame
+    extraction would hang off ``frame_sample`` the same way."""
+    import struct
+
+    def walk(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            size, box = struct.unpack(">I4s", payload[off : off + 8])
+            body = off + 8
+            if size == 1:  # 64-bit largesize follows the fourcc
+                if body + 8 > hi:
+                    raise ValueError("MP4 largesize truncated")
+                size = struct.unpack(">Q", payload[body : body + 8])[0]
+                body += 8
+            elif size == 0:  # box extends to the end of the enclosure
+                size = hi - off
+            if size < 8 or off + size > hi:
+                raise ValueError("MP4 box size out of bounds")
+            yield box, body, off + size
+            off += size
+
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload")
+    n_top, has_ftyp, mvhd = 0, 0.0, None
+    try:
+        for box, body, end in walk(0, len(payload)):
+            n_top += 1
+            if box == b"ftyp":
+                has_ftyp = 1.0
+            elif box == b"moov":
+                for cbox, cbody, _cend in walk(body, end):
+                    if cbox == b"mvhd":
+                        version = payload[cbody]
+                        if version == 1:
+                            timescale, duration = struct.unpack(
+                                ">IQ", payload[cbody + 20 : cbody + 32]
+                            )
+                        else:
+                            timescale, duration = struct.unpack(
+                                ">II", payload[cbody + 12 : cbody + 20]
+                            )
+                        mvhd = (float(version), float(timescale), float(duration))
+    except (struct.error, IndexError) as exc:  # truncated fixed-width field
+        raise ValueError("MP4 box truncated") from exc
+    if n_top == 0 or (not has_ftyp and mvhd is None):
+        raise ValueError("not an MP4 payload (no ftyp/moov)")
+    version, timescale, duration = mvhd if mvhd else (0.0, 0.0, 0.0)
+    secs = duration / timescale if timescale else 0.0
+    return np.array(
+        [secs, timescale, duration, version, n_top, has_ftyp, len(payload)],
+        dtype=np.float64,
+    )
+
+
 # Builtin header decoders: registered at import so the register_decoder plug
 # point always has real (non-stub) users; decode_stub stays the fallback for
 # media types with no registered decoder (full pixel/sample decode needs
 # libs this container doesn't ship).
 register_decoder("image/png", decode_png_header)
 register_decoder("audio/wav", decode_wav_header)
+register_decoder("image/jpeg", decode_jpeg_header)
+register_decoder("image/gif", decode_gif_header)
+register_decoder("video/mp4", decode_mp4_header)
 
 
 def attach_binary_payload(

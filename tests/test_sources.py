@@ -193,3 +193,61 @@ def test_extract_features_degrades_malformed_rows(spark):
         assert abs(sum(out[did].features) - 1.0) < 1e-4
     assert out[3].features is None
     assert out[3].n_bytes == 0
+
+
+def test_jpeg_gif_mp4_header_decoders(spark):
+    """Round-5 decoders: hand-built minimal payloads, field-exact checks,
+    malformed payloads raise the documented ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from spark_iforest_spark.operators import multimodal
+
+    # JPEG: SOI + APP0 + (progressive) SOF2 + SOS
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = b"\xff\xc2" + struct.pack(">H", 10) + struct.pack(">BHHB", 8, 480, 640, 3) + b"\x00\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    jpeg = b"\xff\xd8" + app0 + b"\xff" + sof2 + sos + b"entropy-data"
+    f = multimodal.decode_jpeg_header(jpeg)
+    assert list(f[:5]) == [640.0, 480.0, 8.0, 3.0, 1.0]  # w, h, prec, comp, progressive
+    assert f[6] == len(jpeg)
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_header(b"\xff\xd8\xff\xe0\x00\x01")  # bad seg len
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_header(b"\xff\xd8" + app0)  # no SOF
+
+    # GIF89a, 320x200, GCT of 256 colors
+    gif = b"GIF89a" + struct.pack("<HHBBB", 320, 200, 0b1111_0111, 5, 0)
+    f = multimodal.decode_gif_header(gif)
+    assert list(f[:6]) == [320.0, 200.0, 89.0, 1.0, 256.0, 5.0]
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif_header(b"GIF10a" + b"\x00" * 7)
+
+    # MP4: ftyp + moov(mvhd v0, timescale 600, duration 3000 -> 5 s)
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom" + struct.pack(">I", 512)
+    mvhd_body = bytes([0]) + b"\x00" * 3 + b"\x00" * 8 + struct.pack(">II", 600, 3000) + b"\x00" * 80
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    mp4 = ftyp + moov
+    f = multimodal.decode_mp4_header(mp4)
+    assert list(f[:6]) == [5.0, 600.0, 3000.0, 0.0, 2.0, 1.0]
+    # 64-bit largesize box variant parses identically
+    moov64 = struct.pack(">I4s", 1, b"moov") + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    f64 = multimodal.decode_mp4_header(ftyp + moov64)
+    assert list(f64[:3]) == [5.0, 600.0, 3000.0]
+    with _pytest.raises(ValueError):
+        multimodal.decode_mp4_header(b"\x00\x00\x00\x08free")  # no ftyp/moov
+    with _pytest.raises(ValueError):
+        multimodal.decode_mp4_header(ftyp + struct.pack(">I4s", 99, b"moov"))  # oob size
+
+    # registered at import: pipeline dispatch picks them up per media_type
+    rows = [(0, jpeg, "image/jpeg"), (1, gif, "image/gif"), (2, mp4, "video/mp4")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+    out = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(media, media_type_col="media_type").collect()
+    }
+    assert out[0][:2] == [640.0, 480.0]
+    assert out[1][:2] == [320.0, 200.0]
+    assert out[2][0] == 5.0
