@@ -437,6 +437,18 @@ def queries() -> _T:
         "dedup_jaccard_pairs": lambda s, d: _tagged_union(
             ("ngram_exact", dedup.ngram_jaccard_pairs(_read(s, d, "documents"))),
             ("minhash_lsh", dedup.minhash_lsh_pairs(_read(s, d, "documents"))),
+            # round 5: incremental mode — index 3/4 of the corpus, dedup the
+            # doc_id%4==0 quarter against it as the "new crawl batch"; the
+            # old corpus text is never re-read (index carries sig + shset)
+            (
+                "minhash_incr",
+                dedup.minhash_lsh_pairs_incremental(
+                    _read(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+                    dedup.minhash_index(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                    ),
+                ),
+            ),
         ),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_read(s, d, "documents")),
         # exact O(n²) baseline + threshold-sized sign-LSH bucketed path:
@@ -1919,6 +1931,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _variants_sql(
             ("ngram_exact", base["dedup_ngram_jaccard"]),
             ("minhash_lsh", base["dedup_ngram_jaccard"]),
+            # incremental mode deduped the doc_id%4==0 quarter as the "new
+            # crawl batch" against an index of the rest: its contract is the
+            # full relation restricted to pairs touching a new doc
+            (
+                "minhash_incr",
+                f"SELECT * FROM ({base['dedup_ngram_jaccard']}) "
+                "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
+            ),
         ),
         "embedding_neardup": _variants_sql(
             ("exact", base["embedding_neardup"]),

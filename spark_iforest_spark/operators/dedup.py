@@ -191,6 +191,164 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
+def _signature_fn(num_perms: int, keep_shset: bool):
+    """mapInPandas body computing the (perms,)-long MinHash signature per
+    document as one vectorized universal-hash matrix op. ``keep_shset``
+    carries the hashed shingle set through for the persistable index (it is
+    what makes exact verification possible without re-reading the corpus)."""
+    a_co, b_co = _minhash_coeffs(num_perms)
+
+    def signatures(it):
+        au = a_co.astype(np.uint64)[:, None]
+        bu = b_co.astype(np.uint64)[:, None]
+        prime = np.uint64(_MINHASH_PRIME)
+        for pdf in it:
+            out_ids, out_sig = [], []
+            for did, shset in zip(pdf["did"], pdf["shset"]):
+                base = np.asarray(shset, dtype=np.int64).astype(np.uint64) % prime
+                # (perms, shingles) matrix of universal hashes; min per row
+                sig = ((au * base[None, :] + bu) % prime).min(axis=1)
+                out_ids.append(did)
+                out_sig.append(sig.astype(np.int64).tolist())
+            out = {"did": out_ids, "sig": out_sig}
+            if keep_shset:
+                out["shset"] = list(pdf["shset"])
+            yield pd.DataFrame(out)
+
+    return signatures
+
+
+def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(did, band, bucket) — xxhash64 over each contiguous signature slice,
+    derived JVM-side so the Python pass runs once per document."""
+    return sigs.select(
+        "did",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("sig"), band * rows + 1, rows))
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perms: int = _MINHASH_PERMS,
+) -> DataFrame:
+    """Persistable per-document MinHash index: ``(did, sig, shset)``.
+
+    Write this relation to parquet once per corpus snapshot; incremental
+    dedup of each new crawl batch (``minhash_lsh_pairs_incremental``) then
+    runs WITHOUT re-reading or re-tokenizing the old corpus — the index
+    carries everything both candidate generation (``sig``) and exact
+    Jaccard verification (``shset``) need. Signatures use the module's
+    fixed-seed universal-hash family, so an index built today and a batch
+    signed next month are band-compatible by construction.
+
+    Size: 128×8 B signature + ~8 B per distinct shingle per doc — the
+    shingle sets dominate and are the price of EXACT verification against
+    a corpus whose text you no longer want to scan; droppable if estimate
+    -only dedup suffices (then verify joins would need the raw text again).
+    """
+    shs = _hashed_shingles(docs, id_col, text_col, n)
+    return shs.mapInPandas(
+        _signature_fn(num_perms, keep_shset=True),
+        schema="did long, sig array<long>, shset array<long>",
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perms: int = _MINHASH_PERMS,
+    bands: int = 16,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus — the 100 TB
+    operating mode, where re-running minhash over the full corpus for every
+    incoming crawl is a non-starter.
+
+    Emits the same ``(doc_a, doc_b, jaccard)`` relation as a full
+    ``minhash_lsh_pairs`` over old ∪ new RESTRICTED to pairs touching at
+    least one new document (equality pytest-pinned on a split corpus) —
+    which is exactly the increment: old-old pairs were emitted when the old
+    corpus was indexed. ``index`` is a ``minhash_index`` relation (same
+    num_perms); the old corpus TEXT is never read.
+
+    Scale shape: per-batch work is |batch| signatures + band-bucket
+    collisions touching the batch. With ``broadcast_batch`` (default) the
+    batch's band table broadcasts (bands×|batch| rows — a million-doc batch
+    is ~256 MB, inside the 8 GB limit), so the corpus-sized index is never
+    shuffled for candidate generation — each index partition streams past
+    the broadcast hash table. For batch sizes where that no longer holds,
+    pass False: the join falls back to a merge-hinted sort-merge (both
+    sides shuffle on (band, bucket); linear, AQE-skew-handled, never
+    broadcasts the corpus — plan-tested).
+    """
+    rows = num_perms // bands
+    # the batch index feeds banding + estimate/verify joins: one Python
+    # signature pass, then reuse (same snapshot rationale as the full path)
+    new_idx = snapshot(
+        minhash_index(new_docs, id_col, text_col, n, num_perms), eager=False
+    )
+    full = index.select("did", "sig", "shset").unionByName(new_idx)
+
+    batch_bands = _band_table(new_idx, bands, rows)
+    if broadcast_batch:
+        batch_bands = F.broadcast(batch_bands)
+    corpus_bands = _band_table(full, bands, rows)
+    if not broadcast_batch:
+        corpus_bands = corpus_bands.hint("merge")
+    # one side is always the batch, so only batch-touching pairs are ever
+    # generated; least/greatest + distinct folds the two orders a new-new
+    # collision produces into one normalized pair
+    cand = (
+        batch_bands.alias("l")
+        .join(
+            corpus_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.did") != F.col("r.did")),
+        )
+        .select(
+            F.least(F.col("l.did"), F.col("r.did")).alias("doc_a"),
+            F.greatest(F.col("l.did"), F.col("r.did")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # estimate-prefilter and exact verify in ONE pass over the index joins:
+    # the index rows already carry shset, so verification needs no second
+    # join against document text (same margin/threshold math as the full
+    # path — required for the restricted-equality contract). The index side
+    # is corpus-sized: merge hints, never broadcast (plan-tested).
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
+            lambda eq: eq,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cand.join(full.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
+        .join(full.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
+        .where(est_matches / num_perms >= threshold - 0.12)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -216,22 +374,6 @@ def minhash_lsh_pairs(
     the candidate volume.
     """
     rows = num_perms // bands
-    a_co, b_co = _minhash_coeffs(num_perms)
-
-    def signatures(it):
-        au = a_co.astype(np.uint64)[:, None]
-        bu = b_co.astype(np.uint64)[:, None]
-        prime = np.uint64(_MINHASH_PRIME)
-        for pdf in it:
-            out_ids, out_sig = [], []
-            for did, shset in zip(pdf["did"], pdf["shset"]):
-                base = np.asarray(shset, dtype=np.int64).astype(np.uint64) % prime
-                # (perms, shingles) matrix of universal hashes; min per row
-                sig = ((au * base[None, :] + bu) % prime).min(axis=1)
-                out_ids.append(did)
-                out_sig.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"did": out_ids, "sig": out_sig})
-
     shs = _hashed_shingles(docs, id_col, text_col, n)
     # sigs feeds three plan branches (banding + both sides of the estimate
     # join): localCheckpoint so the Python signature pass runs once, not
@@ -242,20 +384,14 @@ def minhash_lsh_pairs(
     # (Not fault-tolerant: executor loss fails the query instead of
     # recomputing; fine for a single bounded job, see dup_clusters note.)
     sigs = snapshot(
-        shs.mapInPandas(signatures, schema="did long, sig array<long>"), eager=False
+        shs.mapInPandas(
+            _signature_fn(num_perms, keep_shset=False),
+            schema="did long, sig array<long>",
+        ),
+        eager=False,
     )
     # band buckets derived JVM-side: xxhash64 over each signature slice
-    buckets = sigs.select(
-        "did",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice(F.col("sig"), band * rows + 1, rows))
-                    for band in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    buckets = _band_table(sigs, bands, rows)
     candidates = _bucket_pairs(buckets)
     # Prefilter with the minhash Jaccard ESTIMATE (signature agreement rate)
     # before the exact verify: bucket collisions on low-similarity corpora

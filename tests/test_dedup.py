@@ -267,6 +267,87 @@ def test_winnow_pairs_hot_fingerprint_cap(spark):
     assert uncapped > 0 and capped < uncapped
 
 
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    # The incremental contract: pairs(new batch vs indexed corpus) must be
+    # EXACTLY the full-corpus relation restricted to pairs touching a new
+    # doc. Split the real corpus 75/25 by id, index the old 75%, dedup the
+    # new 25% against the index, compare against the one-shot run.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    index = dedup.minhash_index(old)
+    got = sorted(
+        map(tuple, dedup.minhash_lsh_pairs_incremental(new, index).collect())
+    )
+    full = dedup.minhash_lsh_pairs(docs)
+    exp = sorted(
+        map(
+            tuple,
+            full.where(
+                (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0)
+            ).collect(),
+        )
+    )
+    assert len(exp) > 0  # the split must actually exercise cross-batch pairs
+    assert got == exp
+
+
+def test_incremental_minhash_never_broadcasts_corpus(spark, docs):
+    # Candidate generation must never ship the corpus index to the driver.
+    # broadcast_batch=True broadcasts only the BATCH band table (bounded by
+    # the batch, not the corpus); broadcast_batch=False must have no forced
+    # broadcast at all. Stats-driven broadcasts are disabled so any
+    # BroadcastExchange left comes from an explicit hint.
+    from spark_iforest_spark.plans import formatted_plan
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    index = dedup.minhash_index(old)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = formatted_plan(
+            dedup.minhash_lsh_pairs_incremental(new, index, broadcast_batch=False)
+        )
+        assert "BroadcastExchange" not in merged
+        bcast = formatted_plan(
+            dedup.minhash_lsh_pairs_incremental(new, index, broadcast_batch=True)
+        )
+        # exactly the one batch-side broadcast node (formatted plans print
+        # each node twice: once in the tree, once in the details section)
+        import re
+
+        assert len(re.findall(r"\(\d+\) BroadcastExchange", bcast)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_index_roundtrips_through_parquet(spark, docs, tmp_path):
+    # The index is the persisted artifact of the incremental workflow:
+    # writing it to parquet and reading it back must give identical pairs.
+    path = str(tmp_path / "mh_index")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    dedup.minhash_index(old).write.parquet(path)
+    via_disk = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs_incremental(
+                new, spark.read.parquet(path), threshold=0.5
+            ).collect(),
+        )
+    )
+    in_mem = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs_incremental(
+                new, dedup.minhash_index(old), threshold=0.5
+            ).collect(),
+        )
+    )
+    assert via_disk == in_mem and len(via_disk) > 0
+
+
 def test_minhash_and_simhash_partition_invariant(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for fn in (dedup.minhash_lsh_pairs, dedup.simhash_pairs):
