@@ -431,6 +431,18 @@ def queries() -> _T:
                     F.lit(None).cast("long").alias("n_copies"),
                 ),
             ),
+            # round 5: incremental mode — the doc_id%4==0 quarter deduped
+            # as a "new crawl batch" against a digest index of the rest;
+            # contract = full relation restricted to batch-touched digests
+            (
+                "incr",
+                dedup.exact_dedup_incremental(
+                    _read(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+                    dedup.exact_dedup(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                    ),
+                ),
+            ),
         ),
         # the exact inverted-index path and the minhash-LSH estimate-prefilter
         # path emit the SAME pair relation — one union, one jaccard oracle
@@ -1966,6 +1978,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS rep_doc_id,
                    CAST(NULL AS BIGINT) AS n_copies
             FROM (SELECT DISTINCT md5(text) AS content_hash FROM documents)
+            UNION ALL
+            SELECT 'incr' AS variant, * FROM ({base["dedup_exact"]})
+            WHERE content_hash IN
+                  (SELECT md5(text) FROM documents WHERE doc_id % 4 = 0)
         """,
         "event_type_stats": f"""
             SELECT c.event_type, c.n_users_exact, c.n_events,

@@ -69,6 +69,47 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup a NEW batch against a persisted digest index (an
+    ``exact_dedup`` relation) without re-reading the old corpus.
+
+    Returns the updated ``(content_hash, rep_doc_id, n_copies)`` rows for
+    every digest the batch touches — exactly the full-corpus relation
+    restricted to digests present in the batch (pytest-pinned), which is
+    both the batch's dedup verdict (``n_copies > batch count`` ⇒ seen
+    before) and the delta to upsert back into the index.
+
+    Scale: the batch aggregates map-side to one row per distinct digest
+    before the index join. Persist the index BUCKETED by ``content_hash``
+    (``df.write.bucketBy(n, "content_hash")``) and the corpus side of the
+    lookup join needs no shuffle at all — only the batch's digest rows
+    move. ``least``/``+coalesce`` merge semantics make the update
+    idempotent to re-running a batch only if the caller dedupes batch ids;
+    exactly-once upsert discipline is the storage layer's job (e.g. MERGE
+    INTO on a transactional table format).
+    """
+    batch = exact_dedup(new_docs, id_col, text_col)
+    return (
+        batch.alias("b")
+        .join(index.alias("i").hint("merge"), "content_hash", "left")
+        .select(
+            "content_hash",
+            # least() skips NULLs: unseen digests keep the batch's rep
+            F.least(F.col("i.rep_doc_id"), F.col("b.rep_doc_id")).alias(
+                "rep_doc_id"
+            ),
+            (
+                F.col("b.n_copies") + F.coalesce(F.col("i.n_copies"), F.lit(0))
+            ).alias("n_copies"),
+        )
+    )
+
+
 def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(did, shset array<long>) — distinct word n-grams hashed JVM-side."""
     return docs.select(

@@ -267,6 +267,44 @@ def test_winnow_pairs_hot_fingerprint_cap(spark):
     assert uncapped > 0 and capped < uncapped
 
 
+def test_incremental_exact_dedup_equals_full_restricted(spark, sf_dir):
+    # Digest-index contract: batch-vs-index merge rows must equal the full
+    # corpus exact_dedup relation restricted to digests the batch touches —
+    # covering all three cases (digest only old, only new, both).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    got = sorted(
+        map(
+            tuple,
+            dedup.exact_dedup_incremental(new, dedup.exact_dedup(old)).collect(),
+        )
+    )
+    full = dedup.exact_dedup(docs).alias("f")
+    batch_digests = new.select(F.md5("text").alias("content_hash")).distinct()
+    exp = sorted(
+        map(tuple, full.join(batch_digests, "content_hash", "left_semi").collect())
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_incremental_exact_dedup_merge_cases(spark):
+    # hand-built: digest A exists in both (merge), B only old (absent from
+    # output), C only new (index-null path)
+    old = spark.createDataFrame([(10, "aaa"), (11, "aaa"), (12, "bbb")], ["doc_id", "text"])
+    new = spark.createDataFrame([(2, "aaa"), (13, "ccc")], ["doc_id", "text"])
+    out = {
+        r["content_hash"]: (r["rep_doc_id"], r["n_copies"])
+        for r in dedup.exact_dedup_incremental(new, dedup.exact_dedup(old)).collect()
+    }
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert out[h("aaa")] == (2, 3)  # new id 2 wins min; 2 old + 1 new copies
+    assert out[h("ccc")] == (13, 1)  # unseen digest passes through
+    assert h("bbb") not in out  # untouched digests stay out of the delta
+
+
 def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
     # The incremental contract: pairs(new batch vs indexed corpus) must be
     # EXACTLY the full-corpus relation restricted to pairs touching a new
