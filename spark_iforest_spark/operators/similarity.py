@@ -479,8 +479,21 @@ def pq_topk(
     max_iter: int = 25,
     two_phase: bool | None = None,
     n_rows: int | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization + exact cosine re-rank.
+
+    Persisted-index mode (round 5): pass ``codebooks`` (the numpy array —
+    serialize it once per corpus snapshot) and ``codes`` (a ``pq_encode``
+    relation, e.g. read back from parquet) and neither the codebook fit
+    nor corpus encoding re-runs — searches read only the 16 B/vector code
+    relation plus the top-R re-rank vectors. Incremental ingest is then
+    ``codes.unionByName(pq_encode(new_vecs, codebooks))`` — new vectors
+    encode against the FROZEN codebooks (compositionality pytest-pinned:
+    a two-part encode union searches identically to a from-scratch run).
+    Codebook drift under distribution shift is a rebuild decision, not an
+    operator concern — the standard PQ index lifecycle.
 
     The 100 TB shape that LSH/IVF cannot provide: the heavy scan reads the
     16-byte (id, packed-code) relation instead of the raw vectors — the
@@ -509,10 +522,12 @@ def pq_topk(
     |Q| * m * n_centroids doubles; the same small-|Q| contract as the
     broadcast in cosine_topk.
     """
-    codebooks = _pq_codebooks(
-        emb, id_col, vec_col, m, n_centroids, seed, sample_n, max_iter
-    )
-    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    if codebooks is None:
+        codebooks = _pq_codebooks(
+            emb, id_col, vec_col, m, n_centroids, seed, sample_n, max_iter
+        )
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
 
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),

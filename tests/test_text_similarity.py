@@ -351,6 +351,35 @@ def test_pq_topk_recall_and_exact_cos_values(spark, sf_dir):
     assert all(exact[p] == pq[p] for p in hits)  # bit-equal, not approx
 
 
+def test_pq_persisted_index_and_incremental_encode_match_scratch(spark, sf_dir, tmp_path):
+    """Persisted-index mode: frozen codebooks + a code relation read back
+    from parquet — with the corpus encoded INCREMENTALLY in two batches —
+    must search identically to the from-scratch run. This is the 100 TB
+    ingest path: new vectors encode against the frozen codebooks; nothing
+    old re-encodes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    cb = similarity._pq_codebooks(
+        emb, "vec_id", "embedding", 8, 64, similarity._PQ_SEED, 4096, 25
+    )
+    path = str(tmp_path / "pq_codes")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.pq_encode(old, cb).unionByName(
+        similarity.pq_encode(new, cb)
+    ).write.parquet(path)
+    scratch = sorted(map(tuple, similarity.pq_topk(emb, q).collect()))
+    indexed = sorted(
+        map(
+            tuple,
+            similarity.pq_topk(
+                emb, q, codebooks=cb, codes=spark.read.parquet(path)
+            ).collect(),
+        )
+    )
+    assert scratch == indexed and len(scratch) > 0
+
+
 def test_pq_topk_layout_invariant(spark, sf_dir):
     """Codebooks fit on an md5-ordered sample, argmin ties to the lowest
     index, every selection totally ordered by (score, id) — so the PQ
