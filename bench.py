@@ -134,7 +134,7 @@ def _calibration_probe() -> float:
 
 
 def run_suite(spark, sf_dir: str, timed) -> None:
-    """The 8 headline queries against one sf dir; ``timed(name, fn)`` does
+    """The 9 headline queries against one sf dir; ``timed(name, fn)`` does
     the measurement so the primary tier (min-of-N, spread control) and the
     scale tier (single run) share one definition of the workload."""
     from pyspark.sql import functions as F
@@ -184,6 +184,19 @@ def run_suite(spark, sf_dir: str, timed) -> None:
         "dedup_ngram_jaccard",
         lambda: dedup.ngram_jaccard_pairs(docs, max_shingle_df=100).count(),
     )
+    # incremental mode measures the steady-state pipeline: the corpus index
+    # already exists (cache stands in for the persisted parquet), timing
+    # covers only the per-batch work — the doc_id%4==0 quarter arrives as
+    # the "new crawl" and dedups against the indexed rest
+    index = dedup.minhash_index(docs.where(F.col("doc_id") % 4 != 0)).cache()
+    index.count()
+    timed(
+        "dedup_incremental",
+        lambda: dedup.minhash_lsh_pairs_incremental(
+            docs.where(F.col("doc_id") % 4 == 0), index
+        ).count(),
+    )
+    index.unpersist()
     timed(
         "ann_cosine_topk",
         lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10)).count(),

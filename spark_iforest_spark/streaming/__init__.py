@@ -252,6 +252,93 @@ def dedup_stream(
     )
 
 
+def incremental_dedup_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous-ingestion exact dedup: every micro-batch dedups against
+    the persisted digest index (``operators.dedup.exact_dedup`` relation)
+    and writes the merged index as a new version — the streaming driver of
+    the incremental batch operator, closing the loop ``dedup_stream``
+    leaves open (its watermarked state forgets digests past the horizon;
+    the index remembers every digest ever ingested, with bounded stream
+    state of zero).
+
+    Versioned parquet (``index_dir/v{batch_id}``) stands in for a
+    transactional table: each batch reads the latest version STRICTLY
+    OLDER than its own batch id and writes ``v{batch_id}`` — so a batch
+    retried after a mid-write crash re-reads the same parent version and
+    regenerates identical output (idempotent under foreachBatch's
+    at-least-once contract; pytest-pinned). At 100 TB the full-index
+    rewrite per batch is the demo simplification — a format with MERGE
+    INTO (Delta/Iceberg) replaces the version dance with the row-level
+    upsert ``exact_dedup_incremental`` already emits; index reads/writes
+    there are metadata-pruned to touched digests.
+
+    Returns the started StreamingQuery (availableNow-triggered streams
+    terminate when the backlog drains; ``awaitTermination`` to block).
+    """
+    from spark_iforest_spark.operators import dedup
+
+    spark = stream_docs.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merge_index_version(spark, index_dir, batch_df, batch_id, id_col, text_col)
+
+    return (
+        stream_docs.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _index_versions(index_dir: str) -> list[int]:
+    if not os.path.isdir(index_dir):
+        return []
+    return sorted(
+        int(p[1:]) for p in os.listdir(index_dir)
+        if p.startswith("v") and p[1:].isdigit()
+    )
+
+
+def merge_index_version(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One ``incremental_dedup_ingest`` merge step: read the latest index
+    version STRICTLY older than ``batch_id``, upsert the batch's digest
+    delta, write ``v{batch_id}``. The strict-parent rule is what makes a
+    retried batch idempotent: it can never merge against its own partial
+    output."""
+    from spark_iforest_spark.operators import dedup
+
+    parents = [v for v in _index_versions(index_dir) if v < batch_id]
+    if parents:
+        index = spark.read.parquet(f"{index_dir}/v{parents[-1]}")
+        delta = dedup.exact_dedup_incremental(batch_df, index, id_col, text_col)
+        merged = index.join(
+            delta.select("content_hash"), "content_hash", "left_anti"
+        ).unionByName(delta)
+    else:
+        merged = dedup.exact_dedup(batch_df, id_col, text_col)
+    merged.write.mode("overwrite").parquet(f"{index_dir}/v{batch_id}")
+
+
+def latest_dedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read the newest index version written by ``incremental_dedup_ingest``."""
+    versions = sorted(
+        int(p[1:]) for p in os.listdir(index_dir)
+        if p.startswith("v") and p[1:].isdigit()
+    )
+    return spark.read.parquet(f"{index_dir}/v{versions[-1]}")
+
+
 def follow_pairs_stream(
     events: DataFrame,
     ts_col: str = "ts",

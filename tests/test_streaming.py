@@ -369,3 +369,45 @@ def test_follow_pairs_out_of_order_replay(spark, sf_dir, tmpdir):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_incremental_dedup_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Multi-micro-batch ingestion against the versioned digest index must
+    converge to EXACTLY the batch exact_dedup relation over everything
+    ingested — cross-batch digest merges (same text arriving in different
+    micro-batches) included."""
+    from spark_iforest_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = tmpdir + "/src"
+    # 4 files => maxFilesPerTrigger=1 forces 4 micro-batches; duplicates in
+    # the corpus land in different batches
+    docs.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = S.incremental_dedup_ingest(stream, tmpdir + "/idx")
+    q.awaitTermination()
+    got = sorted(map(tuple, S.latest_dedup_index(spark, tmpdir + "/idx").collect()))
+    want = sorted(map(tuple, dedup.exact_dedup(docs).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_merge_index_version_retry_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-running a batch id after a crash
+    must regenerate the identical version (strict-parent rule — a retry
+    never merges against its own output)."""
+    idx = tmpdir + "/idx"
+    b0 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "aaa"), (4, "ccc")], "doc_id long, text string")
+    S.merge_index_version(spark, idx, b0, 0)
+    S.merge_index_version(spark, idx, b1, 1)
+    first = sorted(map(tuple, spark.read.parquet(idx + "/v1").collect()))
+    S.merge_index_version(spark, idx, b1, 1)  # simulated retry of batch 1
+    second = sorted(map(tuple, spark.read.parquet(idx + "/v1").collect()))
+    assert first == second
+    # and the merge itself is right: 'aaa' seen twice across batches
+    by_hash = {r[0]: (r[1], r[2]) for r in second}
+    import hashlib
+
+    assert by_hash[hashlib.md5(b"aaa").hexdigest()] == (1, 2)
