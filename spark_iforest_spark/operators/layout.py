@@ -1,0 +1,121 @@
+"""Physical-layout optimization: Z-order (Morton) interleaved sort for
+multi-dimensional data skipping.
+
+A parquet scan prunes files/row-groups whose column min/max statistics
+exclude the predicate — but a corpus sorted by ONE column only skips on
+that column; filters on anything else read everything. Z-ordering
+interleaves the bits of several columns' rank-buckets so that files end up
+covering small hyper-rectangles of the combined space, and min/max pruning
+works on EVERY participating column at once. This is the standard layout
+trick (Delta/Iceberg OPTIMIZE ZORDER BY); here it is expressed as a plain
+DataFrame transform so any parquet writer gets it.
+
+Everything is JVM-side Catalyst expressions — bucket assignment is a
+literal-cutpoint comparison fold, bit interleaving is shift/or arithmetic,
+and the final placement is repartitionByRange + sortWithinPartitions, i.e.
+one range shuffle at write time. No UDFs, no driver loops over data.
+
+Scale: cutpoints come from approxQuantile (Greenwald-Khanna, mergeable
+sketch — one pass over the columns, driver holds 2^bits doubles per
+column). The range shuffle is the same shuffle any sorted write pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_expr(col: str, cuts: list[float], bits: int) -> F.Column:
+    """Equi-depth bucket id in [0, 2^bits) via literal cutpoints: the
+    number of cutpoints <= value — an array fold over 2^bits-1 literals,
+    vectorized in codegen. Equi-depth (quantile cutpoints, not min/max
+    linear) keeps buckets balanced under skew, which is what makes the
+    final files cover EQUAL row counts, not equal value ranges. NULLs
+    bucket to 0 (they sort first, like a NULLS FIRST sort)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    n = F.size(
+        F.filter(arr, lambda c: c <= F.col(col).cast("double"))
+    )
+    return F.coalesce(n, F.lit(0)).cast("long")
+
+
+def _interleave(buckets: list[F.Column], bits: int) -> F.Column:
+    """Morton code: bit b of dimension d lands at position b*k + d. Pure
+    shift/and/or arithmetic — whole-stage codegen, no Python."""
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for d, bcol in enumerate(buckets):
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(bcol, b).bitwiseAND(F.lit(1)), b * k + d
+                )
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Return ``df`` re-laid so a ``.write.parquet`` produces ``n_files``
+    files each covering a small hyper-rectangle of ``cols``' value space —
+    min/max file pruning then works on every listed column.
+
+    ``bits`` buckets per dimension (2^bits equi-depth buckets; 8 ⇒ 256 is
+    plenty for file-level skipping — the granularity that matters is
+    files, not values). One approxQuantile pass fixes the cutpoints, one
+    range shuffle places the rows; the z column is dropped before return.
+    """
+    if not cols:
+        raise ValueError("zorder_layout needs at least one column")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cutlists = df.stat.approxQuantile(
+        [c for c in cols], probs, rel_err
+    )
+    buckets = [
+        _bucket_expr(c, cuts, bits) for c, cuts in zip(cols, cutlists)
+    ]
+    with_z = df.withColumn("__z", _interleave(buckets, bits))
+    return (
+        with_z.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def file_skip_fraction(path: str, col: str, lo: float, hi: float) -> float:
+    """Fraction of parquet files under ``path`` a [lo, hi] predicate on
+    ``col`` can SKIP, judged by footer min/max statistics — the same
+    decision a Spark scan makes. Driver-side pyarrow footer reads only
+    (metadata, not data); used to measure layout quality in tests and
+    audits."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    skipped = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            rgmd = md.row_group(rg)
+            for ci in range(rgmd.num_columns):
+                c = rgmd.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    if s.has_min_max:
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is not None and (fmax < lo or fmin > hi):
+            skipped += 1
+    return skipped / max(len(files), 1)

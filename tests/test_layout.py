@@ -1,0 +1,70 @@
+"""Z-order layout: multi-dimensional file skipping, measured on real
+parquet footers — the same min/max decision a Spark scan's file pruning
+makes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import layout
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+def _write(df, path, n):
+    df.write.mode("overwrite").parquet(str(path))
+
+
+def test_zorder_skips_on_every_dimension(spark, li, tmp_path):
+    """Single-column sort skips only on that column; z-order over
+    (l_partkey, l_suppkey) must skip a meaningful file fraction on BOTH —
+    the reason the layout exists."""
+    n_files = 16
+    naive = str(tmp_path / "naive")
+    li.repartitionByRange(n_files, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(naive)
+    z = str(tmp_path / "z")
+    layout.zorder_layout(li, ["l_partkey", "l_suppkey"], n_files).write.parquet(z)
+
+    stats = li.select(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    ).collect()[0]
+    # a 1/8-wide range predicate per dimension
+    p_hi = stats["pmax"] / 8
+    s_hi = stats["smax"] / 8
+
+    naive_p = layout.file_skip_fraction(naive, "l_partkey", 0, p_hi)
+    naive_s = layout.file_skip_fraction(naive, "l_suppkey", 0, s_hi)
+    z_p = layout.file_skip_fraction(z, "l_partkey", 0, p_hi)
+    z_s = layout.file_skip_fraction(z, "l_suppkey", 0, s_hi)
+
+    assert naive_p >= 0.75  # the sorted column skips nearly everything
+    assert naive_s == 0.0  # ...and the other column skips nothing
+    assert z_p >= 0.25 and z_s >= 0.25  # z-order skips on BOTH
+    # and the layout is lossless
+    a = li.selectExpr("sum(l_orderkey)", "count(*)").collect()
+    b = spark.read.parquet(z).selectExpr("sum(l_orderkey)", "count(*)").collect()
+    assert a == b
+
+
+def test_zorder_single_column_degenerates_to_sort(spark, li, tmp_path):
+    """k=1 z-order is just an equi-depth range sort: files tile the value
+    range and the predicate skips proportionally."""
+    path = str(tmp_path / "z1")
+    layout.zorder_layout(li, ["l_quantity"], 8).write.parquet(path)
+    hi = li.select(F.expr("percentile(l_quantity, 0.1)")).collect()[0][0]
+    assert layout.file_skip_fraction(path, "l_quantity", 0.0, float(hi)) >= 0.5
+
+
+def test_zorder_plan_is_jvm_only(spark, li):
+    """Bucketing + interleaving must stay in codegen: no Python eval nodes
+    anywhere in the laid-out plan."""
+    from spark_iforest_spark.plans import python_eval_nodes
+
+    out = layout.zorder_layout(li, ["l_partkey", "l_suppkey"], 8)
+    assert python_eval_nodes(out) == []
