@@ -263,6 +263,60 @@ def lsh_topk(
     return _ranked(cand, k, two_phase)
 
 
+def ivf_centers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer and return its centers — the
+    persistable index artifact (an (n_centroids, dim) numpy array;
+    serialize once per corpus snapshot, same lifecycle as PQ codebooks)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(vec_col).cast("array<double>").alias("nv")
+    ).withColumn("_v", array_to_vector("nv"))
+    km = KMeans(k=n_centroids, seed=_IVF_SEED, featuresCol="_v", predictionCol="cell")
+    return np.stack(km.fit(corpus).clusterCenters())
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centers: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, nv, cell) — nearest-euclidean-center assignment
+    against FROZEN centers, one distance matmul per Arrow batch (equality
+    with Spark ML's own transform is pytest-pinned). This is the
+    incremental ingest path: new vectors assign against the persisted
+    quantizer and append to the stored cell relation (at scale: partition
+    the write by cell so probes keep pruning)."""
+    C = np.asarray(centers, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["nv"].to_list(), dtype=np.float64)
+            d2 = c_sq[None, :] - 2.0 * (V @ C.T)  # argmin drops the |x|^2 term
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "nv": pdf["nv"],
+                    "cell": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).mapInPandas(assign, schema="neighbor_id long, nv array<double>, cell int")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -273,6 +327,8 @@ def ivf_topk(
     n_probe: int = 4,
     two_phase: bool | None = None,
     n_rows: int | None = None,
+    centers: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + probed cells.
 
@@ -290,20 +346,30 @@ def ivf_topk(
     see ann_ivf_recall). That cost is inherent to the data, not the plan:
     candidate generation stays a cell-equality join either way.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    # persisted-index mode (round 5): frozen centers + a stored ivf_assign
+    # relation skip both the kmeans fit and the corpus assignment pass
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # array->vector is a JVM expression (pyspark.ml.functions), NOT a
-    # row-at-a-time Python UDF — the corpus-wide conversion stays in codegen
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
-    ).withColumn("_v", array_to_vector("nv"))
-    km = KMeans(k=n_centroids, seed=_IVF_SEED, featuresCol="_v", predictionCol="cell")
-    model = km.fit(corpus)
-    assigned = model.transform(corpus).select("neighbor_id", "nv", "cell")
-
-    c = np.stack(model.clusterCenters())
+        # array->vector is a JVM expression (pyspark.ml.functions), NOT a
+        # row-at-a-time Python UDF — the corpus-wide conversion stays in
+        # codegen
+        corpus = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        ).withColumn("_v", array_to_vector("nv"))
+        km = KMeans(
+            k=n_centroids, seed=_IVF_SEED, featuresCol="_v", predictionCol="cell"
+        )
+        model = km.fit(corpus)
+        if assigned is None:
+            assigned = model.transform(corpus).select("neighbor_id", "nv", "cell")
+        c = np.stack(model.clusterCenters())
+    else:
+        c = np.asarray(centers, dtype=np.float64)
+        if assigned is None:
+            assigned = ivf_assign(emb, c, id_col, vec_col)
 
     def probe_cells(it):
         for pdf in it:

@@ -412,3 +412,67 @@ def test_pq_scan_reads_codes_not_vectors(spark, sf_dir):
         similarity.pq_encode(emb, np.zeros((8, 300, 8)))
     with pytest.raises(ValueError):  # >8 subspaces must refuse to pack
         similarity.pq_encode(emb, np.zeros((9, 16, 8)))
+
+
+def test_ivf_assign_matches_sparkml_transform(spark, sf_dir):
+    """The frozen-center assignment (one distance matmul per batch) must
+    reproduce Spark ML's own nearest-euclidean-center transform — the
+    contract that makes incrementally-assigned vectors indistinguishable
+    from build-time ones."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    ).withColumn("_v", array_to_vector("nv"))
+    model = KMeans(
+        k=8, seed=similarity._IVF_SEED, featuresCol="_v", predictionCol="cell"
+    ).fit(corpus)
+    import numpy as np
+
+    centers = np.stack(model.clusterCenters())
+    ml = {
+        r["neighbor_id"]: r["cell"]
+        for r in model.transform(corpus).select("neighbor_id", "cell").collect()
+    }
+    ours = {
+        r["neighbor_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, centers)
+        .select("neighbor_id", "cell")
+        .collect()
+    }
+    assert ours == ml
+
+
+def test_ivf_persisted_index_matches_scratch(spark, sf_dir, tmp_path):
+    """Frozen centers + a two-batch incrementally-assigned cell relation
+    read back from parquet must search identically to the from-scratch
+    run."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    centers = similarity.ivf_centers(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_cells")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.ivf_assign(old, centers).unionByName(
+        similarity.ivf_assign(new, centers)
+    ).write.parquet(path)
+    scratch = sorted(
+        map(tuple, similarity.ivf_topk(emb, q, n_centroids=8, n_probe=7).collect())
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb,
+                q,
+                n_centroids=8,
+                n_probe=7,
+                centers=centers,
+                assigned=spark.read.parquet(path),
+            ).collect(),
+        )
+    )
+    assert scratch == indexed and len(scratch) > 0
