@@ -78,6 +78,42 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random corpus shuffle (+ optional sharding)
+    for training-data export.
+
+    Training wants documents in random order, REPRODUCIBLY: the order key
+    is md5(id|salt) — a pure function of (id, salt), so the permutation is
+    identical on any cluster layout, engine, or rerun, and a new salt is a
+    new epoch's permutation (no RNG state to snapshot). Without
+    ``n_shards`` the result is globally ordered by the key — one range
+    shuffle, the same cost any sorted write pays. With ``n_shards`` each
+    row gets ``shard_id = key % n_shards`` (itself pseudo-random and
+    layout-independent) and rows are hash-placed by shard and sorted
+    (shard_id, key) within partitions — write with
+    ``.write.partitionBy("shard_id")`` and each shard directory is an
+    internally-shuffled unit the dataloader can consume independently; no
+    global total order is ever materialized across shards (the 100 TB
+    shape — a single global sort of the corpus is pointless when training
+    readers consume shards in parallel anyway).
+    """
+    u = _md5_u32(F.col(id_col), salt)
+    out = df.withColumn("shuffle_key", u)
+    if n_shards is None:
+        return out.orderBy("shuffle_key", id_col)
+    out = out.withColumn(
+        "shard_id", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+    return out.repartition(n_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "shuffle_key", id_col
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

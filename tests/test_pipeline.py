@@ -363,3 +363,45 @@ def test_chunk_documents_short_doc(spark):
     out = pipeline.chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
     assert len(out) == 1
     assert out[0]["chunk_id"] == 0 and out[0]["n_chunk_tokens"] == 2
+
+
+def test_shuffle_corpus_layout_invariant_and_epochal(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = [r["doc_id"] for r in pipeline.shuffle_corpus(docs.repartition(3)).collect()]
+    b = [r["doc_id"] for r in pipeline.shuffle_corpus(docs.repartition(17)).collect()]
+    assert a == b  # the permutation is a pure function of (id, salt)
+    assert a != sorted(a)  # and it actually shuffles
+    c = [r["doc_id"] for r in pipeline.shuffle_corpus(docs, salt="epoch2").collect()]
+    assert c != a  # a new salt is a new epoch's permutation
+
+
+def test_shuffle_corpus_shards_partition_and_balance(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = pipeline.shuffle_corpus(docs, n_shards=8)
+    rows = out.select("doc_id", "shard_id", "shuffle_key").collect()
+    n = docs.count()
+    assert len(rows) == n  # disjoint union: nothing lost or duplicated
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * min(sizes)  # md5 uniformity keeps shards balanced
+    # shard assignment is the same pure function on any layout
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in pipeline.shuffle_corpus(docs.repartition(5), n_shards=8)
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    assert all(again[r["doc_id"]] == r["shard_id"] for r in rows)
+
+
+def test_shuffle_corpus_is_scan_fused_projection(spark, sf_dir):
+    # the no-shard variant's only exchange is the final range sort; the
+    # key computation itself adds no shuffle
+    from spark_iforest_spark.plans import count_shuffles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    assert count_shuffles(pipeline.shuffle_corpus(docs)) <= 2  # range sort only
