@@ -1,0 +1,106 @@
+"""Distribution-drift monitoring between corpus snapshots: PSI per column.
+
+Continuous ingestion (incremental dedup, streaming ingest) needs a cheap
+answer to "does the new crawl look like the corpus we trained on?".
+Population Stability Index over equi-depth buckets is the standard
+monitor: cutpoints are fixed from the REFERENCE snapshot (approxQuantile —
+one mergeable-sketch pass), then both sides reduce to per-bucket counts
+(two scan+groupBy passes whose shuffle width is n_buckets rows per
+column, nothing corpus-sized) and PSI folds driver-side over 2·n_buckets
+numbers per column. Rule-of-thumb thresholds: <0.1 stable, 0.1-0.25
+moderate shift, >0.25 investigate.
+
+Bucketing is a literal-cutpoint comparison fold (same device as
+layout.zorder_layout — whole-stage codegen, no UDF); reference cutpoints
+are part of the returned report so a monitoring job can persist them and
+skip the quantile pass on subsequent batches (frozen-artifact lifecycle).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_counts(
+    df: DataFrame, col: str, cuts: list[float], smoothing: float
+) -> list[float]:
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    b = F.size(F.filter(arr, lambda c: c <= F.col(col).cast("double")))
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = [smoothing] * (len(cuts) + 1)
+    total = smoothing * (len(cuts) + 1)
+    for r in rows:
+        counts[r["bucket"]] += r["n"]
+        total += r["n"]
+    return [c / total for c in counts]
+
+
+def psi_report(
+    reference: DataFrame,
+    batch: DataFrame,
+    cols: list[str],
+    n_buckets: int = 10,
+    rel_err: float = 0.001,
+    cutpoints: dict[str, list[float]] | None = None,
+    smoothing: float = 0.5,
+) -> dict:
+    """PSI per column of ``batch`` against ``reference``.
+
+    Returns ``{col: {"psi": float, "cutpoints": [...], "ref_frac": [...],
+    "batch_frac": [...]}}``. Pass a previous report's ``cutpoints`` to
+    freeze the bucketing (and skip the reference quantile pass) — PSI
+    series over time are only comparable against fixed cutpoints.
+    ``smoothing`` is the additive count that keeps empty buckets from
+    sending PSI to infinity (the standard Laplace guard).
+    """
+    if cutpoints is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        lists = reference.stat.approxQuantile(cols, probs, rel_err)
+        cutpoints = {c: cuts for c, cuts in zip(cols, lists)}
+    report: dict = {}
+    for c in cols:
+        cuts = cutpoints[c]
+        p = _bucket_counts(reference, c, cuts, smoothing)
+        q = _bucket_counts(batch, c, cuts, smoothing)
+        psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+        report[c] = {
+            "psi": round(psi, 6),
+            "cutpoints": [float(x) for x in cuts],
+            "ref_frac": [round(x, 6) for x in p],
+            "batch_frac": [round(x, 6) for x in q],
+        }
+    return report
+
+
+def signal_drift(
+    reference_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10,
+    cutpoints: dict[str, list[float]] | None = None,
+) -> dict:
+    """PSI over the engine's own text signals (length, token count,
+    quality components) — the turnkey "is this crawl weird" check for the
+    incremental-ingest loop, no labels needed."""
+    from spark_iforest_spark.operators.quality_model import _raw_features
+
+    feats = list(_raw_features(text_col).items())
+
+    def project(df):
+        return df.select(*[e.alias(n) for n, e in feats])
+
+    return psi_report(
+        project(reference_docs),
+        project(batch_docs),
+        [n for n, _ in feats],
+        n_buckets=n_buckets,
+        cutpoints=cutpoints,
+    )

@@ -1,0 +1,68 @@
+"""PSI drift monitoring tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import drift
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_psi_zero_on_identical_snapshots(spark, docs):
+    rep = drift.signal_drift(docs, docs)
+    assert set(rep) == {
+        "f_ln_chars", "f_ln_tokens", "f_avg_token_len",
+        "f_subwords_per_token", "f_length_score", "f_stopword_score",
+        "f_symbol_score",
+    }
+    assert all(r["psi"] < 1e-9 for r in rep.values())
+
+
+def test_psi_flags_a_shifted_batch(spark, docs):
+    # a batch of only long documents is a real distribution shift on the
+    # size features and must clear the 0.25 "investigate" bar
+    med = docs.select(F.expr("percentile(length(text), 0.7)")).collect()[0][0]
+    long_batch = docs.where(F.length("text") >= med)
+    rep = drift.signal_drift(docs, long_batch)
+    assert rep["f_ln_chars"]["psi"] > 0.25
+    # while a uniform random half is NOT a shift
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rep2 = drift.signal_drift(docs, half)
+    assert all(r["psi"] < 0.1 for r in rep2.values())
+
+
+def test_frozen_cutpoints_reproduce_and_freeze_the_series(spark, docs):
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    first = drift.signal_drift(docs, batch)
+    cuts = {c: r["cutpoints"] for c, r in first.items()}
+    again = drift.signal_drift(docs, batch, cutpoints=cuts)
+    assert {c: r["psi"] for c, r in first.items()} == {
+        c: r["psi"] for c, r in again.items()
+    }
+
+
+def test_psi_matches_driver_numpy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = li.select("l_extendedprice")
+    batch = li.where(F.col("l_quantity") > 25).select("l_extendedprice")
+    rep = drift.psi_report(ref, batch, ["l_extendedprice"], n_buckets=8)
+    r = rep["l_extendedprice"]
+    cuts = r["cutpoints"]
+    import numpy as np
+
+    def fracs(vals):
+        # the operator's bucket rule: count of cutpoints <= value
+        c = np.asarray(cuts)
+        b = (np.asarray(vals)[:, None] >= c[None, :]).sum(axis=1)
+        n = np.bincount(b, minlength=len(cuts) + 1).astype(float) + 0.5
+        return n / n.sum()
+
+    p = fracs([row[0] for row in ref.collect()])
+    q = fracs([row[0] for row in batch.collect()])
+    psi = float(((p - q) * np.log(p / q)).sum())
+    assert abs(r["psi"] - psi) < 1e-6
