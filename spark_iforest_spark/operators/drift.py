@@ -80,6 +80,46 @@ def psi_report(
     return report
 
 
+def categorical_psi(
+    reference: DataFrame,
+    batch: DataFrame,
+    col: str,
+    smoothing: float = 0.5,
+    max_categories: int = 10_000,
+) -> dict:
+    """PSI over a categorical column (lang, source, shard...) — no
+    cutpoints, the categories themselves are the buckets. The category
+    set is the union observed on either side (a category appearing only
+    in the batch is itself drift and contributes through the smoothed
+    reference mass). Each side reduces to one groupBy whose width is the
+    distinct-category count, capped at ``max_categories`` by frequency to
+    bound the driver fold on id-like columns."""
+    def cat_counts(df):
+        return {
+            r[col]: r["n"]
+            for r in df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), col)
+            .limit(max_categories)
+            .collect()
+        }
+
+    pc, qc = cat_counts(reference), cat_counts(batch)
+    cats = sorted(set(pc) | set(qc))
+    pt = sum(pc.values()) + smoothing * len(cats)
+    qt = sum(qc.values()) + smoothing * len(cats)
+    p = [(pc.get(c, 0) + smoothing) / pt for c in cats]
+    q = [(qc.get(c, 0) + smoothing) / qt for c in cats]
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    return {
+        "psi": round(psi, 6),
+        "categories": cats,
+        "ref_frac": [round(x, 6) for x in p],
+        "batch_frac": [round(x, 6) for x in q],
+    }
+
+
 def signal_drift(
     reference_docs: DataFrame,
     batch_docs: DataFrame,

@@ -66,3 +66,14 @@ def test_psi_matches_driver_numpy(spark, sf_dir):
     q = fracs([row[0] for row in batch.collect()])
     psi = float(((p - q) * np.log(p / q)).sum())
     assert abs(r["psi"] - psi) < 1e-6
+
+
+def test_categorical_psi_source_shift(spark, docs):
+    # identical snapshots: ~0; a batch missing one source entirely: large
+    rep0 = drift.categorical_psi(docs, docs, "source")
+    assert rep0["psi"] < 1e-9
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    dropped = docs.where(F.col("source") != sources[0])
+    rep1 = drift.categorical_psi(docs, dropped, "source")
+    assert rep1["psi"] > 0.1
+    assert sources[0] in rep1["categories"]  # the vanished category is visible
