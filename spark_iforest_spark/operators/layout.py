@@ -88,6 +88,39 @@ def zorder_layout(
     )
 
 
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+) -> dict:
+    """Rewrite a small-file parquet directory into ~``target_mb`` outputs.
+
+    Streaming/incremental writers (micro-batch sinks, per-batch index
+    versions) accrete files far below the scan-efficient size; at 100 TB
+    the metadata and open-file overhead of millions of small files
+    dominates scan time. This is the standard compaction pass:
+    ``coalesce`` (narrow — merges input splits with NO shuffle; uneven
+    merge boundaries are acceptable for compaction, which is about file
+    COUNT, not perfect balance) to ceil(bytes/target) outputs. Returns
+    {n_files_in, n_files_out, bytes} for the ops log. Row content is
+    unchanged (pytest-pinned); ordering within files is input order —
+    compose with zorder_layout instead when the rewrite should also fix
+    clustering (that one pays its range shuffle)."""
+    import math
+    import os
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_out).write.parquet(out_path)
+    return {"n_files_in": len(files), "n_files_out": n_out, "bytes": total}
+
+
 def file_skip_fraction(path: str, col: str, lo: float, hi: float) -> float:
     """Fraction of parquet files under ``path`` a [lo, hi] predicate on
     ``col`` can SKIP, judged by footer min/max statistics — the same

@@ -68,3 +68,19 @@ def test_zorder_plan_is_jvm_only(spark, li):
 
     out = layout.zorder_layout(li, ["l_partkey", "l_suppkey"], 8)
     assert python_eval_nodes(out) == []
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, li, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)  # the accreted small-file state
+    out = str(tmp_path / "compacted")
+    import os
+
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    stats = layout.compact_files(spark, frag, out, target_mb=64)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert stats["n_files_in"] == n_in == 64
+    assert n_out == stats["n_files_out"] < 64
+    a = li.selectExpr("sum(l_orderkey)", "count(*)").collect()
+    b = spark.read.parquet(out).selectExpr("sum(l_orderkey)", "count(*)").collect()
+    assert a == b
