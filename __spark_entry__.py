@@ -632,9 +632,30 @@ def queries() -> _T:
         # md5-portable by design, so every gate here is oracle-exact.
         # (hash_split_counts gate dropped: it was a pure aggregation of this
         # per-doc relation, already pinned by the oracle.)
-        "hash_split": lambda s, d: pipeline.hash_split(
-            _read(s, d, "documents")
-        ).select("doc_id", "split"),
+        # split assignment + (round 5) the training-export shard assignment
+        # share one gate: both are md5(id|salt)-derived labels over the same
+        # (doc_id, split) schema, each recomputed exactly by DuckDB
+        "hash_split": lambda s, d: _tagged_union(
+            (
+                "split",
+                pipeline.hash_split(_read(s, d, "documents")).select(
+                    "doc_id", "split"
+                ),
+            ),
+            (
+                "shard",
+                pipeline.shuffle_corpus(
+                    _read(s, d, "documents").select("doc_id"),
+                    salt="epoch0",
+                    n_shards=8,
+                ).select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("s"), F.col("shard_id").cast("string")
+                    ).alias("split"),
+                ),
+            ),
+        ),
         "redact_pii": lambda s, d: pipeline.redact_pii(
             _pii_augmented(_read(s, d, "documents"))
         ),
@@ -1900,7 +1921,6 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_simhash",
                 "clean_corpus",
                 "multimodal_features",
-                "hash_split",
                 "redact_pii",
                 "decontaminate_survivors",
                 "pack_sequences",
@@ -1922,6 +1942,17 @@ def oracle_sql() -> dict[str, str]:
             )
         },
         # ------------- variant-tagged unions of same-schema twins --------
+        "hash_split": _variants_sql(
+            ("split", base["hash_split"]),
+            # shuffle_corpus shard ids: md5(id|epoch0) % n_shards — the same
+            # engine-portable hash family as the split labels
+            (
+                "shard",
+                "SELECT doc_id, 's' || CAST("
+                f"{_md5_u32_sql('doc_id', 'epoch0')} % 8 AS VARCHAR) AS split "
+                "FROM documents",
+            ),
+        ),
         "value_threshold_anomalies": _variants_sql(
             ("exact", base["value_threshold_anomalies"]),
             ("approx", base["value_threshold_anomalies_approx"]),
