@@ -120,6 +120,65 @@ def categorical_psi(
     }
 
 
+def embedding_drift(
+    reference: DataFrame,
+    batch: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    smoothing: float = 0.5,
+) -> dict:
+    """Embedding-space drift via PQ sub-code histograms.
+
+    Encode both snapshots against the FROZEN codebooks (the persisted ANN
+    index artifact — reuse it, don't refit) and compare each subspace's
+    code distribution with categorical PSI: m sub-quantizers × ≤256 cells
+    is a few KB of state, yet a centroid shift, cluster collapse, or a
+    crawl of out-of-distribution embeddings moves the histograms
+    immediately. Cost per side: the pq_encode scan plus one
+    (subspace, cell) groupBy — shuffle width m×256 rows.
+
+    Returns {"subspace_psi": [...], "max_psi": float} — alert on max_psi
+    with the usual 0.1/0.25 thresholds.
+    """
+    from spark_iforest_spark.operators.similarity import pq_encode
+
+    m = int(codebooks.shape[0])
+
+    def code_hist(df) -> dict[tuple[int, int], int]:
+        codes = pq_encode(df, codebooks, id_col, vec_col)
+        sub = F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("code"), 8 * j)
+                    .bitwiseAND(F.lit(255))
+                    .cast("int")
+                    for j in range(m)
+                ]
+            )
+        ).alias("subspace", "cell")
+        rows = (
+            codes.select(sub)
+            .groupBy("subspace", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {(r["subspace"], r["cell"]): r["n"] for r in rows}
+
+    pc, qc = code_hist(reference), code_hist(batch)
+    psis = []
+    for j in range(m):
+        cells = sorted({c for (s, c) in set(pc) | set(qc) if s == j})
+        pt = sum(pc.get((j, c), 0) for c in cells) + smoothing * len(cells)
+        qt = sum(qc.get((j, c), 0) for c in cells) + smoothing * len(cells)
+        p = [(pc.get((j, c), 0) + smoothing) / pt for c in cells]
+        q = [(qc.get((j, c), 0) + smoothing) / qt for c in cells]
+        psis.append(
+            round(sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q)), 6)
+        )
+    return {"subspace_psi": psis, "max_psi": max(psis)}
+
+
 def signal_drift(
     reference_docs: DataFrame,
     batch_docs: DataFrame,

@@ -77,3 +77,27 @@ def test_categorical_psi_source_shift(spark, docs):
     rep1 = drift.categorical_psi(docs, dropped, "source")
     assert rep1["psi"] > 0.1
     assert sources[0] in rep1["categories"]  # the vanished category is visible
+
+
+def test_embedding_drift_via_pq_codes(spark, sf_dir):
+    from spark_iforest_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 16 cells/subspace: monitoring wants coarse stable histograms — at 64+
+    # cells a few-thousand-row batch's sampling noise alone clears 0.1
+    cb = similarity._pq_codebooks(
+        emb, "vec_id", "embedding", 8, 16, similarity._PQ_SEED, 4096, 25
+    )
+    same = drift.embedding_drift(emb, emb.where(F.col("vec_id") % 2 == 0), cb)
+    assert len(same["subspace_psi"]) == 8
+    assert same["max_psi"] < 0.1  # a uniform half is not drift
+    # PSI is DISTRIBUTIONAL: negating every vector of a symmetric corpus
+    # leaves the histograms invariant (measured max_psi 0.08 — correctly
+    # not flagged). A genuine distribution shift — collapsing vectors into
+    # the positive orthant — must flag hard.
+    shifted_batch = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.abs(x)).alias("embedding"),
+    )
+    shifted = drift.embedding_drift(emb, shifted_batch, cb)
+    assert shifted["max_psi"] > 0.25
