@@ -597,6 +597,16 @@ def queries() -> _T:
                     F.lit(None).cast("long").alias("n_total"),
                 ),
             ),
+            # round 5: packing QA — per-bin fill deciles over the pinned
+            # pack_sequences relation
+            (
+                "pack_fill",
+                pipeline.packing_efficiency(_read(s, d, "documents")).select(
+                    F.col("fill_decile").cast("string").alias("key"),
+                    F.col("n_bins").alias("n"),
+                    F.lit(None).cast("long").alias("n_total"),
+                ),
+            ),
         ),
         # winnowing: per-doc fingerprint sets + the shared-substring pair
         # relation built from them, one (variant, doc_a, key, n) relation
@@ -2031,6 +2041,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'quality_decile', CAST(decile AS VARCHAR), n_docs,
                    CAST(NULL AS BIGINT)
             FROM ({base["quality_histogram"]})
+            UNION ALL
+            SELECT 'pack_fill', CAST(decile AS VARCHAR), n,
+                   CAST(NULL AS BIGINT)
+            FROM (
+              SELECT CAST(least(CAST(floor(10.0 * bin_tokens / 256.0) AS BIGINT),
+                                10) AS INT) AS decile,
+                     count(*) AS n
+              FROM (SELECT bin_id, sum(n_tokens) AS bin_tokens
+                    FROM ({base["pack_sequences"]}) GROUP BY bin_id)
+              GROUP BY 1
+            )
         """,
         "winnow": f"""
             SELECT 'fingerprint' AS variant, doc_id AS doc_a,

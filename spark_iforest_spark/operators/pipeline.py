@@ -78,6 +78,35 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def packing_efficiency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(fill_decile, n_bins) — how full the packed training sequences are.
+
+    The packing QA view: each bin's token sum over the budget, bucketed to
+    deciles (10 = at/over budget, where straddlers land). A healthy pack
+    concentrates mass at 9-10; a long left tail means the corpus's doc
+    length distribution fights the budget (chunk first, or raise it).
+    Pure aggregation over ``pack_sequences``'s pinned relation — same
+    shuffle profile, externally value-checked via the corpus_histograms
+    gate."""
+    packed = pack_sequences(
+        docs, id_col, text_col, budget_tokens=budget_tokens, n_buckets=n_buckets
+    )
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("bin_tokens"))
+    decile = F.least(
+        F.floor(F.lit(10.0) * F.col("bin_tokens") / F.lit(float(budget_tokens))),
+        F.lit(10),
+    ).cast("int")
+    return bins.groupBy(decile.alias("fill_decile")).agg(
+        F.count(F.lit(1)).alias("n_bins")
+    )
+
+
 def shuffle_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
