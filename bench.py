@@ -307,6 +307,13 @@ def main() -> None:
             "metric": "headline_total",
             "value": round(sum(v for v in timings.values() if v), 3),
             "unit": "sec",
+            # the direct BASELINE.md comparison (reference: train 34 s +
+            # predict 86 s = 120 s at the same data shape) — kept separate
+            # so growing the suite doesn't muddy the cross-round number
+            "iforest_total": round(
+                sum(timings.get(q) or 0 for q in ("iforest_train", "iforest_score")),
+                3,
+            ),
             "queries": dict(timings),
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "runs": dict(all_runs),
@@ -401,6 +408,14 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                # direct BASELINE.md comparison (reference: 34 + 86 = 120 s)
+                "iforest_total": round(
+                    sum(
+                        timings.get(q) or 0
+                        for q in ("iforest_train", "iforest_score")
+                    ),
+                    3,
+                ),
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "runs": all_runs,
