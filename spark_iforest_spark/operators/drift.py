@@ -80,6 +80,55 @@ def psi_report(
     return report
 
 
+def psi_against_baseline(batch: DataFrame, baseline: dict) -> dict:
+    """Score a batch against a FROZEN ``psi_report`` baseline — no
+    reference scan at all: the baseline dict already carries each column's
+    cutpoints and reference fractions, so per-batch cost is one bucket
+    count per column. This is the steady-state monitoring call (and the
+    per-micro-batch body of ``drift_monitor_stream``)."""
+    out = {}
+    for c, ref in baseline.items():
+        q = _bucket_counts(batch, c, ref["cutpoints"], 0.5)
+        p = ref["ref_frac"]
+        psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+        out[c] = {"psi": round(psi, 6), "batch_frac": [round(x, 6) for x in q]}
+    return out
+
+
+def drift_monitor_stream(
+    stream_docs: DataFrame,
+    baseline: dict,
+    out_dir: str,
+    text_col: str = "text",
+):
+    """Continuous drift QA: every micro-batch scores against the frozen
+    signal baseline (a ``signal_drift``/``psi_report`` result on the
+    reference snapshot) and appends one (batch_id, col, psi) row per
+    signal to ``out_dir`` — the PSI time series an operator alerts on.
+    Stream state: zero (the baseline rides in the closure; each batch is
+    scored independently). Returns the started StreamingQuery."""
+    from spark_iforest_spark.operators.quality_model import _raw_features
+
+    feats = _raw_features(text_col)
+    spark = stream_docs.sparkSession
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        projected = batch_df.select(
+            *[e.alias(n) for n, e in feats.items() if n in baseline]
+        )
+        rep = psi_against_baseline(projected, baseline)
+        rows = [(int(batch_id), c, float(r["psi"])) for c, r in rep.items()]
+        spark.createDataFrame(
+            rows, "batch_id long, signal string, psi double"
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(score)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def categorical_psi(
     reference: DataFrame,
     batch: DataFrame,

@@ -101,3 +101,35 @@ def test_embedding_drift_via_pq_codes(spark, sf_dir):
     )
     shifted = drift.embedding_drift(emb, shifted_batch, cb)
     assert shifted["max_psi"] > 0.25
+
+
+def test_psi_against_baseline_matches_full_report(spark, docs):
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    full = drift.signal_drift(docs, batch)
+    baseline = drift.signal_drift(docs, docs)  # ref-vs-ref carries ref_frac
+    from spark_iforest_spark.operators.quality_model import _raw_features
+
+    feats = _raw_features("text")
+    projected = batch.select(*[e.alias(n) for n, e in feats.items()])
+    fast = drift.psi_against_baseline(projected, baseline)
+    # the baseline's stored ref_frac values are rounded to 6 places, so
+    # the fast path agrees to ~1e-5, not bit-exactly
+    for c in full:
+        assert abs(fast[c]["psi"] - full[c]["psi"]) < 2e-5, c
+
+
+def test_drift_monitor_stream_series(spark, docs, tmpdir):
+    # stream the corpus in micro-batches; every batch is an unbiased slice
+    # so the whole psi series must stay under the 0.1 'stable' bar
+    baseline = drift.signal_drift(docs, docs)
+    src = str(tmpdir) + "/src"
+    docs.select("doc_id", "text").repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = drift.drift_monitor_stream(stream, baseline, str(tmpdir) + "/psi")
+    q.awaitTermination()
+    series = spark.read.parquet(str(tmpdir) + "/psi").collect()
+    assert len({r["batch_id"] for r in series}) == 3
+    assert len(series) == 3 * len(baseline)
+    assert all(r["psi"] < 0.1 for r in series)
