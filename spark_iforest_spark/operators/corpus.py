@@ -118,3 +118,81 @@ def source_quality_report(
         F.round(units_to_double(F.sum("q_units"), 6) / n, 6).alias("mean_quality"),
         F.round(F.sum("n_tokens") / n, 6).alias("mean_tokens"),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    baseline: dict | None = None,
+) -> dict:
+    """One JSON-able snapshot summary — the "dataset card" a training run
+    records next to its data manifest: scale, composition, dedup rate,
+    quality and packing histograms, and (when a frozen PSI ``baseline``
+    from a previous snapshot is supplied) drift against it.
+
+    Everything is composed from the gated operators, so each number in the
+    card is a number the correctness oracles already pin; this function
+    only ORCHESTRATES (three scans: the global/source/lang rollup, the
+    quality histogram, the packing histogram — plus drift if requested).
+    """
+    from spark_iforest_spark.functions import tokens
+    from spark_iforest_spark.operators import drift as drift_mod
+    from spark_iforest_spark.operators.pipeline import packing_efficiency
+    from spark_iforest_spark.operators.text import quality_histogram
+
+    totals = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    ).collect()[0]
+    card = {
+        "n_docs": totals["n_docs"],
+        "n_tokens": totals["n_tokens"],
+        "n_chars": totals["n_chars"],
+        "exact_dup_rate": round(
+            1.0 - totals["n_distinct"] / max(totals["n_docs"], 1), 6
+        ),
+        "sources": {
+            r[source_col]: {
+                "n_docs": r["n_docs"],
+                "n_dup_docs": r["n_dup_docs"],
+                "mean_quality": r["mean_quality"],
+                "mean_tokens": r["mean_tokens"],
+            }
+            for r in source_quality_report(
+                docs, id_col, text_col, source_col
+            ).collect()
+        },
+        "langs": {
+            r[lang_col]: r["n"]
+            for r in docs.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        },
+        "quality_deciles": {
+            int(r["decile"]): r["n_docs"]
+            for r in quality_histogram(docs, id_col, text_col).collect()
+        },
+        "pack_fill_deciles": {
+            int(r["fill_decile"]): r["n_bins"]
+            for r in packing_efficiency(docs, id_col, text_col).collect()
+        },
+    }
+    if baseline is not None:
+        from spark_iforest_spark.operators.quality_model import _raw_features
+
+        projected = docs.select(
+            *[
+                e.alias(n)
+                for n, e in _raw_features(text_col).items()
+                if n in baseline
+            ]
+        )
+        rep = drift_mod.psi_against_baseline(projected, baseline)
+        card["drift_vs_baseline"] = {c: r["psi"] for c, r in rep.items()}
+        card["max_drift_psi"] = max(card["drift_vs_baseline"].values())
+    return card

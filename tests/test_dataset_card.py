@@ -1,0 +1,33 @@
+"""dataset_card: the composed snapshot summary must agree with the
+individually-gated relations it orchestrates."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import corpus, drift
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_dataset_card_consistency(spark, docs):
+    card = corpus.dataset_card(docs)
+    assert card["n_docs"] == docs.count()
+    assert card["n_chars"] == docs.select(F.sum(F.length("text"))).collect()[0][0]
+    assert sum(s["n_docs"] for s in card["sources"].values()) == card["n_docs"]
+    assert sum(card["langs"].values()) == card["n_docs"]
+    assert sum(card["quality_deciles"].values()) == card["n_docs"]
+    n_dup = docs.count() - docs.select("text").distinct().count()
+    assert card["exact_dup_rate"] == round(n_dup / docs.count(), 6)
+    json.dumps(card)  # the card is a plain JSON artifact
+
+
+def test_dataset_card_drift_section(spark, docs):
+    baseline = drift.signal_drift(docs, docs)
+    card = corpus.dataset_card(docs, baseline=baseline)
+    assert set(card["drift_vs_baseline"]) == set(baseline)
+    assert card["max_drift_psi"] < 1e-6  # same snapshot: no drift
