@@ -462,7 +462,21 @@ def queries() -> _T:
                 ),
             ),
         ),
-        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_read(s, d, "documents")),
+        # full-corpus run + (round 5) incremental mode against a simhash
+        # index of the doc_id%4!=0 majority — same restricted-relation
+        # contract as the minhash_incr variant, same md5-64 value oracle
+        "dedup_simhash": lambda s, d: _tagged_union(
+            ("full", dedup.simhash_pairs(_read(s, d, "documents"))),
+            (
+                "incr",
+                dedup.simhash_pairs_incremental(
+                    _read(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+                    dedup.simhash_index(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                    ),
+                ),
+            ),
+        ),
         # exact O(n²) baseline + threshold-sized sign-LSH bucketed path:
         # same relation by construction, one cosine oracle for both
         "embedding_neardup": lambda s, d: _tagged_union(
@@ -1928,7 +1942,6 @@ def oracle_sql() -> dict[str, str]:
                 "top_parts_per_brand",
                 "customers_without_orders",
                 "ann_cosine_topk",
-                "dedup_simhash",
                 "clean_corpus",
                 "multimodal_features",
                 "redact_pii",
@@ -1952,6 +1965,14 @@ def oracle_sql() -> dict[str, str]:
             )
         },
         # ------------- variant-tagged unions of same-schema twins --------
+        "dedup_simhash": _variants_sql(
+            ("full", base["dedup_simhash"]),
+            (
+                "incr",
+                f"SELECT * FROM ({base['dedup_simhash']}) "
+                "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
+            ),
+        ),
         "hash_split": _variants_sql(
             ("split", base["hash_split"]),
             # shuffle_corpus shard ids: md5(id|epoch0) % n_shards — the same

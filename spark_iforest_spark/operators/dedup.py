@@ -477,6 +477,122 @@ def _band_buckets(sim: F.Column, num_bands: int, band_bits: int) -> F.Column:
     )
 
 
+def _simhash_fn(keep_shset: bool):
+    """mapInPandas body computing the 64-bit simhash sketch per document
+    (±1 bit-accumulator over the hashed shingle set). ``keep_shset``
+    carries the shingles through for the persistable index, mirroring
+    ``_signature_fn``."""
+
+    def simhash(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out_ids, out_sim = [], []
+            for did, shset in zip(pdf["did"], pdf["shset"]):
+                h = np.asarray(shset, dtype=np.int64).astype(np.uint64)
+                # (shingles, 64) bit matrix summed to the ±1 accumulator
+                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sh64 = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                out_ids.append(did)
+                out_sim.append(int(np.int64(sh64)))  # reinterpret as signed
+            out = {"did": out_ids, "sim": out_sim}
+            if keep_shset:
+                out["shset"] = list(pdf["shset"])
+            yield pd.DataFrame(out)
+
+    return simhash
+
+
+def simhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingle_hash: str = "md5",
+) -> DataFrame:
+    """Persistable per-document SimHash index: ``(did, sim, shset)`` —
+    the simhash twin of ``minhash_index`` for the incremental operating
+    mode. The 8-byte sketch powers candidate banding; the shingle set is
+    what makes exact-Jaccard verification possible without re-reading the
+    old corpus text."""
+    if shingle_hash not in ("md5", "xxhash64"):
+        raise ValueError("shingle_hash must be 'md5' or 'xxhash64'")
+    mk_shingles = _md5_shingles if shingle_hash == "md5" else _hashed_shingles
+    return mk_shingles(docs, id_col, text_col, n).mapInPandas(
+        _simhash_fn(keep_shset=True),
+        schema="did long, sim long, shset array<long>",
+    )
+
+
+def simhash_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    shingle_hash: str = "md5",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """SimHash-dedup a NEW batch against a ``simhash_index`` — same
+    join shape and contracts as ``minhash_lsh_pairs_incremental``: emits
+    the full-run ``(doc_a, doc_b, hamming, jaccard)`` relation restricted
+    to pairs touching a new document (equality pytest-pinned), candidate
+    generation never shuffles or broadcasts the corpus index
+    (``broadcast_batch`` broadcasts only the batch band table; False pins
+    a merge join), and verification runs off index shingle sets — old
+    text is never re-read."""
+    num_bands = max_hamming + 1
+    band_bits = 64 // num_bands
+    new_idx = snapshot(
+        simhash_index(new_docs, id_col, text_col, n, shingle_hash), eager=False
+    )
+    full = index.select("did", "sim", "shset").unionByName(new_idx)
+
+    def band_tbl(idx: DataFrame) -> DataFrame:
+        return idx.select(
+            "did",
+            "sim",
+            F.posexplode(
+                _band_buckets(F.col("sim"), num_bands, band_bits)
+            ).alias("band", "bucket"),
+        )
+
+    batch_bands = band_tbl(new_idx)
+    corpus_bands = band_tbl(full)
+    if broadcast_batch:
+        batch_bands = F.broadcast(batch_bands)
+    else:
+        corpus_bands = corpus_bands.hint("merge")
+    ham = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
+    cand = (
+        batch_bands.alias("l")
+        .join(
+            corpus_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.did") != F.col("r.did")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.least(F.col("l.did"), F.col("r.did")).alias("doc_a"),
+            F.greatest(F.col("l.did"), F.col("r.did")).alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cand.join(full.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
+        .join(full.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
+        .select("doc_a", "doc_b", "hamming", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -514,23 +630,11 @@ def simhash_pairs(
     num_bands = max_hamming + 1
     band_bits = 64 // num_bands
 
-    def simhash(it):
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            out_ids, out_sim = [], []
-            for did, shset in zip(pdf["did"], pdf["shset"]):
-                h = np.asarray(shset, dtype=np.int64).astype(np.uint64)
-                # (shingles, 64) bit matrix summed to the ±1 accumulator
-                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sh64 = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-                out_ids.append(did)
-                out_sim.append(int(np.int64(sh64)))  # reinterpret as signed
-            yield pd.DataFrame({"did": out_ids, "sim": out_sim})
-
     mk_shingles = _md5_shingles if shingle_hash == "md5" else _hashed_shingles
     shs = mk_shingles(docs, id_col, text_col, n)
-    sims = shs.mapInPandas(simhash, schema="did long, sim long")
+    sims = shs.mapInPandas(
+        _simhash_fn(keep_shset=False), schema="did long, sim long"
+    )
     # band split JVM-side via posexplode: (band index, 16-bit bucket value)
     bands = sims.select(
         "did",

@@ -410,7 +410,17 @@ def test_simhash_duckdb_oracle_parity(spark, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    exp = sorted(tuple(r) for r in con.execute(se.oracle_sql()["dedup_simhash"]).fetchall())
+    # the gate is a (full, incr) variant union since round 5 — compare the
+    # full-corpus variant here (the incr variant is pinned by the split
+    # equality test plus the gate's own restricted oracle)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_a, doc_b, hamming, jaccard FROM ("
+            + se.oracle_sql()["dedup_simhash"]
+            + ") WHERE variant = 'full'"
+        ).fetchall()
+    )
     assert len(got) > 0
     assert got == exp
 
@@ -496,3 +506,41 @@ def test_simhash_xxhash64_fast_path(docs):
     assert out[(0, 1)] == (0, 1.0)
     with pytest.raises(ValueError):
         dedup.simhash_pairs(docs, shingle_hash="sha1")
+
+
+def test_incremental_simhash_small_corpus(spark, docs):
+    # known dups: (0,1) and (4,5); odd ids arrive as the new batch, so
+    # both pairs touch it and must survive the index path at hamming 0
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["jaccard"])
+        for r in dedup.simhash_pairs_incremental(
+            new, dedup.simhash_index(old)
+        ).collect()
+    }
+    assert out[(0, 1)] == (0, 1.0)
+    assert out[(4, 5)] == (0, 1.0)
+
+
+def test_incremental_simhash_equals_full_restricted(spark, sf_dir):
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = corpus.where(F.col("doc_id") % 2 == 0)
+    new = corpus.where(F.col("doc_id") % 2 == 1)
+    got = sorted(
+        map(
+            tuple,
+            dedup.simhash_pairs_incremental(
+                new, dedup.simhash_index(old)
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            dedup.simhash_pairs(corpus)
+            .where((F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1))
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
