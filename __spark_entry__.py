@@ -482,6 +482,17 @@ def queries() -> _T:
         "embedding_neardup": lambda s, d: _tagged_union(
             ("exact", dedup.embedding_cosine_pairs(_read(s, d, "embeddings"), threshold=0.4)),
             ("lsh", dedup.embedding_lsh_pairs(_read(s, d, "embeddings"), threshold=0.4)),
+            # round 5: incremental mode — vec_id%4==0 quarter as the new
+            # vector batch against a sign-LSH index of the rest
+            (
+                "incr",
+                dedup.embedding_lsh_pairs_incremental(
+                    _read(s, d, "embeddings").where(F.col("vec_id") % 4 == 0),
+                    dedup.embedding_index(
+                        _read(s, d, "embeddings").where(F.col("vec_id") % 4 != 0)
+                    ),
+                ),
+            ),
         ),
         # similarity search
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
@@ -2017,6 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _variants_sql(
             ("exact", base["embedding_neardup"]),
             ("lsh", base["embedding_neardup"]),
+            (
+                "incr",
+                f"SELECT * FROM ({base['embedding_neardup']}) "
+                "WHERE id_a % 4 = 0 OR id_b % 4 = 0",
+            ),
         ),
         "ann_recall": _variants_sql(
             ("ivf", base["ann_recall"]),

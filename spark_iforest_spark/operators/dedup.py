@@ -767,6 +767,108 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    band_bits: int = 4,
+    target_miss: float = 1e-6,
+    dim: int = 64,
+) -> DataFrame:
+    """Persistable sign-LSH embedding index: ``(vid, v, sig array<long>)``
+    — one bucket per hash table, plus the vector for exact-cosine verify.
+    The table count is sized from (threshold, band_bits, target_miss), so
+    an index is bound to those parameters — persist them alongside it and
+    pass the same values to ``embedding_lsh_pairs_incremental``."""
+    import math
+
+    from spark_iforest_spark.operators.similarity import _hyperplanes
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    tables = max(1, math.ceil(math.log(target_miss) / math.log1p(-(p**band_bits))))
+    planes = _hyperplanes(dim, band_bits, tables)
+    flat = planes.reshape(tables * band_bits, dim)
+    pack = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def index_rows(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            bits = (vecs @ flat.T > 0).astype(np.int64)
+            sig = bits.reshape(len(vecs), tables, band_bits) @ pack
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "v": pdf["v"], "sig": list(sig)}
+            )
+
+    return emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).mapInPandas(index_rows, schema="vid long, v array<double>, sig array<long>")
+
+
+def embedding_lsh_pairs_incremental(
+    new_emb: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    band_bits: int = 4,
+    target_miss: float = 1e-6,
+    dim: int = 64,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Embedding-dedup a NEW batch of vectors against an
+    ``embedding_index`` — the third member of the incremental family,
+    same contracts as the minhash/simhash twins: the full
+    ``embedding_lsh_pairs`` relation restricted to pairs touching a new
+    vector (equality pytest-pinned; the hyperplanes are seeded, so batch
+    signatures are table-compatible with the stored ones by
+    construction), batch-side-only broadcast for the bucket join, exact
+    cosine verify off index vectors — old vectors never re-read from the
+    corpus table."""
+    new_idx = snapshot(
+        embedding_index(
+            new_emb, id_col, vec_col, threshold, band_bits, target_miss, dim
+        ),
+        eager=False,
+    )
+    full = index.select("vid", "v", "sig").unionByName(new_idx)
+
+    def band_tbl(idx: DataFrame) -> DataFrame:
+        return idx.select(
+            "vid", F.posexplode(F.col("sig")).alias("table_id", "bucket")
+        )
+
+    batch_bands = band_tbl(new_idx)
+    corpus_bands = band_tbl(full)
+    if broadcast_batch:
+        batch_bands = F.broadcast(batch_bands)
+    else:
+        corpus_bands = corpus_bands.hint("merge")
+    cand = (
+        batch_bands.alias("l")
+        .join(
+            corpus_bands.alias("r"),
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") != F.col("r.vid")),
+        )
+        .select(
+            F.least(F.col("l.vid"), F.col("r.vid")).alias("id_a"),
+            F.greatest(F.col("l.vid"), F.col("r.vid")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cos = F.round(cosine(F.col("ea.v"), F.col("eb.v")), 6)
+    return (
+        cand.join(full.alias("ea").hint("merge"), F.col("id_a") == F.col("ea.vid"))
+        .join(full.alias("eb").hint("merge"), F.col("id_b") == F.col("eb.vid"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def winnow_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

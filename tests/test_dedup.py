@@ -544,3 +544,51 @@ def test_incremental_simhash_equals_full_restricted(spark, sf_dir):
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_incremental_embedding_lsh_equals_full_restricted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        map(
+            tuple,
+            dedup.embedding_lsh_pairs_incremental(
+                new, dedup.embedding_index(old)
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            dedup.embedding_lsh_pairs(emb)
+            .where((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1))
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_embedding_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "emb_idx")
+    dedup.embedding_index(old).write.parquet(path)
+    via_disk = sorted(
+        map(
+            tuple,
+            dedup.embedding_lsh_pairs_incremental(
+                new, spark.read.parquet(path)
+            ).collect(),
+        )
+    )
+    in_mem = sorted(
+        map(
+            tuple,
+            dedup.embedding_lsh_pairs_incremental(
+                new, dedup.embedding_index(old)
+            ).collect(),
+        )
+    )
+    assert via_disk == in_mem and len(via_disk) > 0
