@@ -26,21 +26,47 @@ from pyspark.sql import DataFrame, functions as F
 def _bucket_counts(
     df: DataFrame, col: str, cuts: list[float], smoothing: float
 ) -> list[float]:
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    b = F.size(F.filter(arr, lambda c: c <= F.col(col).cast("double")))
+    return _bucket_counts_multi(df, {col: cuts}, smoothing)[col]
+
+
+def _bucket_counts_multi(
+    df: DataFrame, cuts_by_col: dict[str, list[float]], smoothing: float
+) -> dict[str, list[float]]:
+    """Smoothed bucket fractions for EVERY column in ONE scan: each row
+    emits one (col, bucket) struct per monitored column via a single
+    posexploded array, and one groupBy reduces them all — so a PSI pass
+    over k signals costs one corpus scan + a k·n_buckets-wide shuffle,
+    not k separate jobs (the difference between a monitoring query and k
+    monitoring queries at 100 TB). NULLs bucket to -1 and are dropped
+    (mirrors the per-column isNotNull filter)."""
+    cols = sorted(cuts_by_col)
+
+    def bucket_expr(col: str) -> F.Column:
+        arr = F.array(*[F.lit(float(c)) for c in cuts_by_col[col]])
+        b = F.size(F.filter(arr, lambda c: c <= F.col(col).cast("double")))
+        return F.when(F.col(col).isNotNull(), b).otherwise(F.lit(-1))
+
     rows = (
-        df.where(F.col(col).isNotNull())
-        .select(b.alias("bucket"))
-        .groupBy("bucket")
+        df.select(
+            F.posexplode(F.array(*[bucket_expr(c) for c in cols])).alias(
+                "ci", "bucket"
+            )
+        )
+        .where(F.col("bucket") >= 0)
+        .groupBy("ci", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    counts = [smoothing] * (len(cuts) + 1)
-    total = smoothing * (len(cuts) + 1)
+    out: dict[str, list[float]] = {}
+    by_ci: dict[int, dict[int, int]] = {}
     for r in rows:
-        counts[r["bucket"]] += r["n"]
-        total += r["n"]
-    return [c / total for c in counts]
+        by_ci.setdefault(r["ci"], {})[r["bucket"]] = r["n"]
+    for ci, col in enumerate(cols):
+        k = len(cuts_by_col[col]) + 1
+        counts = [smoothing + by_ci.get(ci, {}).get(b, 0) for b in range(k)]
+        total = sum(counts)
+        out[col] = [c / total for c in counts]
+    return out
 
 
 def psi_report(
@@ -65,15 +91,18 @@ def psi_report(
         probs = [i / n_buckets for i in range(1, n_buckets)]
         lists = reference.stat.approxQuantile(cols, probs, rel_err)
         cutpoints = {c: cuts for c, cuts in zip(cols, lists)}
+    # ALL columns bucket-counted in one scan per side (round 5: was one
+    # aggregation job per column per side — 2k jobs for k signals)
+    active = {c: cutpoints[c] for c in cols}
+    p_all = _bucket_counts_multi(reference, active, smoothing)
+    q_all = _bucket_counts_multi(batch, active, smoothing)
     report: dict = {}
     for c in cols:
-        cuts = cutpoints[c]
-        p = _bucket_counts(reference, c, cuts, smoothing)
-        q = _bucket_counts(batch, c, cuts, smoothing)
+        p, q = p_all[c], q_all[c]
         psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
         report[c] = {
             "psi": round(psi, 6),
-            "cutpoints": [float(x) for x in cuts],
+            "cutpoints": [float(x) for x in cutpoints[c]],
             "ref_frac": [round(x, 6) for x in p],
             "batch_frac": [round(x, 6) for x in q],
         }
@@ -83,12 +112,16 @@ def psi_report(
 def psi_against_baseline(batch: DataFrame, baseline: dict) -> dict:
     """Score a batch against a FROZEN ``psi_report`` baseline — no
     reference scan at all: the baseline dict already carries each column's
-    cutpoints and reference fractions, so per-batch cost is one bucket
-    count per column. This is the steady-state monitoring call (and the
-    per-micro-batch body of ``drift_monitor_stream``)."""
+    cutpoints and reference fractions, so per-batch cost is ONE scan
+    bucket-counting every signal at once. This is the steady-state
+    monitoring call (and the per-micro-batch body of
+    ``drift_monitor_stream``)."""
+    q_all = _bucket_counts_multi(
+        batch, {c: ref["cutpoints"] for c, ref in baseline.items()}, 0.5
+    )
     out = {}
     for c, ref in baseline.items():
-        q = _bucket_counts(batch, c, ref["cutpoints"], 0.5)
+        q = q_all[c]
         p = ref["ref_frac"]
         psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
         out[c] = {"psi": round(psi, 6), "batch_frac": [round(x, 6) for x in q]}
