@@ -135,8 +135,10 @@ def dataset_card(
 
     Everything is composed from the gated operators, so each number in the
     card is a number the correctness oracles already pin; this function
-    only ORCHESTRATES (three scans: the global/source/lang rollup, the
-    quality histogram, the packing histogram — plus drift if requested).
+    only ORCHESTRATES — one scan per section (totals, per-source triage,
+    lang counts, quality histogram, packing histogram, optional drift):
+    bounded, independent aggregation jobs a scheduler can run while the
+    snapshot is hot.
     """
     from spark_iforest_spark.functions import tokens
     from spark_iforest_spark.operators import drift as drift_mod
