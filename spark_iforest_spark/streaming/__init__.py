@@ -339,6 +339,62 @@ def latest_dedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/v{versions[-1]}")
 
 
+def incremental_neardup_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+):
+    """Continuous NEAR-dup ingestion: every micro-batch minhash-dedups
+    against the accumulated signature index and appends its pairs.
+
+    Unlike the digest merge (``incremental_dedup_ingest``), the minhash
+    index is APPEND-ONLY — a batch contributes its ``minhash_index`` rows
+    and never rewrites old ones — so both the index and the pair log are
+    per-batch subdirectories keyed by batch id: a retried batch OVERWRITES
+    its own ``b{batch_id}`` dirs and reads only strictly-older index
+    parts, which makes the whole pipeline idempotent under foreachBatch's
+    at-least-once contract (same strict-parent argument as the digest
+    sink, pytest-pinned). After the backlog drains, the union of pair
+    parts equals the one-shot ``minhash_lsh_pairs`` relation over
+    everything ingested, minus old-old pairs from before the stream
+    started (each pair is emitted by the first batch that completes it).
+
+    Stream state: zero. At scale the per-batch parts feed
+    ``layout.compact_files`` on whatever cadence the file count demands.
+    """
+    from spark_iforest_spark.operators import dedup
+
+    spark = stream_docs.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        parts = [
+            f"{index_dir}/{p}"
+            for p in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+            if p.startswith("b") and p[1:].isdigit() and int(p[1:]) < batch_id
+        ]
+        batch_idx = dedup.minhash_index(batch_df, id_col, text_col)
+        if parts:
+            index = spark.read.parquet(*parts)
+            pairs = dedup.minhash_lsh_pairs_incremental(
+                batch_df, index, id_col, text_col, threshold=threshold
+            )
+        else:
+            pairs = dedup.minhash_lsh_pairs(
+                batch_df, id_col, text_col, threshold=threshold
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/b{batch_id}")
+        batch_idx.write.mode("overwrite").parquet(f"{index_dir}/b{batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def follow_pairs_stream(
     events: DataFrame,
     ts_col: str = "ts",

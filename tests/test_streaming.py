@@ -411,3 +411,28 @@ def test_merge_index_version_retry_idempotent(spark, tmpdir):
     import hashlib
 
     assert by_hash[hashlib.md5(b"aaa").hexdigest()] == (1, 2)
+
+
+def test_incremental_neardup_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming minhash ingestion: after the backlog drains, the union of
+    per-batch pair parts must equal the one-shot minhash_lsh_pairs
+    relation over everything ingested — each unordered pair is emitted by
+    exactly the first batch that completes it (batch-internal pairs
+    included), so the parts PARTITION the full relation."""
+    from spark_iforest_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmpdir) + "/src"
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = S.incremental_neardup_ingest(
+        stream, str(tmpdir) + "/idx", str(tmpdir) + "/pairs"
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmpdir) + "/pairs/b*").collect())
+    )
+    want = sorted(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+    assert got == want and len(got) > 0
