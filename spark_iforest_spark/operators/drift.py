@@ -4,11 +4,11 @@ Continuous ingestion (incremental dedup, streaming ingest) needs a cheap
 answer to "does the new crawl look like the corpus we trained on?".
 Population Stability Index over equi-depth buckets is the standard
 monitor: cutpoints are fixed from the REFERENCE snapshot (approxQuantile —
-one mergeable-sketch pass), then both sides reduce to per-bucket counts
-(two scan+groupBy passes whose shuffle width is n_buckets rows per
-column, nothing corpus-sized) and PSI folds driver-side over 2·n_buckets
-numbers per column. Rule-of-thumb thresholds: <0.1 stable, 0.1-0.25
-moderate shift, >0.25 investigate.
+one mergeable-sketch pass), then each side reduces to per-(column, bucket)
+counts in ONE scan covering every monitored signal (shuffle width
+k·n_buckets rows total, nothing corpus-sized) and PSI folds driver-side
+over 2·n_buckets numbers per column. Rule-of-thumb thresholds: <0.1
+stable, 0.1-0.25 moderate shift, >0.25 investigate.
 
 Bucketing is a literal-cutpoint comparison fold (same device as
 layout.zorder_layout — whole-stage codegen, no UDF); reference cutpoints
