@@ -861,8 +861,14 @@ def queries() -> _T:
         "semantic_prune": lambda s, d: semantic.semantic_prune(
             _read(s, d, "embeddings")
         ),
+        # round 5: like iforest_checks, the twin now also pins the VALUES —
+        # a driver-side pure-Python re-derivation (same fold arithmetic,
+        # HALF_UP rounding) must equal the Spark relation bit-exactly
         "semantic_prune_checks": lambda s, d: semantic.semantic_prune_checks(
             _read(s, d, "embeddings")
+        ).withColumn(
+            "values_exact_match",
+            F.lit(semantic.semantic_prune_self_check(_read(s, d, "embeddings"))),
         ),
         # single-scan expectations gate (Deequ shape): NULL verdicts count
         # as violations; includes rules that genuinely fail on the data so
@@ -1923,7 +1929,8 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS per_cluster_capped,
                    TRUE AS totals_consistent,
                    TRUE AS boundary_ordered,
-                   TRUE AS ids_preserved
+                   TRUE AS ids_preserved,
+                   TRUE AS values_exact_match
             FROM embeddings
         """,
         "validate_lineitem": """

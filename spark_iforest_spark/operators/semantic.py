@@ -34,6 +34,8 @@ implementation must satisfy.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -302,3 +304,78 @@ def semantic_prune_checks(
         (~F.col("_boundary_bad")).alias("boundary_ordered"),
         (~F.col("_dup_ids")).alias("ids_preserved"),
     )
+
+
+def semantic_prune_self_check(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    keep_per_cluster: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "diverse",
+    seed: int = _KMEANS_SEED,
+    sample_n: int = 4096,
+    max_iter: int = 25,
+) -> bool:
+    """Driver-side pure-Python re-derivation of the ``semantic_prune``
+    relation, compared BIT-EXACTLY against the Spark result — the
+    iforest-checks self-oracle pattern applied to the other rows-only
+    gate. The centroids come from the same ``_fit_centroids`` (already
+    driver numpy); the assignment replicates the literal branch's JVM
+    arithmetic faithfully: left-to-right double folds for dot and norms
+    (same IEEE op order as ``F.aggregate``), first-match argmax
+    (``array_position``), and Spark's HALF_UP round-6 (``BigDecimal`` of
+    the shortest double repr — ``Decimal(repr(x))`` in Python). Bounded:
+    collects the corpus — a gate-scale check, not a production pass.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = _fit_centroids(emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter)
+    C = [[float(x) for x in c] for c in np.asarray(cents, dtype=np.float64)]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a: list[float]) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    rows = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).collect()
+    derived = []
+    for r in rows:
+        v = [float(x) for x in r["_v"]]
+        nv = fold_norm(v)
+        if nv > 0.0:
+            sims = [fold_dot(v, c) / (fold_norm(v) * fold_norm(c)) for c in C]
+        else:
+            sims = [0.0] * len(C)
+        best = max(sims)
+        cluster = sims.index(best)
+        derived.append((r[id_col], cluster, round6(best)))
+    by_cluster: dict[int, list[tuple]] = {}
+    for did, cl, cos in derived:
+        by_cluster.setdefault(cl, []).append((cos, did))
+    expected = []
+    for cl, members in by_cluster.items():
+        members.sort(key=lambda t: (t[0], t[1]) if keep == "diverse" else (-t[0], t[1]))
+        for rank, (cos, did) in enumerate(members[:keep_per_cluster], start=1):
+            expected.append((did, cl, rank, cos))
+    got = sorted(
+        tuple(r)
+        for r in semantic_prune(
+            emb, n_clusters, keep_per_cluster, id_col, vec_col, keep, seed
+        ).collect()
+    )
+    return got == sorted(expected)

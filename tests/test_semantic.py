@@ -193,3 +193,15 @@ def test_event_time_rollup_margins(spark):
     assert by_key[("total", -1, -1)]["sum_value"] == 15.0
     # exactly hours + days + grand total, nothing else
     assert len(out) == 3 + 2 + 1
+
+
+def test_semantic_prune_self_check_bit_exact(spark, sf_dir):
+    """The driver-side pure-Python re-derivation (JVM fold arithmetic
+    replicated: left-to-right double folds, first-match argmax, HALF_UP
+    round-6) must equal the Spark relation bit-exactly — and stay exact
+    under a different partition layout."""
+    from spark_iforest_spark.operators import semantic
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert semantic.semantic_prune_self_check(emb)
+    assert semantic.semantic_prune_self_check(emb.repartition(7))
