@@ -476,3 +476,73 @@ def test_ivf_persisted_index_matches_scratch(spark, sf_dir, tmp_path):
         )
     )
     assert scratch == indexed and len(scratch) > 0
+
+
+def test_lsh_topk_driver_rederivation_bit_exact(spark, sf_dir):
+    """Straight-line driver recompute of the whole LSH path — same seeded
+    hyperplanes, candidate generation by set logic, exact cosine via the
+    replicated JVM fold (left-to-right double folds, HALF_UP round-6),
+    rank by (cos desc, id) — must equal the distributed relation
+    bit-exactly. Pins the join/dedup/rank plumbing, which recall and
+    layout-invariance alone cannot (a deterministic rank bug passes
+    both)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    k, bits, tables, dim = 5, 4, 24, 64
+    got = sorted(
+        map(tuple, similarity.lsh_topk(emb, queries, k=k, bits=bits, tables=tables).collect())
+    )
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    planes = similarity._hyperplanes(dim, bits, tables)
+    flat = planes.reshape(tables * bits, dim)
+    pack = 1 << np.arange(bits, dtype=np.int64)
+
+    def sig(v):
+        bits_m = (np.asarray(v) @ flat.T > 0).astype(np.int64).reshape(tables, bits)
+        return tuple(bits_m @ pack)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    sigs = {vid: sig(v) for vid, v in rows.items()}
+    expected = []
+    for qid in [v for v in rows if v < 10]:
+        cands = {
+            nid
+            for nid, s in sigs.items()
+            if nid != qid and any(a == b for a, b in zip(s, sigs[qid]))
+        }
+        scored = sorted(
+            (
+                (
+                    round6(
+                        fold_dot(rows[qid], rows[nid])
+                        / (fold_norm(rows[qid]) * fold_norm(rows[nid]))
+                    ),
+                    nid,
+                )
+                for nid in cands
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            expected.append((qid, nid, rank, cos))
+    assert got == sorted(expected) and len(got) > 0
