@@ -546,3 +546,76 @@ def test_lsh_topk_driver_rederivation_bit_exact(spark, sf_dir):
         for rank, (cos, nid) in enumerate(scored[:k], start=1):
             expected.append((qid, nid, rank, cos))
     assert got == sorted(expected) and len(got) > 0
+
+
+def test_ivf_topk_driver_rederivation_bit_exact(spark, sf_dir):
+    """Same straight-line pin for IVF: with the coarse quantizer shared
+    (ivf_centers + the pytest-pinned matmul assignment), the probe →
+    candidate → exact-cosine → rank pipeline re-derived driver-side must
+    equal the distributed relation bit-exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    k, n_centroids, n_probe = 5, 8, 3
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+            ).collect(),
+        )
+    )
+
+    centers = similarity.ivf_centers(emb, n_centroids=n_centroids)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    C = np.asarray(centers, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+    cells = {
+        vid: int((c_sq - 2.0 * (np.asarray(v) @ C.T)).argmin())
+        for vid, v in rows.items()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    expected = []
+    for qid in [v for v in rows if v < 10]:
+        qv = np.asarray(rows[qid])
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        probe = list(np.argsort(-(qn @ cn.T), kind="stable")[:n_probe])
+        cands = {
+            nid for nid, cl in cells.items() if cl in probe and nid != qid
+        }
+        scored = sorted(
+            (
+                (
+                    round6(
+                        fold_dot(rows[qid], rows[nid])
+                        / (fold_norm(rows[qid]) * fold_norm(rows[nid]))
+                    ),
+                    nid,
+                )
+                for nid in cands
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            expected.append((qid, nid, rank, cos))
+    assert got == sorted(expected) and len(got) > 0
