@@ -619,3 +619,74 @@ def test_ivf_topk_driver_rederivation_bit_exact(spark, sf_dir):
         for rank, (cos, nid) in enumerate(scored[:k], start=1):
             expected.append((qid, nid, rank, cos))
     assert got == sorted(expected) and len(got) > 0
+
+
+def test_pq_topk_driver_rederivation_bit_exact(spark, sf_dir):
+    """PQ straight-line pin: although the ADC scan emits batch-LOCAL
+    top-R, the global (adc desc, id) window after it re-derives exactly
+    the GLOBAL top-R (local lists are a superset), so a driver recompute
+    with global top-R → exact-cosine re-rank → (cos desc, id) top-k must
+    match the distributed relation bit-exactly on any layout."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    k, m, kc, refine = 5, 8, 64, 40
+    got = sorted(map(tuple, similarity.pq_topk(emb, queries, k=k).collect()))
+
+    cb = similarity._pq_codebooks(
+        emb, "vec_id", "embedding", m, kc, similarity._PQ_SEED, 4096, 25
+    )
+    codes = {
+        r["vec_id"]: r["code"] for r in similarity.pq_encode(emb, cb).collect()
+    }
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    mm, _, sub = cb.shape
+    shifts = np.arange(mm, dtype=np.int64) * 8
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    nid = np.asarray(sorted(codes), dtype=np.int64)
+    code_arr = np.asarray([codes[i] for i in nid], dtype=np.int64)
+    sub_codes = (code_arr[:, None] >> shifts[None, :]) & 0xFF
+    expected = []
+    for qid in [v for v in rows if v < 10]:
+        qv = np.asarray(rows[qid], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        lut = np.stack([qn[j * sub : (j + 1) * sub] @ cb[j].T for j in range(mm)])
+        scores = lut[np.arange(mm)[None, :], sub_codes].sum(axis=1)
+        mask = nid != qid
+        cand = np.flatnonzero(mask)
+        order = cand[np.lexsort((nid[cand], -scores[cand]))[: refine * k]]
+        scored = sorted(
+            (
+                (
+                    round6(
+                        fold_dot(rows[qid], rows[int(n)])
+                        / (fold_norm(rows[qid]) * fold_norm(rows[int(n)]))
+                    ),
+                    int(n),
+                )
+                for n in nid[order]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, n) in enumerate(scored[:k], start=1):
+            expected.append((qid, n, rank, cos))
+    assert got == sorted(expected) and len(got) > 0
