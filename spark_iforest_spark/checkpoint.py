@@ -30,6 +30,17 @@ from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
 
+# Strong references to every snapshot produced since the last release_
+# snapshots() call. Without these, CPython refcounting drops the
+# intermediate DataFrames the moment an operator returns, the JVM weak
+# refs clear on the next GC, and the ContextCleaner races straggler
+# task-end events into the (benign but noisy) "attempted to access
+# non-existent accumulator" storm. A driver program that cares (bench.py,
+# long-running services) calls release_snapshots() at its own quiesce
+# points — after the consuming action returns — so reclamation happens in
+# the idle gap between queries instead of under the next one.
+_LIVE: list[DataFrame] = []
+
 
 def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
     """``df.localCheckpoint(eager)`` or reliable ``df.checkpoint(eager)``
@@ -39,6 +50,21 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
     reliable = str(
         df.sparkSession.conf.get(RELIABLE_CONF, "false")
     ).lower() == "true"
-    if reliable:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+    _LIVE.append(out)
+    # bounded: the race window is only previous-query-vs-next-query, so
+    # holding the most recent snapshots suffices; FIFO release keeps a
+    # caller that never calls release_snapshots() (pytest) from pinning
+    # every checkpoint block of a long session
+    if len(_LIVE) > 64:
+        del _LIVE[: len(_LIVE) - 64]
+    return out
+
+
+def release_snapshots() -> int:
+    """Drop the strong references held by :func:`snapshot`, letting the
+    ContextCleaner reclaim their blocks. Returns how many were released.
+    Call between queries, after actions complete — never mid-plan."""
+    n = len(_LIVE)
+    _LIVE.clear()
+    return n

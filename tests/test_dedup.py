@@ -187,6 +187,24 @@ def test_dup_clusters_long_chain_and_injected_edges(spark):
     assert out2 == out
 
 
+def test_dup_clusters_path_graph_log_rounds(spark):
+    """Round-6 convergence pin: on a path graph of length 2^k the hook+jump
+    loop must finish in O(k) rounds — the old one-hop propagation took
+    2^k rounds on exactly this shape (boilerplate chains, the pathological
+    component SCALE.md worries about). 256 nodes, k=8: geometric label
+    travel plus the final no-change confirmation round lands well under
+    2k; assert <= 2k + 2 = 18 with margin to spare."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i, "x") for i in range(n)], "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           dedup.dup_clusters(docs, pairs=edges).collect()}
+    assert out == {i: 0 for i in range(n)}
+    assert dedup.dup_clusters.last_rounds <= 18, dedup.dup_clusters.last_rounds
+
+
 def test_dup_clusters_transitive(spark):
     # doc chain 0-1-2 must land in ONE cluster labeled by min id, even
     # though (0,2) are not a near-dup pair directly
