@@ -91,7 +91,12 @@ def exact_dedup_incremental(
     move. ``least``/``+coalesce`` merge semantics make the update
     idempotent to re-running a batch only if the caller dedupes batch ids;
     exactly-once upsert discipline is the storage layer's job (e.g. MERGE
-    INTO on a transactional table format).
+    INTO on a transactional table format). PRECONDITION (unlike the LSH
+    twins, which drop superseded index rows by id): the digest index
+    carries no per-doc rows, so merging the SAME batch twice double-counts
+    ``n_copies`` — dedupe batch ids upstream, or use the versioned sink
+    (streaming.merge_index_version), whose strict-parent rule makes
+    retries idempotent.
     """
     batch = exact_dedup(new_docs, id_col, text_col)
     return (
@@ -342,7 +347,16 @@ def minhash_lsh_pairs_incremental(
     new_idx = snapshot(
         minhash_index(new_docs, id_col, text_col, n, num_perms), eager=False
     )
-    full = index.select("did", "sig", "shset").unionByName(new_idx)
+    # idempotent re-ingest (round-6 advice fix): a doc id arriving again
+    # supersedes its indexed row — without the anti-join it would appear
+    # TWICE in `full` and duplicate/inflate verify rows. Batch ids are
+    # batch-sized, so the anti-join broadcasts them; with disjoint ids
+    # (the normal crawl case) this is a no-op.
+    batch_ids = new_idx.select("did")
+    if broadcast_batch:
+        batch_ids = F.broadcast(batch_ids)
+    fresh = index.select("did", "sig", "shset").join(batch_ids, "did", "left_anti")
+    full = fresh.unionByName(new_idx)
 
     batch_bands = _band_table(new_idx, bands, rows)
     if broadcast_batch:
@@ -548,7 +562,13 @@ def simhash_pairs_incremental(
     new_idx = snapshot(
         simhash_index(new_docs, id_col, text_col, n, shingle_hash), eager=False
     )
-    full = index.select("did", "sim", "shset").unionByName(new_idx)
+    # idempotent re-ingest: batch ids supersede their indexed rows (see
+    # minhash_lsh_pairs_incremental)
+    batch_ids = new_idx.select("did")
+    if broadcast_batch:
+        batch_ids = F.broadcast(batch_ids)
+    fresh = index.select("did", "sim", "shset").join(batch_ids, "did", "left_anti")
+    full = fresh.unionByName(new_idx)
 
     def band_tbl(idx: DataFrame) -> DataFrame:
         return idx.select(
@@ -833,7 +853,13 @@ def embedding_lsh_pairs_incremental(
         ),
         eager=False,
     )
-    full = index.select("vid", "v", "sig").unionByName(new_idx)
+    # idempotent re-ingest: batch ids supersede their indexed rows (see
+    # minhash_lsh_pairs_incremental)
+    batch_ids = new_idx.select("vid")
+    if broadcast_batch:
+        batch_ids = F.broadcast(batch_ids)
+    fresh = index.select("vid", "v", "sig").join(batch_ids, "vid", "left_anti")
+    full = fresh.unionByName(new_idx)
 
     def band_tbl(idx: DataFrame) -> DataFrame:
         return idx.select(

@@ -72,6 +72,16 @@ def zorder_layout(
     """
     if not cols:
         raise ValueError("zorder_layout needs at least one column")
+    # Java shiftleft wraps its shift mod 64, so bit positions >= 63 would
+    # silently corrupt the Morton order (and flip the sign bit, breaking
+    # signed-long range ordering). Auto-reduce bits for high-dimension
+    # calls — precision per dimension trades off against dimension count.
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(
+                f"zorder_layout supports at most 63 columns (got {len(cols)})"
+            )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cutlists = df.stat.approxQuantile(
@@ -106,39 +116,38 @@ def compact_files(
     {n_files_in, n_files_out, bytes} for the ops log. Row content is
     unchanged (pytest-pinned); ordering within files is input order —
     compose with zorder_layout instead when the rewrite should also fix
-    clustering (that one pays its range shuffle)."""
-    import math
-    import os
+    clustering (that one pays its range shuffle).
 
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    Listing goes through the Hadoop FileSystem API (spark_iforest_spark.fs)
+    so the same call runs on file:, hdfs://, s3a:// — the operator's own
+    rationale is object-store hygiene (round-6 fix; was os.listdir)."""
+    import math
+
+    from spark_iforest_spark import fs as hfs
+
+    files = hfs.list_files(spark, path)
+    total = sum(size for _, size in files)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(path).coalesce(n_out).write.parquet(out_path)
     return {"n_files_in": len(files), "n_files_out": n_out, "bytes": total}
 
 
-def file_skip_fraction(path: str, col: str, lo: float, hi: float) -> float:
+def file_skip_fraction(spark, path: str, col: str, lo: float, hi: float) -> float:
     """Fraction of parquet files under ``path`` a [lo, hi] predicate on
     ``col`` can SKIP, judged by footer min/max statistics — the same
-    decision a Spark scan makes. Driver-side pyarrow footer reads only
-    (metadata, not data); used to measure layout quality in tests and
-    audits."""
-    import os
-
+    decision a Spark scan makes. Driver-side FOOTER reads only (metadata,
+    not data), through the Hadoop FileSystem API + a seekable stream
+    wrapper (fs.HadoopFile), so the audit runs against hdfs://s3a:// URIs
+    too; used to measure layout quality in tests and audits."""
     import pyarrow.parquet as pq
 
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
+    from spark_iforest_spark import fs as hfs
+
+    files = [p for p, _ in hfs.list_files(spark, path)]
     skipped = 0
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        with hfs.HadoopFile(spark, f) as fh:
+            md = pq.ParquetFile(fh).metadata
         fmin, fmax = None, None
         for rg in range(md.num_row_groups):
             rgmd = md.row_group(rg)

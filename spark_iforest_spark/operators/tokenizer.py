@@ -37,9 +37,12 @@ from pyspark.sql import DataFrame, functions as F
 from spark_iforest_spark.functions import tokens
 
 _EOW = "</w>"
-# Java \s+ split semantics (functions.tokens) reproduced in Python: both
-# keep leading/trailing empties, which both sides then filter out.
-_WS = re.compile(r"\s+")
+_UNK = "<unk>"
+# Java's default \s character class is ASCII-only ([ \t\n\x0B\f\r]) while
+# Python's \s is Unicode-aware (\xa0,  , ...) — spelled out explicitly
+# so training word counts (JVM tokens()) and apply-side word splitting
+# agree on every byte (round-6 advice fix).
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
@@ -119,7 +122,11 @@ def bpe_train(
         .collect()
     )
     word_counts = {r["w"]: r["c"] for r in rows}
-    return {"merges": _bpe_fit(word_counts, n_merges)}
+    # the observed alphabet rides in the model so bpe_vocab can assign ids
+    # to base symbols; chars appearing only in the dropped word tail map to
+    # <unk> at encode time (documented contract)
+    alphabet = sorted({ch for w in word_counts for ch in w})
+    return {"merges": _bpe_fit(word_counts, n_merges), "alphabet": alphabet}
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -153,6 +160,11 @@ def bpe_token_counts(
         for pdf in it:
             out = []
             for text in pdf[text_col]:
+                if text is None:
+                    # NULL text budgets 0 tokens (same as empty — matches
+                    # tokens()'s explode-drops-null training semantics)
+                    out.append(0)
+                    continue
                 n = 0
                 for w in _WS.split(text.lower()):
                     if not w:
@@ -167,4 +179,108 @@ def bpe_token_counts(
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         count_batches, schema=f"{id_col} long, n_bpe_tokens long"
+    )
+
+
+def bpe_vocab(model: dict) -> list[tuple[str, int]]:
+    """(token, id) vocabulary derived deterministically from the model:
+    id 0 = ``<unk>``, then the end-of-word marker, then the observed
+    alphabet (sorted), then one token per merge in rank order (a merge's
+    token is the concatenation of its pair; a rare concatenation collision
+    keeps the FIRST id). This is the trainer-facing id space —
+    ``bpe_encode`` emits exactly these ids."""
+    vocab: list[tuple[str, int]] = []
+    seen: dict[str, int] = {}
+
+    def add(tok: str) -> None:
+        if tok not in seen:
+            seen[tok] = len(vocab)
+            vocab.append((tok, len(vocab)))
+
+    add(_UNK)
+    add(_EOW)
+    for ch in model.get("alphabet", []):
+        add(ch)
+    for a, b in model["merges"]:
+        add(a + b)
+    return vocab
+
+
+def vocab_table(spark, model: dict):
+    """The vocabulary as a (token, id) DataFrame — broadcast-sized, for
+    joining against token columns or exporting next to the corpus."""
+    return spark.createDataFrame(bpe_vocab(model), "token string, id int")
+
+
+def _encoder(model: dict):
+    """(ranks, token→id) pair shared by encode/count paths."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(map(tuple, model["merges"]))}
+    ids = dict(bpe_vocab(model))
+    return ranks, ids
+
+
+def bpe_encode(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<int>) — the trainer handoff surface.
+
+    Same Arrow-batched shape and per-worker word→ids memo as
+    bpe_token_counts (Zipf makes the memo hit rate ≈ 1, so the corpus pass
+    is dict lookups). Symbols outside the learned vocabulary (characters
+    from the dropped word-count tail) map to ``<unk>`` (id 0). NULL text
+    encodes to an empty array. Round-trip contract (pytest-pinned):
+    ``bpe_decode(bpe_encode(x)) == lower(x)`` with whitespace collapsed to
+    single spaces, whenever x's characters are all in the alphabet."""
+    ranks, ids = _encoder(model)
+    unk = ids[_UNK]
+
+    def encode_batches(it):
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append([])
+                    continue
+                doc_ids: list[int] = []
+                for w in _WS.split(text.lower()):
+                    if not w:
+                        continue
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = [
+                            ids.get(s, unk) for s in _encode_word(w, ranks)
+                        ]
+                        memo[w] = hit
+                    doc_ids.extend(hit)
+                out.append(doc_ids)
+            yield pd.DataFrame({id_col: pdf[id_col], "token_ids": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_batches, schema=f"{id_col} long, token_ids array<int>"
+    )
+
+
+def bpe_decode(
+    encoded: DataFrame, model: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) — inverse of ``bpe_encode``: token ids back to a
+    whitespace-normalized string (merged symbols concatenate; the
+    end-of-word marker becomes a single space). Lossy exactly where encode
+    is: <unk> decodes to the literal ``<unk>`` marker."""
+    id2tok = {i: t for t, i in bpe_vocab(model)}
+
+    def decode_batches(it):
+        for pdf in it:
+            out = []
+            for ids_arr in pdf["token_ids"]:
+                toks = [id2tok.get(int(i), _UNK) for i in ids_arr]
+                out.append("".join(toks).replace(_EOW, " ").strip())
+            yield pd.DataFrame({id_col: pdf[id_col], "text": out})
+
+    return encoded.select(F.col(id_col), "token_ids").mapInPandas(
+        decode_batches, schema=f"{id_col} long, text string"
     )

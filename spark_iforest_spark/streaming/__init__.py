@@ -294,12 +294,17 @@ def incremental_dedup_ingest(
     )
 
 
-def _index_versions(index_dir: str) -> list[int]:
-    if not os.path.isdir(index_dir):
-        return []
+def _index_versions(spark: SparkSession, index_dir: str) -> list[int]:
+    """Version ids under ``index_dir`` — listed through the Hadoop
+    FileSystem API (spark_iforest_spark.fs) so the versioned-directory
+    sinks work on hdfs://s3a:// URIs, not just the driver's local disk
+    (round-6 fix; was os.listdir)."""
+    from spark_iforest_spark import fs as hfs
+
     return sorted(
-        int(p[1:]) for p in os.listdir(index_dir)
-        if p.startswith("v") and p[1:].isdigit()
+        int(c["name"][1:])
+        for c in hfs.list_children(spark, index_dir)
+        if c["name"].startswith("v") and c["name"][1:].isdigit()
     )
 
 
@@ -318,7 +323,7 @@ def merge_index_version(
     output."""
     from spark_iforest_spark.operators import dedup
 
-    parents = [v for v in _index_versions(index_dir) if v < batch_id]
+    parents = [v for v in _index_versions(spark, index_dir) if v < batch_id]
     if parents:
         index = spark.read.parquet(f"{index_dir}/v{parents[-1]}")
         delta = dedup.exact_dedup_incremental(batch_df, index, id_col, text_col)
@@ -331,11 +336,9 @@ def merge_index_version(
 
 
 def latest_dedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Read the newest index version written by ``incremental_dedup_ingest``."""
-    versions = sorted(
-        int(p[1:]) for p in os.listdir(index_dir)
-        if p.startswith("v") and p[1:].isdigit()
-    )
+    """Read the newest index version written by ``incremental_dedup_ingest``
+    (Hadoop-FS listing — any filesystem URI)."""
+    versions = _index_versions(spark, index_dir)
     return spark.read.parquet(f"{index_dir}/v{versions[-1]}")
 
 
@@ -370,10 +373,14 @@ def incremental_neardup_ingest(
     spark = stream_docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_iforest_spark import fs as hfs
+
         parts = [
-            f"{index_dir}/{p}"
-            for p in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
-            if p.startswith("b") and p[1:].isdigit() and int(p[1:]) < batch_id
+            c["path"]
+            for c in hfs.list_children(spark, index_dir)
+            if c["name"].startswith("b")
+            and c["name"][1:].isdigit()
+            and int(c["name"][1:]) < batch_id
         ]
         batch_idx = dedup.minhash_index(batch_df, id_col, text_col)
         if parts:

@@ -369,11 +369,15 @@ def test_incremental_minhash_never_broadcasts_corpus(spark, docs):
         bcast = formatted_plan(
             dedup.minhash_lsh_pairs_incremental(new, index, broadcast_batch=True)
         )
-        # exactly the one batch-side broadcast node (formatted plans print
-        # each node twice: once in the tree, once in the details section)
+        # batch-side broadcast nodes only: the band table (1) plus the
+        # superseded-id anti-join (round 6), which appears once per view
+        # of `full` (corpus_bands, sa, sb — runtime dedupes via
+        # ReuseExchange). All four are bounded by the BATCH, never the
+        # corpus — the broadcast_batch=False assertion above proves no
+        # hidden corpus-side hint exists.
         import re
 
-        assert len(re.findall(r"\(\d+\) BroadcastExchange", bcast)) == 1
+        assert len(re.findall(r"\(\d+\) BroadcastExchange", bcast)) == 4
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -610,3 +614,29 @@ def test_embedding_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
         )
     )
     assert via_disk == in_mem and len(via_disk) > 0
+
+
+def test_incremental_reingest_is_idempotent(spark, docs):
+    """Round-6 advice fix: a batch containing an ALREADY-INDEXED doc id
+    must supersede the indexed row, not meet its own stale copy — re-running
+    the whole corpus as the 'batch' must reproduce the full relation with
+    no duplicated rows."""
+    full = sorted(map(tuple, dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    index = dedup.minhash_index(docs)  # everything already indexed
+    again = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs_incremental(docs, index, threshold=0.5).collect(),
+        )
+    )
+    assert again == full
+    sh_full = sorted(map(tuple, dedup.simhash_pairs(docs, threshold=0.5).collect()))
+    sh_again = sorted(
+        map(
+            tuple,
+            dedup.simhash_pairs_incremental(
+                docs, dedup.simhash_index(docs), threshold=0.5
+            ).collect(),
+        )
+    )
+    assert sh_again == sh_full

@@ -81,3 +81,70 @@ def test_bpe_model_json_roundtrip(docs, tmp_path):
     a = sorted(map(tuple, tokenizer.bpe_token_counts(sample, model).collect()))
     b = sorted(map(tuple, tokenizer.bpe_token_counts(sample, loaded).collect()))
     assert a == b
+
+
+def test_bpe_null_text_counts_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None)], "doc_id long, text string"
+    )
+    model = tokenizer.bpe_train(df, n_merges=10)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tokenizer.bpe_token_counts(df, model).collect()
+    }
+    assert counts[1] == 0 and counts[0] > 0
+
+
+def test_bpe_vocab_ids_dense_and_deterministic(docs):
+    model = tokenizer.bpe_train(docs, n_merges=100)
+    vocab = tokenizer.bpe_vocab(model)
+    toks = [t for t, _ in vocab]
+    ids = [i for _, i in vocab]
+    assert ids == list(range(len(vocab)))  # dense, 0-based
+    assert toks[0] == "<unk>" and toks[1] == "</w>"
+    assert len(set(toks)) == len(toks)
+    assert vocab == tokenizer.bpe_vocab(model)  # pure function of model
+
+
+def test_bpe_encode_decode_roundtrip(docs):
+    """decode(encode(x)) == lower(x) with whitespace collapsed, for texts
+    whose characters are all in the learned alphabet (the synthetic corpus
+    is ASCII, so the whole sample qualifies)."""
+    model = tokenizer.bpe_train(docs, n_merges=200)
+    sample = docs.limit(40)
+    enc = tokenizer.bpe_encode(sample, model)
+    dec = {r["doc_id"]: r["text"] for r in tokenizer.bpe_decode(enc, model).collect()}
+    alphabet = set(model["alphabet"])
+    for r in sample.collect():
+        want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
+        if set(want) - alphabet - {" "}:
+            continue  # chars outside the learned alphabet are lossy by contract
+        assert dec[r["doc_id"]] == want
+
+
+def test_bpe_encode_matches_token_counts(docs):
+    """len(token_ids) must equal n_bpe_tokens — the two apply paths share
+    one tokenization."""
+    model = tokenizer.bpe_train(docs, n_merges=150)
+    sample = docs.limit(60)
+    n_ids = {
+        r["doc_id"]: len(r["token_ids"])
+        for r in tokenizer.bpe_encode(sample, model).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tokenizer.bpe_token_counts(sample, model).collect()
+    }
+    assert n_ids == counts
+
+
+def test_bpe_encode_unknown_chars_map_to_unk(spark):
+    train = spark.createDataFrame([(0, "abc abc abd")], "doc_id long, text string")
+    model = tokenizer.bpe_train(train, n_merges=5)
+    novel = spark.createDataFrame([(1, "aéz abc")], "doc_id long, text string")
+    enc = tokenizer.bpe_encode(novel, model).collect()[0]["token_ids"]
+    dec = tokenizer.bpe_decode(
+        spark.createDataFrame([(1, enc)], "doc_id long, token_ids array<int>"), model
+    ).collect()[0]["text"]
+    assert 0 in enc  # the unseen chars hit <unk>
+    assert "abc" in dec and "<unk>" in dec
