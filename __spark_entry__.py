@@ -142,23 +142,25 @@ def _iforest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_rescore_ok(model, df) -> bool:
+def _exact_rescore_ok(model, scored) -> bool:
     """Driver-side numpy self-oracle for the flagship scoring path: collect
-    (features, anomalyScore) for a bounded deterministic slice and recompute
-    the scores in-process with the SAME PackedForest via
-    ``scorer.anomaly_scores`` — no Arrow transfer, no broadcast, no
-    pandas_udf batching. Bit-exact equality (np.array_equal) pins the whole
-    distributed serialization/udf pipeline, upgrading ``iforest_score`` from
+    (features, anomalyScore) for a bounded deterministic slice of the
+    ALREADY-SCORED relation (round 6: the gate scores once and shares the
+    cached relation between this slice and the aggregate pass — previously
+    this ran a second full model.transform) and recompute the scores
+    in-process with the SAME PackedForest via ``scorer.anomaly_scores`` —
+    no Arrow transfer, no broadcast, no pandas_udf batching. Bit-exact
+    equality (np.array_equal) pins the whole distributed
+    serialization/udf pipeline, upgrading ``iforest_score`` from
     invariant-checked to value-checked. The slice cap keeps the collect
-    bounded at any sf (scoring is per-row independent, so a subset check is
-    exact for those rows)."""
+    bounded at any sf (scoring is per-row independent, so a subset check
+    is exact for those rows)."""
     import numpy as np
 
     from spark_iforest_spark import scorer
 
     rows = (
-        model.transform(df)
-        .select("features", "anomalyScore")
+        scored.select("features", "anomalyScore")
         .orderBy("vec_id")
         .limit(10_000)
         .collect()
@@ -181,9 +183,14 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hash-mismatches the oracle."""
     model, df = _iforest_fitted(spark, sf_dir)
     contamination = _IFOREST_CONTAMINATION
-    scored = model.transform(df)
+    # score ONCE: the cached relation feeds both the rescore slice and the
+    # aggregate pass (round 6 — was two full transform passes)
+    scored = model.transform(df).select(
+        "vec_id", "features", "anomalyScore", "prediction"
+    ).cache()
     thr = float(model.getThreshold())
     n_anom = int(model.summary.numAnomalies)
+    exact_ok = _exact_rescore_ok(model, scored)
     return scored.agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.min("anomalyScore").alias("_min_s"),
@@ -198,7 +205,7 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_n_pred") <= F.ceil(F.col("n_scored") * contamination * 1.5))
         ).alias("contamination_ok"),
         (F.col("_n_pred") == F.lit(n_anom)).alias("summary_consistent"),
-        F.lit(_exact_rescore_ok(model, df)).alias("scores_exact_match"),
+        F.lit(exact_ok).alias("scores_exact_match"),
     )
 
 
@@ -291,6 +298,177 @@ def _text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     — its token filter (term != '') counts differently from token_stats'
     raw split."""
     return text.signals_panel(_read(spark, sf_dir, "documents"))
+
+
+# ---- pipeline_artifacts gate (round 6): the round-5 operator families
+# (BPE tokenizer, quality model, PSI drift) externally anchored in ONE
+# variant-tagged (variant, key, value) relation. SQL-exact variants:
+# word_count (the distributed input to BPE training) and both PSI reports
+# (categorical lang + fixed-cutpoint length — DuckDB recomputes the full
+# smoothed-fraction/ln pipeline). Driver-check variant: booleans the
+# oracle pins TRUE (iforest_checks pattern) — BPE incremental-vs-
+# straight-line refit equality, encode/decode round-trip, quality-model
+# layout invariance and held-out AUC.
+_PA_TOP_WORDS = 30
+_PA_LEN_CUTS = [150.0, 250.0, 350.0, 450.0, 550.0, 650.0]
+_PA_BPE_MERGES = 200
+_PA_REFIT_WORDS = 2000
+
+
+def _bpe_fit_reference(word_counts: dict, n_merges: int) -> list:
+    """Straight-line BPE refit: recount EVERY pair from scratch each round
+    (no incremental updates, no pair->word index) — an independent
+    implementation of the Sennrich fit whose merge table must equal
+    tokenizer._bpe_fit's on the same word counts. Bounded input only."""
+    seqs = [[list(w) + ["</w>"], c] for w, c in word_counts.items()]
+    merges: list[list[str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for s, c in seqs:
+            for p in zip(s, s[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append([best[0], best[1]])
+        merged = best[0] + best[1]
+        for item in seqs:
+            s = item[0]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            item[0] = out
+    return merges
+
+
+def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
+    from spark_iforest_spark.functions import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(limit)
+    )
+
+
+def _pa_bpe_checks(spark: SparkSession, docs: DataFrame) -> tuple[bool, bool]:
+    from spark_iforest_spark.operators import tokenizer
+
+    wc = {
+        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+    }
+    refit_ok = tokenizer._bpe_fit(wc, _PA_BPE_MERGES) == _bpe_fit_reference(
+        wc, _PA_BPE_MERGES
+    )
+    model = tokenizer.bpe_train(docs, n_merges=_PA_BPE_MERGES)
+    sample = docs.limit(25)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.bpe_decode(
+            tokenizer.bpe_encode(sample, model), model
+        ).collect()
+    }
+    alphabet = set(model["alphabet"])
+    checked, ok = 0, True
+    for r in sample.collect():
+        want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
+        if set(want) - alphabet - {" "}:
+            continue
+        checked += 1
+        ok = ok and dec[r["doc_id"]] == want
+    return refit_ok, ok and checked > 0
+
+
+def _pa_quality_checks(docs: DataFrame) -> tuple[bool, bool]:
+    import numpy as np
+
+    from spark_iforest_spark.operators import quality_model as qm
+
+    scored = text.quality_score(docs, keep=("text",))
+    med = scored.stat.approxQuantile("quality", [0.5], 0.0)[0]
+    labeled = scored.select(
+        "doc_id", "text", (F.col("quality") >= med).cast("int").alias("label")
+    )
+    a = qm.fit_quality_model(labeled.repartition(3), "label")
+    b = qm.fit_quality_model(labeled.repartition(17), "label")
+    layout_ok = a == b
+    model = qm.fit_quality_model(labeled.where("doc_id % 2 = 0"), "label")
+    held = (
+        qm.score_quality_model(labeled.where("doc_id % 2 = 1"), model, keep=("label",))
+        .select("label", "quality_prob")
+        .collect()
+    )
+    y = np.asarray([r["label"] for r in held])
+    p = np.asarray([r["quality_prob"] for r in held])
+    order = np.argsort(p, kind="stable")
+    ranks = np.empty(len(p))
+    ranks[order] = np.arange(1, len(p) + 1)
+    n1, n0 = y.sum(), (1 - y).sum()
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    return layout_ok, bool(auc >= 0.9)
+
+
+def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_iforest_spark.operators import drift
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 4 != 0)
+    bat = docs.where(F.col("doc_id") % 4 == 0)
+
+    wc = _pa_word_counts(docs, _PA_TOP_WORDS).select(
+        F.col("w").alias("key"), F.col("c").cast("double").alias("value")
+    )
+
+    cat = drift.categorical_psi(ref, bat, "lang")
+    cat_rows = (
+        [("psi", float(cat["psi"]))]
+        + [(f"ref:{c}", float(p)) for c, p in zip(cat["categories"], cat["ref_frac"])]
+        + [
+            (f"batch:{c}", float(q))
+            for c, q in zip(cat["categories"], cat["batch_frac"])
+        ]
+    )
+
+    def lens(df: DataFrame) -> DataFrame:
+        return df.where(F.col("text").isNotNull()).select(
+            F.length("text").cast("double").alias("len_chars")
+        )
+
+    num = drift.psi_report(
+        lens(ref), lens(bat), ["len_chars"], cutpoints={"len_chars": _PA_LEN_CUTS}
+    )["len_chars"]
+    num_rows = (
+        [("psi", float(num["psi"]))]
+        + [(f"ref:{i}", float(p)) for i, p in enumerate(num["ref_frac"])]
+        + [(f"batch:{i}", float(q)) for i, q in enumerate(num["batch_frac"])]
+    )
+
+    refit_ok, roundtrip_ok = _pa_bpe_checks(spark, docs)
+    layout_ok, auc_ok = _pa_quality_checks(docs)
+    check_rows = [
+        ("bpe_refit_match", 1.0 if refit_ok else 0.0),
+        ("bpe_roundtrip_ok", 1.0 if roundtrip_ok else 0.0),
+        ("quality_fit_layout_stable", 1.0 if layout_ok else 0.0),
+        ("quality_auc_ok", 1.0 if auc_ok else 0.0),
+    ]
+
+    mk = lambda rows: spark.createDataFrame(rows, "key string, value double")
+    return _tagged_union(
+        ("word_count", wc),
+        ("cat_psi_lang", mk(cat_rows)),
+        ("num_psi_len", mk(num_rows)),
+        ("check", mk(check_rows)),
+    )
 
 
 def _event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,17 +868,27 @@ def queries() -> _T:
                     ).alias("split"),
                 ),
             ),
+            # round 6: decontamination survivors folded in (freeing a gate
+            # slot for pipeline_artifacts) — same per-doc id relation, the
+            # split column is N/A for this variant
+            (
+                "decontam",
+                pipeline.decontaminate(
+                    _read(s, d, "documents"),
+                    _read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
+                ).select("doc_id", F.lit(None).cast("string").alias("split")),
+            ),
         ),
         "redact_pii": lambda s, d: pipeline.redact_pii(
             _pii_augmented(_read(s, d, "documents"))
         ),
-        "decontaminate_survivors": lambda s, d: pipeline.decontaminate(
-            _read(s, d, "documents"),
-            _read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
-        ).select("doc_id"),
         "pack_sequences": lambda s, d: pipeline.pack_sequences(
             _read(s, d, "documents")
         ),
+        # round 6: the round-5 operator families (BPE / quality model /
+        # PSI drift) in one externally checked relation — see
+        # _pipeline_artifacts
+        "pipeline_artifacts": _pipeline_artifacts,
         # the end-to-end curation composition: clean -> decontaminate ->
         # split -> pack, one declarative plan, one composed oracle
         "curate_corpus": lambda s, d: corpus.curate_corpus(
@@ -999,6 +1187,77 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
 """
+
+
+def _pipeline_artifacts_sql() -> str:
+    """DuckDB twin of _pipeline_artifacts: the word-count and both PSI
+    variants recomputed end-to-end in SQL (smoothed fractions, ln, the
+    repo's round-6); the check variant pinned TRUE (iforest_checks
+    pattern — a failed driver check flips a 1.0 to 0.0 and
+    hash-mismatches)."""
+    wc = f"""
+        SELECT w AS key, CAST(c AS DOUBLE) AS value FROM (
+          SELECT w, count(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+          WHERE w <> ''
+          GROUP BY w ORDER BY c DESC, w LIMIT {_PA_TOP_WORDS})
+    """
+    cat = """
+        WITH ref AS (SELECT lang, count(*) AS n FROM documents
+                     WHERE doc_id % 4 <> 0 AND lang IS NOT NULL GROUP BY lang),
+        bat AS (SELECT lang, count(*) AS n FROM documents
+                WHERE doc_id % 4 = 0 AND lang IS NOT NULL GROUP BY lang),
+        cats AS (SELECT lang FROM ref UNION SELECT lang FROM bat),
+        tot AS (SELECT
+          (SELECT coalesce(sum(n), 0) FROM ref)
+            + 0.5 * (SELECT count(*) FROM cats) AS pt,
+          (SELECT coalesce(sum(n), 0) FROM bat)
+            + 0.5 * (SELECT count(*) FROM cats) AS qt),
+        fr AS (SELECT c.lang,
+                      (coalesce(r.n, 0) + 0.5) / (SELECT pt FROM tot) AS p,
+                      (coalesce(b.n, 0) + 0.5) / (SELECT qt FROM tot) AS q
+               FROM cats c
+               LEFT JOIN ref r USING (lang)
+               LEFT JOIN bat b USING (lang))
+        SELECT 'psi' AS key, round(sum((p - q) * ln(p / q)), 6) AS value FROM fr
+        UNION ALL SELECT 'ref:' || lang, round(p, 6) FROM fr
+        UNION ALL SELECT 'batch:' || lang, round(q, 6) FROM fr
+    """
+    k = len(_PA_LEN_CUTS) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN v >= {c} THEN 1 ELSE 0 END)" for c in _PA_LEN_CUTS
+    )
+    num = f"""
+        WITH lens AS (SELECT CAST(length(text) AS DOUBLE) AS v,
+                             (doc_id % 4 = 0) AS isb
+                      FROM documents WHERE text IS NOT NULL),
+        bk AS (SELECT isb, {bucket} AS b FROM lens),
+        ids AS (SELECT unnest(range({k})) AS b),
+        rc AS (SELECT b, count(*) AS n FROM bk WHERE NOT isb GROUP BY b),
+        bc AS (SELECT b, count(*) AS n FROM bk WHERE isb GROUP BY b),
+        fr AS (SELECT ids.b,
+                 (coalesce(rc.n, 0) + 0.5)
+                   / ((SELECT count(*) FROM bk WHERE NOT isb) + 0.5 * {k}) AS p,
+                 (coalesce(bc.n, 0) + 0.5)
+                   / ((SELECT count(*) FROM bk WHERE isb) + 0.5 * {k}) AS q
+               FROM ids LEFT JOIN rc USING (b) LEFT JOIN bc USING (b))
+        SELECT 'psi' AS key, round(sum((p - q) * ln(p / q)), 6) AS value FROM fr
+        UNION ALL SELECT 'ref:' || CAST(b AS VARCHAR), round(p, 6) FROM fr
+        UNION ALL SELECT 'batch:' || CAST(b AS VARCHAR), round(q, 6) FROM fr
+    """
+    checks = """
+        SELECT 'bpe_refit_match' AS key, 1.0 AS value
+        UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
+        UNION ALL SELECT 'quality_fit_layout_stable', 1.0
+        UNION ALL SELECT 'quality_auc_ok', 1.0
+    """
+    return _variants_sql(
+        ("word_count", wc),
+        ("cat_psi_lang", cat),
+        ("num_psi_len", num),
+        ("check", checks),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1963,7 +2222,6 @@ def oracle_sql() -> dict[str, str]:
                 "clean_corpus",
                 "multimodal_features",
                 "redact_pii",
-                "decontaminate_survivors",
                 "pack_sequences",
                 "curate_corpus",
                 "split_leakage",
@@ -2001,11 +2259,19 @@ def oracle_sql() -> dict[str, str]:
                 f"{_md5_u32_sql('doc_id', 'epoch0')} % 8 AS VARCHAR) AS split "
                 "FROM documents",
             ),
+            # round 6: decontamination survivors (id-only; split is N/A)
+            (
+                "decontam",
+                "SELECT doc_id, CAST(NULL AS VARCHAR) AS split FROM ("
+                + base["decontaminate_survivors"]
+                + ")",
+            ),
         ),
         "value_threshold_anomalies": _variants_sql(
             ("exact", base["value_threshold_anomalies"]),
             ("approx", base["value_threshold_anomalies_approx"]),
         ),
+        "pipeline_artifacts": _pipeline_artifacts_sql(),
         "anomaly_rate_by_type": _variants_sql(
             ("exact", base["anomaly_rate_by_type"]),
             ("approx", base["anomaly_rate_by_type_approx"]),

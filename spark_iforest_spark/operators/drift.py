@@ -23,6 +23,18 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 
+def _r6(x: float) -> float:
+    """Round-6 matching Spark's F.round (HALF_UP on the shortest decimal
+    repr) — the repo's rounding convention for externally-compared values
+    (see semantic.semantic_prune_self_check); Python's builtin round is
+    banker's and can disagree with the DuckDB oracle at exact halves."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _bucket_counts(
     df: DataFrame, col: str, cuts: list[float], smoothing: float
 ) -> list[float]:
@@ -101,10 +113,10 @@ def psi_report(
         p, q = p_all[c], q_all[c]
         psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
         report[c] = {
-            "psi": round(psi, 6),
+            "psi": _r6(psi),
             "cutpoints": [float(x) for x in cutpoints[c]],
-            "ref_frac": [round(x, 6) for x in p],
-            "batch_frac": [round(x, 6) for x in q],
+            "ref_frac": [_r6(x) for x in p],
+            "batch_frac": [_r6(x) for x in q],
         }
     return report
 
@@ -124,7 +136,7 @@ def psi_against_baseline(batch: DataFrame, baseline: dict) -> dict:
         q = q_all[c]
         p = ref["ref_frac"]
         psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
-        out[c] = {"psi": round(psi, 6), "batch_frac": [round(x, 6) for x in q]}
+        out[c] = {"psi": _r6(psi), "batch_frac": [_r6(x) for x in q]}
     return out
 
 
@@ -195,10 +207,10 @@ def categorical_psi(
     q = [(qc.get(c, 0) + smoothing) / qt for c in cats]
     psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
     return {
-        "psi": round(psi, 6),
+        "psi": _r6(psi),
         "categories": cats,
-        "ref_frac": [round(x, 6) for x in p],
-        "batch_frac": [round(x, 6) for x in q],
+        "ref_frac": [_r6(x) for x in p],
+        "batch_frac": [_r6(x) for x in q],
     }
 
 
@@ -256,7 +268,7 @@ def embedding_drift(
         p = [(pc.get((j, c), 0) + smoothing) / pt for c in cells]
         q = [(qc.get((j, c), 0) + smoothing) / qt for c in cells]
         psis.append(
-            round(sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q)), 6)
+            _r6(sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q)))
         )
     return {"subspace_psi": psis, "max_psi": max(psis)}
 
