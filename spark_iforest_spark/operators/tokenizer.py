@@ -264,6 +264,96 @@ def bpe_encode(
     )
 
 
+def pack_token_ids(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+    eos_id: int | None = None,
+) -> DataFrame:
+    """Trainer handoff: fixed-length token-id training rows.
+
+    Composes the two pinned pieces — ``bpe_encode`` (doc → id array) and
+    ``pipeline.pack_sequences``'s bucket/cumsum discipline (here over the
+    ENCODED lengths, so bins reflect real token budgets) — then
+    concatenates each bin's docs in id order and slices into ``seq_len``
+    rows, ALL JVM-side (array_sort + flatten + slice over a sequence():
+    no Python in the concat path). ``eos_id`` (e.g. the </w>… or a
+    reserved id) is appended after every document when given — the usual
+    document-boundary token.
+
+    Returns (bin_id, seq_idx, token_ids array<int>, n_tokens): every row
+    but the last of a bin has exactly ``seq_len`` ids (pytest-pinned),
+    and the multiset of emitted ids equals the concatenation of the
+    per-doc encodings (conservation pinned).
+
+    Scale: one Arrow encode pass, one window cumsum partitioned by
+    md5-bucket (nothing global — size n_buckets to the cluster), one
+    groupBy(bin) shuffle whose rows are bounded by ~seq_len ids + one
+    straddler doc. Shuffling the ids (~4 B/token) is the unavoidable
+    cost of materializing training shards; text never shuffles."""
+    from pyspark.sql import Window
+
+    from spark_iforest_spark.operators.pipeline import _md5_u32
+
+    enc = bpe_encode(docs, model, id_col, text_col)
+    if eos_id is not None:
+        enc = enc.withColumn(
+            "token_ids", F.concat("token_ids", F.array(F.lit(int(eos_id))))
+        )
+    bucket = (_md5_u32(F.col(id_col), "pack") % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        enc.select(F.col(id_col), bucket, "token_ids")
+        .withColumn("n", F.size("token_ids"))
+        .withColumn("cum", F.sum("n").over(w))
+        .withColumn(
+            "bin_id",
+            (F.col("bucket").cast("long") * F.lit(2**32))
+            + F.floor((F.greatest(F.col("cum"), F.lit(1)) - 1) / seq_len),
+        )
+    )
+    flat = (
+        binned.groupBy("bin_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col).alias("d"), "token_ids"))
+                    ),
+                    lambda s: s["token_ids"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_total", F.size("ids"))
+    )
+    n_seqs = F.ceil(F.col("n_total") / F.lit(seq_len)).cast("int")
+    return (
+        flat.where(F.col("n_total") > 0)
+        .select(
+            "bin_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seqs - 1),
+                    lambda i: F.slice(F.col("ids"), i * seq_len + 1, seq_len),
+                )
+            ).alias("seq_idx", "token_ids"),
+        )
+        .select(
+            "bin_id",
+            "seq_idx",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_decode(
     encoded: DataFrame, model: dict, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -148,3 +148,43 @@ def test_bpe_encode_unknown_chars_map_to_unk(spark):
     ).collect()[0]["text"]
     assert 0 in enc  # the unseen chars hit <unk>
     assert "abc" in dec and "<unk>" in dec
+
+
+def test_pack_token_ids_lengths_and_conservation(docs):
+    """Every packed row but a bin's last is exactly seq_len; the multiset
+    of emitted ids equals the concatenation of per-doc encodings (+1 eos
+    per doc when eos_id is set)."""
+    model = tokenizer.bpe_train(docs, n_merges=150)
+    sample = docs.limit(80)
+    packed = tokenizer.pack_token_ids(sample, model, seq_len=128, eos_id=0).collect()
+    # length contract
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append((r["seq_idx"], r["n_tokens"]))
+    for bin_id, rows in by_bin.items():
+        rows.sort()
+        assert [s for s, _ in rows] == list(range(len(rows)))  # dense seq idx
+        for _, n in rows[:-1]:
+            assert n == 128
+        assert 1 <= rows[-1][1] <= 128
+    # conservation
+    enc = tokenizer.bpe_encode(sample, model).collect()
+    want = sorted(
+        [i for r in enc for i in list(r["token_ids"]) + [0]]
+    )
+    got = sorted(i for r in packed for i in r["token_ids"])
+    assert got == want
+
+
+def test_pack_token_ids_layout_invariant(docs):
+    model = tokenizer.bpe_train(docs, n_merges=100)
+    sample = docs.limit(60)
+    a = sorted(
+        (r["bin_id"], r["seq_idx"], tuple(r["token_ids"]))
+        for r in tokenizer.pack_token_ids(sample.repartition(3), model, seq_len=64).collect()
+    )
+    b = sorted(
+        (r["bin_id"], r["seq_idx"], tuple(r["token_ids"]))
+        for r in tokenizer.pack_token_ids(sample.repartition(17), model, seq_len=64).collect()
+    )
+    assert a == b and a
