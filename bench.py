@@ -290,7 +290,10 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     unstable: list[str] = []
     _calibration_probe()  # warm numpy/BLAS so the timed probe is pure compute
-    probe_start = _calibration_probe()
+    # min-of-2 probes: the probe measures the machine's CAPABILITY (like
+    # every other timing here); a single sample right after session start
+    # can absorb JVM background-thread jitter and false-flag a quiet run
+    probe_start = min(_calibration_probe(), _calibration_probe())
 
     def timed(name: str, fn) -> None:
         # min-of-N with spread control: 3 base runs, then keep re-running
@@ -332,7 +335,7 @@ def main() -> None:
 
     run_suite(spark, SF_DIR, timed)
 
-    probe_end = _calibration_probe()
+    probe_end = min(_calibration_probe(), _calibration_probe())
     state.update(
         {
             "metric": "headline_total",
@@ -393,9 +396,9 @@ def main() -> None:
                     best = dt if best is None else min(best, dt)
                 tier_times[name] = best
 
-            tier_probe_start = _calibration_probe()
+            tier_probe_start = min(_calibration_probe(), _calibration_probe())
             run_suite(spark, BENCHDATA_DIR, timed_once)
-            tier_probe_end = _calibration_probe()
+            tier_probe_end = min(_calibration_probe(), _calibration_probe())
             ratios = {
                 q: round(tier_times[q] / timings[q], 2)
                 for q in tier_times

@@ -65,6 +65,67 @@ def list_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[str, in
     ]
 
 
+def is_file(spark, path: str) -> bool:
+    """True when ``path`` exists and is a plain file (not a directory)."""
+    fs, p = _resolve(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isFile())
+
+
+def read_bytes(spark, path: str) -> bytes:
+    """Whole-file read — bounded, metadata/artifact-sized payloads only."""
+    with HadoopFile(spark, path) as fh:
+        return fh.read()
+
+
+def write_bytes(spark, path: str, data: bytes) -> None:
+    """Atomic-ish small write: Hadoop ``create`` with overwrite. Artifact
+    payloads only (models, reports) — bulk data goes through Spark."""
+    fs, p = _resolve(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def save_json(spark, path: str, obj) -> None:
+    """Persist a frozen-artifact dict (BPE merge table, quality-model
+    weights, PSI baseline with cutpoints, IVF/PQ parameters) as JSON on
+    ANY Hadoop filesystem — the concrete 'index once, score forever'
+    lifecycle the incremental operators assume. Pure-JSON payloads only;
+    numpy arrays go through save_numpy."""
+    import json
+
+    write_bytes(spark, path, json.dumps(obj, sort_keys=True).encode("utf-8"))
+
+
+def load_json(spark, path: str):
+    import json
+
+    return json.loads(read_bytes(spark, path).decode("utf-8"))
+
+
+def save_numpy(spark, path: str, arr) -> None:
+    """Persist a small numpy artifact (PQ codebooks, IVF centers) in .npy
+    format via an in-memory buffer — same any-filesystem contract as
+    save_json."""
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    write_bytes(spark, path, buf.getvalue())
+
+
+def load_numpy(spark, path: str):
+    import io
+
+    import numpy as np
+
+    return np.load(io.BytesIO(read_bytes(spark, path)), allow_pickle=False)
+
+
 class HadoopFile:
     """Minimal seekable read-only file over a Hadoop ``FSDataInputStream``
     — the file-like shape pyarrow's ParquetFile accepts, so parquet FOOTER

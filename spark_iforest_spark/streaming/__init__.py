@@ -90,10 +90,14 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the schema probe. It is the same flag sources.read_table sets for every
     batch read of these tables, so batch/stream semantics stay consistent
     within a session."""
+    from spark_iforest_spark import fs as hfs
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
+    # Hadoop-FS file check (round 6): works for remote URIs too, where a
+    # driver-local os.path.isfile would always be False
+    if hfs.is_file(spark, path):
         # the streaming file source only accepts directories; a single-file
         # table streams via its parent dir + a glob pinned to that file
         return (
