@@ -123,6 +123,22 @@ def _centroid_literal(centers: np.ndarray) -> F.Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
 
 
+def fit_centroids(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _KMEANS_SEED,
+    sample_n: int = 4096,
+    max_iter: int = 25,
+) -> np.ndarray:
+    """Public centroid fit for the frozen-artifact lifecycle: fit once per
+    corpus snapshot, persist with ``fs.save_numpy``, and pass the loaded
+    matrix to kmeans_clusters/semantic_prune as ``centers=`` so later
+    batches assign without refitting (and without the sample scan)."""
+    return _fit_centroids(emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter)
+
+
 def kmeans_clusters(
     emb: DataFrame,
     n_clusters: int = 8,
@@ -133,8 +149,16 @@ def kmeans_clusters(
     max_iter: int = 25,
     assign: str = "auto",
     matmul_threshold: int = 256,
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """Cluster assignment: (id, cluster_id, cos_to_centroid).
+
+    ``centers`` (round 6) injects FROZEN centroids — the persisted-index
+    mode of the incremental family (ivf_topk/pq_topk pattern): a corpus
+    snapshot fits once (fs.save_numpy persists the matrix), and every
+    later batch assigns against the stored artifact with no refit, so
+    incremental assignment is trivially identical to the full run
+    (pytest-pinned). Omit to fit from the deterministic sample.
 
     Centroids from the deterministic sample fit (module docstring); two
     assignment strategies emitting the same relation:
@@ -165,8 +189,12 @@ def kmeans_clusters(
         assign = "matmul" if n_clusters > matmul_threshold else "literal"
     if assign not in ("literal", "matmul"):
         raise ValueError("assign must be 'auto', 'literal' or 'matmul'")
-    cents = _fit_centroids(
-        emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter
+    cents = (
+        np.asarray(centers, dtype=np.float64)
+        if centers is not None
+        else _fit_centroids(
+            emb, n_clusters, id_col, vec_col, seed, sample_n, max_iter
+        )
     )
     if assign == "literal":
         from spark_iforest_spark.functions import l2_norm
@@ -225,6 +253,7 @@ def semantic_prune(
     vec_col: str = "embedding",
     keep: str = "diverse",
     seed: int = _KMEANS_SEED,
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """Cluster-based corpus pruning: keep ``keep_per_cluster`` members per
     cluster.
@@ -243,7 +272,7 @@ def semantic_prune(
     """
     if keep not in ("diverse", "prototypical"):
         raise ValueError("keep must be 'diverse' or 'prototypical'")
-    cl = kmeans_clusters(emb, n_clusters, id_col, vec_col, seed)
+    cl = kmeans_clusters(emb, n_clusters, id_col, vec_col, seed, centers=centers)
     order = F.col("cos_to_centroid")
     order = order.asc() if keep == "diverse" else order.desc()
     w = Window.partitionBy("cluster_id").orderBy(order, F.col(id_col).asc())

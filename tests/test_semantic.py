@@ -205,3 +205,38 @@ def test_semantic_prune_self_check_bit_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assert semantic.semantic_prune_self_check(emb)
     assert semantic.semantic_prune_self_check(emb.repartition(7))
+
+
+def test_frozen_centroids_incremental_assignment(spark, sf_dir, tmp_path):
+    """Round 6: the semantic family's persisted-index mode — fit once,
+    persist via fs.save_numpy, assign two batches against the reloaded
+    matrix; the union must equal the full-run relation exactly, and the
+    frozen-centers prune must equal the refitting prune."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import semantic
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = semantic.fit_centroids(emb, n_clusters=8)
+    path = f"file://{tmp_path}/centroids.npy"
+    hfs.save_numpy(spark, path, centers)
+    frozen = hfs.load_numpy(spark, path)
+    assert np.array_equal(frozen, centers)
+
+    full = sorted(map(tuple, semantic.kmeans_clusters(emb, 8).collect()))
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    union = sorted(
+        map(
+            tuple,
+            semantic.kmeans_clusters(old, 8, centers=frozen)
+            .unionByName(semantic.kmeans_clusters(new, 8, centers=frozen))
+            .collect(),
+        )
+    )
+    assert union == full
+    a = sorted(map(tuple, semantic.semantic_prune(emb).collect()))
+    b = sorted(map(tuple, semantic.semantic_prune(emb, centers=frozen).collect()))
+    assert a == b
