@@ -247,16 +247,38 @@ def _signature_fn(num_perms: int, keep_shset: bool):
     def signatures(it):
         au = a_co.astype(np.uint64)[:, None]
         bu = b_co.astype(np.uint64)[:, None]
+        af, bf = au.ravel(), bu.ravel()
         prime = np.uint64(_MINHASH_PRIME)
         for pdf in it:
-            out_ids, out_sig = [], []
-            for did, shset in zip(pdf["did"], pdf["shset"]):
-                base = np.asarray(shset, dtype=np.int64).astype(np.uint64) % prime
-                # (perms, shingles) matrix of universal hashes; min per row
-                sig = ((au * base[None, :] + bu) % prime).min(axis=1)
-                out_ids.append(did)
-                out_sig.append(sig.astype(np.int64).tolist())
-            out = {"did": out_ids, "sig": out_sig}
+            shsets = [np.asarray(s, dtype=np.int64) for s in pdf["shset"]]
+            lens = np.asarray([len(s) for s in shsets], dtype=np.int64)
+            if len(shsets) and (lens > 0).all():
+                # batch-vectorized path (round 6, measured ~25% faster than
+                # the per-doc matrix): ONE concatenated shingle vector, per
+                # permutation a whole-batch hash + segmented min
+                # (np.minimum.reduceat at doc offsets) — numpy call count
+                # becomes O(perms) per batch instead of O(docs). Working
+                # set stays one batch-total vector (~MBs), not a
+                # (perms × total) matrix (measured slower — page churn).
+                total = np.concatenate(shsets).astype(np.uint64) % prime
+                offs = np.zeros(len(shsets), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                sig_m = np.empty((num_perms, len(shsets)), dtype=np.uint64)
+                for i in range(num_perms):
+                    h = (af[i] * total + bf[i]) % prime
+                    sig_m[i] = np.minimum.reduceat(h, offs)
+                out_sig = [
+                    row.astype(np.int64).tolist() for row in sig_m.T
+                ]
+            else:
+                # a zero-length shingle set (contract-violating input)
+                # would corrupt reduceat segments — per-doc fallback
+                out_sig = []
+                for shset in shsets:
+                    base = shset.astype(np.uint64) % prime
+                    sig = ((au * base[None, :] + bu) % prime).min(axis=1)
+                    out_sig.append(sig.astype(np.int64).tolist())
+            out = {"did": list(pdf["did"]), "sig": out_sig}
             if keep_shset:
                 out["shset"] = list(pdf["shset"])
             yield pd.DataFrame(out)
