@@ -361,7 +361,7 @@ def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
     )
 
 
-def _pa_bpe_checks(spark: SparkSession, docs: DataFrame) -> tuple[bool, bool]:
+def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
     from spark_iforest_spark.operators import tokenizer
 
     wc = {
@@ -453,7 +453,7 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(f"batch:{i}", float(q)) for i, q in enumerate(num["batch_frac"])]
     )
 
-    refit_ok, roundtrip_ok = _pa_bpe_checks(spark, docs)
+    refit_ok, roundtrip_ok = _pa_bpe_checks(docs)
     layout_ok, auc_ok = _pa_quality_checks(docs)
     check_rows = [
         ("bpe_refit_match", 1.0 if refit_ok else 0.0),

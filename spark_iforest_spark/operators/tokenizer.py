@@ -25,6 +25,12 @@ dict, not the raw corpus):
   token. (Apply is inherently iterative per NOVEL word — the one operator
   family where a Python inner loop is the honest cost; the memo is what
   keeps it off the hot path.)
+
+Round 6 adds the trainer handoff surface: ``bpe_vocab``/``vocab_table``
+(dense (token, id) space: <unk>, </w>, alphabet, merges in rank order),
+``bpe_encode`` (doc → token-id arrays), ``bpe_decode`` (ids → normalized
+text; round-trip pytest-pinned), and ``pack_token_ids`` (fixed-length
+training rows — JVM-side concat + slice over the packing discipline).
 """
 
 from __future__ import annotations
