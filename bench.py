@@ -160,13 +160,15 @@ def _calibration_probe() -> float:
 
 
 def run_suite(spark, sf_dir: str, timed) -> None:
-    """The 9 headline queries against one sf dir; ``timed(name, fn)`` does
+    """The 10 headline queries against one sf dir; ``timed(name, fn)`` does
     the measurement so the primary tier (min-of-N, spread control) and the
     scale tier (single run) share one definition of the workload."""
     from pyspark.sql import functions as F
 
     from spark_iforest_spark import IForest
-    from spark_iforest_spark.operators import dedup, relational, similarity, text
+    from spark_iforest_spark.operators import (
+        dedup, relational, similarity, text, tokenizer,
+    )
     from spark_iforest_spark.sources import read_table
 
     feature_cols = [
@@ -228,6 +230,14 @@ def run_suite(spark, sf_dir: str, timed) -> None:
         lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10)).count(),
     )
     timed("text_quality", lambda: text.quality_score(docs).count())
+    # learned-tokenizer end to end (round 6): distributed word count ->
+    # driver BPE fit (500 merges) -> memoized Arrow apply over the corpus
+    timed(
+        "bpe_tokenize",
+        lambda: tokenizer.bpe_token_counts(
+            docs, tokenizer.bpe_train(docs, n_merges=500)
+        ).agg(F.sum("n_bpe_tokens")).collect(),
+    )
     timed(
         "pricing_summary",
         lambda: relational.pricing_summary(read_table(spark, sf_dir, "lineitem")).count(),
