@@ -191,21 +191,36 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = float(model.getThreshold())
     n_anom = int(model.summary.numAnomalies)
     exact_ok = _exact_rescore_ok(model, scored)
-    return scored.agg(
+    agg = scored.agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.min("anomalyScore").alias("_min_s"),
         F.max("anomalyScore").alias("_max_s"),
         F.sum(F.col("prediction").cast("long")).alias("_n_pred"),
-    ).select(
-        "n_scored",
-        ((F.col("_min_s") > 0) & (F.col("_max_s") < 1)).alias("scores_in_unit"),
-        F.lit(0.0 < thr < 1.0).alias("threshold_in_unit"),
-        (
-            (F.col("_n_pred") >= F.floor(F.col("n_scored") * contamination * 0.5))
-            & (F.col("_n_pred") <= F.ceil(F.col("n_scored") * contamination * 1.5))
-        ).alias("contamination_ok"),
-        (F.col("_n_pred") == F.lit(n_anom)).alias("summary_consistent"),
-        F.lit(exact_ok).alias("scores_exact_match"),
+    ).collect()[0]
+    # both consumers (rescore slice + aggregate) are done: free the cached
+    # relation NOW instead of pinning it for the rest of the gate session,
+    # and return the verdict row as driver literals
+    scored.unpersist()
+    import math
+
+    n, n_pred = int(agg["n_scored"]), int(agg["_n_pred"])
+    row = (
+        n,
+        bool(agg["_min_s"] > 0 and agg["_max_s"] < 1),
+        bool(0.0 < thr < 1.0),
+        bool(
+            math.floor(n * contamination * 0.5)
+            <= n_pred
+            <= math.ceil(n * contamination * 1.5)
+        ),
+        bool(n_pred == n_anom),
+        bool(exact_ok),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_scored long, scores_in_unit boolean, threshold_in_unit boolean, "
+        "contamination_ok boolean, summary_consistent boolean, "
+        "scores_exact_match boolean",
     )
 
 
@@ -371,7 +386,10 @@ def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
         wc, _PA_BPE_MERGES
     )
     model = tokenizer.bpe_train(docs, n_merges=_PA_BPE_MERGES)
-    sample = docs.limit(25)
+    # orderBy before limit: a bare limit gives no cross-job determinism,
+    # and this sample feeds TWO independent actions (encode/decode and the
+    # reference collect) that must see the same 25 rows
+    sample = docs.orderBy("doc_id").limit(25)
     dec = {
         r["doc_id"]: r["text"]
         for r in tokenizer.bpe_decode(
@@ -381,6 +399,9 @@ def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
     alphabet = set(model["alphabet"])
     checked, ok = 0, True
     for r in sample.collect():
+        if r["text"] is None:
+            # NULL text encodes to [] and decodes to "" — nothing to check
+            continue
         want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
         if set(want) - alphabet - {" "}:
             continue
@@ -410,10 +431,17 @@ def _pa_quality_checks(docs: DataFrame) -> tuple[bool, bool]:
     )
     y = np.asarray([r["label"] for r in held])
     p = np.asarray([r["quality_prob"] for r in held])
-    order = np.argsort(p, kind="stable")
-    ranks = np.empty(len(p))
-    ranks[order] = np.arange(1, len(p) + 1)
-    n1, n0 = y.sum(), (1 - y).sum()
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    if n1 == 0 or n0 == 0:
+        # single-class held-out split: no discrimination task to evaluate
+        # (vacuous) — don't fail the gate on an unevaluable check
+        return layout_ok, True
+    # midranks for ties (Mann–Whitney convention): makes the AUC a pure
+    # function of the (label, prob) multiset, independent of collect order
+    u, inv = np.unique(p, return_inverse=True)
+    counts = np.bincount(inv)
+    cum = np.cumsum(counts)
+    ranks = (cum - (counts - 1) / 2.0)[inv]
     auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
     return layout_ok, bool(auc >= 0.9)
 
@@ -1195,10 +1223,14 @@ def _pipeline_artifacts_sql() -> str:
     repo's round-6); the check variant pinned TRUE (iforest_checks
     pattern — a failed driver check flips a 1.0 to 0.0 and
     hash-mismatches)."""
+    # explicit Java-\s byte set in the split class: Spark tokens() splits
+    # on Java \s ([ \t\n\x0B\f\r]) while RE2's \s omits \x0B — a vertical
+    # tab would silently diverge the two engines under a bare '\s+'
     wc = f"""
         SELECT w AS key, CAST(c AS DOUBLE) AS value FROM (
           SELECT w, count(*) AS c FROM (
-            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            SELECT unnest(regexp_split_to_array(lower(text),
+                          '[ \\t\\n\\x0B\\f\\r]+')) AS w
             FROM documents)
           WHERE w <> ''
           GROUP BY w ORDER BY c DESC, w LIMIT {_PA_TOP_WORDS})

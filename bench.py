@@ -81,7 +81,9 @@ _ERR_PATTERN = re.compile(
 _BENIGN_PATTERN = re.compile(
     r"non-existent accumulator|Failed to update accumulator"
 )
-_STACK_CONT = re.compile(r"^\s*at [\w$.]+\(")
+# trace continuations: frames, Caused-by chain links, suppressed-frame
+# ellipses — all belong to whichever trace (benign or real) is open
+_STACK_CONT = re.compile(r"^\s*(?:at [\w$.]+\(|Caused by: |\.\.\. \d+ more)")
 
 
 class _StderrTap:
@@ -105,12 +107,15 @@ class _StderrTap:
         self._thread.start()
 
     def _scan(self, line: str) -> None:
-        if _BENIGN_PATTERN.search(line):
+        if _BENIGN_PATTERN.search(line) and not self._in_head:
+            # a benign line must not hijack a REAL trace being captured —
+            # interleaved JVM threads can emit one mid-trace
             self.benign_lines += 1
             self._in_benign = True
             return
         if self._in_benign and _STACK_CONT.search(line):
-            # stack continuation of a benign accumulator-race trace
+            # continuation (frame / Caused-by link / '... N more') of a
+            # benign accumulator-race trace
             self.benign_lines += 1
             return
         self._in_benign = False
@@ -324,6 +329,10 @@ def main() -> None:
                 py_errors[name] = traceback.format_exc().splitlines()[:_ERR_HEAD_LINES]
                 all_runs[name] = runs
                 timings[name] = None
+                from spark_iforest_spark import checkpoint as _ckpt
+
+                _ckpt.release_snapshots()
+                gc.collect()
                 return
             runs.append(round(time.time() - t0, 3))
             srt = sorted(runs)
@@ -382,6 +391,8 @@ def main() -> None:
             tier_budget = float(os.environ.get("SPARK_GRAFT_TIER_BUDGET_SEC", "300"))
             truncated = []
 
+            from spark_iforest_spark import checkpoint as _ckpt2
+
             def timed_once(name: str, fn) -> None:
                 # respect the tier budget: a slow machine must not starve
                 # the artifact of the (already measured) primary tier
@@ -405,6 +416,10 @@ def main() -> None:
                     dt = round(time.time() - t0, 3)
                     best = dt if best is None else min(best, dt)
                 tier_times[name] = best
+                # same quiesce as the primary tier: at 5x volume the
+                # pinned snapshot blocks are exactly the ones that
+                # crowd the 4g local heap
+                _ckpt2.release_snapshots()
 
             tier_probe_start = min(_calibration_probe(), _calibration_probe())
             run_suite(spark, BENCHDATA_DIR, timed_once)
