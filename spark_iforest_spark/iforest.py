@@ -403,7 +403,13 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
                 "copies": np.concatenate(copies_col),
             }
         )
-        assign = spark.createDataFrame(assign_pdf)
+        # explicit schema: without it createDataFrame runs driver-side
+        # schema inference over all numTrees×psi rows (~1.4 s of pure
+        # Python at 100 trees — profiled round 6); with it the conversion
+        # is a typed fast path
+        assign = spark.createDataFrame(
+            assign_pdf, schema="rid long, treeId int, copies int"
+        )
 
         joined = pool.join(F.broadcast(assign), "rid", "inner")
         if bootstrap:
