@@ -55,6 +55,7 @@ from spark_iforest_spark.nodes import (
     PackedForest,
     Tree,
     pack_forest,
+    pandas_to_forest,
     rows_to_forest,
     tree_to_rows,
 )
@@ -241,13 +242,18 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
                 ],
             )
 
-        node_rows = (
+        # Arrow collection + vectorized assembly (round 6): toPandas moves
+        # the ~numTrees*2*psi node rows in columnar batches and
+        # pandas_to_forest slices numpy columns — vs ~7 Python field
+        # accesses per node through Row objects (profiled ~0.5 s at 100
+        # trees)
+        node_pdf = (
             joined.groupBy("treeId")
             .applyInPandas(build, schema=FLAT_NODE_SCHEMA)
-            .collect()
+            .toPandas()
         )
         _t = self._phase("tree_build_collect", _t)
-        trees = rows_to_forest(node_rows)
+        trees = pandas_to_forest(node_pdf)
         if len(trees) != num_trees:
             raise RuntimeError(f"expected {num_trees} trees, built {len(trees)}")
 

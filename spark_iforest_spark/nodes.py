@@ -162,6 +162,44 @@ def rows_to_forest(rows) -> list[Tree]:
     return forest
 
 
+def pandas_to_forest(pdf) -> list[Tree]:
+    """Vectorized ``rows_to_forest`` for an Arrow-collected node table
+    (round 6): the fit path moves ~25k nodes × 7 fields through numpy
+    column slices instead of ~175k per-field Python calls. Same load
+    invariants (dense tree ids, dense per-tree node ids, root 0) enforced
+    vectorized; ``rows_to_forest`` remains for Row/dict iterables."""
+    tid_raw = pdf["treeID"].to_numpy()
+    order = np.lexsort((pdf["id"].to_numpy(), tid_raw))
+    tid = tid_raw[order]
+    nid = pdf["id"].to_numpy()[order]
+    fi = pdf["featureIndex"].to_numpy()[order].astype(np.int32)
+    fv = pdf["featureValue"].to_numpy()[order].astype(np.float64)
+    lc = pdf["leftChild"].to_numpy()[order].astype(np.int32)
+    rc = pdf["rightChild"].to_numpy()[order].astype(np.int32)
+    ni = pdf["numInstance"].to_numpy()[order].astype(np.int64)
+    uniq, starts = np.unique(tid, return_index=True)
+    if not np.array_equal(uniq, np.arange(len(uniq))):
+        raise ValueError(
+            f"tree ids must be dense 0..{len(uniq) - 1}, got {uniq.tolist()}"
+        )
+    bounds = np.append(starts, len(tid))
+    forest: list[Tree] = []
+    for t in range(len(uniq)):
+        a, b = int(bounds[t]), int(bounds[t + 1])
+        if not np.array_equal(nid[a:b], np.arange(b - a)):
+            raise ValueError(f"tree {t}: node ids must be dense 0..{b - a - 1}")
+        forest.append(
+            Tree(
+                feature_index=fi[a:b].copy(),
+                feature_value=fv[a:b].copy(),
+                left=lc[a:b].copy(),
+                right=rc[a:b].copy(),
+                num_instance=ni[a:b].copy(),
+            )
+        )
+    return forest
+
+
 @dataclass
 class PackedForest:
     """All trees concatenated into single arrays for the batch scorer.

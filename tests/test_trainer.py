@@ -118,3 +118,31 @@ def test_original_feature_indices_stored():
     internal = tree.feature_index >= 0
     assert internal.any()
     assert set(tree.feature_index[internal].tolist()) == {4}
+
+
+def test_pandas_to_forest_matches_rows_to_forest():
+    """The vectorized Arrow-path assembly must build the exact same forest
+    as the generic Row-path assembly."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_iforest_spark.nodes import pandas_to_forest, rows_to_forest, tree_to_rows
+    from spark_iforest_spark.trainer import train_tree
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for tid in range(5):
+        t = train_tree(rng.standard_normal((64, 4)), 8, 4, 11, tid)
+        rows.extend(tree_to_rows(tid, t))
+    cols = ["treeID", "id", "featureIndex", "featureValue",
+            "leftChild", "rightChild", "numInstance"]
+    pdf = pd.DataFrame(rows, columns=cols).sample(frac=1.0, random_state=0)  # shuffle
+    a = rows_to_forest([dict(zip(cols, r)) for r in pdf.itertuples(index=False)])
+    b = pandas_to_forest(pdf)
+    assert len(a) == len(b) == 5
+    for ta, tb in zip(a, b):
+        assert np.array_equal(ta.feature_index, tb.feature_index)
+        assert np.array_equal(ta.feature_value, tb.feature_value)
+        assert np.array_equal(ta.left, tb.left)
+        assert np.array_equal(ta.right, tb.right)
+        assert np.array_equal(ta.num_instance, tb.num_instance)
