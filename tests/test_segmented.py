@@ -1,0 +1,86 @@
+"""Segmented per-group isolation forests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark import segmented
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    """Three segments with different base distributions + one planted
+    outlier per segment (far outside its own segment's cloud)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    rid = 0
+    for g, (mu, sigma) in enumerate([(0.0, 1.0), (100.0, 5.0), (-50.0, 0.1)]):
+        for _ in range(120):
+            rows.append((f"g{g}", rid, (mu + sigma * rng.standard_normal(3)).tolist()))
+            rid += 1
+        rows.append((f"g{g}", rid, [mu + 40 * sigma] * 3))  # outlier
+        rid += 1
+    return spark.createDataFrame(
+        rows, "seg string, row_id long, features array<double>"
+    )
+
+
+def test_planted_outlier_tops_each_segment(grouped):
+    out = segmented.fit_score_groups(
+        grouped, "seg", id_col="row_id", num_trees=50, max_samples=64,
+        contamination=1.0 / 121.0, seed=3,
+    ).collect()
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r["seg"], []).append(r)
+    assert set(by_seg) == {"g0", "g1", "g2"}
+    for seg, rows in by_seg.items():
+        assert len(rows) == 121
+        top = max(rows, key=lambda r: (r["anomalyScore"], r["row_id"]))
+        # the planted outlier (highest row_id in segment) scores highest
+        assert top["row_id"] == max(r["row_id"] for r in rows), seg
+        # contamination ~ 1/121 -> exactly the top row flagged
+        flagged = [r["row_id"] for r in rows if r["prediction"] == 1]
+        assert flagged == [top["row_id"]], seg
+
+
+def test_partition_layout_invariance(grouped):
+    a = sorted(
+        map(tuple, segmented.fit_score_groups(
+            grouped.repartition(3), "seg", id_col="row_id", seed=5
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, segmented.fit_score_groups(
+            grouped.repartition(17), "seg", id_col="row_id", seed=5
+        ).collect())
+    )
+    assert a == b and a
+
+
+def test_segments_are_independent(grouped, spark):
+    """A segment's scores must not depend on which OTHER segments share
+    the DataFrame — fit on the full table vs the single segment alone."""
+    full = {
+        (r["seg"], r["row_id"]): r["anomalyScore"]
+        for r in segmented.fit_score_groups(
+            grouped, "seg", id_col="row_id", seed=9
+        ).collect()
+    }
+    solo = {
+        (r["seg"], r["row_id"]): r["anomalyScore"]
+        for r in segmented.fit_score_groups(
+            grouped.where(F.col("seg") == "g1"), "seg", id_col="row_id", seed=9
+        ).collect()
+    }
+    for k, v in solo.items():
+        assert full[k] == v
+
+
+def test_oversized_segment_raises(grouped):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_rows_per_group"):
+        segmented.fit_score_groups(
+            grouped, "seg", id_col="row_id", max_rows_per_group=10
+        ).collect()
