@@ -17,6 +17,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
+from spark_iforest_spark.checkpoint import snapshot
 from spark_iforest_spark.functions import money_units, units_to_double
 
 NANOS = 1_000_000_000
@@ -563,6 +564,49 @@ def salted_join(
     cond = (l[left_on] == r[right_on]) & (l["_salt"] == r["_salt"])
     return l.join(r, cond).select(
         *[l[c] for c in left.columns], *[r[c] for c in right.columns]
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/aggregation skew diagnostic for a key column: the ``top_k``
+    hottest keys with their share of the table and the skew factor
+    (key count / mean count per key) — the number that decides between a
+    plain shuffle join, AQE's runtime skew split, and ``salted_join``
+    (rule of thumb: factor ≳ partitions means one task owns the key's
+    whole shuffle slice; salt ≈ ceil(factor / partitions) spreads it).
+
+    One groupBy (map-side combined), a one-row totals aggregate broadcast
+    back over the counts, and a TakeOrdered top-k — shuffle width is the
+    distinct-key count, never the table, and no stage funnels the counts
+    relation through a single partition (a global window would, which
+    matters exactly when the key is high-cardinality).
+
+    Returns (key, n_rows, frac_of_table, skew_factor), hottest first.
+    """
+    counts = snapshot(
+        df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_k)
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("frac_of_table"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_n_keys")), 6
+            ).alias("skew_factor"),
+        )
     )
 
 

@@ -174,3 +174,18 @@ def test_table_profile_single_scan(spark, sf_dir):
          / F.count("l_discount")).alias("m")
     ).collect()[0]["m"]
     assert out["l_discount"]["mean_value"] == round(direct, 6)
+
+
+def test_skew_report_values_and_shape(spark):
+    from spark_iforest_spark.operators import relational
+
+    rows = [("hot", i) for i in range(90)] + [("a", 0), ("b", 1), ("c", 2),
+                                              ("d", 3), ("e", 4)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = relational.skew_report(df, "k", top_k=3).collect()
+    assert [r["key"] for r in out] == ["hot", "a", "b"]
+    hot = out[0]
+    # 95 rows over 6 keys: mean 95/6, hot factor = 90/(95/6)
+    assert hot["n_rows"] == 90
+    assert abs(hot["frac_of_table"] - round(90 / 95, 6)) < 1e-9
+    assert abs(hot["skew_factor"] - round(90 / (95 / 6), 6)) < 1e-9
