@@ -1021,6 +1021,18 @@ def queries() -> _T:
                     F.col("chunk_md5").alias("digest"),
                 ),
             ),
+            # round 6: Unicode NFC canonicalization digests — the DuckDB
+            # twin recomputes the whole pass with native nfc_normalize
+            (
+                "nfc",
+                pipeline.normalize_unicode(_read(s, d, "documents")).select(
+                    "doc_id",
+                    F.lit(0).cast("int").alias("seq"),
+                    F.col("n_chars_raw").cast("long").alias("size_a"),
+                    F.col("n_chars_nfc").cast("long").alias("size_b"),
+                    F.col("nfc_md5").alias("digest"),
+                ),
+            ),
         ),
         # per-group GK-sketch quantiles (exact == quantile_disc at gate n)
         # and rows-frame trailing-window stats
@@ -2439,6 +2451,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'chunk', doc_id, chunk_id, CAST(n_chunk_tokens AS BIGINT),
                    CAST(NULL AS BIGINT), chunk_md5
             FROM ({base["chunk_documents"]})
+            UNION ALL
+            SELECT 'nfc', doc_id, CAST(0 AS INT), CAST(length(text) AS BIGINT),
+                   CAST(length(nfc_normalize(text)) AS BIGINT),
+                   md5(nfc_normalize(text))
+            FROM documents WHERE text IS NOT NULL
         """,
         "rollup_panel": f"""
             SELECT 'orders_cube' AS variant, status AS k1, priority AS k2,

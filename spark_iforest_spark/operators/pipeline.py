@@ -383,17 +383,65 @@ def normalize_text(
 ) -> DataFrame:
     """Canonical text normalization: lowercase + collapse whitespace runs +
     trim — the pre-pass that makes downstream exact/fuzzy dedup keys stable
-    against formatting noise. (Unicode NFC is deliberately out of scope:
-    JVM and DuckDB normalizers disagree on edge cases, and the corpus
-    tables are ASCII; a production pass would add a tested ICU step.)
-    Pure scan-speed projection; output carries the md5 so the gate pins the
-    exact normalized bytes without shipping full text."""
+    against formatting noise. Pure scan-speed projection; output carries
+    the md5 so the gate pins the exact normalized bytes without shipping
+    full text. Unicode canonicalization is the separate
+    :func:`normalize_unicode` pass (round 6) — composition-form NFC needs
+    the Unicode tables, which Catalyst lacks."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars_raw"),
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("norm_md5"),
+    )
+
+
+def normalize_unicode(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC canonicalization digests: (id, n_chars_raw, n_chars_nfc,
+    nfc_md5) for every non-null text.
+
+    Mixed-source crawls carry the same logical string in composed and
+    decomposed forms (é vs e+U+0301) — byte-level dedup keys split on
+    them unless a canonical form is fixed first. NFC via Python's
+    unicodedata in ONE Arrow-batched pass (Catalyst has no normalizer);
+    the relation carries lengths + the md5 of the NFC bytes, so the gate
+    pins the exact canonical bytes without shipping text — and the DuckDB
+    oracle recomputes it end-to-end with its native ``nfc_normalize``
+    (agreement probed over combining marks, ligatures, fullwidth forms).
+    At 100 TB this is scan-speed Arrow work with zero shuffle; apply the
+    same transform to the text column itself before dedup when the corpus
+    needs the canonical form materialized."""
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    def nfc_batches(it):
+        for pdf in it:
+            ids, raw_n, nfc_n, digests = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                nfc = unicodedata.normalize("NFC", text)
+                ids.append(did)
+                raw_n.append(len(text))
+                nfc_n.append(len(nfc))
+                digests.append(hashlib.md5(nfc.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_chars_raw": raw_n,
+                    "n_chars_nfc": nfc_n,
+                    "nfc_md5": digests,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        nfc_batches,
+        schema=f"{id_col} long, n_chars_raw long, n_chars_nfc long, nfc_md5 string",
     )
 
 

@@ -405,3 +405,22 @@ def test_shuffle_corpus_is_scan_fused_projection(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     assert count_shuffles(pipeline.shuffle_corpus(docs)) <= 2  # range sort only
+
+
+def test_normalize_unicode_canonical_equivalence(spark):
+    """Composed and decomposed forms of the same logical string must get
+    the same NFC digest; nulls drop; ASCII is identity."""
+    rows = [
+        (0, "café"),            # é composed
+        (1, "café"),           # e + combining acute (decomposed)
+        (2, "plain ascii"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from spark_iforest_spark.operators import pipeline
+
+    out = {r["doc_id"]: r for r in pipeline.normalize_unicode(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["nfc_md5"] == out[1]["nfc_md5"]  # canonical equivalence
+    assert out[1]["n_chars_raw"] == 5 and out[1]["n_chars_nfc"] == 4
+    assert out[2]["n_chars_raw"] == out[2]["n_chars_nfc"] == 11
