@@ -690,3 +690,31 @@ def test_pq_topk_driver_rederivation_bit_exact(spark, sf_dir):
         for rank, (cos, n) in enumerate(scored[:k], start=1):
             expected.append((qid, n, rank, cos))
     assert got == sorted(expected) and len(got) > 0
+
+
+def test_lsh_multi_probe_recovers_recall_with_4x_fewer_tables(spark, sf_dir):
+    """Multi-probe LSH (round 6): probing Hamming-1 neighbor buckets in
+    each table must recover the recall that single-probe needs 4x the
+    tables (and 4x the corpus-side index) to reach; multi_probe=0 stays
+    bit-identical to the original plan."""
+    from pyspark.sql import functions as F
+
+    from spark_iforest_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q)
+
+    sp6 = similarity.lsh_topk(emb, q, bits=4, tables=6)
+    mp6 = similarity.lsh_topk(emb, q, bits=4, tables=6, multi_probe=1)
+    assert not similarity.topk_recall(exact, sp6).collect()[0]["recall_ok"]
+    assert similarity.topk_recall(exact, mp6).collect()[0]["recall_ok"]
+
+    a = sorted(map(tuple, similarity.lsh_topk(emb, q, bits=4, tables=24).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(emb, q, bits=4, tables=24, multi_probe=0).collect(),
+        )
+    )
+    assert a == b
