@@ -29,9 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
+# how many recent snapshots to pin with strong refs (round-7 advice fix:
+# previously an unconditional 64 — a library user that never calls
+# release_snapshots() pinned up to 64 checkpointed block sets in executor
+# MEMORY_AND_DISK). Default 2 covers the only race that matters
+# (previous-query blocks reclaimed under the next query); drivers that
+# quiesce explicitly (bench.py) raise it for fully-deferred reclamation.
+PIN_CONF = "spark.spark_iforest.pinSnapshots"
+_DEFAULT_PIN = 2
 
-# Strong references to every snapshot produced since the last release_
-# snapshots() call. Without these, CPython refcounting drops the
+# Strong references to the most recent snapshots, keyed by the owning
+# application id. Without these, CPython refcounting drops the
 # intermediate DataFrames the moment an operator returns, the JVM weak
 # refs clear on the next GC, and the ContextCleaner races straggler
 # task-end events into the (benign but noisy) "attempted to access
@@ -39,7 +47,7 @@ RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
 # long-running services) calls release_snapshots() at its own quiesce
 # points — after the consuming action returns — so reclamation happens in
 # the idle gap between queries instead of under the next one.
-_LIVE: list[DataFrame] = []
+_LIVE: dict[str, list[DataFrame]] = {}
 
 
 def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -47,17 +55,25 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
     per the session conf (module docstring). ``checkpoint`` raises Spark's
     own error if no checkpoint dir is set — surfacing the misconfiguration
     beats silently degrading to a non-fault-tolerant mode."""
-    reliable = str(
-        df.sparkSession.conf.get(RELIABLE_CONF, "false")
-    ).lower() == "true"
+    spark = df.sparkSession
+    reliable = str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true"
     out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
-    _LIVE.append(out)
-    # bounded: the race window is only previous-query-vs-next-query, so
-    # holding the most recent snapshots suffices; FIFO release keeps a
-    # caller that never calls release_snapshots() (pytest) from pinning
-    # every checkpoint block of a long session
-    if len(_LIVE) > 64:
-        del _LIVE[: len(_LIVE) - 64]
+    try:
+        pin = int(spark.conf.get(PIN_CONF, str(_DEFAULT_PIN)))
+    except ValueError:
+        pin = _DEFAULT_PIN
+    app_id = spark.sparkContext.applicationId
+    # refs must not outlive their SparkSession: a new session's first
+    # snapshot drops every other app's list (one live local session is the
+    # operating mode; a stopped session's DataFrames are unreclaimable
+    # garbage otherwise — round-7 advice fix)
+    for stale in [k for k in _LIVE if k != app_id]:
+        del _LIVE[stale]
+    if pin > 0:
+        live = _LIVE.setdefault(app_id, [])
+        live.append(out)
+        if len(live) > pin:
+            del live[: len(live) - pin]
     return out
 
 
@@ -65,6 +81,6 @@ def release_snapshots() -> int:
     """Drop the strong references held by :func:`snapshot`, letting the
     ContextCleaner reclaim their blocks. Returns how many were released.
     Call between queries, after actions complete — never mid-plan."""
-    n = len(_LIVE)
+    n = sum(len(v) for v in _LIVE.values())
     _LIVE.clear()
     return n

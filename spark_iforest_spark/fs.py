@@ -78,14 +78,36 @@ def read_bytes(spark, path: str) -> bytes:
 
 
 def write_bytes(spark, path: str, data: bytes) -> None:
-    """Atomic-ish small write: Hadoop ``create`` with overwrite. Artifact
-    payloads only (models, reports) — bulk data goes through Spark."""
+    """Atomic small write: create a temp sibling, then ``rename`` into
+    place (round-7 advice fix — a plain create(overwrite) left a
+    truncated artifact at the FINAL path on a mid-write crash, which
+    later save_json/save_numpy loads would deserialize or die on).
+    Rename is atomic on HDFS and a single-key commit on object stores;
+    readers see either the old artifact or the new one, never a torn
+    write. Artifact payloads only (models, reports) — bulk data goes
+    through Spark."""
+    import uuid
+
     fs, p = _resolve(spark, path)
-    out = fs.create(p, True)
+    tmp_str = path + ".__tmp__." + uuid.uuid4().hex[:12]
+    _, tmp = _resolve(spark, tmp_str)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
+    try:
+        # Hadoop rename refuses to clobber an existing destination on most
+        # filesystems — delete first. The window between delete and rename
+        # leaves the OLD artifact gone but never a torn NEW one, and the
+        # temp file survives for manual recovery if rename itself fails.
+        if fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"rename {tmp_str} -> {path} failed")
+    except Exception:
+        fs.delete(tmp, False)
+        raise
 
 
 def save_json(spark, path: str, obj) -> None:

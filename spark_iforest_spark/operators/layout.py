@@ -77,11 +77,22 @@ def zorder_layout(
     # signed-long range ordering). Auto-reduce bits for high-dimension
     # calls — precision per dimension trades off against dimension count.
     if bits * len(cols) > 63:
-        bits = 63 // len(cols)
-        if bits < 1:
+        import warnings
+
+        reduced = 63 // len(cols)
+        if reduced < 1:
             raise ValueError(
                 f"zorder_layout supports at most 63 columns (got {len(cols)})"
             )
+        # round-7 advice fix: say so instead of silently coarsening the
+        # bucket granularity a caller may have pinned expectations on
+        warnings.warn(
+            f"zorder_layout: bits={bits} x {len(cols)} cols exceeds the 63 "
+            f"usable bits of a signed long; reducing to bits={reduced} "
+            f"({1 << reduced} buckets/dimension)",
+            stacklevel=2,
+        )
+        bits = reduced
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cutlists = df.stat.approxQuantile(

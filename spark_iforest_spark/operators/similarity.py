@@ -171,6 +171,23 @@ def _hyperplanes(dim: int, bits: int, tables: int) -> np.ndarray:
     return rng.standard_normal((tables, bits, dim))
 
 
+def _probe_masks(bits: int, multi_probe: int) -> list[int]:
+    """All XOR masks with at most ``multi_probe`` of ``bits`` set — the
+    multi-probe bucket expansion, enumerated directly from bit-position
+    combinations (sum of C(bits, i) masks) so deep hashes (bits 24-30)
+    never materialize a 2^bits scan."""
+    from itertools import combinations
+
+    out = []
+    for i in range(min(multi_probe, bits) + 1):
+        for pos in combinations(range(bits), i):
+            m = 0
+            for b in pos:
+                m |= 1 << b
+            out.append(m)
+    return out
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -218,11 +235,11 @@ def lsh_topk(
     pack = 1 << np.arange(bits, dtype=np.int64)
     # probe masks: all bit patterns with <= multi_probe bits set (0 = the
     # base bucket); applied to the QUERY side only, so the corpus index is
-    # untouched and the expansion rides the broadcast
-    masks = np.asarray(
-        [m for m in range(1 << bits) if bin(m).count("1") <= multi_probe],
-        dtype=np.int64,
-    )
+    # untouched and the expansion rides the broadcast. Generated from
+    # combinations — O(sum C(bits, i)) — not by scanning all 2^bits
+    # patterns, which blows up the driver at the bits=24+ sizes deep
+    # single-table configs use (round-7 advice fix).
+    masks = np.asarray(sorted(_probe_masks(bits, multi_probe)), dtype=np.int64)
 
     def bucketize(alias_id: str, keep_vec: bool):
         probes = masks if keep_vec else np.zeros(1, dtype=np.int64)
