@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from spark_iforest_spark.nodes import pack_forest
+from spark_iforest_spark.nodes import pack_forest, pandas_to_forest, tree_to_rows
 from spark_iforest_spark.scorer import anomaly_scores
 from spark_iforest_spark.trainer import train_tree
 
@@ -43,6 +43,45 @@ from spark_iforest_spark.trainer import train_tree
 def _group_seed(seed: int, key) -> np.random.SeedSequence:
     h = int(hashlib.md5(repr(key).encode("utf-8")).hexdigest()[:8], 16)
     return np.random.SeedSequence([seed & 0x7FFFFFFF, h])
+
+
+def _segment_forest(
+    x: np.ndarray,
+    key,
+    num_trees: int,
+    max_samples: int,
+    max_depth: int,
+    max_features: float,
+    seed: int,
+):
+    """(trees, psi) for one segment — the SHARED per-segment fit kernel:
+    the in-place ``fit_score_groups`` task, the persistable ``fit_groups``
+    task, and the correctness gate's driver-side recompute all call this
+    one function, so their forests are bit-identical by construction."""
+    n = len(x)
+    psi = min(max_samples, n)
+    ss = _group_seed(seed, key)
+    # one child seed per tree for sampling; train_tree derives its own
+    # split RNG from (tree_seed, tree_id) exactly like the flagship
+    tree_seed = int(ss.generate_state(1, dtype=np.uint32)[0])
+    rng = np.random.default_rng(ss)
+    trees = []
+    for tree_id in range(num_trees):
+        idx = (
+            rng.choice(n, size=psi, replace=False) if psi < n else np.arange(n)
+        )
+        trees.append(train_tree(x[idx], max_depth, max_features, tree_seed, tree_id))
+    return trees, psi
+
+
+def _order_stat_threshold(scores: np.ndarray, contamination: float) -> float:
+    """The exact ``ceil((1-contamination) * n)``-th smallest score (same
+    order-statistic definition as the flagship's relErr=0 path)."""
+    n = len(scores)
+    rank = math.ceil((1.0 - contamination) * n)
+    if 0 < rank <= n:
+        return float(np.partition(scores, rank - 1)[rank - 1])
+    return float("-inf") if rank <= 0 else float("inf")
 
 
 def fit_score_groups(
@@ -90,32 +129,14 @@ def fit_score_groups(
                 "segment instead"
             )
         x = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
-        psi = min(max_samples, n)
-        ss = _group_seed(seed, key)
-        # one child seed per tree for sampling; train_tree derives its own
-        # split RNG from (tree_seed, tree_id) exactly like the flagship
-        tree_seed = int(ss.generate_state(1, dtype=np.uint32)[0])
-        rng = np.random.default_rng(ss)
-        trees = []
-        for tree_id in range(num_trees):
-            idx = (
-                rng.choice(n, size=psi, replace=False)
-                if psi < n
-                else np.arange(n)
-            )
-            trees.append(
-                train_tree(x[idx], max_depth, max_features, tree_seed, tree_id)
-            )
+        trees, psi = _segment_forest(
+            x, key, num_trees, max_samples, max_depth, max_features, seed
+        )
         forest = pack_forest(trees)
         scores = anomaly_scores(forest, x, float(psi))
-        # same order-statistic definition as the flagship's exact path:
         # threshold = the ceil((1-contamination)*n)-th smallest score,
         # prediction = score > threshold
-        rank = math.ceil((1.0 - contamination) * n)
-        if 0 < rank <= n:
-            thr = float(np.partition(scores, rank - 1)[rank - 1])
-        else:
-            thr = float("-inf") if rank <= 0 else float("inf")
+        thr = _order_stat_threshold(scores, contamination)
         out = {"_key": pdf["_key"]}
         if id_col is not None:
             out["_id"] = pdf["_id"]
@@ -128,3 +149,214 @@ def fit_score_groups(
     if id_col is not None:
         renames.append(F.col("_id").alias(id_col))
     return result.select(*renames, "anomalyScore", "prediction")
+
+
+# ------------------------------------------------------- model lifecycle
+#
+# fit_groups -> SegmentedIForestModel -> transform(new rows) / save / load:
+# the reference's Estimator→Model→persist contract (IForest.scala:283-310)
+# at segment granularity, which is what makes per-tenant forests reusable —
+# score tomorrow's events against today's fitted segments without refitting.
+
+_NODE_COLS = (
+    "treeID int, id int, featureIndex int, featureValue double, "
+    "leftChild int, rightChild int, numInstance long"
+)
+_META_COLS = "psi double, threshold double, n_rows long"
+
+
+class SegmentedIForestModel:
+    """Per-segment isolation forests as a persistable RELATION.
+
+    ``nodes`` holds one row per tree node keyed by segment — the same
+    pre-order flat NodeData encoding as the flagship's model sink
+    (nodes.py:110, reference IForestModel at IForest.scala:283-310) with
+    the per-segment scalars (psi, threshold, n_rows) denormalized onto
+    every row, so the whole model is ONE parquet-writable DataFrame.
+    Scoring new rows is a cogroup of (rows, nodes) by segment: one shuffle
+    of the rows + one of the (small) model relation, every segment scored
+    in parallel with the flagship's numpy kernels."""
+
+    def __init__(self, key_col: str, features_col: str, params: dict, nodes: DataFrame):
+        self.key_col = key_col
+        self.features_col = features_col
+        self.params = dict(params)
+        self.nodes = nodes
+
+    def segments(self) -> DataFrame:
+        """(key, psi, threshold, n_rows, n_trees, n_nodes) summary."""
+        return self.nodes.groupBy(self.key_col).agg(
+            F.first("psi").alias("psi"),
+            F.first("threshold").alias("threshold"),
+            F.first("n_rows").alias("n_rows"),
+            (F.max("treeID") + 1).alias("n_trees"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+
+    def transform(
+        self,
+        df: DataFrame,
+        features_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Score NEW rows against the fitted segment models: (key, [id],
+        anomalyScore, prediction). Rows whose segment has no fitted model
+        come back with NULL score and prediction — the caller decides
+        whether an unseen segment is an error or a fit-later case.
+
+        On the training slice this reproduces ``fit_score_groups``
+        bit-exactly (pytest-pinned): same packed forest (float64 survives
+        the parquet round-trip losslessly), same psi, same stored
+        threshold."""
+        fcol = features_col or self.features_col
+        key_col = self.key_col
+        sel = [F.col(key_col).alias("_key"), F.col(fcol).cast("array<double>").alias("_feat")]
+        if id_col is not None:
+            sel.insert(1, F.col(id_col).alias("_id"))
+        src = df.select(*sel)
+        key_type = df.schema[key_col].dataType.simpleString()
+        id_part = f"_id {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
+        out_schema = f"_key {key_type}, {id_part}anomalyScore double, prediction int"
+        nodes = self.nodes.withColumnRenamed(key_col, "_key")
+
+        def score(rows: pd.DataFrame, model: pd.DataFrame) -> pd.DataFrame:
+            if not len(rows):
+                return pd.DataFrame(
+                    {c: [] for c in ["_key", *(["_id"] if id_col else []), "anomalyScore", "prediction"]}
+                )
+            out = {"_key": rows["_key"]}
+            if id_col is not None:
+                out["_id"] = rows["_id"]
+            if not len(model):
+                # unfitted segment: true SQL NULLs (nullable pandas dtypes
+                # — a float NaN would survive as NaN, not NULL)
+                out["anomalyScore"] = pd.array([None] * len(rows), dtype="Float64")
+                out["prediction"] = pd.array([None] * len(rows), dtype="Int32")
+                return pd.DataFrame(out)
+            forest = pack_forest(pandas_to_forest(model))
+            x = np.asarray(rows["_feat"].to_list(), dtype=np.float64)
+            scores = anomaly_scores(forest, x, float(model["psi"].iloc[0]))
+            thr = float(model["threshold"].iloc[0])
+            out["anomalyScore"] = scores
+            out["prediction"] = (scores > thr).astype(np.int32)
+            return pd.DataFrame(out)
+
+        result = (
+            src.groupby("_key")
+            .cogroup(nodes.groupby("_key"))
+            .applyInPandas(score, schema=out_schema)
+        )
+        renames = [F.col("_key").alias(key_col)]
+        if id_col is not None:
+            renames.append(F.col("_id").alias(id_col))
+        return result.select(*renames, "anomalyScore", "prediction")
+
+    def save(self, path: str) -> None:
+        """Persist to ``path`` on ANY Hadoop filesystem: the node relation
+        as parquet at ``path/data`` (same layout discipline as the
+        flagship's S2 sink) plus a JSON params sidecar."""
+        from spark_iforest_spark import fs
+
+        spark = self.nodes.sparkSession
+        self.nodes.write.mode("overwrite").parquet(path.rstrip("/") + "/data")
+        fs.save_json(
+            spark,
+            path.rstrip("/") + "/metadata.json",
+            {
+                "key_col": self.key_col,
+                "features_col": self.features_col,
+                "params": self.params,
+            },
+        )
+
+    @staticmethod
+    def load(spark, path: str) -> "SegmentedIForestModel":
+        from spark_iforest_spark import fs
+
+        meta = fs.load_json(spark, path.rstrip("/") + "/metadata.json")
+        nodes = spark.read.parquet(path.rstrip("/") + "/data")
+        return SegmentedIForestModel(
+            meta["key_col"], meta["features_col"], meta["params"], nodes
+        )
+
+
+def fit_groups(
+    df: DataFrame,
+    key_col: str,
+    features_col: str = "features",
+    num_trees: int = 50,
+    max_samples: int = 256,
+    max_depth: int = 10,
+    max_features: float = 1.0,
+    contamination: float = 0.01,
+    seed: int = 0,
+    max_rows_per_group: int = 5_000_000,
+) -> SegmentedIForestModel:
+    """Fit one isolation forest per ``key_col`` segment and return a
+    persistable :class:`SegmentedIForestModel` (contrast
+    :func:`fit_score_groups`, which scores in place and keeps nothing).
+
+    Same determinism contract: the per-segment forest is a pure function
+    of (segment rows, params, key) via ``SeedSequence([seed, md5(key)])``,
+    so refitting on any partition layout reproduces the model bit-exactly.
+    The per-segment threshold is fixed at fit time from the training
+    scores (the reference's fit-scores-training-set semantics,
+    IForest.scala:208-239), so transform on new data is a stateless map.
+
+    ONE ``groupBy(key).applyInPandas`` shuffle; each task emits its
+    segment's flat node rows — O(num_trees · psi) rows per segment,
+    independent of segment size, so the model relation stays small even
+    when segments are huge."""
+    src = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(features_col).cast("array<double>").alias("_feat"),
+    )
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"_key {key_type}, {_NODE_COLS}, {_META_COLS}"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["_key"].iloc[0]
+        n = len(pdf)
+        if n > max_rows_per_group:
+            raise ValueError(
+                f"segment {key!r} has {n} rows > max_rows_per_group="
+                f"{max_rows_per_group}; fit the global IForest on this "
+                "segment instead"
+            )
+        x = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+        trees, psi = _segment_forest(
+            x, key, num_trees, max_samples, max_depth, max_features, seed
+        )
+        scores = anomaly_scores(pack_forest(trees), x, float(psi))
+        thr = _order_stat_threshold(scores, contamination)
+        rows = [r for t, tree in enumerate(trees) for r in tree_to_rows(t, tree)]
+        return pd.DataFrame(
+            {
+                "_key": [key] * len(rows),
+                "treeID": [r[0] for r in rows],
+                "id": [r[1] for r in rows],
+                "featureIndex": [r[2] for r in rows],
+                "featureValue": [r[3] for r in rows],
+                "leftChild": [r[4] for r in rows],
+                "rightChild": [r[5] for r in rows],
+                "numInstance": [r[6] for r in rows],
+                "psi": float(psi),
+                "threshold": thr,
+                "n_rows": n,
+            }
+        )
+
+    nodes = (
+        src.groupBy("_key")
+        .applyInPandas(fit, schema=out_schema)
+        .withColumnRenamed("_key", key_col)
+    )
+    params = {
+        "num_trees": num_trees,
+        "max_samples": max_samples,
+        "max_depth": max_depth,
+        "max_features": max_features,
+        "contamination": contamination,
+        "seed": seed,
+    }
+    return SegmentedIForestModel(key_col, features_col, params, nodes)

@@ -84,3 +84,66 @@ def test_oversized_segment_raises(grouped):
         segmented.fit_score_groups(
             grouped, "seg", id_col="row_id", max_rows_per_group=10
         ).collect()
+
+
+def test_fit_groups_transform_matches_in_place(grouped):
+    """The persistable lifecycle reproduces fit_score_groups bit-exactly
+    on the training slice: same shared fit kernel -> same forest, psi read
+    back from the node relation, threshold fixed at fit time."""
+    params = dict(num_trees=50, max_samples=64, contamination=1.0 / 121.0, seed=3)
+    in_place = sorted(
+        map(tuple, segmented.fit_score_groups(
+            grouped, "seg", id_col="row_id", **params
+        ).collect())
+    )
+    model = segmented.fit_groups(grouped, "seg", **params)
+    via_model = sorted(
+        map(tuple, model.transform(grouped, id_col="row_id").collect())
+    )
+    assert via_model == in_place and via_model
+
+
+def test_fit_groups_layout_invariant_model(grouped):
+    a = sorted(map(tuple, segmented.fit_groups(
+        grouped.repartition(3), "seg", seed=5).nodes.collect()))
+    b = sorted(map(tuple, segmented.fit_groups(
+        grouped.repartition(17), "seg", seed=5).nodes.collect()))
+    assert a == b and a
+
+
+def test_save_load_roundtrip_scores_new_rows(grouped, spark, tmp_path):
+    """fit -> save -> load -> transform NEW rows == transform from the
+    in-memory model (the reference's IForestModel save/load contract,
+    IForest.scala:283-310, at segment granularity); unknown segments come
+    back NULL."""
+    params = dict(num_trees=30, max_samples=64, contamination=0.05, seed=11)
+    train = grouped.where(F.col("row_id") % 3 != 0)
+    new = grouped.where(F.col("row_id") % 3 == 0)
+    model = segmented.fit_groups(train, "seg", **params)
+    path = f"file://{tmp_path}/segmodel"
+    model.save(path)
+    loaded = segmented.SegmentedIForestModel.load(spark, path)
+    assert loaded.params == model.params
+    a = sorted(map(tuple, model.transform(new, id_col="row_id").collect()))
+    b = sorted(map(tuple, loaded.transform(new, id_col="row_id").collect()))
+    assert a == b and a
+    # scores are real (non-null) for every known segment
+    assert all(r[2] is not None and r[3] is not None for r in a)
+    # an unseen segment scores NULL
+    unseen = new.withColumn("seg", F.lit("never-fitted"))
+    rows = loaded.transform(unseen, id_col="row_id").collect()
+    assert rows and all(
+        r["anomalyScore"] is None and r["prediction"] is None for r in rows
+    )
+
+
+def test_segments_summary(grouped):
+    model = segmented.fit_groups(grouped, "seg", num_trees=20, max_samples=32)
+    segs = {r["seg"]: r for r in model.segments().collect()}
+    assert set(segs) == {"g0", "g1", "g2"}
+    for r in segs.values():
+        assert r["n_trees"] == 20
+        assert r["n_rows"] == 121
+        assert r["psi"] == 32.0
+        assert 0.0 < r["threshold"] < 1.0
+        assert r["n_nodes"] >= 20 * 3  # at least a root + 2 children per tree
