@@ -224,6 +224,106 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_PARAMS = dict(
+    num_trees=20, max_samples=32, max_depth=8, contamination=0.05, seed=31
+)
+
+
+def _segmented_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally checked twin for the segmented per-group forests (round
+    7, same pattern as _iforest_checks): run fit_score_groups over the
+    embeddings keyed by ``pmod(vec_id, 8)``, then recompute EVERY
+    segment's forest, scores, threshold, and predictions driver-side with
+    the same shared fit kernel (segmented._segment_forest — a pure
+    function of the segment's row set and the key) and pin bit-exact
+    equality. max_samples=32 < segment size, so the gate exercises the
+    subsample path whose arrival-order canonicalization round 7 fixed.
+    Column meanings (same schema as the global row so the family fits one
+    variant union):
+
+    * n_scored — rows scored (SQL: count of embeddings)
+    * scores_in_unit — every score in (0, 1)
+    * threshold_in_unit — every recomputed per-segment threshold in (0, 1)
+    * contamination_ok — per segment, flagged count <= n - rank (the
+      order-statistic bound; equality can relax only under score ties)
+    * summary_consistent — Spark's prediction column == driver-recomputed
+      (score > threshold) for EVERY row
+    * scores_exact_match — np.array_equal of all Spark scores vs the
+      driver recompute, per segment
+    """
+    import math
+
+    import numpy as np
+
+    from spark_iforest_spark import scorer, segmented
+    from spark_iforest_spark.nodes import pack_forest
+
+    emb = _read(spark, sf_dir, "embeddings")
+    src = emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(8)).cast("int").alias("seg"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    scored = {
+        r["vec_id"]: r
+        for r in segmented.fit_score_groups(
+            src, "seg", id_col="vec_id", **_SEG_PARAMS
+        ).collect()
+    }
+    by_seg: dict[int, list] = {}
+    for r in src.collect():
+        by_seg.setdefault(r["seg"], []).append(r)
+
+    n_scored = len(scored)
+    scores_in_unit = all(0.0 < r["anomalyScore"] < 1.0 for r in scored.values())
+    thr_in_unit = True
+    contamination_ok = True
+    summary_consistent = True
+    exact = n_scored == sum(len(v) for v in by_seg.values())
+    for seg, rows in by_seg.items():
+        x = np.asarray([r["features"] for r in rows], dtype=np.float64)
+        trees, psi = segmented._segment_forest(
+            x,
+            seg,
+            _SEG_PARAMS["num_trees"],
+            _SEG_PARAMS["max_samples"],
+            _SEG_PARAMS["max_depth"],
+            1.0,
+            _SEG_PARAMS["seed"],
+        )
+        ref_scores = scorer.anomaly_scores(pack_forest(trees), x, float(psi))
+        thr = segmented._order_stat_threshold(
+            ref_scores, _SEG_PARAMS["contamination"]
+        )
+        thr_in_unit = thr_in_unit and 0.0 < thr < 1.0
+        got_scores = np.asarray(
+            [scored[r["vec_id"]]["anomalyScore"] for r in rows], dtype=np.float64
+        )
+        got_pred = np.asarray(
+            [scored[r["vec_id"]]["prediction"] for r in rows], dtype=np.int64
+        )
+        exact = exact and bool(np.array_equal(got_scores, ref_scores))
+        summary_consistent = summary_consistent and bool(
+            np.array_equal(got_pred, (ref_scores > thr).astype(np.int64))
+        )
+        rank = math.ceil((1.0 - _SEG_PARAMS["contamination"]) * len(rows))
+        contamination_ok = contamination_ok and int(got_pred.sum()) <= len(rows) - rank
+    row = (
+        n_scored,
+        bool(scores_in_unit),
+        bool(thr_in_unit),
+        bool(contamination_ok),
+        bool(summary_consistent),
+        bool(exact),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_scored long, scores_in_unit boolean, threshold_in_unit boolean, "
+        "contamination_ok boolean, summary_consistent boolean, "
+        "scores_exact_match boolean",
+    )
+
+
 def _tagged_union(*tagged: tuple[str, DataFrame]) -> DataFrame:
     """Union same-schema relations under a leading ``variant`` tag column —
     the gate-merging device that folds a family of twin queries (exact vs
@@ -577,7 +677,14 @@ def queries() -> _T:
         # driver-side pure-numpy rescore — the flagship's VALUES are pinned,
         # not just its invariants. Plus pytest's hand-computed c(n) and AUC.
         "iforest_score": _iforest_score,
-        "iforest_checks": _iforest_checks,
+        # round 7: the global flagship row and the segmented per-group row
+        # share one variant union — both are invariant+bit-exact-recompute
+        # twins with the same schema, so the whole forest family is
+        # value-anchored in a single gate slot
+        "iforest_checks": lambda s, d: _tagged_union(
+            ("global", _iforest_checks(s, d)),
+            ("segmented", _segmented_checks(s, d)),
+        ),
         # relational / threshold parity surface (O17/O18/O19 on SQL-checkable path)
         "pricing_summary": lambda s, d: relational.pricing_summary(_read(s, d, "lineitem")),
         "top_revenue_orders": lambda s, d: relational.top_revenue_orders(
@@ -2256,7 +2363,6 @@ def oracle_sql() -> dict[str, str]:
         **{
             k: base[k]
             for k in (
-                "iforest_checks",
                 "pricing_summary",
                 "top_revenue_orders",
                 "regional_supplier_rollup",
@@ -2285,6 +2391,13 @@ def oracle_sql() -> dict[str, str]:
             )
         },
         # ------------- variant-tagged unions of same-schema twins --------
+        # both forest rows: n_scored is SQL-derivable, the five booleans
+        # are pinned TRUE — a scorer/threshold/segment-routing regression
+        # flips one and hash-mismatches
+        "iforest_checks": _variants_sql(
+            ("global", base["iforest_checks"]),
+            ("segmented", base["iforest_checks"]),
+        ),
         "dedup_simhash": _variants_sql(
             ("full", base["dedup_simhash"]),
             (

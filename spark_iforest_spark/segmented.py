@@ -65,12 +65,25 @@ def _segment_forest(
     # split RNG from (tree_seed, tree_id) exactly like the flagship
     tree_seed = int(ss.generate_state(1, dtype=np.uint32)[0])
     rng = np.random.default_rng(ss)
+    if psi < n:
+        # sampled positions must not depend on the group's ARRIVAL order
+        # (a shuffle artifact): canonicalize the pool by row content first
+        # (lexicographic over feature columns), so the fitted forest is a
+        # pure function of the segment's row SET on any partition layout.
+        # train_tree itself is order-independent (splits from set min/max),
+        # so the psi == n path needs no sort. Round-7 fix: previously the
+        # psi < n path sampled arrival positions directly — deterministic
+        # only per-layout, which the layout-invariance test (psi == n)
+        # could not see.
+        pool = x[np.lexsort(x.T[::-1])]
+    else:
+        pool = x
     trees = []
     for tree_id in range(num_trees):
         idx = (
             rng.choice(n, size=psi, replace=False) if psi < n else np.arange(n)
         )
-        trees.append(train_tree(x[idx], max_depth, max_features, tree_seed, tree_id))
+        trees.append(train_tree(pool[idx], max_depth, max_features, tree_seed, tree_id))
     return trees, psi
 
 

@@ -147,3 +147,15 @@ def test_segments_summary(grouped):
         assert r["psi"] == 32.0
         assert 0.0 < r["threshold"] < 1.0
         assert r["n_nodes"] >= 20 * 3  # at least a root + 2 children per tree
+
+
+def test_layout_invariance_with_subsampling(grouped):
+    """psi < n regime: the sampled tree pool must be a pure function of the
+    segment's row SET, not its shuffle arrival order (round-7 fix — the
+    pool is canonicalized by row content before sampling)."""
+    kw = dict(id_col="row_id", num_trees=20, max_samples=32, seed=5)
+    a = sorted(map(tuple, segmented.fit_score_groups(
+        grouped.repartition(3), "seg", **kw).collect()))
+    b = sorted(map(tuple, segmented.fit_score_groups(
+        grouped.repartition(17), "seg", **kw).collect()))
+    assert a == b and a
