@@ -44,6 +44,13 @@ from spark_iforest_spark.functions import tokens
 
 _EOW = "</w>"
 _UNK = "<unk>"
+# GPT-2-style byte fallback (round 7): 256 reserved byte tokens directly
+# after the specials, so characters OUTSIDE the learned alphabet encode as
+# their UTF-8 bytes instead of <unk> — decode(encode(x)) is then exact for
+# ALL input, which is what a real training pipeline ships (lossy <unk>
+# poisons the training corpus silently). <unk> survives in the vocab for
+# decoding hand-crafted/corrupt id streams only; encode never emits it.
+_BYTE_TOKENS = [f"<0x{i:02X}>" for i in range(256)]
 # Java's default \s character class is ASCII-only ([ \t\n\x0B\f\r]) while
 # Python's \s is Unicode-aware (\xa0,  , ...) — spelled out explicitly
 # so training word counts (JVM tokens()) and apply-side word splitting
@@ -129,8 +136,8 @@ def bpe_train(
     )
     word_counts = {r["w"]: r["c"] for r in rows}
     # the observed alphabet rides in the model so bpe_vocab can assign ids
-    # to base symbols; chars appearing only in the dropped word tail map to
-    # <unk> at encode time (documented contract)
+    # to base symbols; chars appearing only in the dropped word tail
+    # encode via the reserved byte tokens (round-7 byte fallback)
     alphabet = sorted({ch for w in word_counts for ch in w})
     return {"merges": _bpe_fit(word_counts, n_merges), "alphabet": alphabet}
 
@@ -156,10 +163,10 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, n_bpe_tokens) — the learned-tokenizer token budget per doc."""
-    ranks = {
-        (a, b): i for i, (a, b) in enumerate(map(tuple, model["merges"]))
-    }
+    """(id, n_bpe_tokens) — the learned-tokenizer token budget per doc.
+    Counts EMITTED ids (byte-fallback symbols count one per UTF-8 byte),
+    so ``n_bpe_tokens == len(bpe_encode(...).token_ids)`` exactly."""
+    ranks, ids, byte_ids = _encoder(model)
 
     def count_batches(it):
         memo: dict[str, int] = {}
@@ -177,7 +184,7 @@ def bpe_token_counts(
                         continue
                     hit = memo.get(w)
                     if hit is None:
-                        hit = len(_encode_word(w, ranks))
+                        hit = len(_encode_word_ids(w, ranks, ids, byte_ids))
                         memo[w] = hit
                     n += hit
                 out.append(n)
@@ -190,11 +197,14 @@ def bpe_token_counts(
 
 def bpe_vocab(model: dict) -> list[tuple[str, int]]:
     """(token, id) vocabulary derived deterministically from the model:
-    id 0 = ``<unk>``, then the end-of-word marker, then the observed
-    alphabet (sorted), then one token per merge in rank order (a merge's
-    token is the concatenation of its pair; a rare concatenation collision
-    keeps the FIRST id). This is the trainer-facing id space —
-    ``bpe_encode`` emits exactly these ids."""
+    id 0 = ``<unk>``, then the end-of-word marker, then the 256 byte
+    tokens ``<0x00>``..``<0xFF>`` (round-7 byte fallback), then the
+    observed alphabet (sorted), then one token per merge in rank order (a
+    merge's token is the concatenation of its pair; a rare concatenation
+    collision keeps the FIRST id — the documented caveat now also covers
+    a merge spelling out a literal byte-token string, where the byte id
+    wins). This is the trainer-facing id space — ``bpe_encode`` emits
+    exactly these ids."""
     vocab: list[tuple[str, int]] = []
     seen: dict[str, int] = {}
 
@@ -205,6 +215,8 @@ def bpe_vocab(model: dict) -> list[tuple[str, int]]:
 
     add(_UNK)
     add(_EOW)
+    for bt in _BYTE_TOKENS:
+        add(bt)
     for ch in model.get("alphabet", []):
         add(ch)
     for a, b in model["merges"]:
@@ -219,10 +231,31 @@ def vocab_table(spark, model: dict):
 
 
 def _encoder(model: dict):
-    """(ranks, token→id) pair shared by encode/count paths."""
+    """(ranks, token→id, byte→id) triple shared by encode/count paths."""
     ranks = {(a, b): i for i, (a, b) in enumerate(map(tuple, model["merges"]))}
     ids = dict(bpe_vocab(model))
-    return ranks, ids
+    byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
+    return ranks, ids, byte_ids
+
+
+def _encode_word_ids(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    ids: dict[str, int],
+    byte_ids: list[int],
+) -> list[int]:
+    """Word → token ids with byte fallback: symbols outside the learned
+    vocabulary (single characters from outside the training alphabet —
+    merges never produce an out-of-vocab symbol) expand to their UTF-8
+    byte tokens, so no input is lossy."""
+    out: list[int] = []
+    for s in _encode_word(word, ranks):
+        i = ids.get(s)
+        if i is not None:
+            out.append(i)
+        else:
+            out.extend(byte_ids[b] for b in s.encode("utf-8"))
+    return out
 
 
 def bpe_encode(
@@ -236,12 +269,12 @@ def bpe_encode(
     Same Arrow-batched shape and per-worker word→ids memo as
     bpe_token_counts (Zipf makes the memo hit rate ≈ 1, so the corpus pass
     is dict lookups). Symbols outside the learned vocabulary (characters
-    from the dropped word-count tail) map to ``<unk>`` (id 0). NULL text
-    encodes to an empty array. Round-trip contract (pytest-pinned):
-    ``bpe_decode(bpe_encode(x)) == lower(x)`` with whitespace collapsed to
-    single spaces, whenever x's characters are all in the alphabet."""
-    ranks, ids = _encoder(model)
-    unk = ids[_UNK]
+    from the dropped word-count tail) encode as their UTF-8 byte tokens
+    (round-7 byte fallback — GPT-2 style), so encoding is lossless for
+    ALL input. NULL text encodes to an empty array. Round-trip contract
+    (pytest- and gate-pinned): ``bpe_decode(bpe_encode(x)) == lower(x)``
+    with whitespace collapsed to single spaces, for every x."""
+    ranks, ids, byte_ids = _encoder(model)
 
     def encode_batches(it):
         memo: dict[str, list[int]] = {}
@@ -257,9 +290,7 @@ def bpe_encode(
                         continue
                     hit = memo.get(w)
                     if hit is None:
-                        hit = [
-                            ids.get(s, unk) for s in _encode_word(w, ranks)
-                        ]
+                        hit = _encode_word_ids(w, ranks, ids, byte_ids)
                         memo[w] = hit
                     doc_ids.extend(hit)
                 out.append(doc_ids)
@@ -363,18 +394,37 @@ def pack_token_ids(
 def bpe_decode(
     encoded: DataFrame, model: dict, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, text) — inverse of ``bpe_encode``: token ids back to a
+    """(id, text) — exact inverse of ``bpe_encode``: token ids back to a
     whitespace-normalized string (merged symbols concatenate; the
-    end-of-word marker becomes a single space). Lossy exactly where encode
-    is: <unk> decodes to the literal ``<unk>`` marker."""
-    id2tok = {i: t for t, i in bpe_vocab(model)}
+    end-of-word marker becomes a single space; byte-token runs reassemble
+    to their UTF-8 characters). With the round-7 byte fallback the
+    round trip is exact for all input; ``<unk>`` decodes to its literal
+    marker only for hand-crafted id streams (encode never emits it)."""
+    vocab = bpe_vocab(model)
+    id2tok = {i: t for t, i in vocab}
+    tok2id = {t: i for t, i in vocab}
+    byte_of = {tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
 
     def decode_batches(it):
         for pdf in it:
             out = []
             for ids_arr in pdf["token_ids"]:
-                toks = [id2tok.get(int(i), _UNK) for i in ids_arr]
-                out.append("".join(toks).replace(_EOW, " ").strip())
+                parts: list[str] = []
+                buf = bytearray()
+                for i in ids_arr:
+                    b = byte_of.get(int(i))
+                    if b is not None:
+                        buf.append(b)
+                        continue
+                    if buf:
+                        # invalid sequences only from hand-crafted ids;
+                        # U+FFFD beats raising mid-pipeline
+                        parts.append(buf.decode("utf-8", "replace"))
+                        buf.clear()
+                    parts.append(id2tok.get(int(i), _UNK))
+                if buf:
+                    parts.append(buf.decode("utf-8", "replace"))
+                out.append("".join(parts).replace(_EOW, " ").strip())
             yield pd.DataFrame({id_col: pdf[id_col], "text": out})
 
     return encoded.select(F.col(id_col), "token_ids").mapInPandas(

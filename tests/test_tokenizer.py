@@ -107,18 +107,14 @@ def test_bpe_vocab_ids_dense_and_deterministic(docs):
 
 
 def test_bpe_encode_decode_roundtrip(docs):
-    """decode(encode(x)) == lower(x) with whitespace collapsed, for texts
-    whose characters are all in the learned alphabet (the synthetic corpus
-    is ASCII, so the whole sample qualifies)."""
+    """decode(encode(x)) == lower(x) with whitespace collapsed, for EVERY
+    text (round 7: the byte fallback removed the alphabet restriction)."""
     model = tokenizer.bpe_train(docs, n_merges=200)
     sample = docs.limit(40)
     enc = tokenizer.bpe_encode(sample, model)
     dec = {r["doc_id"]: r["text"] for r in tokenizer.bpe_decode(enc, model).collect()}
-    alphabet = set(model["alphabet"])
     for r in sample.collect():
         want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
-        if set(want) - alphabet - {" "}:
-            continue  # chars outside the learned alphabet are lossy by contract
         assert dec[r["doc_id"]] == want
 
 
@@ -138,16 +134,26 @@ def test_bpe_encode_matches_token_counts(docs):
     assert n_ids == counts
 
 
-def test_bpe_encode_unknown_chars_map_to_unk(spark):
+def test_bpe_encode_unknown_chars_byte_fallback_roundtrip(spark):
+    """Characters outside the training alphabet encode as UTF-8 byte
+    tokens (never <unk>) and decode back exactly — including multi-byte
+    codepoints (round-7 byte fallback, GPT-2 style)."""
     train = spark.createDataFrame([(0, "abc abc abd")], "doc_id long, text string")
     model = tokenizer.bpe_train(train, n_merges=5)
-    novel = spark.createDataFrame([(1, "aéz abc")], "doc_id long, text string")
-    enc = tokenizer.bpe_encode(novel, model).collect()[0]["token_ids"]
-    dec = tokenizer.bpe_decode(
-        spark.createDataFrame([(1, enc)], "doc_id long, token_ids array<int>"), model
-    ).collect()[0]["text"]
-    assert 0 in enc  # the unseen chars hit <unk>
-    assert "abc" in dec and "<unk>" in dec
+    novel = spark.createDataFrame(
+        [(1, "aéz abc"), (2, "汉字 🚀 abd")], "doc_id long, text string"
+    )
+    enc = {r["doc_id"]: r["token_ids"] for r in tokenizer.bpe_encode(novel, model).collect()}
+    assert all(0 not in ids for ids in enc.values())  # <unk> never emitted
+    # é is outside the alphabet -> its 2 UTF-8 bytes appear as byte ids
+    byte_ids = {i for i, t in enumerate(t for t, _ in tokenizer.bpe_vocab(model)) if t.startswith("<0x")}
+    assert any(i in byte_ids for i in enc[1])
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.bpe_decode(tokenizer.bpe_encode(novel, model), model).collect()
+    }
+    assert dec[1] == "aéz abc"
+    assert dec[2] == "汉字 🚀 abd"
 
 
 def test_pack_token_ids_lengths_and_conservation(docs):
