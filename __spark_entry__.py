@@ -476,7 +476,7 @@ def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
     )
 
 
-def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
+def _pa_bpe_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
     from spark_iforest_spark.operators import tokenizer
 
     wc = {
@@ -485,7 +485,6 @@ def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
     refit_ok = tokenizer._bpe_fit(wc, _PA_BPE_MERGES) == _bpe_fit_reference(
         wc, _PA_BPE_MERGES
     )
-    model = tokenizer.bpe_train(docs, n_merges=_PA_BPE_MERGES)
     # orderBy before limit: a bare limit gives no cross-job determinism,
     # and this sample feeds TWO independent actions (encode/decode and the
     # reference collect) that must see the same 25 rows
@@ -507,6 +506,59 @@ def _pa_bpe_checks(docs: DataFrame) -> tuple[bool, bool]:
         checked += 1
         ok = ok and dec[r["doc_id"]] == want
     return refit_ok, ok and checked > 0
+
+
+def _pa_pack_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
+    """Driver-gated invariants for pack_token_ids (round 7 — previously
+    pytest-only): (fixed_len_ok, conservation_ok) over the gate corpus.
+
+    * fixed_len_ok — every packed row except a bin's LAST has exactly
+      seq_len ids; no row exceeds seq_len or is empty; n_tokens always
+      equals size(token_ids).
+    * conservation_ok — the multiset of packed ids equals the multiset of
+      ids from a straight bpe_encode of the same corpus (full-outer join
+      of per-id counts finds any drop/duplication).
+    """
+    from pyspark.sql import Window
+
+    from spark_iforest_spark.operators import tokenizer
+
+    seq_len = 128
+    packed = tokenizer.pack_token_ids(
+        docs, model, seq_len=seq_len, n_buckets=8
+    ).cache()
+    w = Window.partitionBy("bin_id")
+    bad_len = (
+        packed.withColumn("mx", F.max("seq_idx").over(w))
+        .where(
+            ((F.col("seq_idx") < F.col("mx")) & (F.col("n_tokens") != seq_len))
+            | (F.col("n_tokens") > seq_len)
+            | (F.col("n_tokens") < 1)
+            | (F.col("n_tokens") != F.size("token_ids"))
+        )
+        .count()
+    )
+    enc_counts = (
+        tokenizer.bpe_encode(docs, model)
+        .select(F.explode("token_ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_enc"))
+    )
+    pack_counts = (
+        packed.select(F.explode("token_ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_pack"))
+    )
+    mismatch = (
+        enc_counts.join(pack_counts, "id", "full_outer")
+        .where(
+            F.coalesce(F.col("n_enc"), F.lit(0))
+            != F.coalesce(F.col("n_pack"), F.lit(0))
+        )
+        .count()
+    )
+    packed.unpersist()
+    return bad_len == 0, mismatch == 0
 
 
 def _pa_quality_checks(docs: DataFrame) -> tuple[bool, bool]:
@@ -580,11 +632,17 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(f"batch:{i}", float(q)) for i, q in enumerate(num["batch_frac"])]
     )
 
-    refit_ok, roundtrip_ok = _pa_bpe_checks(docs)
+    from spark_iforest_spark.operators import tokenizer as _tok
+
+    model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
+    refit_ok, roundtrip_ok = _pa_bpe_checks(docs, model)
+    pack_len_ok, pack_cons_ok = _pa_pack_checks(docs, model)
     layout_ok, auc_ok = _pa_quality_checks(docs)
     check_rows = [
         ("bpe_refit_match", 1.0 if refit_ok else 0.0),
         ("bpe_roundtrip_ok", 1.0 if roundtrip_ok else 0.0),
+        ("pack_fixed_len_ok", 1.0 if pack_len_ok else 0.0),
+        ("pack_conservation_ok", 1.0 if pack_cons_ok else 0.0),
         ("quality_fit_layout_stable", 1.0 if layout_ok else 0.0),
         ("quality_auc_ok", 1.0 if auc_ok else 0.0),
     ]
@@ -1082,9 +1140,32 @@ def queries() -> _T:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _read(s, d, "documents")
         ),
-        "table_profile": lambda s, d: relational.table_profile(
-            _read(s, d, "lineitem"),
-            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        # data-triage panel: the single-scan column profiler plus (round 7)
+        # the skew_report diagnostic in one variant union. For the 'skew'
+        # variant the harmonized columns carry: column=key, n_rows=key
+        # count, min_value=frac_of_table, max_value=skew_factor (pure SQL
+        # — the DuckDB twin recomputes all four end-to-end).
+        "table_profile": lambda s, d: _tagged_union(
+            (
+                "profile",
+                relational.table_profile(
+                    _read(s, d, "lineitem"),
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                ),
+            ),
+            (
+                "skew",
+                relational.skew_report(
+                    _read(s, d, "events"), "user_id", top_k=20
+                ).select(
+                    F.col("key").cast("string").alias("column"),
+                    "n_rows",
+                    F.lit(None).cast("long").alias("n_nulls"),
+                    F.col("frac_of_table").alias("min_value"),
+                    F.col("skew_factor").alias("max_value"),
+                    F.lit(None).cast("double").alias("mean_value"),
+                ),
+            ),
         ),
         # the same events⋈orders aggregate from two plans that must both
         # equal the plain-join oracle: the salted batch join (salting must
@@ -1399,6 +1480,8 @@ def _pipeline_artifacts_sql() -> str:
     checks = """
         SELECT 'bpe_refit_match' AS key, 1.0 AS value
         UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
+        UNION ALL SELECT 'pack_fixed_len_ok', 1.0
+        UNION ALL SELECT 'pack_conservation_ok', 1.0
         UNION ALL SELECT 'quality_fit_layout_stable', 1.0
         UNION ALL SELECT 'quality_auc_ok', 1.0
     """
@@ -2158,6 +2241,26 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
         """,
+        # harmonized to the table_profile panel schema: min_value carries
+        # frac_of_table, max_value carries skew_factor (gate comment in
+        # queries()). Hottest 20 user_ids, ties broken by key ascending —
+        # the exact ordering skew_report emits.
+        "skew_report": """
+            WITH c AS (SELECT user_id, count(*) AS n_rows
+                       FROM events GROUP BY user_id),
+            t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                         CAST(count(*) AS DOUBLE) AS n_keys
+                  FROM c)
+            SELECT CAST(user_id AS VARCHAR) AS "column",
+                   n_rows,
+                   CAST(NULL AS BIGINT) AS n_nulls,
+                   round(n_rows / total, 6) AS min_value,
+                   round(n_rows / (total / n_keys), 6) AS max_value,
+                   CAST(NULL AS DOUBLE) AS mean_value
+            FROM c, t
+            ORDER BY n_rows DESC, user_id
+            LIMIT 20
+        """,
         "enriched_agg": """
             SELECT event_type, o_orderpriority,
                    count(*) AS n_pairs,
@@ -2379,7 +2482,6 @@ def oracle_sql() -> dict[str, str]:
                 "event_follow_counts",
                 "line_dedup",
                 "tfidf_top_terms",
-                "table_profile",
                 "group_quantiles",
                 "rolling_event_stats",
                 "bm25_topk",
@@ -2396,6 +2498,10 @@ def oracle_sql() -> dict[str, str]:
         "iforest_checks": _variants_sql(
             ("global", base["iforest_checks"]),
             ("segmented", base["iforest_checks"]),
+        ),
+        "table_profile": _variants_sql(
+            ("profile", base["table_profile"]),
+            ("skew", base["skew_report"]),
         ),
         "dedup_simhash": _variants_sql(
             ("full", base["dedup_simhash"]),
