@@ -341,6 +341,7 @@ def minhash_lsh_pairs_incremental(
     num_perms: int = _MINHASH_PERMS,
     bands: int = 16,
     broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-indexed corpus — the 100 TB
     operating mode, where re-running minhash over the full corpus for every
@@ -372,12 +373,18 @@ def minhash_lsh_pairs_incremental(
     # idempotent re-ingest (round-6 advice fix): a doc id arriving again
     # supersedes its indexed row — without the anti-join it would appear
     # TWICE in `full` and duplicate/inflate verify rows. Batch ids are
-    # batch-sized, so the anti-join broadcasts them; with disjoint ids
-    # (the normal crawl case) this is a no-op.
-    batch_ids = new_idx.select("did")
-    if broadcast_batch:
-        batch_ids = F.broadcast(batch_ids)
-    fresh = index.select("did", "sig", "shset").join(batch_ids, "did", "left_anti")
+    # batch-sized, so the anti-join broadcasts them; the probe runs on all
+    # THREE index passes (bands + both verify sides — ReuseExchange dedups
+    # the build, not the probes), a measured ~8% of the per-batch time
+    # (SCALE.md round 7). ``assume_disjoint_ids`` skips it for the normal
+    # crawl case where batch ids are known-new (disjoint ids make it a
+    # no-op anyway); leave False when re-ingesting or unsure.
+    fresh = index.select("did", "sig", "shset")
+    if not assume_disjoint_ids:
+        batch_ids = new_idx.select("did")
+        if broadcast_batch:
+            batch_ids = F.broadcast(batch_ids)
+        fresh = fresh.join(batch_ids, "did", "left_anti")
     full = fresh.unionByName(new_idx)
 
     batch_bands = _band_table(new_idx, bands, rows)
@@ -570,6 +577,7 @@ def simhash_pairs_incremental(
     max_hamming: int = 3,
     shingle_hash: str = "md5",
     broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
 ) -> DataFrame:
     """SimHash-dedup a NEW batch against a ``simhash_index`` — same
     join shape and contracts as ``minhash_lsh_pairs_incremental``: emits
@@ -584,12 +592,14 @@ def simhash_pairs_incremental(
     new_idx = snapshot(
         simhash_index(new_docs, id_col, text_col, n, shingle_hash), eager=False
     )
-    # idempotent re-ingest: batch ids supersede their indexed rows (see
-    # minhash_lsh_pairs_incremental)
-    batch_ids = new_idx.select("did")
-    if broadcast_batch:
-        batch_ids = F.broadcast(batch_ids)
-    fresh = index.select("did", "sim", "shset").join(batch_ids, "did", "left_anti")
+    # idempotent re-ingest: batch ids supersede their indexed rows; skip
+    # with assume_disjoint_ids (see minhash_lsh_pairs_incremental)
+    fresh = index.select("did", "sim", "shset")
+    if not assume_disjoint_ids:
+        batch_ids = new_idx.select("did")
+        if broadcast_batch:
+            batch_ids = F.broadcast(batch_ids)
+        fresh = fresh.join(batch_ids, "did", "left_anti")
     full = fresh.unionByName(new_idx)
 
     def band_tbl(idx: DataFrame) -> DataFrame:
@@ -737,6 +747,29 @@ def embedding_cosine_pairs(
     )
 
 
+def _sign_lsh_tables(
+    threshold: float, band_bits: int, target_miss: float, multi_probe: int = 0
+) -> int:
+    """Number of sign-LSH tables so a pair at cosine >= ``threshold`` is
+    missed with probability <= ``target_miss``. A hyperplane agrees on the
+    pair w.p. p = 1 - θ/π; with ``multi_probe`` the query also checks
+    every bucket within Hamming distance p of its own, so a table finds
+    the pair w.p. P = Σ_{i<=p} C(b,i)·p^(b-i)·(1-p)^i, and
+    T = ceil(ln ε / ln(1-P)). At threshold 0.4, b=4: probe 0 → 81 tables,
+    probe 1 → 19 — the ~4× corpus-index reduction multi-probe buys
+    (probes multiply only the batch/query side)."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    hit = sum(
+        math.comb(band_bits, i) * p ** (band_bits - i) * (1.0 - p) ** i
+        for i in range(min(multi_probe, band_bits) + 1)
+    )
+    if hit >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(target_miss) / math.log1p(-hit)))
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -759,13 +792,9 @@ def embedding_lsh_pairs(
     hidden in a fixed parameter. Candidates join on (table, bucket) equality
     and the corpus re-joins by id via sort-merge (never broadcast).
     """
-    import math
-
     from spark_iforest_spark.operators.similarity import _hyperplanes
 
-    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
-    p_band = p**band_bits
-    tables = max(1, math.ceil(math.log(target_miss) / math.log1p(-p_band)))
+    tables = _sign_lsh_tables(threshold, band_bits, target_miss)
     planes = _hyperplanes(dim, band_bits, tables)  # (tables, bits, dim)
     flat = planes.reshape(tables * band_bits, dim)
     pack = 1 << np.arange(band_bits, dtype=np.int64)
@@ -817,18 +846,21 @@ def embedding_index(
     band_bits: int = 4,
     target_miss: float = 1e-6,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Persistable sign-LSH embedding index: ``(vid, v, sig array<long>)``
     — one bucket per hash table, plus the vector for exact-cosine verify.
-    The table count is sized from (threshold, band_bits, target_miss), so
-    an index is bound to those parameters — persist them alongside it and
-    pass the same values to ``embedding_lsh_pairs_incremental``."""
-    import math
-
+    The table count is sized from (threshold, band_bits, target_miss,
+    multi_probe), so an index is bound to those parameters — persist them
+    alongside it and pass the same values to
+    ``embedding_lsh_pairs_incremental``. ``multi_probe`` > 0 (round 7)
+    sizes the index for batches that will probe nearby buckets too: at the
+    default threshold the index carries ~4x fewer tables for the same
+    miss bound — at 100 TB the near-dup index is the big artifact, and
+    the probe expansion rides the (small) batch side instead."""
     from spark_iforest_spark.operators.similarity import _hyperplanes
 
-    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
-    tables = max(1, math.ceil(math.log(target_miss) / math.log1p(-(p**band_bits))))
+    tables = _sign_lsh_tables(threshold, band_bits, target_miss, multi_probe)
     planes = _hyperplanes(dim, band_bits, tables)
     flat = planes.reshape(tables * band_bits, dim)
     pack = 1 << np.arange(band_bits, dtype=np.int64)
@@ -859,6 +891,8 @@ def embedding_lsh_pairs_incremental(
     target_miss: float = 1e-6,
     dim: int = 64,
     broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Embedding-dedup a NEW batch of vectors against an
     ``embedding_index`` — the third member of the incremental family,
@@ -868,27 +902,54 @@ def embedding_lsh_pairs_incremental(
     signatures are table-compatible with the stored ones by
     construction), batch-side-only broadcast for the bucket join, exact
     cosine verify off index vectors — old vectors never re-read from the
-    corpus table."""
+    corpus table.
+
+    ``multi_probe`` (round 7) must match the value the index was built
+    with: the BATCH band table additionally probes every bucket within
+    Hamming distance ``multi_probe`` in each table (a JVM-side explode of
+    Σ C(bits,i) XOR masks — no extra Python pass), buying the same miss
+    bound from ~4x fewer index tables at the default threshold. The
+    expansion multiplies only the batch side; with ``broadcast_batch`` it
+    rides the broadcast, and the candidate ``distinct`` + exact-cosine
+    verify keep the output relation contract unchanged (recall-equality
+    pytest-pinned against the probe-0 path)."""
     new_idx = snapshot(
         embedding_index(
-            new_emb, id_col, vec_col, threshold, band_bits, target_miss, dim
+            new_emb, id_col, vec_col, threshold, band_bits, target_miss, dim,
+            multi_probe,
         ),
         eager=False,
     )
-    # idempotent re-ingest: batch ids supersede their indexed rows (see
-    # minhash_lsh_pairs_incremental)
-    batch_ids = new_idx.select("vid")
-    if broadcast_batch:
-        batch_ids = F.broadcast(batch_ids)
-    fresh = index.select("vid", "v", "sig").join(batch_ids, "vid", "left_anti")
+    # idempotent re-ingest: batch ids supersede their indexed rows; skip
+    # with assume_disjoint_ids (see minhash_lsh_pairs_incremental)
+    fresh = index.select("vid", "v", "sig")
+    if not assume_disjoint_ids:
+        batch_ids = new_idx.select("vid")
+        if broadcast_batch:
+            batch_ids = F.broadcast(batch_ids)
+        fresh = fresh.join(batch_ids, "vid", "left_anti")
     full = fresh.unionByName(new_idx)
 
-    def band_tbl(idx: DataFrame) -> DataFrame:
-        return idx.select(
+    def band_tbl(idx: DataFrame, probe: bool = False) -> DataFrame:
+        t = idx.select(
             "vid", F.posexplode(F.col("sig")).alias("table_id", "bucket")
         )
+        if probe and multi_probe > 0:
+            from spark_iforest_spark.operators.similarity import _probe_masks
 
-    batch_bands = band_tbl(new_idx)
+            masks = F.array(
+                *[F.lit(m) for m in _probe_masks(band_bits, multi_probe)]
+            )
+            t = t.select(
+                "vid",
+                "table_id",
+                F.explode(
+                    F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+                ).alias("bucket"),
+            )
+        return t
+
+    batch_bands = band_tbl(new_idx, probe=True)
     corpus_bands = band_tbl(full)
     if broadcast_batch:
         batch_bands = F.broadcast(batch_bands)

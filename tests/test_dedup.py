@@ -668,3 +668,58 @@ def test_simhash_index_roundtrips_through_parquet(spark, docs, tmp_path):
     )
     assert via_disk == in_mem
     assert via_disk, "expected at least one cross-half near-dup pair"
+
+
+def test_incremental_assume_disjoint_ids_equal_on_disjoint_batches(spark, sf_dir):
+    """assume_disjoint_ids=True (round 7) skips the idempotent-re-ingest
+    anti-join — on a genuinely disjoint batch (the normal crawl case) all
+    three incremental families must emit the identical relation either
+    way; the flag only trades the re-ingest guard for ~15% less per-batch
+    work (SCALE.md)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    mh_index = dedup.minhash_index(old)
+    assert sorted(
+        map(tuple, dedup.minhash_lsh_pairs_incremental(
+            new, mh_index, assume_disjoint_ids=True).collect())
+    ) == sorted(
+        map(tuple, dedup.minhash_lsh_pairs_incremental(new, mh_index).collect())
+    )
+    sh_index = dedup.simhash_index(old)
+    assert sorted(
+        map(tuple, dedup.simhash_pairs_incremental(
+            new, sh_index, threshold=0.5, assume_disjoint_ids=True).collect())
+    ) == sorted(
+        map(tuple, dedup.simhash_pairs_incremental(
+            new, sh_index, threshold=0.5).collect())
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e_index = dedup.embedding_index(emb.where(F.col("vec_id") % 4 != 0))
+    e_new = emb.where(F.col("vec_id") % 4 == 0)
+    assert sorted(
+        map(tuple, dedup.embedding_lsh_pairs_incremental(
+            e_new, e_index, assume_disjoint_ids=True).collect())
+    ) == sorted(
+        map(tuple, dedup.embedding_lsh_pairs_incremental(e_new, e_index).collect())
+    )
+
+
+def test_embedding_lsh_multi_probe_same_pairs_4x_smaller_index(spark, sf_dir):
+    """Round 7: multi_probe=1 on the embedding near-dup index — the batch
+    probes Hamming-1 buckets, so the PERSISTED index needs ~4x fewer
+    tables (81 -> 19 at threshold 0.4 / 4 bits) for the same miss bound.
+    On the real corpus slice the emitted relation is identical."""
+    assert dedup._sign_lsh_tables(0.4, 4, 1e-6, 0) == 81
+    assert dedup._sign_lsh_tables(0.4, 4, 1e-6, 1) == 19
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    base = sorted(map(tuple, dedup.embedding_lsh_pairs_incremental(
+        new, dedup.embedding_index(old)).collect()))
+    small_index = dedup.embedding_index(old, multi_probe=1)
+    # the index really is ~4x smaller (one sig entry per table per vector)
+    assert small_index.select(F.max(F.size("sig"))).collect()[0][0] == 19
+    mp = sorted(map(tuple, dedup.embedding_lsh_pairs_incremental(
+        new, small_index, multi_probe=1).collect()))
+    assert base and mp == base
