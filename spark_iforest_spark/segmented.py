@@ -87,6 +87,19 @@ def _segment_forest(
     return trees, psi
 
 
+def _cluster_by_key(src: DataFrame) -> DataFrame:
+    """Hash-cluster on ``_key`` with an EXPLICIT partition count before a
+    grouped Pandas stage. Without this, AQE's size-based coalescing sees a
+    few MB of shuffle data and folds the whole groupBy into ONE partition
+    — correct for IO-bound aggregates, catastrophic for a compute-bound
+    applyInPandas (measured: 32 segments fitting serially in one Python
+    worker, 6.2 s where 8-way parallel takes ~1 s). An explicit
+    ``repartition(n, key)`` satisfies the grouped distribution requirement
+    (no second exchange) and AQE leaves user-specified counts alone."""
+    n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return src.repartition(n, "_key")
+
+
 def _order_stat_threshold(scores: np.ndarray, contamination: float) -> float:
     """The exact ``ceil((1-contamination) * n)``-th smallest score (same
     order-statistic definition as the flagship's relErr=0 path)."""
@@ -157,7 +170,9 @@ def fit_score_groups(
         out["prediction"] = (scores > thr).astype(np.int32)
         return pd.DataFrame(out)
 
-    result = src.groupBy("_key").applyInPandas(fit_score, schema=out_schema)
+    result = _cluster_by_key(src).groupBy("_key").applyInPandas(
+        fit_score, schema=out_schema
+    )
     renames = [F.col("_key").alias(key_col)]
     if id_col is not None:
         renames.append(F.col("_id").alias(id_col))
@@ -255,8 +270,9 @@ class SegmentedIForestModel:
             return pd.DataFrame(out)
 
         result = (
-            src.groupby("_key")
-            .cogroup(nodes.groupby("_key"))
+            _cluster_by_key(src)
+            .groupby("_key")
+            .cogroup(_cluster_by_key(nodes).groupby("_key"))
             .applyInPandas(score, schema=out_schema)
         )
         renames = [F.col("_key").alias(key_col)]
@@ -360,7 +376,8 @@ def fit_groups(
         )
 
     nodes = (
-        src.groupBy("_key")
+        _cluster_by_key(src)
+        .groupBy("_key")
         .applyInPandas(fit, schema=out_schema)
         .withColumnRenamed("_key", key_col)
     )
