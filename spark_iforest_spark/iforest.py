@@ -246,9 +246,21 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         # the ~numTrees*2*psi node rows in columnar batches and
         # pandas_to_forest slices numpy columns — vs ~7 Python field
         # accesses per node through Row objects (profiled ~0.5 s at 100
-        # trees)
+        # trees).
+        # Explicit repartition by treeId (round 7): the assignment relation
+        # is only numTrees*psi rows (~a few MB), so AQE's size-based
+        # coalescing folds the grouped stage into ONE partition and all
+        # numTrees tree builds run serially in a single Python worker —
+        # the same cliff segmented._cluster_by_key documents. A
+        # user-specified partition count is exempt from coalescing and
+        # satisfies the grouped distribution requirement directly.
+        n_build = min(
+            num_trees,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
         node_pdf = (
-            joined.groupBy("treeId")
+            joined.repartition(n_build, "treeId")
+            .groupBy("treeId")
             .applyInPandas(build, schema=FLAT_NODE_SCHEMA)
             .toPandas()
         )
