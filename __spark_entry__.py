@@ -903,6 +903,17 @@ def queries() -> _T:
                     _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                 ),
             ),
+            # round 7: multi-probe LSH externally anchored — 4x fewer
+            # tables (6 vs 24), Hamming-1 probes on the broadcast query
+            # side; its recall>=0.9 twin rides the ann_recall gate
+            (
+                "lsh_mp",
+                similarity.lsh_topk(
+                    _read(s, d, "embeddings"),
+                    _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                    bits=4, tables=6, multi_probe=1,
+                ),
+            ),
         ),
         # recall gates: ANN variants checked against the exact top-k relation
         # (itself oracle-green); the oracle pins the exact-side count and the
@@ -946,6 +957,23 @@ def queries() -> _T:
                     similarity.pq_topk(
                         _read(s, d, "embeddings"),
                         _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                    ),
+                ),
+            ),
+            # round 7: the multi-probe path must clear the same recall
+            # floor with 4x fewer tables — a probe regression now
+            # hash-mismatches the oracle instead of only failing pytest
+            (
+                "lsh_mp",
+                similarity.topk_recall(
+                    similarity.cosine_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                    ),
+                    similarity.lsh_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                        bits=4, tables=6, multi_probe=1,
                     ),
                 ),
             ),
@@ -2573,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
             ("ivf", base["ann_recall"]),
             ("lsh", base["ann_recall"]),
             ("pq", base["ann_recall"]),
+            ("lsh_mp", base["ann_recall"]),
         ),
         "dedup_clusters": _variants_sql(
             ("ngram_edges", base["dedup_clusters"]),

@@ -70,8 +70,17 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
     for stale in [k for k in _LIVE if k != app_id]:
         del _LIVE[stale]
     if pin > 0:
+        # pin the INPUT df alongside the checkpointed output (round 7):
+        # a LAZY localCheckpoint truncates lineage when the consuming job
+        # materializes it MID-QUERY, orphaning the pre-checkpoint plan's
+        # accumulators — the next GC reclaims them while the same job's
+        # task-end/heartbeat traffic still references them (measured: the
+        # entire 4k-line accumulator storm came from this one site;
+        # pinning the input records 0 lines at unchanged cost, where
+        # eager=True also records 0 but is ~20% slower by losing
+        # single-job pipelining).
         live = _LIVE.setdefault(app_id, [])
-        live.append(out)
+        live.append((df, out))
         if len(live) > pin:
             del live[: len(live) - pin]
     return out
