@@ -991,6 +991,24 @@ def queries() -> _T:
                     pairs=dedup.minhash_lsh_pairs(_read(s, d, "documents")),
                 ),
             ),
+            # round 7: incremental mode — yesterday's labels (the doc_id%4
+            # != 0 majority) + the batch's incremental pairs must fold to
+            # the SAME full-corpus components the recursive-CTE oracle
+            # computes; old edges/text never re-read
+            (
+                "incr",
+                dedup.dup_clusters_incremental(
+                    dedup.minhash_lsh_pairs_incremental(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+                        dedup.minhash_index(
+                            _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                        ),
+                    ),
+                    dedup.dup_clusters(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                    ),
+                ),
+            ),
         ),
         # corpus-level distribution tables: top-k vocabulary, exact heavy
         # hitters (Misra-Gries candidates + exact pass), quality deciles —
@@ -2606,6 +2624,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _variants_sql(
             ("ngram_edges", base["dedup_clusters"]),
             ("minhash_edges", base["dedup_clusters"]),
+            # incremental fold of batch edges into persisted labels must
+            # equal the full-corpus components (round 7)
+            ("incr", base["dedup_clusters"]),
         ),
         "enriched_agg_check": _variants_sql(
             ("salted_batch", base["enriched_agg"]),

@@ -723,3 +723,41 @@ def test_embedding_lsh_multi_probe_same_pairs_4x_smaller_index(spark, sf_dir):
     mp = sorted(map(tuple, dedup.embedding_lsh_pairs_incremental(
         new, small_index, multi_probe=1).collect()))
     assert base and mp == base
+
+
+def test_dup_clusters_incremental_equals_full(spark, sf_dir):
+    """Round 7: folding a new batch's near-dup edges into persisted labels
+    must reproduce the full-corpus connected components exactly — old
+    connectivity reconstructed from star edges (doc -> rep), new edges
+    from the incremental pair operator, no old text/edges re-read."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    old_labels = dedup.dup_clusters(old)
+    new_pairs = dedup.minhash_lsh_pairs_incremental(new, dedup.minhash_index(old))
+    got = sorted(map(tuple, dedup.dup_clusters_incremental(
+        new_pairs, old_labels).collect()))
+    exp = sorted(map(tuple, dedup.dup_clusters(
+        docs, pairs=dedup.minhash_lsh_pairs(docs)).collect()))
+    assert got == exp and got
+
+
+def test_dup_clusters_incremental_merges_across_batch(spark):
+    """A new edge bridging two OLD clusters must merge them under the
+    global min rep, in few rounds (star edges keep diameter <= 2)."""
+    pairs_old = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (21, 22)], "doc_a long, doc_b long"
+    )
+    old_labels = dedup._connected_components(pairs_old).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    # new doc 5 bridges cluster {10..12} and {20..22}; also its own min
+    new_pairs = spark.createDataFrame(
+        [(5, 12), (5, 22)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dup_clusters_incremental(new_pairs, old_labels).collect()
+    }
+    assert got == {5: 5, 10: 5, 11: 5, 12: 5, 20: 5, 21: 5, 22: 5}
+    assert dedup.dup_clusters_incremental.last_rounds <= 5
