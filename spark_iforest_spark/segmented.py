@@ -280,6 +280,83 @@ class SegmentedIForestModel:
             renames.append(F.col("_id").alias(id_col))
         return result.select(*renames, "anomalyScore", "prediction")
 
+    def transform_broadcast(
+        self,
+        df: DataFrame,
+        features_col: str | None = None,
+        id_col: str | None = None,
+        max_nodes: int = 20_000_000,
+    ) -> DataFrame:
+        """Stateless scoring of new rows — batch OR streaming.
+
+        The cogroup path (:meth:`transform`) shuffles rows by segment,
+        which Structured Streaming's micro-batch planner cannot host; this
+        variant instead collects the (small by design — O(segments ·
+        num_trees · psi) rows, guarded by ``max_nodes``) node relation to
+        the driver once, packs one forest per segment, and ships the dict
+        inside an Arrow ``mapInPandas`` closure: zero shuffle, rows scored
+        in place, the same plan shape as the flagship's broadcast scorer
+        (scorer.py:97-195). Output is bit-equal to :meth:`transform`
+        (pytest-pinned) — same packed forests, psi, thresholds.
+
+        Prefer :meth:`transform` for huge batch scoring jobs with MANY
+        segments (the model never leaves the cluster); use this for
+        streams and for modest model sizes."""
+        n_nodes = self.nodes.count()
+        if n_nodes > max_nodes:
+            raise ValueError(
+                f"model has {n_nodes} node rows > max_nodes={max_nodes}: "
+                "too large to broadcast — score with transform() (batch) "
+                "or raise max_nodes if the driver/executors have headroom"
+            )
+        key_col = self.key_col
+        node_pdf = self.nodes.toPandas()
+        forests = {}
+        for key, g in node_pdf.groupby(key_col, sort=False):
+            forests[key] = (
+                pack_forest(pandas_to_forest(g)),
+                float(g["psi"].iloc[0]),
+                float(g["threshold"].iloc[0]),
+            )
+        fcol = features_col or self.features_col
+        sel = [F.col(key_col).alias("_key"), F.col(fcol).cast("array<double>").alias("_feat")]
+        if id_col is not None:
+            sel.insert(1, F.col(id_col).alias("_id"))
+        src = df.select(*sel)
+        key_type = df.schema[key_col].dataType.simpleString()
+        id_part = f"_id {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
+        out_schema = f"_key {key_type}, {id_part}anomalyScore double, prediction int"
+
+        def score_batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.reset_index(drop=True)  # positions == labels
+                scores = pd.array([None] * len(pdf), dtype="Float64")
+                preds = pd.array([None] * len(pdf), dtype="Int32")
+                for key, g in pdf.groupby("_key", sort=False):
+                    hit = forests.get(key)
+                    if hit is None:
+                        continue
+                    forest, psi, thr = hit
+                    x = np.asarray(g["_feat"].to_list(), dtype=np.float64)
+                    s = anomaly_scores(forest, x, psi)
+                    idx = g.index.to_numpy()
+                    scores[idx] = s
+                    preds[idx] = (s > thr).astype(np.int32)
+                out = {"_key": pdf["_key"]}
+                if id_col is not None:
+                    out["_id"] = pdf["_id"]
+                out["anomalyScore"] = scores
+                out["prediction"] = preds
+                yield pd.DataFrame(out)
+
+        result = src.mapInPandas(score_batches, schema=out_schema)
+        renames = [F.col("_key").alias(key_col)]
+        if id_col is not None:
+            renames.append(F.col("_id").alias(id_col))
+        return result.select(*renames, "anomalyScore", "prediction")
+
     def save(self, path: str) -> None:
         """Persist to ``path`` on ANY Hadoop filesystem: the node relation
         as parquet at ``path/data`` (same layout discipline as the

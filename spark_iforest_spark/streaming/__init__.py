@@ -47,6 +47,18 @@ def score_stream(model, stream: DataFrame) -> DataFrame:
     return model.transform(stream)
 
 
+def score_stream_segmented(model, stream: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Score a stream against a fitted :class:`SegmentedIForestModel`
+    (round 7): per-event "is this anomalous FOR THIS tenant/segment"
+    with the segment forests shipped to the workers — the cogroup batch
+    path can't run under the micro-batch planner, so this rides
+    ``transform_broadcast``'s stateless Arrow map (zero shuffle, same
+    scores bit-exactly; unknown segments yield NULL)."""
+    if not stream.isStreaming:
+        raise ValueError("score_stream_segmented expects a streaming DataFrame")
+    return model.transform_broadcast(stream, id_col=id_col)
+
+
 def windowed_agg_stream(
     events: DataFrame,
     ts_col: str = "ts",

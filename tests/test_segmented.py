@@ -159,3 +159,44 @@ def test_layout_invariance_with_subsampling(grouped):
     b = sorted(map(tuple, segmented.fit_score_groups(
         grouped.repartition(17), "seg", **kw).collect()))
     assert a == b and a
+
+
+def test_transform_broadcast_matches_cogroup(grouped):
+    """The stateless broadcast scorer must equal the cogroup transform
+    bit-exactly on known segments and NULL unknown ones."""
+    params = dict(num_trees=30, max_samples=64, contamination=0.05, seed=11)
+    train = grouped.where(F.col("row_id") % 3 != 0)
+    new = grouped.where(F.col("row_id") % 3 == 0)
+    model = segmented.fit_groups(train, "seg", **params)
+    a = sorted(map(tuple, model.transform(new, id_col="row_id").collect()))
+    b = sorted(map(tuple, model.transform_broadcast(new, id_col="row_id").collect()))
+    assert a == b and a
+    unseen = new.withColumn("seg", F.lit("nope"))
+    rows = model.transform_broadcast(unseen, id_col="row_id").collect()
+    assert rows and all(r["anomalyScore"] is None and r["prediction"] is None for r in rows)
+    # the guard trips on oversized models
+    with pytest.raises(ValueError, match="max_nodes"):
+        model.transform_broadcast(new, max_nodes=10)
+
+
+def test_score_stream_segmented_replay_equals_batch(grouped, spark, tmp_path):
+    """availableNow replay of the segmented stream scorer == the batch
+    broadcast transform on the same rows."""
+    from spark_iforest_spark import streaming as stm
+
+    model = segmented.fit_groups(grouped, "seg", num_trees=20, max_samples=32, seed=3)
+    src_path = str(tmp_path / "rows")
+    grouped.write.parquet(src_path)
+    stream = spark.readStream.schema(grouped.schema).parquet(src_path)
+    scored = stm.score_stream_segmented(model, stream, id_col="row_id")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("seg_stream_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("seg_stream_scores").collect()))
+    exp = sorted(map(tuple, model.transform_broadcast(grouped, id_col="row_id").collect()))
+    assert got == exp and got
