@@ -632,6 +632,35 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(f"batch:{i}", float(q)) for i, q in enumerate(num["batch_frac"])]
     )
 
+    def lens_lang(df: DataFrame) -> DataFrame:
+        return df.where(F.col("text").isNotNull()).select(
+            "lang", F.length("text").cast("double").alias("len_chars")
+        )
+
+    # round 7: per-GROUP PSI relation (psi_by_group) — one (lang, psi,
+    # n_ref, n_batch) row per language, unpivoted to the panel's
+    # (key, value) shape; the DuckDB twin recomputes the whole thing
+    by_lang = drift.psi_by_group(
+        lens_lang(ref), lens_lang(bat), "lang", "len_chars", _PA_LEN_CUTS
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("lang"), F.lit(":psi")).alias("key"),
+                    F.col("psi").alias("value"),
+                ),
+                F.struct(
+                    F.concat(F.col("lang"), F.lit(":n_ref")).alias("key"),
+                    F.col("n_ref").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.concat(F.col("lang"), F.lit(":n_batch")).alias("key"),
+                    F.col("n_batch").cast("double").alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.key", "kv.value")
+
     from spark_iforest_spark.operators import tokenizer as _tok
 
     model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
@@ -652,6 +681,7 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("word_count", wc),
         ("cat_psi_lang", mk(cat_rows)),
         ("num_psi_len", mk(num_rows)),
+        ("psi_len_by_lang", by_lang),
         ("check", mk(check_rows)),
     )
 
@@ -1523,6 +1553,35 @@ def _pipeline_artifacts_sql() -> str:
         UNION ALL SELECT 'ref:' || CAST(b AS VARCHAR), round(p, 6) FROM fr
         UNION ALL SELECT 'batch:' || CAST(b AS VARCHAR), round(q, 6) FROM fr
     """
+    # per-group PSI twin (round 7): same bucket fold GROUPED BY lang, the
+    # k smoothed-fraction terms summed in the same left-to-right order as
+    # the Spark expression chain
+    csums = ", ".join(
+        f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(k)
+    )
+    terms = " + ".join(
+        f"((p.c{i} + 0.5) / (p.N + {0.5 * k}) - (q.c{i} + 0.5) / (q.N + {0.5 * k}))"
+        f" * ln(((p.c{i} + 0.5) / (p.N + {0.5 * k}))"
+        f" / ((q.c{i} + 0.5) / (q.N + {0.5 * k})))"
+        for i in range(k)
+    )
+    by_lang = f"""
+        WITH lens AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v,
+                             (doc_id % 4 = 0) AS isb
+                      FROM documents
+                      WHERE text IS NOT NULL AND lang IS NOT NULL),
+        bk AS (SELECT lang, isb, {bucket} AS b FROM lens),
+        agg AS (SELECT lang, isb, count(*) AS N, {csums}
+                FROM bk GROUP BY lang, isb)
+        SELECT p.lang || ':psi' AS key, round({terms}, 6) AS value
+        FROM agg p JOIN agg q ON p.lang = q.lang AND NOT p.isb AND q.isb
+        UNION ALL
+        SELECT p.lang || ':n_ref', CAST(p.N AS DOUBLE)
+        FROM agg p JOIN agg q ON p.lang = q.lang AND NOT p.isb AND q.isb
+        UNION ALL
+        SELECT p.lang || ':n_batch', CAST(q.N AS DOUBLE)
+        FROM agg p JOIN agg q ON p.lang = q.lang AND NOT p.isb AND q.isb
+    """
     checks = """
         SELECT 'bpe_refit_match' AS key, 1.0 AS value
         UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
@@ -1535,6 +1594,7 @@ def _pipeline_artifacts_sql() -> str:
         ("word_count", wc),
         ("cat_psi_lang", cat),
         ("num_psi_len", num),
+        ("psi_len_by_lang", by_lang),
         ("check", checks),
     )
 

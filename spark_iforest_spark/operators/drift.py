@@ -121,6 +121,73 @@ def psi_report(
     return report
 
 
+def psi_by_group(
+    reference: DataFrame,
+    batch: DataFrame,
+    group_col: str,
+    value_col: str,
+    cutpoints: list[float],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-GROUP PSI of ``value_col`` between two snapshots — the
+    multi-tenant twin of :func:`psi_report` (round 7): "which tenants'/
+    languages'/sources' distributions moved?", one row per group.
+
+    Unlike the driver-dict reports, this is a fully Catalyst-side RELATION
+    (group, psi, n_ref, n_batch) built from fixed ``cutpoints`` (frozen
+    bucketing is mandatory for cross-group/series comparability anyway):
+    each side reduces to ONE row per group — total + k conditional bucket
+    sums as columns — in a single map-side-combined aggregate, and the PSI
+    is a fixed-order k-term expression over the joined row (whole-stage
+    codegen end to end; the left-to-right fold matches psi_report's Python
+    sum bit-for-bit). One shuffle per side plus one group-keyed join —
+    scales to millions of groups where a driver dict would not. Groups
+    must appear in BOTH sides (inner join; a group absent from one side
+    has no defined PSI); NULL group or value rows are dropped.
+
+    Same smoothing and rounding conventions as psi_report, so the DuckDB
+    oracle recomputes it end-to-end (gate: pipeline_artifacts
+    'psi_len_by_lang' variant)."""
+    k = len(cutpoints) + 1
+    arr = F.array(*[F.lit(float(c)) for c in cutpoints])
+    s = float(smoothing)
+
+    def side(df: DataFrame, pre: str):
+        # one aggregate per side: per-group total + k conditional bucket
+        # sums as COLUMNS — no bucket-row explosion, no grid self-join,
+        # one map-side-combined shuffle keyed by group
+        bucket = F.size(F.filter(arr, lambda c: c <= F.col(value_col).cast("double")))
+        return (
+            df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), bucket.alias("b"))
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias(f"{pre}N"),
+                *[
+                    F.sum((F.col("b") == i).cast("long")).alias(f"{pre}{i}")
+                    for i in range(k)
+                ],
+            )
+        )
+
+    psi = None
+    for i in range(k):
+        pi = (F.col(f"p{i}") + F.lit(s)) / (F.col("pN") + F.lit(s * k))
+        qi = (F.col(f"q{i}") + F.lit(s)) / (F.col("qN") + F.lit(s * k))
+        term = (pi - qi) * F.log(pi / qi)
+        psi = term if psi is None else psi + term
+    return (
+        side(reference, "p")
+        .join(side(batch, "q"), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.round(psi, 6).alias("psi"),
+            F.col("pN").alias("n_ref"),
+            F.col("qN").alias("n_batch"),
+        )
+    )
+
+
 def psi_against_baseline(batch: DataFrame, baseline: dict) -> dict:
     """Score a batch against a FROZEN ``psi_report`` baseline — no
     reference scan at all: the baseline dict already carries each column's

@@ -133,3 +133,30 @@ def test_drift_monitor_stream_series(spark, docs, tmpdir):
     assert len({r["batch_id"] for r in series}) == 3
     assert len(series) == 3 * len(baseline)
     assert all(r["psi"] < 0.1 for r in series)
+
+
+def test_psi_by_group_matches_single_group_report(spark):
+    """One group -> psi_by_group must reproduce psi_report's PSI exactly
+    (same smoothing and rounding); a shifted group must flag high while a
+    stable group stays near zero."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ref_rows = [("a", float(v)) for v in rng.normal(100, 10, 400)]
+    ref_rows += [("b", float(v)) for v in rng.normal(100, 10, 400)]
+    bat_rows = [("a", float(v)) for v in rng.normal(100, 10, 300)]   # stable
+    bat_rows += [("b", float(v)) for v in rng.normal(160, 10, 300)]  # shifted
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    bat = spark.createDataFrame(bat_rows, "g string, v double")
+    cuts = [80.0, 90.0, 100.0, 110.0, 120.0]
+    out = {r["g"]: r for r in drift.psi_by_group(ref, bat, "g", "v", cuts).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_ref"] == 400 and out["a"]["n_batch"] == 300
+    assert out["a"]["psi"] < 0.1 < 0.25 < out["b"]["psi"]
+    # single-group equality against the driver-dict report
+    for g in ("a", "b"):
+        rep = drift.psi_report(
+            ref.where(F.col("g") == g), bat.where(F.col("g") == g),
+            ["v"], cutpoints={"v": cuts},
+        )["v"]["psi"]
+        assert out[g]["psi"] == rep
