@@ -1039,6 +1039,16 @@ def queries() -> _T:
                     ),
                 ),
             ),
+            # round 7: cluster resolution — each cluster collapsed to its
+            # best-quality member (ties -> min id), harmonized to
+            # (doc_id=survivor, cluster_rep); the oracle recomputes CC +
+            # the quality composite + the argmax end-to-end
+            (
+                "keep_best",
+                dedup.resolve_clusters(_read(s, d, "documents")).select(
+                    F.col("keep_doc_id").alias("doc_id"), "cluster_rep"
+                ),
+            ),
         ),
         # corpus-level distribution tables: top-k vocabulary, exact heavy
         # hitters (Misra-Gries candidates + exact pass), quality deciles —
@@ -2687,6 +2697,20 @@ def oracle_sql() -> dict[str, str]:
             # incremental fold of batch edges into persisted labels must
             # equal the full-corpus components (round 7)
             ("incr", base["dedup_clusters"]),
+            # cluster resolution: per cluster, the max-quality member
+            # (quality composite recomputed, ties -> min id)
+            (
+                "keep_best",
+                f"""
+                SELECT q.doc_id, cc.cluster_rep
+                FROM ({base["dedup_clusters"]}) cc
+                JOIN ({base["text_quality"]}) q ON cc.doc_id = q.doc_id
+                QUALIFY row_number() OVER (
+                  PARTITION BY cc.cluster_rep
+                  ORDER BY q.quality DESC, q.doc_id ASC
+                ) = 1
+                """,
+            ),
         ),
         "enriched_agg_check": _variants_sql(
             ("salted_batch", base["enriched_agg"]),

@@ -1137,6 +1137,56 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def resolve_clusters(
+    docs: DataFrame,
+    labels: DataFrame | None = None,
+    quality: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse each duplicate cluster to its BEST member — what a
+    curation pipeline actually does with ``dup_clusters`` output (keeping
+    the min-id member would discard the cleanest copy whenever a
+    truncated/mangled duplicate happens to have the smaller id).
+
+    Returns one row per cluster: (cluster_rep, keep_doc_id, keep_quality,
+    n_members), where the kept doc maximizes ``quality`` (ties break to
+    the smallest id — fully deterministic; quality is the rounded
+    composite from text.quality_score, or pass any (id, quality)
+    relation: model probabilities from quality_model, token counts,
+    recency...).
+
+    Plan: labels ⋈ quality on id, then ONE map-side-combined aggregate
+    per cluster using an ordered-struct max — max(struct(quality, -id,
+    id)) — no window, no per-cluster sort, shuffle keyed by cluster_rep.
+    At 100 TB the labels relation is the small dedup artifact, and the
+    argmax never materializes member lists."""
+    from spark_iforest_spark.operators.text import quality_score
+
+    if labels is None:
+        labels = dup_clusters(docs, id_col, text_col)
+    if quality is None:
+        quality = quality_score(docs, id_col, text_col)
+    j = labels.join(quality.select(F.col(id_col), "quality"), id_col)
+    best = F.max(
+        F.struct(
+            F.col("quality"),
+            (-F.col(id_col)).alias("neg_id"),
+            F.col(id_col).alias("keep"),
+        )
+    )
+    return (
+        j.groupBy("cluster_rep")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_rep",
+            F.col("b.keep").alias("keep_doc_id"),
+            F.col("b.quality").alias("keep_quality"),
+            "n_members",
+        )
+    )
+
+
 def dup_clusters_incremental(
     new_pairs: DataFrame,
     old_labels: DataFrame,

@@ -761,3 +761,41 @@ def test_dup_clusters_incremental_merges_across_batch(spark):
     }
     assert got == {5: 5, 10: 5, 11: 5, 12: 5, 20: 5, 21: 5, 22: 5}
     assert dedup.dup_clusters_incremental.last_rounds <= 5
+
+
+def test_resolve_clusters_keeps_best_member(spark):
+    """Per cluster: argmax quality, ties -> min id; n_members exact."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_rep long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["cluster_rep"]: r
+        for r in dedup.resolve_clusters(None, labels=labels, quality=quality).collect()
+    }
+    assert out[1]["keep_doc_id"] == 2 and out[1]["n_members"] == 3  # 0.9 tie -> min id
+    assert out[1]["keep_quality"] == 0.9
+    assert out[7]["keep_doc_id"] == 7 and out[7]["n_members"] == 2
+
+
+def test_resolve_clusters_on_corpus(spark, sf_dir):
+    """Default path (dup_clusters + quality_score) emits one row per
+    cluster_rep, every kept doc is a member of its own cluster, and the
+    kept doc's quality is the cluster max."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = dedup.dup_clusters(docs)
+    out = dedup.resolve_clusters(docs, labels=labels).collect()
+    members = {}
+    for r in labels.collect():
+        members.setdefault(r["cluster_rep"], set()).add(r["doc_id"])
+    from spark_iforest_spark.operators.text import quality_score
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert out and len(out) == len(members)
+    for r in out:
+        ms = members[r["cluster_rep"]]
+        assert r["keep_doc_id"] in ms and r["n_members"] == len(ms)
+        assert r["keep_quality"] == max(q[m] for m in ms)
