@@ -194,3 +194,37 @@ def test_pack_token_ids_layout_invariant(docs):
         for r in tokenizer.pack_token_ids(sample.repartition(17), model, seq_len=64).collect()
     )
     assert a == b and a
+
+
+def test_pack_token_ids_doc_ids_aligned(docs):
+    """with_doc_ids: a parallel doc-id array sliced by the same machinery
+    — per row len(doc_ids) == len(token_ids), each doc's id appears
+    exactly len(encoding) times corpus-wide, and runs are contiguous
+    (doc boundaries are well-defined for attention masking)."""
+    model = tokenizer.bpe_train(docs, n_merges=100)
+    packed = tokenizer.pack_token_ids(
+        docs, model, seq_len=64, n_buckets=4, with_doc_ids=True
+    ).collect()
+    assert packed
+    from collections import Counter
+    per_doc = Counter()
+    for r in packed:
+        assert len(r["doc_ids"]) == len(r["token_ids"]) == r["n_tokens"]
+        # contiguity within a row: a doc id never reappears after a gap
+        seen, prev = set(), None
+        for d in r["doc_ids"]:
+            if d != prev:
+                assert d not in seen
+                seen.add(d)
+                prev = d
+        per_doc.update(r["doc_ids"])
+    enc = {
+        r["doc_id"]: len(r["token_ids"])
+        for r in tokenizer.bpe_encode(docs, model).collect()
+    }
+    assert per_doc == Counter({d: n for d, n in enc.items() if n > 0})
+    # default path unchanged: same rows with the column dropped
+    plain = tokenizer.pack_token_ids(docs, model, seq_len=64, n_buckets=4).collect()
+    a = sorted((r["bin_id"], r["seq_idx"], tuple(r["token_ids"])) for r in plain)
+    b = sorted((r["bin_id"], r["seq_idx"], tuple(r["token_ids"])) for r in packed)
+    assert a == b
