@@ -116,7 +116,12 @@ class _StderrTap:
             # a known accumulator-race line is benign even while a REAL
             # trace head is being captured (round-6 verdict nit: it was
             # counted as an error line then); it just must not be APPENDED
-            # to the head, so _in_head state is left untouched
+            # to the head, so _in_head state is left untouched. Known
+            # limitation: the benign trace's CONTINUATION frames are
+            # indistinguishable from the real trace's while both are open,
+            # so an interleaved benign stack can still contribute frames
+            # to the head — acceptable now that the storm itself is
+            # eliminated at source (0 lines on clean runs)
             self.benign_lines += 1
             if not self._in_head:
                 self._in_benign = True

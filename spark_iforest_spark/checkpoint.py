@@ -38,8 +38,10 @@ RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
 PIN_CONF = "spark.spark_iforest.pinSnapshots"
 _DEFAULT_PIN = 2
 
-# Strong references to the most recent snapshots, keyed by the owning
-# application id. Without these, CPython refcounting drops the
+# Strong references to the most recent (input_df, checkpointed_df) PAIRS,
+# keyed by the owning application id (the input's executed plan owns the
+# accumulators a lazy localCheckpoint orphans — see snapshot()). Without
+# these, CPython refcounting drops the
 # intermediate DataFrames the moment an operator returns, the JVM weak
 # refs clear on the next GC, and the ContextCleaner races straggler
 # task-end events into the (benign but noisy) "attempted to access
@@ -47,7 +49,7 @@ _DEFAULT_PIN = 2
 # long-running services) calls release_snapshots() at its own quiesce
 # points — after the consuming action returns — so reclamation happens in
 # the idle gap between queries instead of under the next one.
-_LIVE: dict[str, list[DataFrame]] = {}
+_LIVE: dict[str, list[tuple[DataFrame, DataFrame]]] = {}
 
 
 def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -88,8 +90,9 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
 
 def release_snapshots() -> int:
     """Drop the strong references held by :func:`snapshot`, letting the
-    ContextCleaner reclaim their blocks. Returns how many were released.
-    Call between queries, after actions complete — never mid-plan."""
+    ContextCleaner reclaim their blocks. Returns how many snapshot PAIRS
+    (input + checkpoint) were released. Call between queries, after
+    actions complete — never mid-plan."""
     n = sum(len(v) for v in _LIVE.values())
     _LIVE.clear()
     return n

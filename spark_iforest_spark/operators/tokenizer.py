@@ -137,9 +137,18 @@ def bpe_train(
     word_counts = {r["w"]: r["c"] for r in rows}
     # the observed alphabet rides in the model so bpe_vocab can assign ids
     # to base symbols; chars appearing only in the dropped word tail
-    # encode via the reserved byte tokens (round-7 byte fallback)
+    # encode via the reserved byte tokens (round-7 byte fallback).
+    # vocab_version stamps the ID LAYOUT the model implies: 2 = byte
+    # tokens at ids 2..257 (round 7). A persisted v1 model (no field)
+    # keeps the original layout, so token_ids written under round-6 code
+    # still decode correctly (review fix: the insertion would otherwise
+    # silently shift every persisted id by 256).
     alphabet = sorted({ch for w in word_counts for ch in w})
-    return {"merges": _bpe_fit(word_counts, n_merges), "alphabet": alphabet}
+    return {
+        "merges": _bpe_fit(word_counts, n_merges),
+        "alphabet": alphabet,
+        "vocab_version": 2,
+    }
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -204,7 +213,12 @@ def bpe_vocab(model: dict) -> list[tuple[str, int]]:
     collision keeps the FIRST id — the documented caveat now also covers
     a merge spelling out a literal byte-token string, where the byte id
     wins). This is the trainer-facing id space — ``bpe_encode`` emits
-    exactly these ids."""
+    exactly these ids.
+
+    A model WITHOUT ``vocab_version >= 2`` (persisted before round 7)
+    keeps its original layout — no byte tokens, out-of-alphabet symbols
+    encode to ``<unk>`` — so id streams written under the old code decode
+    unchanged."""
     vocab: list[tuple[str, int]] = []
     seen: dict[str, int] = {}
 
@@ -215,8 +229,9 @@ def bpe_vocab(model: dict) -> list[tuple[str, int]]:
 
     add(_UNK)
     add(_EOW)
-    for bt in _BYTE_TOKENS:
-        add(bt)
+    if model.get("vocab_version", 1) >= 2:
+        for bt in _BYTE_TOKENS:
+            add(bt)
     for ch in model.get("alphabet", []):
         add(ch)
     for a, b in model["merges"]:
@@ -231,10 +246,16 @@ def vocab_table(spark, model: dict):
 
 
 def _encoder(model: dict):
-    """(ranks, token→id, byte→id) triple shared by encode/count paths."""
+    """(ranks, token→id, byte→id) triple shared by encode/count paths.
+    ``byte_ids`` is None for legacy (v1) models — those encode unknown
+    symbols to <unk>, preserving their persisted id-stream semantics."""
     ranks = {(a, b): i for i, (a, b) in enumerate(map(tuple, model["merges"]))}
     ids = dict(bpe_vocab(model))
-    byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
+    byte_ids = (
+        [ids[bt] for bt in _BYTE_TOKENS]
+        if model.get("vocab_version", 1) >= 2
+        else None
+    )
     return ranks, ids, byte_ids
 
 
@@ -242,17 +263,20 @@ def _encode_word_ids(
     word: str,
     ranks: dict[tuple[str, str], int],
     ids: dict[str, int],
-    byte_ids: list[int],
+    byte_ids: list[int] | None,
 ) -> list[int]:
     """Word → token ids with byte fallback: symbols outside the learned
     vocabulary (single characters from outside the training alphabet —
     merges never produce an out-of-vocab symbol) expand to their UTF-8
-    byte tokens, so no input is lossy."""
+    byte tokens, so no input is lossy. Legacy models (byte_ids None)
+    keep the old <unk> mapping."""
     out: list[int] = []
     for s in _encode_word(word, ranks):
         i = ids.get(s)
         if i is not None:
             out.append(i)
+        elif byte_ids is None:
+            out.append(ids[_UNK])
         else:
             out.extend(byte_ids[b] for b in s.encode("utf-8"))
     return out
@@ -419,7 +443,11 @@ def bpe_decode(
     vocab = bpe_vocab(model)
     id2tok = {i: t for t, i in vocab}
     tok2id = {t: i for t, i in vocab}
-    byte_of = {tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    # legacy (v1) vocabs carry no byte tokens: byte_of stays empty and
+    # decode reduces to the original token-concat path
+    byte_of = {
+        tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS) if bt in tok2id
+    }
 
     def decode_batches(it):
         for pdf in it:

@@ -189,3 +189,21 @@ def test_skew_report_values_and_shape(spark):
     assert hot["n_rows"] == 90
     assert abs(hot["frac_of_table"] - round(90 / 95, 6)) < 1e-9
     assert abs(hot["skew_factor"] - round(90 / (95 / 6), 6)) < 1e-9
+
+
+def test_skew_report_plan_reuses_exchange_no_checkpoint(spark):
+    """The counts aggregate must be shared via ReuseExchange — no cache,
+    no localCheckpoint (round-7 review fix: nothing pinned past the
+    query), and the broadcast totals side stays broadcast."""
+    from spark_iforest_spark.operators import relational
+    from spark_iforest_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 9), i) for i in range(200)], "k string, v long"
+    )
+    out = relational.skew_report(df, "k", top_k=3)
+    out.collect()  # AQE-final plan
+    plan = formatted_plan(out)
+    assert "ReusedExchange" in plan
+    assert "Checkpoint" not in plan and "InMemoryTableScan" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan

@@ -228,3 +228,23 @@ def test_pack_token_ids_doc_ids_aligned(docs):
     a = sorted((r["bin_id"], r["seq_idx"], tuple(r["token_ids"])) for r in plain)
     b = sorted((r["bin_id"], r["seq_idx"], tuple(r["token_ids"])) for r in packed)
     assert a == b
+
+
+def test_legacy_v1_model_keeps_old_id_space(spark):
+    """A model dict persisted BEFORE round 7 (no vocab_version) must keep
+    its original id layout — no byte tokens, unknowns -> <unk> — so old
+    persisted token_id streams decode unchanged (round-7 review fix)."""
+    train = spark.createDataFrame([(0, "abc abc abd")], "doc_id long, text string")
+    v2 = tokenizer.bpe_train(train, n_merges=5)
+    assert v2["vocab_version"] == 2
+    legacy = {"merges": v2["merges"], "alphabet": v2["alphabet"]}
+    lv = tokenizer.bpe_vocab(legacy)
+    assert lv[2][0] == legacy["alphabet"][0]  # alphabet starts at id 2, not 258
+    assert all(not t.startswith("<0x") for t, _ in lv)
+    novel = spark.createDataFrame([(1, "aé abc")], "doc_id long, text string")
+    enc = tokenizer.bpe_encode(novel, legacy).collect()[0]["token_ids"]
+    assert 0 in enc  # unknown char -> <unk> under the legacy layout
+    dec = tokenizer.bpe_decode(
+        spark.createDataFrame([(1, enc)], "doc_id long, token_ids array<int>"), legacy
+    ).collect()[0]["text"]
+    assert "<unk>" in dec and "abc" in dec
