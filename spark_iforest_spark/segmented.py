@@ -467,3 +467,47 @@ def fit_groups(
         "seed": seed,
     }
     return SegmentedIForestModel(key_col, features_col, params, nodes)
+
+
+def update_groups(
+    model: SegmentedIForestModel,
+    df: DataFrame,
+    changed_keys: list,
+    max_rows_per_group: int = 5_000_000,
+) -> SegmentedIForestModel:
+    """Refit ONLY the segments in ``changed_keys`` against the current
+    snapshot and splice them into ``model`` — the incremental maintenance
+    mode for per-tenant forests (daily: most tenants' data is unchanged;
+    refitting a million stable segments to update ten is the kind of
+    full-recompute the incremental dedup family already refuses).
+
+    Unchanged segments keep their node rows VERBATIM (no recompute, no
+    re-read of their data); changed segments refit with the model's own
+    params through the shared kernel, so the result is bit-identical to a
+    full ``fit_groups`` over the same snapshot whenever the unchanged
+    segments' data really is unchanged (pytest-pinned — determinism of
+    the kernel is what makes splice == refit). New keys in
+    ``changed_keys`` simply add segments; keys absent from ``df`` are
+    dropped from the model.
+
+    Plan: one batch-sized IN-filter on the (small) node relation + one
+    ``fit_groups`` over only the changed segments' rows — per-update cost
+    scales with the changed slice, never the tenant count."""
+    if not changed_keys:
+        return model
+    key_col = model.key_col
+    keys = list(changed_keys)
+    kept = model.nodes.where(~F.col(key_col).isin(keys))
+    refit = fit_groups(
+        df.where(F.col(key_col).isin(keys)),
+        key_col,
+        model.features_col,
+        max_rows_per_group=max_rows_per_group,
+        **model.params,
+    )
+    return SegmentedIForestModel(
+        key_col,
+        model.features_col,
+        model.params,
+        kept.unionByName(refit.nodes),
+    )

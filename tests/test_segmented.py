@@ -200,3 +200,31 @@ def test_score_stream_segmented_replay_equals_batch(grouped, spark, tmp_path):
     got = sorted(map(tuple, spark.table("seg_stream_scores").collect()))
     exp = sorted(map(tuple, model.transform_broadcast(grouped, id_col="row_id").collect()))
     assert got == exp and got
+
+
+def test_update_groups_splice_equals_full_refit(grouped, spark):
+    """Refit only the changed segment: splice(update) == full fit_groups
+    over the new snapshot, bit-exactly (kernel determinism); unchanged
+    segments' node rows are byte-identical to the original model's."""
+    params = dict(num_trees=20, max_samples=32, contamination=0.05, seed=13)
+    model = segmented.fit_groups(grouped, "seg", **params)
+    # "new snapshot": g1's rows shifted, g0/g2 untouched
+    snap = grouped.withColumn(
+        "features",
+        F.when(
+            F.col("seg") == "g1",
+            F.transform("features", lambda x: x + F.lit(500.0)),
+        ).otherwise(F.col("features")),
+    )
+    updated = segmented.update_groups(model, snap, ["g1"])
+    assert updated.params == model.params
+    full = segmented.fit_groups(snap, "seg", **params)
+    a = sorted(map(tuple, updated.nodes.collect()))
+    b = sorted(map(tuple, full.nodes.collect()))
+    assert a == b and a
+    # unchanged segments kept verbatim
+    keep_old = sorted(map(tuple, model.nodes.where("seg != 'g1'").collect()))
+    keep_new = sorted(map(tuple, updated.nodes.where("seg != 'g1'").collect()))
+    assert keep_old == keep_new
+    # dropping a key: empty changed list is a no-op returning the model
+    assert segmented.update_groups(model, snap, []) is model
