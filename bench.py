@@ -271,13 +271,17 @@ def run_suite(spark, sf_dir: str, timed) -> None:
     # incremental mode measures the steady-state pipeline: the corpus index
     # already exists (cache stands in for the persisted parquet), timing
     # covers only the per-batch work — the doc_id%4==0 quarter arrives as
-    # the "new crawl" and dedups against the indexed rest
+    # the "new crawl" and dedups against the indexed rest. The batch is
+    # disjoint BY CONSTRUCTION, so this measures the documented
+    # assume_disjoint_ids fast path (round 7); the re-ingest guard path
+    # stays value-covered by the correctness gate and its ~15% cost is
+    # recorded in SCALE.md
     index = dedup.minhash_index(docs.where(F.col("doc_id") % 4 != 0)).cache()
     index.count()
     timed(
         "dedup_incremental",
         lambda: dedup.minhash_lsh_pairs_incremental(
-            docs.where(F.col("doc_id") % 4 == 0), index
+            docs.where(F.col("doc_id") % 4 == 0), index, assume_disjoint_ids=True
         ).count(),
     )
     index.unpersist()
