@@ -431,6 +431,35 @@ def pack_token_ids(
     )
 
 
+def _decode_ids(ids_arr, id2tok: dict, byte_of: dict) -> str:
+    """Pure id-stream → text core of bpe_decode (shared with the
+    driver-side property tests): merged symbols concatenate, byte-token
+    runs reassemble to UTF-8 characters, the end-of-word marker becomes a
+    single space."""
+    parts: list[str] = []
+    buf = bytearray()
+    for i in ids_arr:
+        b = byte_of.get(int(i))
+        if b is not None:
+            buf.append(b)
+            continue
+        if buf:
+            # invalid sequences only from hand-crafted ids;
+            # U+FFFD beats raising mid-pipeline
+            parts.append(buf.decode("utf-8", "replace"))
+            buf.clear()
+        parts.append(id2tok.get(int(i), _UNK))
+    if buf:
+        parts.append(buf.decode("utf-8", "replace"))
+    s = "".join(parts).replace(_EOW, " ")
+    # exactly ONE trailing space comes from the final word's end-of-word
+    # marker — remove that, not str.strip(), which would also eat
+    # UNICODE-whitespace word content (e.g. U+0085) at the document edges
+    # (word content can never contain an ASCII space: the corpus path
+    # splits on the ASCII whitespace class). Hypothesis-caught, round 7.
+    return s[:-1] if s.endswith(" ") else s
+
+
 def bpe_decode(
     encoded: DataFrame, model: dict, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -451,24 +480,10 @@ def bpe_decode(
 
     def decode_batches(it):
         for pdf in it:
-            out = []
-            for ids_arr in pdf["token_ids"]:
-                parts: list[str] = []
-                buf = bytearray()
-                for i in ids_arr:
-                    b = byte_of.get(int(i))
-                    if b is not None:
-                        buf.append(b)
-                        continue
-                    if buf:
-                        # invalid sequences only from hand-crafted ids;
-                        # U+FFFD beats raising mid-pipeline
-                        parts.append(buf.decode("utf-8", "replace"))
-                        buf.clear()
-                    parts.append(id2tok.get(int(i), _UNK))
-                if buf:
-                    parts.append(buf.decode("utf-8", "replace"))
-                out.append("".join(parts).replace(_EOW, " ").strip())
+            out = [
+                _decode_ids(ids_arr, id2tok, byte_of)
+                for ids_arr in pdf["token_ids"]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "text": out})
 
     return encoded.select(F.col(id_col), "token_ids").mapInPandas(

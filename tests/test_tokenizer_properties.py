@@ -48,3 +48,42 @@ def test_unseen_words_encode_safely(word_counts, novel):
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     toks = _encode_word(novel, ranks)
     assert "".join(toks) == novel + _EOW
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    corpora,
+    st.text(
+        # arbitrary unicode incl. multi-byte, emoji, controls — but not
+        # the ASCII whitespace class, which normalization collapses
+        alphabet=st.characters(
+            exclude_characters=" \t\n\x0b\f\r", exclude_categories=("Cs",)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_byte_fallback_roundtrip_arbitrary_unicode(word_counts, novel_word):
+    """Round-7 byte fallback, property form: for ANY unicode word —
+    trained alphabet or not — encode then decode reproduces the word
+    exactly (driver-side via the shared pure functions)."""
+    from spark_iforest_spark.operators.tokenizer import (
+        _BYTE_TOKENS,
+        _decode_ids,
+        _encode_word_ids,
+        _encoder,
+        bpe_vocab,
+    )
+
+    merges = _bpe_fit(dict(word_counts), 25)
+    alphabet = sorted({ch for w in word_counts for ch in w})
+    model = {"merges": merges, "alphabet": alphabet, "vocab_version": 2}
+    ranks, ids, byte_ids = _encoder(model)
+    id2tok = {i: t for t, i in bpe_vocab(model)}
+    byte_of = {ids[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    # lowercase: the corpus path lowercases before splitting; feed the
+    # normalized form so the property is exact equality
+    w = novel_word.lower()
+    got = _decode_ids(_encode_word_ids(w, ranks, ids, byte_ids), id2tok, byte_of)
+    assert got == w
+    assert ids["<unk>"] not in _encode_word_ids(w, ranks, ids, byte_ids)
