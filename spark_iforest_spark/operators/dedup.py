@@ -893,6 +893,7 @@ def embedding_lsh_pairs_incremental(
     broadcast_batch: bool = True,
     assume_disjoint_ids: bool = False,
     multi_probe: int = 0,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Embedding-dedup a NEW batch of vectors against an
     ``embedding_index`` — the third member of the incremental family,
@@ -918,16 +919,25 @@ def embedding_lsh_pairs_incremental(
     # multi_probe) has a different table count, and scoring against it
     # silently destroys the miss bound (e.g. probing a 19-table
     # multi_probe=1 index with multi_probe=0 raises per-pair miss from
-    # 1e-6 to ~4%). One first() over the sig column is metadata-cheap.
-    expected_tables = _sign_lsh_tables(threshold, band_bits, target_miss, multi_probe)
-    first_sig = index.select(F.size("sig").alias("t")).first()
-    if first_sig is not None and first_sig["t"] != expected_tables:
-        raise ValueError(
-            f"index has {first_sig['t']} tables but (threshold={threshold}, "
-            f"band_bits={band_bits}, target_miss={target_miss}, "
-            f"multi_probe={multi_probe}) implies {expected_tables}: pass the "
-            "parameters the index was built with (persist them alongside it)"
+    # 1e-6 to ~4%). COST: first() is a real (one-row-limited) Spark job —
+    # trivial against a persisted parquet index (the lifecycle this
+    # function exists for); callers composing an UNMATERIALIZED index
+    # inline who want pure-lazy construction pass validate_index=False.
+    # The check is necessary-not-sufficient (distinct param sets can
+    # imply equal table counts), but it catches the realistic mistakes
+    # (wrong multi_probe / threshold generation).
+    if validate_index:
+        expected_tables = _sign_lsh_tables(
+            threshold, band_bits, target_miss, multi_probe
         )
+        first_sig = index.select(F.size("sig").alias("t")).first()
+        if first_sig is not None and first_sig["t"] != expected_tables:
+            raise ValueError(
+                f"index has {first_sig['t']} tables but (threshold={threshold}, "
+                f"band_bits={band_bits}, target_miss={target_miss}, "
+                f"multi_probe={multi_probe}) implies {expected_tables}: pass the "
+                "parameters the index was built with (persist them alongside it)"
+            )
     new_idx = snapshot(
         embedding_index(
             new_emb, id_col, vec_col, threshold, band_bits, target_miss, dim,

@@ -592,7 +592,11 @@ def skew_report(
     # final projection), so Spark's ReuseExchange computes the groupBy
     # shuffle once and both branches read it (plan-asserted in
     # test_relational_plans) — the reuse a localCheckpoint/cache was
-    # simulating, without pinning anything beyond the query's lifetime
+    # simulating, without pinning anything beyond the query's lifetime.
+    # CONTRACT: with spark.sql.exchangeReuseEnabled=false the two
+    # branches recompute `df` independently — feed a DETERMINISTIC
+    # relation (seeded sample / persisted input) in that configuration,
+    # same as every oracle-checked operator here assumes
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )

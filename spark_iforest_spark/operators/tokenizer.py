@@ -472,11 +472,15 @@ def bpe_decode(
     vocab = bpe_vocab(model)
     id2tok = {i: t for t, i in vocab}
     tok2id = {t: i for t, i in vocab}
-    # legacy (v1) vocabs carry no byte tokens: byte_of stays empty and
-    # decode reduces to the original token-concat path
-    byte_of = {
-        tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS) if bt in tok2id
-    }
+    # gate on vocab_version exactly like _encoder (round-7 review fix):
+    # a v1 model whose merges happen to SPELL a literal byte-token string
+    # must keep decoding it as text, so byte_of stays empty for legacy
+    # vocabs rather than keying off token-string presence
+    byte_of = (
+        {tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+        if model.get("vocab_version", 1) >= 2
+        else {}
+    )
 
     def decode_batches(it):
         for pdf in it:

@@ -497,9 +497,18 @@ def update_groups(
         return model
     key_col = model.key_col
     keys = list(changed_keys)
-    kept = model.nodes.where(~F.col(key_col).isin(keys))
+    # NULL-safe membership (round-7 review fix): a bare ~isin() is NULL —
+    # not True — for a NULL key, which would silently DROP a null-key
+    # segment from `kept`; None in changed_keys likewise needs an
+    # explicit isNull branch on the refit side
+    non_null = [k for k in keys if k is not None]
+    changed = F.col(key_col).isin(non_null) if non_null else F.lit(False)
+    if any(k is None for k in keys):
+        changed = changed | F.col(key_col).isNull()
+    changed = F.coalesce(changed, F.lit(False))
+    kept = model.nodes.where(~changed)
     refit = fit_groups(
-        df.where(F.col(key_col).isin(keys)),
+        df.where(changed),
         key_col,
         model.features_col,
         max_rows_per_group=max_rows_per_group,

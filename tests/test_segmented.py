@@ -228,3 +228,30 @@ def test_update_groups_splice_equals_full_refit(grouped, spark):
     assert keep_old == keep_new
     # dropping a key: empty changed list is a no-op returning the model
     assert segmented.update_groups(model, snap, []) is model
+
+
+def test_update_groups_preserves_null_key_segment(spark):
+    """A NULL segment key must survive an update of OTHER segments
+    (round-7 review fix: bare ~isin() is NULL for null keys) and be
+    refittable when None is in changed_keys."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (None if i % 2 else "a", i, rng.standard_normal(3).tolist())
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "seg string, row_id long, features array<double>")
+    model = segmented.fit_groups(df, "seg", num_trees=10, max_samples=32, seed=2)
+    null_nodes = sorted(map(tuple, model.nodes.where(F.col("seg").isNull()).collect()))
+    assert null_nodes
+    updated = segmented.update_groups(model, df, ["a"])
+    assert sorted(
+        map(tuple, updated.nodes.where(F.col("seg").isNull()).collect())
+    ) == null_nodes
+    # refitting the NULL segment itself also works and equals a full fit
+    again = segmented.update_groups(model, df, [None])
+    full = segmented.fit_groups(df, "seg", num_trees=10, max_samples=32, seed=2)
+    assert sorted(map(tuple, again.nodes.collect()), key=repr) == sorted(
+        map(tuple, full.nodes.collect()), key=repr
+    )

@@ -248,3 +248,20 @@ def test_legacy_v1_model_keeps_old_id_space(spark):
         spark.createDataFrame([(1, enc)], "doc_id long, token_ids array<int>"), legacy
     ).collect()[0]["text"]
     assert "<unk>" in dec and "abc" in dec
+
+
+def test_legacy_model_merge_spelling_byte_token_decodes_as_text(spark):
+    """A v1 model whose merges spell a literal byte-token string must keep
+    decoding that token as TEXT (round-7 review fix: byte handling is
+    gated on vocab_version, not token-string presence)."""
+    legacy = {
+        "merges": [["<", "0"], ["<0", "x"], ["<0x", "4"], ["<0x4", "1"], ["<0x41", ">"]],
+        "alphabet": ["<", ">", "0", "1", "4", "x"],
+    }
+    vocab = dict(tokenizer.bpe_vocab(legacy))
+    tid = vocab["<0x41>"]
+    dec = tokenizer.bpe_decode(
+        spark.createDataFrame([(1, [tid, vocab["</w>"]])], "doc_id long, token_ids array<int>"),
+        legacy,
+    ).collect()[0]["text"]
+    assert dec == "<0x41>"  # NOT 'A'
