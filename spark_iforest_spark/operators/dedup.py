@@ -1212,6 +1212,32 @@ def resolve_clusters(
     )
 
 
+def drop_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    quality: DataFrame | None = None,
+) -> DataFrame:
+    """The one-call near-dup sweep: ``docs`` minus every duplicate-cluster
+    member EXCEPT each cluster's best-quality representative
+    (``resolve_clusters``). Docs with no near-duplicate pass through
+    untouched; the output is the input schema, filtered.
+
+    Composition of the pinned pieces — ``dup_clusters`` (or any injected
+    ``pairs`` relation: minhash at corpus scale) → ``resolve_clusters`` →
+    one broadcast-able anti-join of the (small) losers set against the
+    corpus. Survivor count = n_docs − Σ(cluster_size − 1) by construction
+    (pytest-pinned)."""
+    labels = dup_clusters(docs, id_col, text_col, pairs=pairs)
+    keep = resolve_clusters(docs, labels=labels, quality=quality, id_col=id_col,
+                            text_col=text_col)
+    losers = labels.join(
+        keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
 def dup_clusters_incremental(
     new_pairs: DataFrame,
     old_labels: DataFrame,

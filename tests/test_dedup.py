@@ -799,3 +799,23 @@ def test_resolve_clusters_on_corpus(spark, sf_dir):
         ms = members[r["cluster_rep"]]
         assert r["keep_doc_id"] in ms and r["n_members"] == len(ms)
         assert r["keep_quality"] == max(q[m] for m in ms)
+
+
+def test_drop_near_duplicates_keeps_best_and_uniques(spark, sf_dir):
+    """Survivors = non-clustered docs + one best member per cluster;
+    count identity n_docs - sum(cluster_size - 1) holds exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = dedup.dup_clusters(docs)
+    sizes = {}
+    for r in labels.collect():
+        sizes[r["cluster_rep"]] = sizes.get(r["cluster_rep"], 0) + 1
+    out = dedup.drop_near_duplicates(docs)
+    n_docs = docs.count()
+    assert out.count() == n_docs - sum(s - 1 for s in sizes.values())
+    assert out.columns == docs.columns
+    # every kept representative is present, every loser gone
+    keep = {r["keep_doc_id"] for r in dedup.resolve_clusters(docs, labels=labels).collect()}
+    clustered = {r["doc_id"] for r in labels.collect()}
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert keep <= out_ids
+    assert not (clustered - keep) & out_ids
