@@ -29,14 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
-# how many recent snapshots to pin with strong refs (round-7 advice fix:
-# previously an unconditional 64 — a library user that never calls
+# how many recent snapshot pairs to pin with strong refs (round-7 advice
+# fix: previously an unconditional 64 — a library user that never calls
 # release_snapshots() pinned up to 64 checkpointed block sets in executor
-# MEMORY_AND_DISK). Default 2 covers the only race that matters
-# (previous-query blocks reclaimed under the next query); drivers that
-# quiesce explicitly (bench.py) raise it for fully-deferred reclamation.
+# MEMORY_AND_DISK). The race window is the just-materialized snapshots of
+# the CURRENT query; 8 covers the repo's deepest within-query snapshot
+# fan (connected components holds edges + two label generations live,
+# minhash stacks on top when it feeds dup_clusters) with margin, while
+# staying far from the old 64-pair leak. Drivers that quiesce explicitly
+# (bench.py) raise it for fully-deferred reclamation.
 PIN_CONF = "spark.spark_iforest.pinSnapshots"
-_DEFAULT_PIN = 2
+_DEFAULT_PIN = 8
 
 # Strong references to the most recent (input_df, checkpointed_df) PAIRS,
 # keyed by the owning application id (the input's executed plan owns the

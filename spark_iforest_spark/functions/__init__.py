@@ -87,3 +87,18 @@ def money_units(c: Column | str, scale: int = 4) -> Column:
 
 def units_to_double(sum_col: Column, scale: int = 4) -> Column:
     return sum_col / F.lit(float(10**scale))
+
+
+def shuffle_partitions(spark, fallback: int | None = None) -> int:
+    """The session's shuffle-partition count as an INT, tolerating
+    non-numeric platform values ('auto' under vendor AQE variants —
+    round-7 review fix: a bare int() crashed fit at plan-build time
+    there). Falls back to ``fallback`` or the context default
+    parallelism."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        if fallback is not None:
+            return fallback
+        return int(spark.sparkContext.defaultParallelism)

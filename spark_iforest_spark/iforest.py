@@ -254,10 +254,9 @@ class IForest(Estimator, IForestParams, DefaultParamsWritable, DefaultParamsRead
         # the same cliff segmented._cluster_by_key documents. A
         # user-specified partition count is exempt from coalescing and
         # satisfies the grouped distribution requirement directly.
-        n_build = min(
-            num_trees,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        )
+        from spark_iforest_spark.functions import shuffle_partitions
+
+        n_build = min(num_trees, shuffle_partitions(spark))
         node_pdf = (
             joined.repartition(n_build, "treeId")
             .groupBy("treeId")

@@ -375,7 +375,7 @@ def minhash_lsh_pairs_incremental(
     # TWICE in `full` and duplicate/inflate verify rows. Batch ids are
     # batch-sized, so the anti-join broadcasts them; the probe runs on all
     # THREE index passes (bands + both verify sides — ReuseExchange dedups
-    # the build, not the probes), a measured ~8% of the per-batch time
+    # the build, not the probes), a measured ~15% of the per-batch time
     # (SCALE.md round 7). ``assume_disjoint_ids`` skips it for the normal
     # crawl case where batch ids are known-new (disjoint ids make it a
     # no-op anyway); leave False when re-ingesting or unsure.
@@ -1192,12 +1192,19 @@ def resolve_clusters(
         labels = dup_clusters(docs, id_col, text_col)
     if quality is None:
         quality = quality_score(docs, id_col, text_col)
-    j = labels.join(quality.select(F.col(id_col), "quality"), id_col)
+    # LEFT join (round-7 review fix): a user-supplied quality relation may
+    # not cover every member — an inner join would emit NO keeper for a
+    # fully-uncovered cluster, and drop_near_duplicates would then delete
+    # EVERY copy of that document. Uncovered members rank below any
+    # scored member (sort key -inf, ties still -> min id) and
+    # keep_quality comes back NULL when the keeper itself was unscored.
+    j = labels.join(quality.select(F.col(id_col), "quality"), id_col, "left")
     best = F.max(
         F.struct(
-            F.col("quality"),
+            F.coalesce(F.col("quality"), F.lit(float("-inf"))).alias("sort_q"),
             (-F.col(id_col)).alias("neg_id"),
             F.col(id_col).alias("keep"),
+            F.col("quality").alias("orig_q"),
         )
     )
     return (
@@ -1206,7 +1213,7 @@ def resolve_clusters(
         .select(
             "cluster_rep",
             F.col("b.keep").alias("keep_doc_id"),
-            F.col("b.quality").alias("keep_quality"),
+            F.col("b.orig_q").alias("keep_quality"),
             "n_members",
         )
     )

@@ -448,10 +448,18 @@ def _decode_ids(ids_arr, id2tok: dict, byte_of: dict) -> str:
             # U+FFFD beats raising mid-pipeline
             parts.append(buf.decode("utf-8", "replace"))
             buf.clear()
-        parts.append(id2tok.get(int(i), _UNK))
+        # marker replacement happens PER TOKEN (round-7 review fix): only
+        # a token string that itself carries the end-of-word symbol (the
+        # marker token, or a merge built with it) maps to a space — text
+        # that merely SPELLS '</w>' across separate character tokens must
+        # survive, which a replace over the joined string destroyed.
+        # (A learned merge whose concatenation equals the literal marker
+        # string remains conflated at the vocab level — the documented
+        # first-id-wins collision caveat.)
+        parts.append(id2tok.get(int(i), _UNK).replace(_EOW, " "))
     if buf:
         parts.append(buf.decode("utf-8", "replace"))
-    s = "".join(parts).replace(_EOW, " ")
+    s = "".join(parts)
     # exactly ONE trailing space comes from the final word's end-of-word
     # marker — remove that, not str.strip(), which would also eat
     # UNICODE-whitespace word content (e.g. U+0085) at the document edges

@@ -87,6 +87,15 @@ def _segment_forest(
     return trees, psi
 
 
+def _norm_key(key):
+    """Canonical missing-key form for driver-side dicts: None and NaN
+    both map to None (NaN is not equal to itself, so it cannot be a
+    reliable dict key)."""
+    if key is None or (isinstance(key, float) and key != key):
+        return None
+    return key
+
+
 def _cluster_by_key(src: DataFrame) -> DataFrame:
     """Hash-cluster on ``_key`` with an EXPLICIT partition count before a
     grouped Pandas stage. Without this, AQE's size-based coalescing sees a
@@ -96,8 +105,9 @@ def _cluster_by_key(src: DataFrame) -> DataFrame:
     worker, 6.2 s where 8-way parallel takes ~1 s). An explicit
     ``repartition(n, key)`` satisfies the grouped distribution requirement
     (no second exchange) and AQE leaves user-specified counts alone."""
-    n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return src.repartition(n, "_key")
+    from spark_iforest_spark.functions import shuffle_partitions
+
+    return src.repartition(shuffle_partitions(src.sparkSession), "_key")
 
 
 def _order_stat_threshold(scores: np.ndarray, contamination: float) -> float:
@@ -312,8 +322,13 @@ class SegmentedIForestModel:
         key_col = self.key_col
         node_pdf = self.nodes.toPandas()
         forests = {}
-        for key, g in node_pdf.groupby(key_col, sort=False):
-            forests[key] = (
+        # dropna=False + key normalization (round-7 review fix): pandas
+        # groupby silently DROPS None/NaN keys by default, which would
+        # make a fitted NULL-key segment score NULL here while
+        # transform() scores it — and NaN keys don't equal themselves, so
+        # both build and lookup go through _norm_key
+        for key, g in node_pdf.groupby(key_col, sort=False, dropna=False):
+            forests[_norm_key(key)] = (
                 pack_forest(pandas_to_forest(g)),
                 float(g["psi"].iloc[0]),
                 float(g["threshold"].iloc[0]),
@@ -334,8 +349,8 @@ class SegmentedIForestModel:
                 pdf = pdf.reset_index(drop=True)  # positions == labels
                 scores = pd.array([None] * len(pdf), dtype="Float64")
                 preds = pd.array([None] * len(pdf), dtype="Int32")
-                for key, g in pdf.groupby("_key", sort=False):
-                    hit = forests.get(key)
+                for key, g in pdf.groupby("_key", sort=False, dropna=False):
+                    hit = forests.get(_norm_key(key))
                     if hit is None:
                         continue
                     forest, psi, thr = hit

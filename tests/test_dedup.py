@@ -819,3 +819,20 @@ def test_drop_near_duplicates_keeps_best_and_uniques(spark, sf_dir):
     out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert keep <= out_ids
     assert not (clustered - keep) & out_ids
+
+
+def test_resolve_clusters_partial_quality_coverage(spark):
+    """round-7 review fix: a cluster with NO quality-covered member still
+    keeps a representative (min id, NULL keep_quality) — partial quality
+    relations must never cause whole-cluster data loss."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "doc_id long, cluster_rep long"
+    )
+    quality = spark.createDataFrame([(2, 0.9)], "doc_id long, quality double")
+    out = {
+        r["cluster_rep"]: r
+        for r in dedup.resolve_clusters(None, labels=labels, quality=quality).collect()
+    }
+    assert out[1]["keep_doc_id"] == 2 and out[1]["keep_quality"] == 0.9
+    assert out[7]["keep_doc_id"] == 7 and out[7]["keep_quality"] is None
+    assert out[7]["n_members"] == 2

@@ -255,3 +255,24 @@ def test_update_groups_preserves_null_key_segment(spark):
     assert sorted(map(tuple, again.nodes.collect()), key=repr) == sorted(
         map(tuple, full.nodes.collect()), key=repr
     )
+
+
+def test_transform_broadcast_scores_null_key_segment(spark):
+    """round-7 review fix: pandas groupby dropna must not silently NULL
+    out a fitted NULL-key segment on the broadcast/streaming path —
+    broadcast == cogroup for null keys too."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (None if i % 2 else "a", i, rng.standard_normal(3).tolist())
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "seg string, row_id long, features array<double>")
+    model = segmented.fit_groups(df, "seg", num_trees=10, max_samples=32, seed=2)
+    a = sorted(map(tuple, model.transform(df, id_col="row_id").collect()), key=repr)
+    b = sorted(map(tuple, model.transform_broadcast(df, id_col="row_id").collect()), key=repr)
+    assert a == b
+    nulls = [r for r in model.transform_broadcast(df, id_col="row_id").collect()
+             if r["seg"] is None]
+    assert nulls and all(r["anomalyScore"] is not None for r in nulls)

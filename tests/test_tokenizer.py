@@ -265,3 +265,16 @@ def test_legacy_model_merge_spelling_byte_token_decodes_as_text(spark):
         legacy,
     ).collect()[0]["text"]
     assert dec == "<0x41>"  # NOT 'A'
+
+
+def test_decode_preserves_literal_eow_spelling(spark):
+    """round-7 review fix: text that SPELLS '</w>' across separate
+    character tokens must survive decode (only the marker token itself —
+    or merges built with it — maps to a space)."""
+    train = spark.createDataFrame(
+        [(0, "< / w > x </w>")], "doc_id long, text string"
+    )
+    model = {"merges": [], "alphabet": ["<", "/", "w", ">", "x"], "vocab_version": 2}
+    doc = spark.createDataFrame([(1, "</w> x")], "doc_id long, text string")
+    dec = tokenizer.bpe_decode(tokenizer.bpe_encode(doc, model), model).collect()[0]["text"]
+    assert dec == "</w> x"
