@@ -484,6 +484,59 @@ def fit_groups(
     return SegmentedIForestModel(key_col, features_col, params, nodes)
 
 
+def recalibrate_groups(
+    model: SegmentedIForestModel,
+    df: DataFrame,
+    contamination: float,
+) -> SegmentedIForestModel:
+    """New per-segment thresholds from a calibration snapshot WITHOUT
+    refitting any forest — the cheap knob when the alert budget changes
+    (contamination is an operating point, not a property of the trees).
+
+    Scores ``df`` with the existing segment forests (cogroup — the model
+    stays cluster-side), takes each segment's exact
+    ``ceil((1-contamination)·n)``-th smallest score (the same
+    order-statistic definition fit uses, computed per segment in ONE
+    ``applyInPandas`` pass over the scored rows), and returns a model
+    with only the ``threshold`` column replaced. Segments of the model
+    absent from ``df`` keep their old threshold. Recalibrating on the
+    ORIGINAL training slice with the original contamination reproduces
+    the fitted thresholds exactly (pytest-pinned)."""
+    key_col = model.key_col
+    scored = model.transform(df).where(F.col("anomalyScore").isNotNull())
+
+    def thr(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_key": [pdf["_key"].iloc[0]],
+                "_new_thr": [
+                    _order_stat_threshold(
+                        pdf["anomalyScore"].to_numpy(dtype=np.float64),
+                        contamination,
+                    )
+                ],
+            }
+        )
+
+    key_type = model.nodes.schema[key_col].dataType.simpleString()
+    new_thr = (
+        _cluster_by_key(scored.select(F.col(key_col).alias("_key"), "anomalyScore"))
+        .groupBy("_key")
+        .applyInPandas(thr, schema=f"_key {key_type}, _new_thr double")
+        .withColumnRenamed("_key", key_col)
+    )
+    # null-SAFE splice: a NULL-key segment's new threshold must attach to
+    # its node rows (a plain equi-join drops NULL matches)
+    nt = new_thr.withColumnRenamed(key_col, "_k")
+    nodes = (
+        model.nodes.join(nt, F.col(key_col).eqNullSafe(F.col("_k")), "left")
+        .withColumn("threshold", F.coalesce("_new_thr", "threshold"))
+        .drop("_k", "_new_thr")
+    )
+    params = dict(model.params, contamination=contamination)
+    return SegmentedIForestModel(key_col, model.features_col, params, nodes)
+
+
 def update_groups(
     model: SegmentedIForestModel,
     df: DataFrame,

@@ -276,3 +276,31 @@ def test_transform_broadcast_scores_null_key_segment(spark):
     nulls = [r for r in model.transform_broadcast(df, id_col="row_id").collect()
              if r["seg"] is None]
     assert nulls and all(r["anomalyScore"] is not None for r in nulls)
+
+
+def test_recalibrate_groups_thresholds(grouped):
+    """Recalibrating on the training slice with the fitted contamination
+    reproduces the fitted thresholds exactly; a tighter contamination
+    raises flag counts without touching any forest node."""
+    params = dict(num_trees=20, max_samples=32, contamination=0.05, seed=13)
+    model = segmented.fit_groups(grouped, "seg", **params)
+    same = segmented.recalibrate_groups(model, grouped, 0.05)
+    a = sorted(map(tuple, model.nodes.collect()))
+    b = sorted(map(tuple, same.nodes.collect()))
+    assert a == b  # identical thresholds AND identical trees
+    looser = segmented.recalibrate_groups(model, grouped, 0.20)
+    assert looser.params["contamination"] == 0.20
+    # trees untouched: every non-threshold column identical
+    drop_thr = lambda m: sorted(
+        map(tuple, m.nodes.drop("threshold").collect())
+    )
+    assert drop_thr(looser) == drop_thr(model)
+    # more contamination -> strictly more (or equal) flags per segment
+    flags = lambda m: {
+        r["seg"]: r["n"]
+        for r in m.transform(grouped)
+        .groupBy("seg").agg(F.sum("prediction").alias("n")).collect()
+    }
+    f_old, f_new = flags(model), flags(looser)
+    assert all(f_new[k] >= f_old[k] for k in f_old)
+    assert sum(f_new.values()) > sum(f_old.values())
