@@ -188,6 +188,74 @@ def psi_by_group(
     )
 
 
+def psi_by_group_multi(
+    reference: DataFrame,
+    batch: DataFrame,
+    group_col: str,
+    cutpoints: dict[str, list[float]],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-group PSI for MANY columns in one pass — the multi-signal form
+    of :func:`psi_by_group`, same discipline as psi_report's
+    one-scan-per-side bucket counting: every monitored column's total and
+    conditional bucket sums come out of a single aggregate per side
+    (shuffle width = one row per group regardless of signal count), PSI
+    per (group, column) is a fixed-order codegen expression, and a final
+    constant-size struct explode unpivots to long form.
+
+    Returns (group, column, psi, n_ref, n_batch), one row per group per
+    monitored column; ``n_*`` count that column's NON-NULL rows in the
+    group (a side where the column is entirely NULL yields the uniform
+    smoothed distribution — document-level missingness shows up as PSI
+    against uniform rather than a dropped row)."""
+    cols = sorted(cutpoints)
+    s = float(smoothing)
+
+    def side(df: DataFrame, pre: str):
+        aggs = []
+        for c in cols:
+            arr = F.array(*[F.lit(float(x)) for x in cutpoints[c]])
+            k = len(cutpoints[c]) + 1
+            b = F.when(
+                F.col(c).isNotNull(),
+                F.size(F.filter(arr, lambda v: v <= F.col(c).cast("double"))),
+            ).otherwise(F.lit(-1))
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"{pre}N__{c}")
+            )
+            aggs += [
+                F.sum((b == i).cast("long")).alias(f"{pre}{i}__{c}")
+                for i in range(k)
+            ]
+        return (
+            df.where(F.col(group_col).isNotNull())
+            .groupBy(F.col(group_col).alias("g"))
+            .agg(*aggs)
+        )
+
+    joined = side(reference, "p").join(side(batch, "q"), "g")
+    structs = []
+    for c in cols:
+        k = len(cutpoints[c]) + 1
+        psi = None
+        for i in range(k):
+            pi = (F.col(f"p{i}__{c}") + F.lit(s)) / (F.col(f"pN__{c}") + F.lit(s * k))
+            qi = (F.col(f"q{i}__{c}") + F.lit(s)) / (F.col(f"qN__{c}") + F.lit(s * k))
+            term = (pi - qi) * F.log(pi / qi)
+            psi = term if psi is None else psi + term
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.round(psi, 6).alias("psi"),
+                F.col(f"pN__{c}").alias("n_ref"),
+                F.col(f"qN__{c}").alias("n_batch"),
+            )
+        )
+    return joined.select("g", F.explode(F.array(*structs)).alias("s")).select(
+        F.col("g").alias(group_col), "s.column", "s.psi", "s.n_ref", "s.n_batch"
+    )
+
+
 def psi_against_baseline(batch: DataFrame, baseline: dict) -> dict:
     """Score a batch against a FROZEN ``psi_report`` baseline — no
     reference scan at all: the baseline dict already carries each column's

@@ -160,3 +160,36 @@ def test_psi_by_group_matches_single_group_report(spark):
             ["v"], cutpoints={"v": cuts},
         )["v"]["psi"]
         assert out[g]["psi"] == rep
+
+
+def test_psi_by_group_multi_matches_single_column_form(spark):
+    """Multi-signal per-group PSI: each (group, column) row must equal the
+    single-column psi_by_group on the same data, and per-column non-null
+    counts are independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    mk = lambda mu_a, mu_b, n: (
+        [("a", float(v), float(v) * 2) for v in rng.normal(mu_a, 5, n)]
+        + [("b", float(v), None) for v in rng.normal(mu_b, 5, n)]
+    )
+    ref = spark.createDataFrame(mk(100, 100, 300), "g string, x double, y double")
+    bat = spark.createDataFrame(mk(100, 140, 200), "g string, x double, y double")
+    cuts = {"x": [90.0, 100.0, 110.0], "y": [180.0, 200.0, 220.0]}
+    out = {
+        (r["g"], r["column"]): r
+        for r in drift.psi_by_group_multi(ref, bat, "g", cuts).collect()
+    }
+    assert set(out) == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+    for c in ("x", "y"):
+        single = {
+            r["g"]: r
+            for r in drift.psi_by_group(ref, bat, "g", c, cuts[c]).collect()
+        }
+        for g in single:
+            assert out[(g, c)]["psi"] == single[g]["psi"], (g, c)
+            assert out[(g, c)]["n_ref"] == single[g]["n_ref"]
+    # group b has NO y values: n is 0 and PSI is defined (uniform smoothed)
+    assert out[("b", "y")]["n_ref"] == 0 and out[("b", "y")]["psi"] is not None
+    # shifted group flags on x, stable group does not
+    assert out[("b", "x")]["psi"] > 0.25 > 0.1 > out[("a", "x")]["psi"]
