@@ -356,7 +356,7 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         # this driver quiesces explicitly (release_snapshots + GC between
         # queries), so pin every snapshot until then — the library default
-        # is 2 to protect callers that never quiesce (round-7 advice fix)
+        # (checkpoint._DEFAULT_PIN = 8) protects callers that never quiesce
         .config("spark.spark_iforest.pinSnapshots", "64")
         .getOrCreate()
     )

@@ -83,9 +83,12 @@ def write_bytes(spark, path: str, data: bytes) -> None:
     truncated artifact at the FINAL path on a mid-write crash, which
     later save_json/save_numpy loads would deserialize or die on).
     Rename is atomic on HDFS and a single-key commit on object stores;
-    readers see either the old artifact or the new one, never a torn
-    write. Artifact payloads only (models, reports) — bulk data goes
-    through Spark."""
+    readers never see a torn file — but because most Hadoop filesystems
+    refuse a clobbering rename, the old artifact is deleted first, so a
+    concurrent ``read_bytes`` may briefly see a MISSING file between the
+    delete and the rename (retry on FileNotFound if you read while a
+    writer may be active). Artifact payloads only (models, reports) —
+    bulk data goes through Spark."""
     import uuid
 
     fs, p = _resolve(spark, path)

@@ -1199,10 +1199,16 @@ def resolve_clusters(
     # scored member (sort key -inf, ties still -> min id) and
     # keep_quality comes back NULL when the keeper itself was unscored.
     j = labels.join(quality.select(F.col(id_col), "quality"), id_col, "left")
-    best = F.max(
+    # id-TYPE-AGNOSTIC argmax (round-8 advice fix): min(struct(-quality,
+    # id, ...)) picks max quality with ties to the SMALLEST id for any
+    # orderable id type — the previous max(struct(quality, -id, ...))
+    # negated the id, which under non-ANSI mode turns a STRING id into
+    # NULL and silently breaks the documented ties-to-smallest guarantee.
+    # -(-inf) = +inf still ranks quality-uncovered members below any
+    # scored member.
+    best = F.min(
         F.struct(
-            F.coalesce(F.col("quality"), F.lit(float("-inf"))).alias("sort_q"),
-            (-F.col(id_col)).alias("neg_id"),
+            (-F.coalesce(F.col("quality"), F.lit(float("-inf")))).alias("neg_q"),
             F.col(id_col).alias("keep"),
             F.col("quality").alias("orig_q"),
         )

@@ -207,7 +207,10 @@ def psi_by_group_multi(
     monitored column; ``n_*`` count that column's NON-NULL rows in the
     group (a side where the column is entirely NULL yields the uniform
     smoothed distribution — document-level missingness shows up as PSI
-    against uniform rather than a dropped row)."""
+    against uniform rather than a dropped row). NULL-``group_col`` rows
+    are dropped on both sides, the same contract as
+    :func:`psi_by_group`; route unknown-group rows to a sentinel group
+    first if they must be monitored."""
     cols = sorted(cutpoints)
     s = float(smoothing)
 

@@ -41,6 +41,15 @@ from spark_iforest_spark.trainer import train_tree
 
 
 def _group_seed(seed: int, key) -> np.random.SeedSequence:
+    # canonicalize numpy scalars BEFORE repr (round-8 advice fix):
+    # executor-side keys arrive as numpy scalars (pdf["_key"].iloc[0])
+    # while driver recomputes pass Python ints — repr() agrees on
+    # numpy<2.0 ('3' == '3') but numpy>=2.0 reprs np.int32(3) as
+    # 'np.int32(3)', which would silently break the pure-function-of-
+    # (rows, params, key) determinism contract. .item() is bit-neutral
+    # on the current pin (same repr), so fitted forests are unchanged.
+    if hasattr(key, "item"):
+        key = key.item()
     h = int(hashlib.md5(repr(key).encode("utf-8")).hexdigest()[:8], 16)
     return np.random.SeedSequence([seed & 0x7FFFFFFF, h])
 

@@ -821,6 +821,24 @@ def test_drop_near_duplicates_keeps_best_and_uniques(spark, sf_dir):
     assert not (clustered - keep) & out_ids
 
 
+def test_resolve_clusters_string_ids(spark):
+    """round-8 advice fix: the tie-break must be id-type-AGNOSTIC — with
+    string doc ids the old (-id) negation was NULL under non-ANSI mode
+    and silently picked the LARGEST id on quality ties."""
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "doc_id string, cluster_rep string"
+    )
+    quality = spark.createDataFrame(
+        [("a", 0.4), ("b", 0.9), ("c", 0.9)], "doc_id string, quality double"
+    )
+    out = {
+        r["cluster_rep"]: r
+        for r in dedup.resolve_clusters(None, labels=labels, quality=quality).collect()
+    }
+    assert out["a"]["keep_doc_id"] == "b"  # 0.9 tie -> smallest id, not "c"
+    assert out["a"]["keep_quality"] == 0.9 and out["a"]["n_members"] == 3
+
+
 def test_resolve_clusters_partial_quality_coverage(spark):
     """round-7 review fix: a cluster with NO quality-covered member still
     keeps a representative (min id, NULL keep_quality) — partial quality

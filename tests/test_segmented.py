@@ -304,3 +304,17 @@ def test_recalibrate_groups_thresholds(grouped):
     f_old, f_new = flags(model), flags(looser)
     assert all(f_new[k] >= f_old[k] for k in f_old)
     assert sum(f_new.values()) > sum(f_old.values())
+
+
+def test_group_seed_canonicalizes_numpy_scalar_keys():
+    """round-8 advice fix: executor-side keys are numpy scalars, driver
+    recomputes pass Python scalars — the seed must not depend on which
+    one arrives (numpy>=2.0 reprs np.int32(3) as 'np.int32(3)')."""
+    py = segmented._group_seed(7, 3).generate_state(4)
+    npy = segmented._group_seed(7, np.int64(3)).generate_state(4)
+    assert (py == npy).all()
+    pyf = segmented._group_seed(7, 1.5).generate_state(4)
+    npf = segmented._group_seed(7, np.float64(1.5)).generate_state(4)
+    assert (pyf == npf).all()
+    # distinct keys still decorrelate
+    assert not (py == segmented._group_seed(7, 4).generate_state(4)).all()
