@@ -227,6 +227,21 @@ def _iforest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG_PARAMS = dict(
     num_trees=20, max_samples=32, max_depth=8, contamination=0.05, seed=31
 )
+# Driver-collect discipline (round 8, matches the flagship twin's 10k-row
+# slice cap at __spark_entry__._exact_rescore_ok): every segmented gate
+# bounds its embeddings slice so the recompute collect stays O(cap) at ANY
+# sf. vec_id is dense from 0, so the filter is deterministic and
+# SQL-derivable for the oracle's n_scored.
+_SEG_GATE_CAP = 10_000
+
+
+def _seg_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < _SEG_GATE_CAP)
+    return emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(8)).cast("int").alias("seg"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
 
 
 def _segmented_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,12 +273,7 @@ def _segmented_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_iforest_spark import scorer, segmented
     from spark_iforest_spark.nodes import pack_forest
 
-    emb = _read(spark, sf_dir, "embeddings")
-    src = emb.select(
-        "vec_id",
-        F.pmod(F.col("vec_id"), F.lit(8)).cast("int").alias("seg"),
-        F.col("embedding").cast("array<double>").alias("features"),
-    )
+    src = _seg_src(spark, sf_dir)
     scored = {
         r["vec_id"]: r
         for r in segmented.fit_score_groups(
@@ -315,6 +325,206 @@ def _segmented_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(contamination_ok),
         bool(summary_consistent),
         bool(exact),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_scored long, scores_in_unit boolean, threshold_in_unit boolean, "
+        "contamination_ok boolean, summary_consistent boolean, "
+        "scores_exact_match boolean",
+    )
+
+
+def _seg_transform_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally checked twin for the segmented MODEL-SCORING paths on
+    NEW rows (round 8) — the daily-use lifecycle: ``fit_groups`` on the
+    ``vec_id % 16 < 8`` half of the (capped) embeddings — a split chosen
+    so every ``seg = vec_id % 8`` segment appears on BOTH sides — then
+    score the HELD-OUT other half through BOTH ``SegmentedIForestModel.transform``
+    (cogroup) and ``transform_broadcast`` (driver-packed zero-shuffle
+    map), and pin everything bit-exact against a driver recompute through
+    the shared ``_segment_forest`` kernel. Same 6-column schema as the
+    family's other rows; per-variant column meanings:
+
+    * n_scored — held-out rows scored (SQL: vec_id % 16 >= 8 count under cap)
+    * scores_in_unit — every transform score in (0, 1)
+    * threshold_in_unit — every STORED per-segment threshold in (0, 1)
+      AND bit-equal to the driver refit's order-statistic threshold
+    * contamination_ok — cogroup and broadcast paths bit-identical
+      (scores and predictions) on every held-out row
+    * summary_consistent — Spark predictions == (score > stored
+      threshold) recomputed driver-side for every row
+    * scores_exact_match — np.array_equal of all transform scores vs the
+      driver recompute (fit on train half, score held-out half)
+    """
+    import numpy as np
+
+    from spark_iforest_spark import scorer, segmented
+    from spark_iforest_spark.nodes import pack_forest
+
+    src = _seg_src(spark, sf_dir)
+    train = src.where(F.col("vec_id") % 16 < 8)
+    held = src.where(F.col("vec_id") % 16 >= 8)
+    model = segmented.fit_groups(train, "seg", **_SEG_PARAMS)
+    got_cg = {
+        r["vec_id"]: r for r in model.transform(held, id_col="vec_id").collect()
+    }
+    got_bc = {
+        r["vec_id"]: r
+        for r in model.transform_broadcast(held, id_col="vec_id").collect()
+    }
+    stored_thr = {
+        r["seg"]: (float(r["psi"]), float(r["threshold"]))
+        for r in model.segments().collect()
+    }
+    by_seg_train: dict[int, list] = {}
+    by_seg_held: dict[int, list] = {}
+    for r in train.collect():
+        by_seg_train.setdefault(r["seg"], []).append(r)
+    for r in held.collect():
+        by_seg_held.setdefault(r["seg"], []).append(r)
+
+    n_scored = len(got_cg)
+    scores_in_unit = all(
+        0.0 < r["anomalyScore"] < 1.0 for r in got_cg.values()
+    )
+    cg_eq_bc = set(got_cg) == set(got_bc) and all(
+        got_cg[k]["anomalyScore"] == got_bc[k]["anomalyScore"]
+        and got_cg[k]["prediction"] == got_bc[k]["prediction"]
+        for k in got_cg
+    )
+    thr_ok = True
+    summary_consistent = True
+    exact = n_scored == sum(len(v) for v in by_seg_held.values())
+    for seg, rows in by_seg_held.items():
+        xt = np.asarray(
+            [r["features"] for r in by_seg_train[seg]], dtype=np.float64
+        )
+        trees, psi = segmented._segment_forest(
+            xt,
+            seg,
+            _SEG_PARAMS["num_trees"],
+            _SEG_PARAMS["max_samples"],
+            _SEG_PARAMS["max_depth"],
+            1.0,
+            _SEG_PARAMS["seed"],
+        )
+        forest = pack_forest(trees)
+        train_scores = scorer.anomaly_scores(forest, xt, float(psi))
+        thr = segmented._order_stat_threshold(
+            train_scores, _SEG_PARAMS["contamination"]
+        )
+        s_psi, s_thr = stored_thr[seg]
+        thr_ok = thr_ok and 0.0 < s_thr < 1.0 and s_thr == thr and s_psi == psi
+        xh = np.asarray([r["features"] for r in rows], dtype=np.float64)
+        ref_scores = scorer.anomaly_scores(forest, xh, float(psi))
+        got_scores = np.asarray(
+            [got_cg[r["vec_id"]]["anomalyScore"] for r in rows], dtype=np.float64
+        )
+        got_pred = np.asarray(
+            [got_cg[r["vec_id"]]["prediction"] for r in rows], dtype=np.int64
+        )
+        exact = exact and bool(np.array_equal(got_scores, ref_scores))
+        summary_consistent = summary_consistent and bool(
+            np.array_equal(got_pred, (ref_scores > thr).astype(np.int64))
+        )
+    row = (
+        n_scored,
+        bool(scores_in_unit),
+        bool(thr_ok),
+        bool(cg_eq_bc),
+        bool(summary_consistent),
+        bool(exact),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_scored long, scores_in_unit boolean, threshold_in_unit boolean, "
+        "contamination_ok boolean, summary_consistent boolean, "
+        "scores_exact_match boolean",
+    )
+
+
+def _seg_lifecycle_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally pinned MAINTENANCE contracts of the segmented model
+    (round 8): update_groups splice == full refit, recalibrate_groups
+    reproduces fitted thresholds (and touches ONLY the threshold column),
+    save/load round-trips the node relation bit-exactly, and transform on
+    the training slice equals fit_score_groups in place. Same 6-column
+    schema; per-variant column meanings:
+
+    * n_scored — training-slice rows (SQL: vec_id % 16 < 8 count under cap)
+    * scores_in_unit — update_groups over a changed-segments snapshot ==
+      full fit_groups refit, node relation bit-equal (splice_equals_refit)
+    * threshold_in_unit — recalibrating on the training slice at the
+      fitted contamination reproduces the model bit-exactly
+      (recalibrate_reproduces_fit)
+    * contamination_ok — a looser recalibration changes ONLY the
+      threshold column (trees/psi/n_rows untouched)
+    * summary_consistent — save -> load round-trip: params equal and node
+      relation bit-equal
+    * scores_exact_match — model.transform on the training slice ==
+      fit_score_groups in place, scores and predictions bit-equal
+    """
+    import shutil
+    import tempfile
+
+    from spark_iforest_spark import segmented
+
+    src = _seg_src(spark, sf_dir)
+    train = src.where(F.col("vec_id") % 16 < 8)
+    model = segmented.fit_groups(train, "seg", **_SEG_PARAMS)
+    nodes_sorted = lambda m: sorted(map(tuple, m.nodes.collect()))
+    base_nodes = nodes_sorted(model)
+
+    # splice == refit: snapshot2 swaps segments {0, 3} to the FULL capped
+    # slice (both parities) while every other segment's data is unchanged
+    changed = [0, 3]
+    df2 = train.where(~F.col("seg").isin(changed)).unionByName(
+        src.where(F.col("seg").isin(changed))
+    )
+    spliced = segmented.update_groups(model, df2, changed)
+    refit = segmented.fit_groups(df2, "seg", **_SEG_PARAMS)
+    splice_ok = nodes_sorted(spliced) == nodes_sorted(refit)
+
+    recal = segmented.recalibrate_groups(
+        model, train, _SEG_PARAMS["contamination"]
+    )
+    recal_ok = nodes_sorted(recal) == base_nodes
+    looser = segmented.recalibrate_groups(model, train, 0.25)
+    drop_thr = lambda m: sorted(map(tuple, m.nodes.drop("threshold").collect()))
+    only_thr_ok = drop_thr(looser) == drop_thr(model)
+
+    d = tempfile.mkdtemp(prefix="seg_gate_")
+    try:
+        path = f"file://{d}/m"
+        model.save(path)
+        loaded = segmented.SegmentedIForestModel.load(spark, path)
+        roundtrip_ok = (
+            loaded.params == model.params and nodes_sorted(loaded) == base_nodes
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    in_place = {
+        r["vec_id"]: r
+        for r in segmented.fit_score_groups(
+            train, "seg", id_col="vec_id", **_SEG_PARAMS
+        ).collect()
+    }
+    via_model = {
+        r["vec_id"]: r for r in model.transform(train, id_col="vec_id").collect()
+    }
+    inplace_ok = set(in_place) == set(via_model) and all(
+        in_place[k]["anomalyScore"] == via_model[k]["anomalyScore"]
+        and in_place[k]["prediction"] == via_model[k]["prediction"]
+        for k in in_place
+    )
+    row = (
+        len(in_place),
+        bool(splice_ok),
+        bool(recal_ok),
+        bool(only_thr_ok),
+        bool(roundtrip_ok),
+        bool(inplace_ok),
     )
     return spark.createDataFrame(
         [row],
@@ -767,10 +977,18 @@ def queries() -> _T:
         # round 7: the global flagship row and the segmented per-group row
         # share one variant union — both are invariant+bit-exact-recompute
         # twins with the same schema, so the whole forest family is
-        # value-anchored in a single gate slot
+        # value-anchored in a single gate slot. Round 8 adds the two
+        # previously pytest-only lifecycle paths: seg_transform pins
+        # Model.transform/transform_broadcast on HELD-OUT rows (fit the
+        # even-vec_id half, score the odd half, bit-exact vs the driver
+        # recompute), seg_lifecycle pins update_groups splice==refit,
+        # recalibrate==fit, threshold-only recalibration, save/load, and
+        # transform==fit_score_groups on the training slice.
         "iforest_checks": lambda s, d: _tagged_union(
             ("global", _iforest_checks(s, d)),
             ("segmented", _segmented_checks(s, d)),
+            ("seg_transform", _seg_transform_checks(s, d)),
+            ("seg_lifecycle", _seg_lifecycle_checks(s, d)),
         ),
         # relational / threshold parity surface (O17/O18/O19 on SQL-checkable path)
         "pricing_summary": lambda s, d: relational.pricing_summary(_read(s, d, "lineitem")),
@@ -2608,12 +2826,27 @@ def oracle_sql() -> dict[str, str]:
             )
         },
         # ------------- variant-tagged unions of same-schema twins --------
-        # both forest rows: n_scored is SQL-derivable, the five booleans
-        # are pinned TRUE — a scorer/threshold/segment-routing regression
-        # flips one and hash-mismatches
+        # all forest rows: n_scored is SQL-derivable (per-variant slice
+        # counts under the _SEG_GATE_CAP collect bound), the five booleans
+        # are pinned TRUE — a scorer/threshold/segment-routing/lifecycle
+        # regression flips one and hash-mismatches
         "iforest_checks": _variants_sql(
             ("global", base["iforest_checks"]),
-            ("segmented", base["iforest_checks"]),
+            (
+                "segmented",
+                base["iforest_checks"]
+                + f" WHERE vec_id < {_SEG_GATE_CAP}",
+            ),
+            (
+                "seg_transform",
+                base["iforest_checks"]
+                + f" WHERE vec_id < {_SEG_GATE_CAP} AND vec_id % 16 >= 8",
+            ),
+            (
+                "seg_lifecycle",
+                base["iforest_checks"]
+                + f" WHERE vec_id < {_SEG_GATE_CAP} AND vec_id % 16 < 8",
+            ),
         ),
         "table_profile": _variants_sql(
             ("profile", base["table_profile"]),
