@@ -636,6 +636,9 @@ def _text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layout invariance and held-out AUC.
 _PA_TOP_WORDS = 30
 _PA_LEN_CUTS = [150.0, 250.0, 350.0, 450.0, 550.0, 650.0]
+# second monitored signal for the multi-column PSI gate: non-empty
+# whitespace-token count per doc (corpus range ~10-99, median ~56)
+_PA_TOK_CUTS = [25.0, 45.0, 65.0, 85.0]
 _PA_BPE_MERGES = 200
 _PA_REFIT_WORDS = 2000
 
@@ -871,6 +874,43 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kv")
     ).select("kv.key", "kv.value")
 
+    # round 8: MULTI-column per-group PSI (psi_by_group_multi) — two
+    # monitored signals (char length + non-empty whitespace-token count)
+    # per language out of ONE aggregate per side, unpivoted to the
+    # panel's (key, value) shape as lang:column:{psi,n_ref,n_batch}; the
+    # DuckDB twin recomputes both columns' bucket folds end-to-end
+    def ml(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), "[ \t\n\x0B\f\r]+")
+        return df.where(F.col("text").isNotNull()).select(
+            "lang",
+            F.length("text").cast("double").alias("len_chars"),
+            F.size(F.filter(toks, lambda t: t != F.lit("")))
+            .cast("double")
+            .alias("n_tokens"),
+        )
+
+    multi = drift.psi_by_group_multi(
+        ml(ref), ml(bat), "lang",
+        {"len_chars": _PA_LEN_CUTS, "n_tokens": _PA_TOK_CUTS},
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat_ws(":", "lang", "column", F.lit("psi")).alias("key"),
+                    F.col("psi").alias("value"),
+                ),
+                F.struct(
+                    F.concat_ws(":", "lang", "column", F.lit("n_ref")).alias("key"),
+                    F.col("n_ref").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.concat_ws(":", "lang", "column", F.lit("n_batch")).alias("key"),
+                    F.col("n_batch").cast("double").alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.key", "kv.value")
+
     from spark_iforest_spark.operators import tokenizer as _tok
 
     model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
@@ -892,6 +932,7 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cat_psi_lang", mk(cat_rows)),
         ("num_psi_len", mk(num_rows)),
         ("psi_len_by_lang", by_lang),
+        ("psi_multi_by_lang", multi),
         ("check", mk(check_rows)),
     )
 
@@ -1810,6 +1851,50 @@ def _pipeline_artifacts_sql() -> str:
         SELECT p.lang || ':n_batch', CAST(q.N AS DOUBLE)
         FROM agg p JOIN agg q ON p.lang = q.lang AND NOT p.isb AND q.isb
     """
+    # multi-column per-group PSI twin (round 8): BOTH monitored columns'
+    # bucket folds recomputed from one grouped aggregate, same
+    # left-to-right k-term order as the Spark codegen expression chain
+    def col_sql(pre: str, cuts: list[float], expr: str) -> tuple[str, str, str]:
+        kk = len(cuts) + 1
+        b = " + ".join(f"(CASE WHEN {expr} >= {c} THEN 1 ELSE 0 END)" for c in cuts)
+        cs = ", ".join(
+            f"sum(CASE WHEN {b} = {i} THEN 1 ELSE 0 END) AS {pre}{i}"
+            for i in range(kk)
+        )
+        tm = " + ".join(
+            f"((p.{pre}{i} + 0.5) / (p.N + {0.5 * kk})"
+            f" - (q.{pre}{i} + 0.5) / (q.N + {0.5 * kk}))"
+            f" * ln(((p.{pre}{i} + 0.5) / (p.N + {0.5 * kk}))"
+            f" / ((q.{pre}{i} + 0.5) / (q.N + {0.5 * kk})))"
+            for i in range(kk)
+        )
+        return b, cs, tm
+
+    len_expr = "CAST(length(text) AS DOUBLE)"
+    tok_expr = (
+        "CAST(len(list_filter(regexp_split_to_array(text,"
+        " '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS DOUBLE)"
+    )
+    _, cs_len, tm_len = col_sql("cl", _PA_LEN_CUTS, len_expr)
+    _, cs_tok, tm_tok = col_sql("ct", _PA_TOK_CUTS, tok_expr)
+    multi_joined = """
+        FROM magg p JOIN magg q ON p.lang = q.lang AND NOT p.isb AND q.isb
+    """
+    multi = f"""
+        WITH magg AS (
+          SELECT lang, (doc_id % 4 = 0) AS isb, count(*) AS N,
+                 {cs_len}, {cs_tok}
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+          GROUP BY lang, (doc_id % 4 = 0))
+        SELECT p.lang || ':len_chars:psi' AS key, round({tm_len}, 6) AS value
+        {multi_joined}
+        UNION ALL SELECT p.lang || ':len_chars:n_ref', CAST(p.N AS DOUBLE) {multi_joined}
+        UNION ALL SELECT p.lang || ':len_chars:n_batch', CAST(q.N AS DOUBLE) {multi_joined}
+        UNION ALL SELECT p.lang || ':n_tokens:psi', round({tm_tok}, 6) {multi_joined}
+        UNION ALL SELECT p.lang || ':n_tokens:n_ref', CAST(p.N AS DOUBLE) {multi_joined}
+        UNION ALL SELECT p.lang || ':n_tokens:n_batch', CAST(q.N AS DOUBLE) {multi_joined}
+    """
     checks = """
         SELECT 'bpe_refit_match' AS key, 1.0 AS value
         UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
@@ -1823,6 +1908,7 @@ def _pipeline_artifacts_sql() -> str:
         ("cat_psi_lang", cat),
         ("num_psi_len", num),
         ("psi_len_by_lang", by_lang),
+        ("psi_multi_by_lang", multi),
         ("check", checks),
     )
 
