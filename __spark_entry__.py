@@ -1152,6 +1152,21 @@ def queries() -> _T:
                     ),
                 ),
             ),
+            # round 8: the MULTI-PROBE index (4.3x fewer tables at the
+            # same miss bound — the 100 TB persisted artifact) anchored
+            # where it ships: same batch, same cosine oracle, index built
+            # and probed with multi_probe=1
+            (
+                "incr_mp",
+                dedup.embedding_lsh_pairs_incremental(
+                    _read(s, d, "embeddings").where(F.col("vec_id") % 4 == 0),
+                    dedup.embedding_index(
+                        _read(s, d, "embeddings").where(F.col("vec_id") % 4 != 0),
+                        multi_probe=1,
+                    ),
+                    multi_probe=1,
+                ),
+            ),
         ),
         # similarity search
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
@@ -1306,6 +1321,16 @@ def queries() -> _T:
                 "keep_best",
                 dedup.resolve_clusters(_read(s, d, "documents")).select(
                     F.col("keep_doc_id").alias("doc_id"), "cluster_rep"
+                ),
+            ),
+            # round 8: the one-call drop_near_duplicates sweep (corpus
+            # minus non-keeper cluster members), harmonized to the
+            # family's (doc_id, cluster_rep) shape with a NULL rep —
+            # the oracle recomputes CC + quality argmax + the anti-join
+            (
+                "survivors",
+                dedup.drop_near_duplicates(_read(s, d, "documents")).select(
+                    "doc_id", F.lit(None).cast("long").alias("cluster_rep")
                 ),
             ),
         ),
@@ -2880,6 +2905,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'positive_price', n_rows, v3, v3 = 0 FROM a
         """,
     }
+    # per-cluster best-quality member (ties -> min id) — shared by the
+    # keep_best and survivors variants of dedup_clusters
+    keep_best_sql = f"""
+        SELECT q.doc_id, cc.cluster_rep
+        FROM ({base["dedup_clusters"]}) cc
+        JOIN ({base["text_quality"]}) q ON cc.doc_id = q.doc_id
+        QUALIFY row_number() OVER (
+          PARTITION BY cc.cluster_rep
+          ORDER BY q.quality DESC, q.doc_id ASC
+        ) = 1
+    """
     return {
         # ------------- pass-through oracles (gate == constituent) --------
         **{
@@ -3003,6 +3039,11 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT * FROM ({base['embedding_neardup']}) "
                 "WHERE id_a % 4 = 0 OR id_b % 4 = 0",
             ),
+            (
+                "incr_mp",
+                f"SELECT * FROM ({base['embedding_neardup']}) "
+                "WHERE id_a % 4 = 0 OR id_b % 4 = 0",
+            ),
         ),
         "ann_recall": _variants_sql(
             ("ivf", base["ann_recall"]),
@@ -3018,16 +3059,19 @@ def oracle_sql() -> dict[str, str]:
             ("incr", base["dedup_clusters"]),
             # cluster resolution: per cluster, the max-quality member
             # (quality composite recomputed, ties -> min id)
+            ("keep_best", keep_best_sql),
+            # round 8: the one-call drop_near_duplicates sweep — survivors
+            # are the whole corpus minus every cluster member except its
+            # keeper (recomputed: CC + quality argmax end-to-end)
             (
-                "keep_best",
+                "survivors",
                 f"""
-                SELECT q.doc_id, cc.cluster_rep
-                FROM ({base["dedup_clusters"]}) cc
-                JOIN ({base["text_quality"]}) q ON cc.doc_id = q.doc_id
-                QUALIFY row_number() OVER (
-                  PARTITION BY cc.cluster_rep
-                  ORDER BY q.quality DESC, q.doc_id ASC
-                ) = 1
+                SELECT d.doc_id,
+                       CAST(NULL AS BIGINT) AS cluster_rep
+                FROM documents d
+                LEFT JOIN ({base["dedup_clusters"]}) cc ON d.doc_id = cc.doc_id
+                WHERE cc.doc_id IS NULL
+                   OR d.doc_id IN (SELECT doc_id FROM ({keep_best_sql}))
                 """,
             ),
         ),
