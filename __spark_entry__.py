@@ -534,6 +534,13 @@ def _seg_lifecycle_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _union_all(*dfs: DataFrame) -> DataFrame:
+    out = None
+    for d in dfs:
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def _tagged_union(*tagged: tuple[str, DataFrame]) -> DataFrame:
     """Union same-schema relations under a leading ``variant`` tag column —
     the gate-merging device that folds a family of twin queries (exact vs
@@ -1482,6 +1489,29 @@ def queries() -> _T:
                 "mixture",
                 pipeline.mixture_sample(_read(s, d, "documents"), _MIX_BUDGETS),
             ),
+            # round 8: budgets DERIVED from temperature-scaled corpus
+            # shares instead of dictated — the oracle recomputes the whole
+            # weight -> budget -> greedy-prefix chain end-to-end
+            (
+                "temp_mixture",
+                pipeline.temperature_mixture(
+                    _read(s, d, "documents"), _TEMP_BUDGET, _TEMP_T
+                ),
+            ),
+            # the derived per-stratum weights/budgets themselves, harmonized
+            # to the sample schema: doc_id carries stratum_tokens, n_tokens
+            # carries weight_ppb, cum_tokens carries budget_tokens
+            (
+                "temp_budget",
+                pipeline.temperature_weights(
+                    _read(s, d, "documents"), _TEMP_BUDGET, _TEMP_T
+                ).select(
+                    F.col("stratum_tokens").cast("long").alias("doc_id"),
+                    F.col("lang"),
+                    F.col("weight_ppb").cast("int").alias("n_tokens"),
+                    F.col("budget_tokens").alias("cum_tokens"),
+                ),
+            ),
         ),
         # temporal joins: as-of (union-window, one shuffle — no range
         # explosion) and a bucketized range self-join (equi-join on
@@ -1521,6 +1551,32 @@ def queries() -> _T:
                 relational.table_profile(
                     _read(s, d, "lineitem"),
                     ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                ),
+            ),
+            # round 8: the mergeable shard path — profile three disjoint
+            # hash-shards separately, fold with merge_profiles; the result
+            # must equal the one-shot whole-table profile, so the oracle is
+            # the SAME SQL as the 'profile' variant (exact integer-unit
+            # sums and monotone-rounded minima make the fold lossless)
+            (
+                "incr",
+                relational.merge_profiles(
+                    _union_all(
+                        *[
+                            relational.profile_partial(
+                                _read(s, d, "lineitem").where(
+                                    F.pmod(F.col("l_orderkey"), F.lit(3)) == k
+                                ),
+                                [
+                                    "l_quantity",
+                                    "l_extendedprice",
+                                    "l_discount",
+                                    "l_tax",
+                                ],
+                            )
+                            for k in range(3)
+                        ]
+                    )
                 ),
             ),
             (
@@ -1678,6 +1734,9 @@ _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
 # same integer edges from these dicts)
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
 _MIX_BUDGETS = {"en": 5000, "es": 2000, "zh": 1000}
+# temperature-mixture gate: total token budget + temperature (round 8)
+_TEMP_BUDGET = 8000
+_TEMP_T = 0.7
 # bm25 gate queries — terms present in the synthetic vocabulary; TWO
 # queries so the gate exercises the batch path's per-query isolation
 # (per-query df, broadcast query table, WindowGroupLimit rank)
@@ -1729,6 +1788,31 @@ def _mix_budget_case_sql() -> str:
         f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(_MIX_BUDGETS.items())
     )
     return f"CASE lang {branches} ELSE 0 END"
+
+
+# shared by the temperature_budgets and temperature_mixture oracle twins
+# (a dict literal cannot reference its own entries)
+_TEMP_BUDGETS_SQL = f"""
+    WITH tot AS (
+      SELECT lang,
+             sum(len(regexp_split_to_array(text, '\\s+'))) AS stratum_tokens
+      FROM documents GROUP BY lang
+    ),
+    n AS (SELECT sum(stratum_tokens) AS n_total FROM tot),
+    p AS (
+      SELECT lang, stratum_tokens,
+             CAST(floor(pow(CAST(stratum_tokens AS DOUBLE)
+                            / CAST(n_total AS DOUBLE), {_TEMP_T})
+                        * 1000000000.0 + 0.5) AS BIGINT) AS weight_ppb
+      FROM tot, n
+    ),
+    z AS (SELECT sum(weight_ppb) AS zs FROM p)
+    SELECT lang, stratum_tokens, weight_ppb,
+           CAST(floor({float(_TEMP_BUDGET)} * (CAST(weight_ppb AS DOUBLE)
+                                               / CAST(zs AS DOUBLE)))
+                AS BIGINT) AS budget_tokens
+    FROM p, z
+"""
 
 
 def _pii_oracle_sql() -> str:
@@ -2373,6 +2457,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_bigram_frac
             FROM c
         """,
+        # Gopher rule battery (round 8): the two new signals + the rule
+        # bitmask recomputed end-to-end; the other five signals are the
+        # already-oracled panel columns, so the mask arithmetic is checked
+        # against DuckDB's own recomputation of every input
+        "gopher": f"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(text, '\\s+') AS t,
+                     regexp_split_to_array(lower(text), '\\s+') AS tl
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
+                       AS avg_token_len,
+                     round((length(text)
+                            - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                           / length(text), 6) AS symbol_ratio,
+                     round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                           / len(t), 6) AS alpha_word_frac,
+                     len(list_filter(tl, x -> list_contains({_STOPWORDS_SQL}, x)))
+                       AS stopword_hits,
+                     round(1.0 - len(list_distinct(t)) / len(t), 6) AS dup_token_frac,
+                     round(list_max(list_transform(list_distinct(t),
+                                                   x -> len(list_filter(t, y -> y = x))))
+                           / len(t), 6) AS top_token_share
+              FROM tok
+            )
+            SELECT doc_id, symbol_ratio, alpha_word_frac, stopword_hits,
+                   (CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END
+                    + CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 2 ELSE 0 END
+                    + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
+                    + CASE WHEN alpha_word_frac < 0.8 THEN 8 ELSE 0 END
+                    + CASE WHEN stopword_hits < 2 THEN 16 ELSE 0 END
+                    + CASE WHEN dup_token_frac > 0.3 THEN 32 ELSE 0 END
+                    + CASE WHEN top_token_share > 0.2 THEN 64 ELSE 0 END)
+                     AS gopher_fail_mask
+            FROM c
+        """,
         # string-equality n-gram containment (the Spark side compares
         # xxhash64(shingle) — identical semantics absent 64-bit collisions,
         # and a collision only ever drops an extra doc: the conservative
@@ -2543,6 +2667,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c
             WHERE cum_tokens - n_tokens < {_mix_budget_case_sql()}
+        """,
+        # temperature-scaled mixture (round 8): DuckDB recomputes the whole
+        # weight chain — exact integer token totals, pow snapped to integer
+        # ppb (the one libm call; floor(x*1e9+0.5) makes a 1-ulp engine
+        # difference harmless), renormalization over exact integers, budget
+        # as two correctly-rounded IEEE ops — then the same greedy prefix
+        # as mixture_sample against the derived budgets
+        "temperature_budgets": _TEMP_BUDGETS_SQL,
+        "temperature_mixture": f"""
+            WITH b AS (
+              SELECT lang, budget_tokens FROM ({_TEMP_BUDGETS_SQL}) tb
+            ),
+            t AS (
+              SELECT doc_id, lang,
+                     {_md5_u32_sql('doc_id', 'mix')} AS u,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT c.doc_id, c.lang, c.n_tokens,
+                   CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+            FROM c JOIN b ON c.lang = b.lang
+            WHERE c.cum_tokens - c.n_tokens < b.budget_tokens
         """,
         "pack_sequences": f"""
             WITH t AS (
@@ -2972,6 +3123,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "table_profile": _variants_sql(
             ("profile", base["table_profile"]),
+            # merge(shard partials) must equal the one-shot profile, so the
+            # incr variant's oracle IS the one-shot SQL (round 8)
+            ("incr", base["table_profile"]),
             ("skew", base["skew_report"]),
         ),
         "dedup_simhash": _variants_sql(
@@ -3139,13 +3293,17 @@ def oracle_sql() -> dict[str, str]:
                    rep.n_tokens AS rep_n_tokens, rep.dup_token_frac,
                    rep.top_token_share, rep.dup_bigram_frac,
                    tt.n_tokens AS lm_n_tokens, tt.sum_ppb AS lm_sum_ppb,
-                   tt.typicality_ppb
+                   tt.typicality_ppb,
+                   go.symbol_ratio, go.alpha_word_frac, go.stopword_hits,
+                   go.gopher_fail_mask,
+                   go.gopher_fail_mask = 0 AS gopher_keep
             FROM ({base["text_token_stats"]}) ts
             JOIN ({base["text_lang_id"]}) li ON ts.doc_id = li.doc_id
             JOIN ({base["text_quality"]}) q ON ts.doc_id = q.doc_id
             JOIN ({base["doc_fingerprint"]}) fp ON ts.doc_id = fp.doc_id
             JOIN ({base["repetition_stats"]}) rep ON ts.doc_id = rep.doc_id
             JOIN ({base["token_typicality"]}) tt ON ts.doc_id = tt.doc_id
+            JOIN ({base["gopher"]}) go ON ts.doc_id = go.doc_id
         """,
         "corpus_samples": f"""
             SELECT 'stratified' AS variant, doc_id, lang,
@@ -3155,6 +3313,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'mixture', doc_id, lang, CAST(n_tokens AS INT), cum_tokens
             FROM ({base["mixture_sample"]})
+            UNION ALL
+            SELECT 'temp_mixture', doc_id, lang, CAST(n_tokens AS INT), cum_tokens
+            FROM ({base["temperature_mixture"]})
+            UNION ALL
+            SELECT 'temp_budget', CAST(stratum_tokens AS BIGINT),
+                   lang, CAST(weight_ppb AS INT), budget_tokens
+            FROM ({base["temperature_budgets"]})
         """,
         "normalize_chunks": f"""
             SELECT 'normalize' AS variant, doc_id, CAST(0 AS INT) AS seq,

@@ -202,14 +202,26 @@ def mixture_sample(
     budget = F.lit(0)
     for stratum, b in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == stratum, F.lit(int(b))).otherwise(budget)
-    width = -(-(2**32) // max(1, n_buckets))  # ceil; floor(u/width) ∈ [0, n_buckets)
     base = df.select(
         F.col(id_col),
         F.col(strata_col),
         u.alias("u"),
         n_tok.alias("n_tokens"),
         budget.alias("_budget"),
-    ).withColumn("_b", F.floor(F.col("u") / F.lit(width)))
+    )
+    return _budgeted_prefix(base, strata_col, id_col, n_buckets)
+
+
+def _budgeted_prefix(
+    base: DataFrame, strata_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Shared greedy-prefix core of ``mixture_sample`` /
+    ``temperature_mixture``: ``base`` carries (id, stratum, u, n_tokens,
+    _budget); keep every row whose stratum-ordered token cumsum STARTS
+    below its budget. Bucketed two-pass cumsum per the mixture_sample
+    docstring — parallelism #strata × n_buckets, exact integer sums."""
+    width = -(-(2**32) // max(1, n_buckets))  # ceil; floor(u/width) ∈ [0, n_buckets)
+    base = base.withColumn("_b", F.floor(F.col("u") / F.lit(width)))
     bucket_tot = base.groupBy(strata_col, "_b").agg(F.sum("n_tokens").alias("_bt"))
     w_off = (
         Window.partitionBy(strata_col)
@@ -230,6 +242,94 @@ def mixture_sample(
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    total_budget: int,
+    temperature: float,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    recipe of mT5/LLaMA-class data pipelines): per stratum with token
+    total n_i out of corpus total N, sampling weight
+    p_i ∝ (n_i / N)^temperature, renormalized, and a per-stratum token
+    budget floor(total_budget · p_i). temperature < 1 upweights
+    low-resource strata toward uniform; temperature = 1 is proportional.
+
+    Returns one row per stratum: (stratum, stratum_tokens, weight_ppb,
+    budget_tokens). Engine-portable by construction, so the driver's
+    DuckDB oracle recomputes it end-to-end: n_i and N are exact integer
+    sums; n_i/N and the final floor(total · p/z) are single
+    correctly-rounded IEEE ops (bit-identical on identical inputs); the
+    one libm call, pow, is snapped to integer parts-per-billion
+    (weight_ppb = floor(pow(n_i/N, t)·1e9 + 0.5) — a 1-ulp engine
+    difference only matters within ~1e-7 of a snap boundary) and the
+    renormalizing sum runs over those exact integers. One aggregate over
+    one scan + one tiny (#strata-row) self-broadcast: 100 TB cost is the
+    token count, which callers typically already have.
+    """
+    tot = df.groupBy(strata_col).agg(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("stratum_tokens")
+    )
+    n_total = tot.agg(F.sum("stratum_tokens").alias("_n"))
+    ppb = tot.crossJoin(F.broadcast(n_total)).select(
+        strata_col,
+        "stratum_tokens",
+        F.floor(
+            F.pow(
+                F.col("stratum_tokens").cast("double") / F.col("_n").cast("double"),
+                F.lit(float(temperature)),
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("weight_ppb"),
+    )
+    z = ppb.agg(F.sum("weight_ppb").alias("_z"))
+    return ppb.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        "stratum_tokens",
+        "weight_ppb",
+        F.floor(
+            F.lit(float(int(total_budget)))
+            * (F.col("weight_ppb").cast("double") / F.col("_z").cast("double"))
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    total_budget: int,
+    temperature: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``mixture_sample`` with budgets DERIVED instead of dictated:
+    splits ``total_budget`` tokens across strata by temperature-scaled
+    corpus shares (:func:`temperature_weights`), then takes each
+    stratum's deterministic greedy prefix. The one-call "give me a 10B-
+    token mix at T=0.7" constructor; same output schema and determinism
+    contract as mixture_sample (md5 order, exact integer cumsums)."""
+    budgets = temperature_weights(
+        df, total_budget, temperature, strata_col=strata_col, text_col=text_col
+    ).select(strata_col, F.col("budget_tokens").alias("_budget"))
+    u = _md5_u32(F.col(id_col), salt)
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        u.alias("u"),
+        n_tok.alias("n_tokens"),
+    ).join(F.broadcast(budgets), strata_col)
+    return _budgeted_prefix(base, strata_col, id_col, n_buckets)
 
 
 def split_leakage(
@@ -285,6 +385,125 @@ def redact_pii(
         )
         clean = F.regexp_replace(clean, pat, repl)
     return out.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+# Gopher-rule bit positions (Rae et al. 2021 §A1.1, adapted to this
+# engine's token conventions). Bit SET in gopher_fail_mask = rule FAILED.
+GOPHER_RULE_BITS = (
+    ("token_count", 1),      # n_tokens outside [min_tokens, max_tokens]
+    ("mean_token_len", 2),   # mean token length outside [3, 10]
+    ("symbol_ratio", 4),     # non-alnum-space char ratio > 0.1
+    ("alpha_word_frac", 8),  # words containing a letter < 0.8
+    ("stopword_hits", 16),   # EN stopword occurrences < 2
+    ("dup_token_frac", 32),  # 1 - distinct/total tokens > 0.3
+    ("top_token_share", 64), # modal token frequency share > 0.2
+)
+
+
+def gopher_rule_mask(
+    n_tokens,
+    mean_token_len,
+    symbol_ratio,
+    alpha_word_frac,
+    stopword_hits,
+    dup_token_frac,
+    top_token_share,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_token_frac: float = 0.3,
+    max_top_token_share: float = 0.2,
+):
+    """Pure column combinator: fold the seven Gopher signals into a rule
+    bitmask (GOPHER_RULE_BITS order; 0 = keep). Split out from
+    :func:`gopher_filter` so text.signals_panel can derive the mask from
+    its already-computed panel columns without recomputing any signal.
+    NULL signals (empty documents) fail no rule — NULL comparisons are
+    false in both engines, so the contract is engine-portable."""
+    fails = [
+        (1, (n_tokens < int(min_tokens)) | (n_tokens > int(max_tokens))),
+        (2, (mean_token_len < float(min_mean_token_len))
+            | (mean_token_len > float(max_mean_token_len))),
+        (4, symbol_ratio > float(max_symbol_ratio)),
+        (8, alpha_word_frac < float(min_alpha_word_frac)),
+        (16, stopword_hits < int(min_stopword_hits)),
+        (32, dup_token_frac > float(max_dup_token_frac)),
+        (64, top_token_share > float(max_top_token_share)),
+    ]
+    mask = F.lit(0)
+    for bit, cond in fails:
+        mask = mask + F.when(cond, F.lit(bit)).otherwise(F.lit(0))
+    return mask
+
+
+def gopher_cols(text_col: str = "text") -> list:
+    """The two Gopher signals not already on the shared panel factories:
+    fraction of tokens containing a letter, and the integer EN-stopword
+    occurrence count (quality_cols only exposes the ratio)."""
+    from spark_iforest_spark.functions import EN_STOPWORDS
+
+    toks = tokens(F.col(text_col))
+    low = tokens(F.lower(F.col(text_col)))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return [
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / F.size(toks), 6
+        ).alias("alpha_word_frac"),
+        F.size(F.filter(low, lambda t: F.array_contains(sw, t))).alias(
+            "stopword_hits"
+        ),
+    ]
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    **thresholds,
+) -> DataFrame:
+    """Gopher-style document quality battery (Rae et al. 2021): per doc,
+    the seven rule signals, a fail bitmask, and gopher_keep — the
+    standard pretraining-corpus first-pass filter. One single-scan
+    projection (all array/regexp expressions over the shared ``tokens``
+    split — no UDF, no shuffle; fuses into the parquet read at 100 TB);
+    ``keep_cols`` passes input columns through so the pass/fail gate
+    composes single-scan like clean_corpus. Signals are shared with the
+    panel factories (token_stat_cols, repetition_cols), so
+    text.signals_panel's gopher columns are equal by construction
+    (pytest-pinned); the whole battery is recomputed end-to-end by the
+    driver's DuckDB oracle in the text_signals gate."""
+    from spark_iforest_spark.operators.text import token_stat_cols
+
+    ts = token_stat_cols(text_col)  # n_chars, n_tokens, avg_token_len, n_subwords
+    rep = repetition_cols(text_col)  # n_tokens, dup_token_frac, top_token_share, ...
+    n_chars = F.length(text_col)
+    symbol_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
+        / n_chars,
+        6,
+    ).alias("symbol_ratio")
+    cols = [ts[1], ts[2], symbol_ratio, *gopher_cols(text_col), rep[1], rep[2]]
+    base = docs.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
+    mask = gopher_rule_mask(
+        F.col("n_tokens"),
+        F.col("avg_token_len"),
+        F.col("symbol_ratio"),
+        F.col("alpha_word_frac"),
+        F.col("stopword_hits"),
+        F.col("dup_token_frac"),
+        F.col("top_token_share"),
+        **thresholds,
+    )
+    return base.select(
+        "*",
+        mask.alias("gopher_fail_mask"),
+        (mask == 0).alias("gopher_keep"),
+    )
 
 
 def repetition_stats(

@@ -538,6 +538,64 @@ def table_profile(df: DataFrame, columns: list[str], scale: int = 4) -> DataFram
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def profile_partial(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
+    """Mergeable shard state for :func:`table_profile`: the same
+    single-scan aggregate, but emitting the raw fixed-point ``sum_units``
+    instead of the finalized mean — (column, n_rows, n_nulls, min_value,
+    max_value, sum_units), one row per column.
+
+    This is the 100 TB steady state for corpus monitoring: profile each
+    arriving shard (a day, a crawl, a partition) ONCE, persist the tiny
+    per-shard relation, and fold any subset with :func:`merge_profiles`
+    without ever rescanning old data. Every statistic is chosen to be
+    associatively mergeable with EXACT results: counts and integer-unit
+    sums add, and per-shard ``round(min, 6)`` commutes with the global
+    min (round is monotone), so merge(partials) == one-shot
+    table_profile bit-for-bit (pytest-pinned; the merged relation also
+    hash-matches table_profile's DuckDB oracle)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.sum(money_units(c, scale)).alias(f"{c}__units"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__units").alias("sum_units"),
+        )
+        for c in columns
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def merge_profiles(partials: DataFrame, scale: int = 4) -> DataFrame:
+    """Fold :func:`profile_partial` shard relations (union any number of
+    them first) into :func:`table_profile`'s exact output schema. Integer
+    sums make the fold order-independent; the mean is finalized here with
+    the same rounding as the one-shot path, so the result is bit-equal to
+    profiling the concatenated shards directly. An all-NULL column merges
+    to NULL min/max/mean exactly like the one-shot scan (sum skips NULL
+    shard states; 0-count division yields NULL)."""
+    return partials.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.round(
+            units_to_double(F.sum("sum_units"), scale) / F.sum("n_rows"), 6
+        ).alias("mean_value"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

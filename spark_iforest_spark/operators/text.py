@@ -174,9 +174,19 @@ def signals_panel(
     repetition_stats' n_tokens (raw split) and ``lm_n_tokens`` is
     typicality's (empty-filtered) — kept distinct on purpose.
     """
-    from spark_iforest_spark.operators.pipeline import repetition_cols
+    from spark_iforest_spark.operators.pipeline import (
+        gopher_cols,
+        gopher_rule_mask,
+        repetition_cols,
+    )
 
     rep = repetition_cols(text_col)
+    n_chars = F.length(text_col)
+    symbol_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
+        / n_chars,
+        6,
+    ).alias("symbol_ratio")
     per_row = docs.select(
         F.col(id_col),
         *token_stat_cols(text_col),
@@ -185,6 +195,23 @@ def signals_panel(
         *fingerprint_cols(text_col),
         rep[0].alias("rep_n_tokens"),
         *rep[1:],
+        # Gopher battery (round 8): the two new signals + the rule mask
+        # derived from THIS panel's columns via the shared combinator —
+        # equal to pipeline.gopher_filter by construction (pytest-pinned)
+        symbol_ratio,
+        *gopher_cols(text_col),
+    )
+    mask = gopher_rule_mask(
+        F.col("n_tokens"),
+        F.col("avg_token_len"),
+        F.col("symbol_ratio"),
+        F.col("alpha_word_frac"),
+        F.col("stopword_hits"),
+        F.col("dup_token_frac"),
+        F.col("top_token_share"),
+    )
+    per_row = per_row.select(
+        "*", mask.alias("gopher_fail_mask"), (mask == 0).alias("gopher_keep")
     )
     lm = (
         token_typicality(docs, id_col, text_col)

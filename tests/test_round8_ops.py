@@ -1,0 +1,160 @@
+"""Round-8 operators: temperature-weighted mixture construction,
+mergeable incremental table profiles, and the Gopher quality-rule
+battery."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.operators import pipeline, relational, text
+
+
+def _docs(spark, n=240):
+    rows = []
+    for i in range(n):
+        lang = ["en", "es", "zh"][i % 3]
+        # en docs are longer, so proportional sampling skews en-ward and
+        # temperature < 1 visibly rebalances
+        n_tok = (14 if lang == "en" else 5) + i % 7
+        rows.append((i, " ".join(["tok"] * n_tok), lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------- temperature mixture
+def test_temperature_weights_hand_computed(spark):
+    df = _docs(spark)
+    out = {r.lang: r for r in pipeline.temperature_weights(df, 1000, 0.7).collect()}
+    tot = {r.lang: r.stratum_tokens for r in
+           df.groupBy("lang").agg(F.sum(F.size(F.split("text", r"\s+"))).alias("t")).withColumnRenamed("t", "stratum_tokens").collect()}
+    n_total = sum(tot.values())
+    ppb = {l: math.floor((t / n_total) ** 0.7 * 1e9 + 0.5) for l, t in tot.items()}
+    z = sum(ppb.values())
+    for lang, r in out.items():
+        assert r.stratum_tokens == tot[lang]
+        assert r.weight_ppb == ppb[lang]
+        assert r.budget_tokens == math.floor(1000.0 * (ppb[lang] / z))
+    # budgets never exceed the total
+    assert sum(r.budget_tokens for r in out.values()) <= 1000
+
+
+def test_temperature_one_is_proportional_and_low_t_flattens(spark):
+    df = _docs(spark)
+    w1 = {r.lang: r.budget_tokens for r in
+          pipeline.temperature_weights(df, 10_000, 1.0).collect()}
+    w0 = {r.lang: r.budget_tokens for r in
+          pipeline.temperature_weights(df, 10_000, 0.01).collect()}
+    tok = {r.lang: r.stratum_tokens for r in
+           pipeline.temperature_weights(df, 1, 1.0).collect()}
+    n = sum(tok.values())
+    # T=1: budget share tracks the corpus share within rounding
+    for lang in w1:
+        assert abs(w1[lang] / 10_000 - tok[lang] / n) < 0.001
+    # T->0: shares approach uniform regardless of corpus share
+    for lang in w0:
+        assert abs(w0[lang] / 10_000 - 1 / 3) < 0.01
+    # low temperature strictly upweights the smallest stratum
+    small = min(tok, key=tok.get)
+    assert w0[small] > w1[small]
+
+
+def test_temperature_mixture_equals_mixture_with_derived_budgets(spark):
+    df = _docs(spark)
+    budgets = {
+        r.lang: r.budget_tokens
+        for r in pipeline.temperature_weights(df, 800, 0.7).collect()
+    }
+    via_dict = sorted(map(tuple, pipeline.mixture_sample(df, budgets).collect()))
+    direct = sorted(map(tuple, pipeline.temperature_mixture(df, 800, 0.7).collect()))
+    assert direct == via_dict and len(direct) > 0
+
+
+# --------------------------------------------- mergeable table profiles
+def test_merge_profiles_equals_one_shot(spark):
+    rows = [(i, float(i % 17) / 4, None if i % 5 == 0 else float(i) / 3)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, a double, b double")
+    one_shot = sorted(
+        map(tuple, relational.table_profile(df, ["a", "b"]).collect())
+    )
+    shards = [df.where(F.pmod(F.col("k"), F.lit(4)) == i) for i in range(4)]
+    partials = None
+    for s in shards:
+        p = relational.profile_partial(s, ["a", "b"])
+        partials = p if partials is None else partials.unionByName(p)
+    merged = sorted(map(tuple, relational.merge_profiles(partials).collect()))
+    assert merged == one_shot
+
+
+def test_merge_profiles_all_null_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, a double"
+    )
+    merged = relational.merge_profiles(
+        relational.profile_partial(df, ["a"])
+    ).collect()[0]
+    one = relational.table_profile(df, ["a"]).collect()[0]
+    assert tuple(merged) == tuple(one)
+    assert merged.n_rows == 0 and merged.mean_value is None
+
+
+# --------------------------------------------------- gopher rule battery
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then it runs back to "
+    "the barn where it sleeps in a pile of warm hay until the morning sun "
+    "rises over the quiet field and all of the animals wake up to eat "
+    "their breakfast before the long day of work begins again in earnest"
+)
+
+
+def test_gopher_filter_planted_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (0, GOOD),                                    # passes everything
+            (1, "too short"),                             # token_count (1)
+            (2, GOOD + " " + "#$%^&*" * 200),             # symbols (4)
+            (3, ("999 111 222 333 " * 20) + "the of and in is it"),  # alpha (8)
+            (4, " ".join(f"w{i}" for i in range(60))),    # stopwords (16)
+            (5, "the " * 60),                             # dup/top (32+64)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pipeline.gopher_filter(df).collect()}
+    assert out[0].gopher_fail_mask == 0 and out[0].gopher_keep
+    assert out[1].gopher_fail_mask & 1
+    assert out[2].gopher_fail_mask & 4
+    assert out[3].gopher_fail_mask & 8
+    assert out[4].gopher_fail_mask & 16
+    assert out[5].gopher_fail_mask & 32 and out[5].gopher_fail_mask & 64
+    assert all(not out[i].gopher_keep for i in range(1, 6))
+
+
+def test_gopher_thresholds_are_tunable(spark):
+    df = spark.createDataFrame([(0, "five short words here now")],
+                               "doc_id long, text string")
+    strict = pipeline.gopher_filter(df).collect()[0]
+    lax = pipeline.gopher_filter(
+        df, min_tokens=2, min_stopword_hits=0
+    ).collect()[0]
+    assert strict.gopher_fail_mask & 1 and strict.gopher_fail_mask & 16
+    assert not (lax.gopher_fail_mask & 1) and not (lax.gopher_fail_mask & 16)
+
+
+def test_signals_panel_gopher_columns_match_gopher_filter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    cols = [
+        "doc_id", "symbol_ratio", "alpha_word_frac", "stopword_hits",
+        "gopher_fail_mask", "gopher_keep",
+    ]
+    panel = sorted(map(tuple, text.signals_panel(docs).select(*cols).collect()))
+    solo = sorted(map(tuple, pipeline.gopher_filter(docs).select(*cols).collect()))
+    assert panel == solo and len(panel) == 200
+
+
+def test_gopher_filter_keep_cols_passthrough_single_scan(spark):
+    df = spark.createDataFrame(
+        [(0, GOOD, "web"), (1, "x", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = pipeline.gopher_filter(df, keep_cols=("source",)).collect()
+    assert {r.source for r in out} == {"web", "books"}

@@ -184,8 +184,9 @@ def test_heavy_hitter_tokens_partition_invariant(spark):
 # ---------------------------------------------------------- signals_panel
 def test_signals_panel_equals_joined_operators(spark, sf_dir):
     """The fused single-scan panel must emit exactly the relation of the
-    six standalone operators joined on doc_id (the expression builders are
-    shared, so this pins that the fusion changed the plan, not the values)."""
+    seven standalone operators joined on doc_id (the expression builders
+    are shared, so this pins that the fusion changed the plan, not the
+    values)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     panel = text.signals_panel(docs)
     joined = (
@@ -203,6 +204,13 @@ def test_signals_panel_equals_joined_operators(spark, sf_dir):
             text.token_typicality(docs)
             .withColumnRenamed("n_tokens", "lm_n_tokens")
             .withColumnRenamed("sum_ppb", "lm_sum_ppb"),
+            "doc_id",
+        )
+        .join(
+            pipeline.gopher_filter(docs).select(
+                "doc_id", "symbol_ratio", "alpha_word_frac", "stopword_hits",
+                "gopher_fail_mask", "gopher_keep",
+            ),
             "doc_id",
         )
     )
