@@ -39,6 +39,34 @@ from spark_iforest_spark.nodes import pack_forest, pandas_to_forest, tree_to_row
 from spark_iforest_spark.scorer import anomaly_scores
 from spark_iforest_spark.trainer import train_tree
 
+# transform_broadcast buffers incoming Arrow batches to this many rows
+# before scoring, so per-segment kernel batches stay large even when many
+# segments are mixed in the input (~64k rows × (7-double feature array +
+# key + id) ≈ 10 MB per Python worker — L2/L3-friendly, far under the
+# executor budget).
+_SCORE_BUFFER_ROWS = 65_536
+
+# whole-segment kernel calls cap their row-block size here: the descent's
+# B-sized working arrays (scorer.path_lengths) must stay cache-resident —
+# a 500k-row segment scored in one call streams multi-MB arrays through
+# every numpy op, which collapses under many concurrent workers exactly
+# like the (T,B) formulation the scorer rejects. 16k rows ≈ 128 KB per
+# working array. Scores are bit-identical (row-independent kernel).
+_SCORE_BLOCK_ROWS = 16_384
+
+
+def _blocked_scores(forest, x: np.ndarray, psi: float) -> np.ndarray:
+    """anomaly_scores over row blocks of ``_SCORE_BLOCK_ROWS`` — same
+    values (each row's descent is independent), bounded working set."""
+    n = len(x)
+    if n <= _SCORE_BLOCK_ROWS:
+        return anomaly_scores(forest, x, psi)
+    out = np.empty(n, dtype=np.float64)
+    for lo in range(0, n, _SCORE_BLOCK_ROWS):
+        hi = min(lo + _SCORE_BLOCK_ROWS, n)
+        out[lo:hi] = anomaly_scores(forest, x[lo:hi], psi)
+    return out
+
 
 def _group_seed(seed: int, key) -> np.random.SeedSequence:
     # canonicalize numpy scalars BEFORE repr (round-8 advice fix):
@@ -178,7 +206,7 @@ def fit_score_groups(
             x, key, num_trees, max_samples, max_depth, max_features, seed
         )
         forest = pack_forest(trees)
-        scores = anomaly_scores(forest, x, float(psi))
+        scores = _blocked_scores(forest, x, float(psi))
         # threshold = the ceil((1-contamination)*n)-th smallest score,
         # prediction = score > threshold
         thr = _order_stat_threshold(scores, contamination)
@@ -282,7 +310,7 @@ class SegmentedIForestModel:
                 return pd.DataFrame(out)
             forest = pack_forest(pandas_to_forest(model))
             x = np.asarray(rows["_feat"].to_list(), dtype=np.float64)
-            scores = anomaly_scores(forest, x, float(model["psi"].iloc[0]))
+            scores = _blocked_scores(forest, x, float(model["psi"].iloc[0]))
             thr = float(model["threshold"].iloc[0])
             out["anomalyScore"] = scores
             out["prediction"] = (scores > thr).astype(np.int32)
@@ -351,29 +379,73 @@ class SegmentedIForestModel:
         id_part = f"_id {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
         out_schema = f"_key {key_type}, {id_part}anomalyScore double, prediction int"
 
+        def score_chunk(pdf):
+            pdf = pdf.reset_index(drop=True)  # positions == labels
+            n = len(pdf)
+            # ONE Arrow->numpy conversion for the whole chunk, groups score
+            # from row-index slices (the flagship scorer's conversion
+            # pattern, scorer.py:189) — per-group to_list() re-conversion
+            # was a measured ~20% of scoring wall at sf2.5
+            x_all = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+            scores_np = np.full(n, np.nan)
+            preds_np = np.zeros(n, dtype=np.int32)
+            covered = 0
+            for key, g in pdf.groupby("_key", sort=False, dropna=False):
+                hit = forests.get(_norm_key(key))
+                if hit is None:
+                    continue
+                forest, psi, thr = hit
+                idx = g.index.to_numpy()
+                s = anomaly_scores(forest, x_all[idx], psi)
+                scores_np[idx] = s
+                preds_np[idx] = s > thr
+                covered += len(idx)
+            out = {"_key": pdf["_key"]}
+            if id_col is not None:
+                out["_id"] = pdf["_id"]
+            if covered == n:
+                # every segment fitted (the steady state): plain numpy
+                # columns, no masked-array write amplification
+                out["anomalyScore"] = scores_np
+                out["prediction"] = preds_np
+            else:
+                # unfitted segments must come back as true SQL NULLs, not
+                # NaN — fitted scores are never NaN (2^x > 0), so NaN
+                # marks exactly the uncovered rows
+                miss = np.isnan(scores_np)
+                sc = pd.array(scores_np, dtype="Float64")
+                sc[miss] = None
+                pr = pd.array(preds_np, dtype="Int32")
+                pr[miss] = None
+                out["anomalyScore"] = sc
+                out["prediction"] = pr
+            return pd.DataFrame(out)
+
         def score_batches(it):
+            # Buffer incoming Arrow batches to ~_SCORE_BUFFER_ROWS before
+            # scoring: with K segments mixed in the input, a raw 10k-row
+            # Arrow batch fragments into K tiny kernel calls — far off the
+            # level-synchronous descent's efficient batch regime (measured
+            # at sf2.5, 15M rows / 32 segments: fragmented vs buffered in
+            # SCALE.md round 8). Concat in arrival order preserves row
+            # order, so output stays bit-equal to the cogroup path; worker
+            # memory is bounded by the buffer target, not the partition.
+            buf = []
+            buffered = 0
             for pdf in it:
                 if not len(pdf):
                     continue
-                pdf = pdf.reset_index(drop=True)  # positions == labels
-                scores = pd.array([None] * len(pdf), dtype="Float64")
-                preds = pd.array([None] * len(pdf), dtype="Int32")
-                for key, g in pdf.groupby("_key", sort=False, dropna=False):
-                    hit = forests.get(_norm_key(key))
-                    if hit is None:
-                        continue
-                    forest, psi, thr = hit
-                    x = np.asarray(g["_feat"].to_list(), dtype=np.float64)
-                    s = anomaly_scores(forest, x, psi)
-                    idx = g.index.to_numpy()
-                    scores[idx] = s
-                    preds[idx] = (s > thr).astype(np.int32)
-                out = {"_key": pdf["_key"]}
-                if id_col is not None:
-                    out["_id"] = pdf["_id"]
-                out["anomalyScore"] = scores
-                out["prediction"] = preds
-                yield pd.DataFrame(out)
+                buf.append(pdf)
+                buffered += len(pdf)
+                if buffered >= _SCORE_BUFFER_ROWS:
+                    yield score_chunk(
+                        pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                    )
+                    buf, buffered = [], 0
+            if buf:
+                yield score_chunk(
+                    pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                )
 
         result = src.mapInPandas(score_batches, schema=out_schema)
         renames = [F.col("_key").alias(key_col)]
@@ -457,7 +529,7 @@ def fit_groups(
         trees, psi = _segment_forest(
             x, key, num_trees, max_samples, max_depth, max_features, seed
         )
-        scores = anomaly_scores(pack_forest(trees), x, float(psi))
+        scores = _blocked_scores(pack_forest(trees), x, float(psi))
         thr = _order_stat_threshold(scores, contamination)
         rows = [r for t, tree in enumerate(trees) for r in tree_to_rows(t, tree)]
         return pd.DataFrame(
