@@ -1512,6 +1512,36 @@ def queries() -> _T:
                     F.col("budget_tokens").alias("cum_tokens"),
                 ),
             ),
+            # round 8: DSIR importance resampling (Xie et al. 2023) —
+            # target = the 'de' slice, raw = the whole corpus; the oracle
+            # recomputes the ENTIRE chain (hashed-bigram counts ->
+            # smoothed ln ratios snapped to integer micros -> per-doc
+            # integer weight sums -> md5-derived Gumbel noise -> top-k),
+            # so hash-match pins estimator, weights, and the draw at once.
+            # score_micro rides cum_tokens; n_tokens stays NULL (per-doc
+            # logweights can exceed int32 at larger sf).
+            (
+                "dsir",
+                (
+                    lambda docs: pipeline.dsir_resample(
+                        docs,
+                        pipeline.dsir_estimator(
+                            docs.where(F.col("lang") == _DSIR_TARGET_LANG),
+                            docs,
+                            n_buckets=_DSIR_BUCKETS,
+                        ),
+                        _DSIR_TOPK,
+                        n_buckets=_DSIR_BUCKETS,
+                    )
+                    .join(docs.select("doc_id", "lang"), "doc_id")
+                    .select(
+                        "doc_id",
+                        "lang",
+                        F.lit(None).cast("int").alias("n_tokens"),
+                        F.col("score_micro").alias("cum_tokens"),
+                    )
+                )(_read(s, d, "documents")),
+            ),
         ),
         # temporal joins: as-of (union-window, one shuffle — no range
         # explosion) and a bucketized range self-join (equi-join on
@@ -1737,6 +1767,12 @@ _MIX_BUDGETS = {"en": 5000, "es": 2000, "zh": 1000}
 # temperature-mixture gate: total token budget + temperature (round 8)
 _TEMP_BUDGET = 8000
 _TEMP_T = 0.7
+# DSIR gate (round 8): target = the 'de' slice of the same corpus, hashed
+# unigram+bigram buckets, Gumbel top-k selection size. 2048 buckets keeps
+# the oracle's estimator CTE small while leaving collisions realistic.
+_DSIR_BUCKETS = 2048
+_DSIR_TOPK = 150
+_DSIR_TARGET_LANG = "de"
 # bm25 gate queries — terms present in the synthetic vocabulary; TWO
 # queries so the gate exercises the batch path's per-query isolation
 # (per-query df, broadcast query table, WindowGroupLimit rank)
@@ -2695,6 +2731,73 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN b ON c.lang = b.lang
             WHERE c.cum_tokens - c.n_tokens < b.budget_tokens
         """,
+        # DSIR (round 8): full-chain recompute — hashed unigram+bigram
+        # bucket counts for target ('de') and raw (all docs), smoothed
+        # ln-ratio estimator snapped to integer micros (floor(x*1e6+0.5),
+        # the same HALF_UP snap as the PSI/pow gates), exact-integer
+        # per-doc weight sums, md5-derived Gumbel noise, top-k by
+        # (score DESC, doc_id ASC). ln is natural log in BOTH engines
+        # (DuckDB's log() is base-10 — ln() here on purpose).
+        "dsir_selection": f"""
+            WITH rawdocs AS (
+              SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+            ),
+            raw_toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+              FROM rawdocs
+            ),
+            raw_grams AS (
+              SELECT doc_id,
+                     unnest(list_concat(
+                       toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                     )) AS g
+              FROM raw_toks
+            ),
+            tgt_grams AS (
+              SELECT g FROM raw_grams JOIN rawdocs USING (doc_id)
+              WHERE lang = '{_DSIR_TARGET_LANG}'
+            ),
+            rb AS (
+              SELECT doc_id,
+                     {_md5_u32_sql('g', 'dsir')} % {_DSIR_BUCKETS} AS bucket
+              FROM raw_grams
+            ),
+            tb AS (
+              SELECT {_md5_u32_sql('g', 'dsir')} % {_DSIR_BUCKETS} AS bucket
+              FROM tgt_grams
+            ),
+            ct AS (SELECT bucket, count(*) AS c FROM tb GROUP BY bucket),
+            cr AS (SELECT bucket, count(*) AS c FROM rb GROUP BY bucket),
+            est AS (
+              SELECT b.bucket,
+                     CAST(floor((ln((coalesce(ct.c, 0) + 1.0)
+                                    / ((SELECT count(*) FROM tgt_grams)
+                                       + 1.0 * {_DSIR_BUCKETS}))
+                               - ln((coalesce(cr.c, 0) + 1.0)
+                                    / ((SELECT count(*) FROM raw_grams)
+                                       + 1.0 * {_DSIR_BUCKETS})))
+                               * 1000000.0 + 0.5) AS BIGINT) AS lr
+              FROM (SELECT CAST(range AS BIGINT) AS bucket
+                    FROM range({_DSIR_BUCKETS})) b
+              LEFT JOIN ct ON b.bucket = ct.bucket
+              LEFT JOIN cr ON b.bucket = cr.bucket
+            ),
+            w AS (
+              SELECT rb.doc_id, sum(e.lr) AS logweight_micro
+              FROM rb JOIN est e ON rb.bucket = e.bucket
+              GROUP BY rb.doc_id
+            )
+            SELECT w.doc_id, d.lang,
+                   w.logweight_micro
+                   + CAST(floor(-ln(-ln(({_md5_u32_sql('w.doc_id', 'dsir_g')}
+                                          + 0.5) / 4294967296.0))
+                                * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+            FROM w JOIN rawdocs d ON w.doc_id = d.doc_id
+            ORDER BY score_micro DESC, w.doc_id ASC
+            LIMIT {_DSIR_TOPK}
+        """,
         "pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,
@@ -3320,6 +3423,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'temp_budget', CAST(stratum_tokens AS BIGINT),
                    lang, CAST(weight_ppb AS INT), budget_tokens
             FROM ({base["temperature_budgets"]})
+            UNION ALL
+            SELECT 'dsir', doc_id, lang, CAST(NULL AS INT),
+                   CAST(score_micro AS BIGINT)
+            FROM ({base["dsir_selection"]})
         """,
         "normalize_chunks": f"""
             SELECT 'normalize' AS variant, doc_id, CAST(0 AS INT) AS seq,

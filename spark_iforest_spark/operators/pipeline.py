@@ -802,3 +802,174 @@ def pack_sequences(
         )
         .select(id_col, *partition_extra, "bucket", "n_tokens", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents whose hashed-bigram
+# distribution looks like a small target corpus: fit two bag-of-hashed-
+# ngrams models (target, raw), weight each raw doc by its log likelihood
+# ratio, then sample without replacement via Gumbel top-k. The standard
+# recipe for "give me the 5% of CommonCrawl that looks like Wikipedia".
+#
+# Engine-portable numerics, same discipline as temperature_weights: counts
+# and per-doc weight sums are exact integers; the libm calls (ln; ln-ln for
+# the Gumbel noise) are snapped to integer micro-units with floor(x*1e6+0.5)
+# so a 1-ulp engine difference only matters within 1e-7 of a snap boundary;
+# randomness is md5 so the oracle derives the identical noise.
+# ---------------------------------------------------------------------------
+
+_DSIR_MICRO = 1e6
+
+
+def dsir_grams(text_col) -> F.Column:
+    """Unigram + bigram multiset (NOT distinct — DSIR models counts) of the
+    whitespace tokens of ``text_col``; NULL text is treated as empty. A
+    doc of n tokens contributes 2n-1 grams, so feature extraction is
+    linear in corpus tokens."""
+    toks = tokens(F.coalesce(text_col, F.lit("")))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array(F.lit(None)).cast("array<string>"))
+    return F.concat(toks, F.filter(bi, lambda g: g.isNotNull()))
+
+
+def _dsir_bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    g = df.select(F.explode(dsir_grams(F.col(text_col))).alias("g"))
+    return (
+        g.select((_md5_u32(F.col("g"), salt) % n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_estimator(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Fit the hashed-ngram importance estimator: one row per feature
+    bucket with ``log_ratio_micro`` = snapped micro-units of
+    ln((cnt_target+α)/(N_target+α·m)) − ln((cnt_raw+α)/(N_raw+α·m)).
+
+    The m-row result is the FROZEN ARTIFACT of the pipeline (persist it
+    with parquet; mirrors the ivf_centers / pq codebook pattern): fit once
+    on a sample, then weight/resample any number of raw shards against it.
+
+    Scale: two explode+groupBy aggregates (map-side combined, shuffle
+    bounded by m per partition) + two one-row totals broadcast back; the
+    estimator itself is m rows — broadcastable by construction.
+    """
+    spark = target.sparkSession
+    m = int(n_buckets)
+    buckets = spark.range(m).select(F.col("id").alias("bucket"))
+    t = _dsir_bucket_counts(target, text_col, m, salt).withColumnRenamed(
+        "cnt", "cnt_t"
+    )
+    r = _dsir_bucket_counts(raw, text_col, m, salt).withColumnRenamed("cnt", "cnt_r")
+    tot_t = t.agg(F.sum("cnt_t").alias("_nt"))
+    tot_r = r.agg(F.sum("cnt_r").alias("_nr"))
+    a = float(alpha)
+    full = (
+        buckets.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+            F.col("_nt").cast("double").alias("_nt"),
+            F.col("_nr").cast("double").alias("_nr"),
+        )
+    )
+    log_t = F.log((F.col("cnt_t").cast("double") + F.lit(a)) / (F.col("_nt") + F.lit(a * m)))
+    log_r = F.log((F.col("cnt_r").cast("double") + F.lit(a)) / (F.col("_nr") + F.lit(a * m)))
+    return full.select(
+        "bucket",
+        "cnt_t",
+        "cnt_r",
+        F.floor((log_t - log_r) * F.lit(_DSIR_MICRO) + F.lit(0.5))
+        .cast("long")
+        .alias("log_ratio_micro"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    estimator: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document log importance weight against a fitted estimator:
+    (id, logweight_micro) where logweight_micro = Σ_grams
+    log_ratio_micro[bucket(gram)] — an exact integer sum, so it is
+    engine-portable given the estimator relation.
+
+    Scale: explode grams → broadcast-join the m-row estimator → one
+    partial-aggregated groupBy(id). The shuffle carries at most
+    min(2n−1, m) rows per doc after map-side combine. ``n_buckets`` and
+    ``salt`` MUST match the estimator fit.
+    """
+    g = df.select(
+        F.col(id_col), F.explode(dsir_grams(F.col(text_col))).alias("g")
+    ).select(
+        id_col, (_md5_u32(F.col("g"), salt) % int(n_buckets)).alias("bucket")
+    )
+    return (
+        g.join(F.broadcast(estimator.select("bucket", "log_ratio_micro")), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio_micro").alias("logweight_micro"))
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    estimator: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    salt: str = "dsir",
+    noise_salt: str = "dsir_g",
+) -> DataFrame:
+    """Gumbel top-k weighted sampling WITHOUT replacement (the sampling
+    step of DSIR): per doc, score_micro = logweight_micro +
+    floor(−ln(−ln(u))·1e6 + 0.5) with u = (md5_u32(id|noise_salt)+0.5)/2³²,
+    then the global top ``n_docs`` by (score_micro DESC, id ASC). Adding
+    independent Gumbel noise to log-weights and taking the top-k draws
+    exactly from the importance distribution without replacement — and
+    md5-derived u makes the draw deterministic and oracle-recomputable.
+
+    Returns (id, logweight_micro, score_micro). Scale: dsir_weights' one
+    grouped shuffle + a TakeOrdered top-k (per-partition heaps, no global
+    sort); nothing driver-side but the k results.
+    """
+    w = dsir_weights(
+        df, estimator, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, salt=salt,
+    )
+    u = (
+        _md5_u32(F.col(id_col), noise_salt).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = F.floor(-F.log(-F.log(u)) * F.lit(_DSIR_MICRO) + F.lit(0.5)).cast("long")
+    return (
+        w.select(
+            id_col,
+            "logweight_micro",
+            (F.col("logweight_micro") + gumbel).alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(int(n_docs))
+    )

@@ -158,3 +158,91 @@ def test_gopher_filter_keep_cols_passthrough_single_scan(spark):
     )
     out = pipeline.gopher_filter(df, keep_cols=("source",)).collect()
     assert {r.source for r in out} == {"web", "books"}
+
+
+# ------------------------------------------------------------- DSIR
+def _dsir_corpus(spark):
+    """120 raw docs: half 'code-like' (distinct vocabulary), half
+    'prose-like'; the target corpus is 12 held-out code-like docs."""
+    code = ["def", "return", "import", "class", "lambda", "yield"]
+    prose = ["the", "quick", "brown", "fox", "jumped", "over"]
+    rows = []
+    for i in range(120):
+        vocab = code if i % 2 == 0 else prose
+        toks = [vocab[(i + j) % 6] for j in range(10)]
+        rows.append((i, " ".join(toks)))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt_rows = [
+        (1000 + i, " ".join(code[(i + j) % 6] for j in range(10))) for i in range(12)
+    ]
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    return raw, target
+
+
+def test_dsir_selects_target_like_docs(spark):
+    raw, target = _dsir_corpus(spark)
+    est = pipeline.dsir_estimator(target, raw, n_buckets=512)
+    top = pipeline.dsir_resample(raw, est, 40, n_buckets=512).collect()
+    assert len(top) == 40
+    # code-like docs are even ids; weight mass must concentrate there
+    n_code = sum(1 for r in top if r.doc_id % 2 == 0)
+    assert n_code >= 36
+    # scores are logweight + Gumbel noise, sorted descending
+    scores = [r.score_micro for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_weights_are_exact_integer_sums(spark):
+    raw, target = _dsir_corpus(spark)
+    est = pipeline.dsir_estimator(target, raw, n_buckets=512)
+    lut = {r.bucket: r.log_ratio_micro for r in est.collect()}
+    w = {r.doc_id: r.logweight_micro for r in
+         pipeline.dsir_weights(raw, est, n_buckets=512).collect()}
+    # recompute one doc's weight by hand from the estimator relation
+    import hashlib
+    row = raw.where(F.col("doc_id") == 0).collect()[0]
+    toks = row.text.split(" ")
+    grams = toks + [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    def u32(s, salt="dsir"):
+        return int(hashlib.md5(f"{s}|{salt}".encode()).hexdigest()[:8], 16)
+    expect = sum(lut[u32(g) % 512] for g in grams)
+    assert w[0] == expect
+    assert all(isinstance(v, int) for v in w.values())
+
+
+def test_dsir_estimator_layout_invariant(spark):
+    raw, target = _dsir_corpus(spark)
+    a = pipeline.dsir_estimator(target.repartition(3), raw.repartition(17),
+                                n_buckets=256).collect()
+    b = pipeline.dsir_estimator(target.repartition(7), raw.repartition(2),
+                                n_buckets=256).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dsir_resample_deterministic_and_bounded(spark):
+    raw, target = _dsir_corpus(spark)
+    est = pipeline.dsir_estimator(target, raw, n_buckets=256)
+    a = pipeline.dsir_resample(raw, est, 25, n_buckets=256).collect()
+    b = pipeline.dsir_resample(raw.repartition(13), est, 25, n_buckets=256).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # n_docs >= corpus: every doc comes back
+    all_rows = pipeline.dsir_resample(raw, est, 10_000, n_buckets=256).collect()
+    assert len(all_rows) == 120
+
+
+def test_dsir_null_and_empty_text(spark):
+    raw = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "def return def"), (3, "fox brown fox")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "def return")], "doc_id long, text string")
+    est = pipeline.dsir_estimator(target, raw, n_buckets=64)
+    w = {r.doc_id: r.logweight_micro for r in
+         pipeline.dsir_weights(raw, est, n_buckets=64).collect()}
+    # NULL and '' both tokenize to the single empty-string token — present,
+    # deterministic, identical weights
+    assert set(w) == {0, 1, 2, 3}
+    assert w[0] == w[1]
+    # same length, target-like vs not: the target-like doc wins (weights
+    # are whole-doc log-likelihood sums, so only same-length docs compare)
+    assert w[2] > w[3]
