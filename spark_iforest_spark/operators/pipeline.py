@@ -865,8 +865,13 @@ def dsir_estimator(
     with parquet; mirrors the ivf_centers / pq codebook pattern): fit once
     on a sample, then weight/resample any number of raw shards against it.
 
-    Scale: two explode+groupBy aggregates (map-side combined, shuffle
-    bounded by m per partition) + two one-row totals broadcast back; the
+    Scale: ONE explode+groupBy aggregate per side (map-side combined,
+    shuffle bounded by m per partition) — the gram totals are derived
+    from the m-row count relation itself with a window sum rather than a
+    separate ``agg``, because Spark does NOT reuse the count subtree
+    across the two references (verified on the executed plan: the
+    agg-based form re-scanned the corpus for each total — 2 extra full
+    passes at 100 TB; the window runs over m rows, cost ~0). The
     estimator itself is m rows — broadcastable by construction.
     """
     spark = target.sparkSession
@@ -876,20 +881,23 @@ def dsir_estimator(
         "cnt", "cnt_t"
     )
     r = _dsir_bucket_counts(raw, text_col, m, salt).withColumnRenamed("cnt", "cnt_r")
-    tot_t = t.agg(F.sum("cnt_t").alias("_nt"))
-    tot_r = r.agg(F.sum("cnt_r").alias("_nr"))
     a = float(alpha)
+    tot = Window.partitionBy()
     full = (
         buckets.join(t, "bucket", "left")
         .join(r, "bucket", "left")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
         .select(
             "bucket",
             F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
             F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
-            F.col("_nt").cast("double").alias("_nt"),
-            F.col("_nr").cast("double").alias("_nr"),
+        )
+        .select(
+            "bucket",
+            "cnt_t",
+            "cnt_r",
+            # exact integer gram totals: Σ bucket counts == count of grams
+            F.sum("cnt_t").over(tot).cast("double").alias("_nt"),
+            F.sum("cnt_r").over(tot).cast("double").alias("_nr"),
         )
     )
     log_t = F.log((F.col("cnt_t").cast("double") + F.lit(a)) / (F.col("_nt") + F.lit(a * m)))
