@@ -1676,6 +1676,36 @@ def queries() -> _T:
                     F.col("nfc_md5").alias("digest"),
                 ),
             ),
+            # round 8: exact-substring dedup (Lee et al. 2021 ExactSubstr
+            # at fixed 8-token windows, keep-first). The spans variant
+            # pins the merged cut intervals (seq=start, size_a=start,
+            # size_b=end); the cut variant pins the rebuilt text's md5 +
+            # token counts for EVERY doc — the oracle recomputes windows,
+            # dup keys, keeper exemption, interval merge, and the rebuild.
+            (
+                "substr_spans",
+                dedup.exact_substring_spans(
+                    _read(s, d, "documents"), window=_SUBSTR_WINDOW
+                ).select(
+                    "doc_id",
+                    F.col("start").cast("int").alias("seq"),
+                    F.col("start").cast("long").alias("size_a"),
+                    F.col("end").cast("long").alias("size_b"),
+                    F.lit(None).cast("string").alias("digest"),
+                ),
+            ),
+            (
+                "substr_cut",
+                dedup.remove_repeated_substrings(
+                    _read(s, d, "documents"), window=_SUBSTR_WINDOW
+                ).select(
+                    "doc_id",
+                    F.lit(0).cast("int").alias("seq"),
+                    F.col("n_tokens").alias("size_a"),
+                    F.col("n_kept").alias("size_b"),
+                    F.col("clean_md5").alias("digest"),
+                ),
+            ),
         ),
         # per-group GK-sketch quantiles (exact == quantile_disc at gate n)
         # and rows-frame trailing-window stats
@@ -1773,6 +1803,9 @@ _TEMP_T = 0.7
 _DSIR_BUCKETS = 2048
 _DSIR_TOPK = 150
 _DSIR_TARGET_LANG = "de"
+# exact-substring dedup gate (round 8): window small enough that the
+# synthetic corpus' planted exact/near dups produce nonzero spans
+_SUBSTR_WINDOW = 8
 # bm25 gate queries — terms present in the synthetic vocabulary; TWO
 # queries so the gate exercises the batch path's per-query isolation
 # (per-query df, broadcast query table, WindowGroupLimit rank)
@@ -1870,6 +1903,86 @@ def _pii_oracle_sql() -> str:
         + ", ".join(names)
         + f", {prev} AS clean_text FROM s{len(pipeline.PII_PATTERNS)}"
     )
+
+# exact-substring dedup twins (round 8): the spans SQL recomputes the
+# whole chain — w-token window md5 keys, corpus-wide dup keys
+# (count >= 2), keeper exemption (row_number over (doc_id, pos) == the
+# ordered-struct min), gaps-and-islands interval merge (lag <= w — the
+# window-function equivalent of the Catalyst array fold) — and the cut
+# SQL rebuilds every doc's surviving tokens and digests them.
+_SUBSTR_SPANS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, len(toks) - {_SUBSTR_WINDOW} + 1),
+                 i -> {{'pos': i,
+                        'h': md5(array_to_string(
+                               toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
+        FROM d
+      )
+    ),
+    dupk AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    cut0 AS (SELECT w.doc_id, w.pos, w.h FROM wins w JOIN dupk USING (h)),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM cut0
+      ) WHERE rn > 1
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SUBSTR_WINDOW}
+                  THEN 0 ELSE 1 END AS b
+      FROM cut
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS start,
+           CAST(max(pos) + {_SUBSTR_WINDOW} AS INT) AS "end"
+    FROM isl GROUP BY doc_id, g
+"""
+
+_SUBSTR_CUT_SQL = f"""
+    WITH spans AS ({_SUBSTR_SPANS_SQL}),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+      FROM documents
+    ),
+    posl AS (
+      SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks)),
+                                     j -> {{'pos': j, 't': toks[j+1]}})) AS u
+        FROM d
+      )
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.t FROM posl p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+      )
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(t, ' ' ORDER BY pos)) AS m
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.m, md5('')) AS clean_md5
+    FROM d LEFT JOIN reb r USING (doc_id)
+"""
 
 # shared CTE fragments (DuckDB list/lambda syntax)
 _SHINGLES_CTE = """
@@ -3443,6 +3556,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nfc_normalize(text)) AS BIGINT),
                    md5(nfc_normalize(text))
             FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT 'substr_spans', doc_id, start, CAST(start AS BIGINT),
+                   CAST("end" AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM ({_SUBSTR_SPANS_SQL})
+            UNION ALL
+            SELECT 'substr_cut', doc_id, CAST(0 AS INT), n_tokens, n_kept,
+                   clean_md5
+            FROM ({_SUBSTR_CUT_SQL})
         """,
         "rollup_panel": f"""
             SELECT 'orders_cube' AS variant, status AS k1, priority AS k2,

@@ -1287,3 +1287,166 @@ def dup_clusters_incremental(
     labels = _connected_components(merged)
     dup_clusters_incremental.last_rounds = _connected_components.last_rounds
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at fixed window granularity (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499 — the ExactSubstr pass; this is the scalable fixed-
+# window formulation pretraining pipelines actually run, a distributed
+# suffix array being neither needed nor Spark-shaped: any duplicated
+# substring of >= 2w-1 tokens is guaranteed to contain a duplicated
+# w-token window, so w trades detection granularity for join volume).
+#
+# Every w-token window is keyed by md5 of its space-joined tokens
+# (engine-portable, collision-exact w.h.p.); windows whose key occurs
+# >= min_count times corpus-wide are cut, except (keep_first) the
+# occurrence with the smallest (doc_id, pos), so one copy of every
+# repeated passage survives — the Lee et al. contract.
+# ---------------------------------------------------------------------------
+
+
+def _window_keys(df: DataFrame, id_col: str, text_col: str, window: int):
+    """(id, pos, h): md5 key of each w-token window at 0-based token pos."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    wins = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, window), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    return df.select(F.col(id_col), F.explode(wins).alias("w")).select(
+        id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Token spans to cut: (id, start, end) — maximal merged intervals of
+    duplicated w-token windows (end exclusive; adjacent/overlapping
+    windows coalesce, so spans are disjoint per doc).
+
+    Scale shape: one explode (linear in corpus tokens) -> hash-keyed
+    count aggregate (map-side combined) -> join back on the 32-hex key ->
+    per-doc interval merge as a Catalyst array fold over the doc's own
+    cut positions (bounded by doc length — no window function, no
+    driver). The keeper exemption is one extra (ordered-struct min)
+    aggregate on the same key. No suffix array, no all-pairs.
+    """
+    # the window relation is referenced three times (dup-key counts, the
+    # cut join, the keeper exemption) — snapshot it once so the corpus is
+    # scanned/exploded once, the same discipline as the minhash shingles
+    wins = snapshot(_window_keys(df, id_col, text_col, window))
+    dup_keys = wins.groupBy("h").agg(F.count("*").alias("_c")).where(
+        F.col("_c") >= int(min_count)
+    )
+    cut = wins.join(dup_keys.select("h"), "h")
+    if keep_first:
+        keeper = cut.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+                "_k"
+            )
+        )
+        cut = cut.join(keeper, "h").where(
+            ~((F.col(id_col) == F.col("_k.i")) & (F.col("pos") == F.col("_k.p")))
+        )
+    w = int(window)
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+    spans = (
+        cut.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("_ps"),
+                empty,
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["start"].alias("start"),
+                                (p + w).cast("int").alias("end"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("int").alias("start"),
+                                (p + w).cast("int").alias("end"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("_spans"),
+        )
+        .select(id_col, F.explode("_spans").alias("s"))
+        .select(id_col, F.col("s.start").alias("start"), F.col("s.end").alias("end"))
+    )
+    return spans
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Apply :func:`exact_substring_spans`: rebuild each doc's text with
+    every cut token dropped. Returns (id, n_tokens, n_kept, clean_md5) —
+    the md5 of the space-rejoined surviving tokens (the line_dedup
+    digest convention; rejoining normalizes runs of whitespace to single
+    spaces, same as every tokens()-based operator here). Docs with
+    nothing to cut pass through (n_kept == n_tokens); a fully-duplicated
+    non-keeper doc collapses to md5('').
+
+    One broadcast-free join of docs against their own (grouped) span
+    lists, then a pure Catalyst filter-by-position — no Python, no
+    second shuffle beyond the span computation's.
+    """
+    spans = exact_substring_spans(
+        df, window=window, min_count=min_count, id_col=id_col,
+        text_col=text_col, keep_first=keep_first,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "end")).alias("_spans")
+    )
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+    sp = F.coalesce(F.col("_spans"), empty)
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp, lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"])
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+            ).alias("clean_md5"),
+        )
+    )

@@ -246,3 +246,71 @@ def test_dsir_null_and_empty_text(spark):
     # same length, target-like vs not: the target-like doc wins (weights
     # are whole-doc log-likelihood sums, so only same-length docs compare)
     assert w[2] > w[3]
+
+
+# ------------------------------------------- exact-substring dedup
+from spark_iforest_spark.operators import dedup as _dedup
+
+
+def test_substr_spans_identical_docs_keep_first(spark):
+    base = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different text here now ok")],
+        "doc_id long, text string",
+    )
+    spans = _dedup.exact_substring_spans(df, window=8).collect()
+    # doc 1 is the keeper for every window; doc 2 fully covered; doc 3 clean
+    assert {r.doc_id for r in spans} == {2}
+    assert spans[0].start == 0 and spans[0].end == 20
+    cut = {r.doc_id: r for r in
+           _dedup.remove_repeated_substrings(df, window=8).collect()}
+    assert cut[1].n_kept == cut[1].n_tokens == 20
+    assert cut[2].n_kept == 0
+    assert cut[3].n_kept == cut[3].n_tokens
+
+
+def test_substr_spans_shared_prefix_only(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared + " unique one tail x y z"),
+         (2, shared + " other ending entirely different q r")],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: (r.start, r.end) for r in
+             _dedup.exact_substring_spans(df, window=6).collect()}
+    # only the later doc's copy of the shared prefix is cut
+    assert set(spans) == {2}
+    assert spans[2] == (0, 10)
+
+
+def test_substr_within_doc_repetition_merges_intervals(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s " * 4 + "end marker here")], "doc_id long, text string"
+    )
+    spans = _dedup.exact_substring_spans(df, window=4).collect()
+    # repeats of the same 4-token phrase inside ONE doc: the first
+    # occurrence is the keeper, the rest merge into a single span
+    assert len(spans) == 1
+    s = spans[0]
+    assert s.start > 0 and s.end >= 12
+
+
+def test_substr_keep_first_false_cuts_everything(spark):
+    base = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+    cut = {r.doc_id: r.n_kept for r in _dedup.remove_repeated_substrings(
+        df, window=6, keep_first=False).collect()}
+    assert cut == {1: 0, 2: 0}
+
+
+def test_substr_layout_invariant_and_short_docs(spark):
+    rows = [(i, " ".join(f"t{j % 9}" for j in range(i % 15))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, _dedup.remove_repeated_substrings(
+        df.repartition(3), window=5).collect()))
+    b = sorted(map(tuple, _dedup.remove_repeated_substrings(
+        df.repartition(17), window=5).collect()))
+    assert a == b
+    # docs shorter than the window are never cut
+    short = [t for t in a if t[1] < 5]
+    assert short and all(t[1] == t[2] for t in short)
