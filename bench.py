@@ -201,14 +201,14 @@ def _quiesce(spark) -> None:
 
 
 def run_suite(spark, sf_dir: str, timed) -> None:
-    """The 13 headline queries against one sf dir; ``timed(name, fn)`` does
+    """The 15 headline queries against one sf dir; ``timed(name, fn)`` does
     the measurement so the primary tier (min-of-N, spread control) and the
     scale tier (single run) share one definition of the workload."""
     from pyspark.sql import functions as F
 
     from spark_iforest_spark import IForest, segmented
     from spark_iforest_spark.operators import (
-        dedup, relational, similarity, text, tokenizer,
+        dedup, pipeline, relational, similarity, text, tokenizer,
     )
     from spark_iforest_spark.sources import read_table
 
@@ -303,6 +303,27 @@ def run_suite(spark, sf_dir: str, timed) -> None:
         ).count(),
     )
     index.unpersist()
+    # exact-substring dedup (round 8): fixed-window ExactSubstr end to end
+    # — window explode + snapshot, dup-key counts, keeper exemption,
+    # interval merge, and the full token rebuild
+    timed(
+        "dedup_substr",
+        lambda: dedup.remove_repeated_substrings(docs, window=8)
+        .agg(F.sum("n_kept")).collect(),
+    )
+    # DSIR selection (round 8): estimator fit (target = 'de' slice) +
+    # per-doc weight sums + Gumbel top-k, matching the gate's parameters
+    timed(
+        "dsir_select",
+        lambda: pipeline.dsir_resample(
+            docs,
+            pipeline.dsir_estimator(
+                docs.where(F.col("lang") == "de"), docs, n_buckets=2048
+            ),
+            500,
+            n_buckets=2048,
+        ).count(),
+    )
     timed(
         "ann_cosine_topk",
         lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10)).count(),
