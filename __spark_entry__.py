@@ -1127,6 +1127,22 @@ def queries() -> _T:
                     ),
                 ),
             ),
+            # round 8: asymmetric containment (quote/boilerplate detector)
+            # — per-direction |∩|/|X| values ride the jaccard column, one
+            # variant per direction; the oracle recomputes both from the
+            # same shingle CTE
+            (
+                "containment_a",
+                dedup.ngram_containment_pairs(_read(s, d, "documents")).select(
+                    "doc_a", "doc_b", F.col("containment_a").alias("jaccard")
+                ),
+            ),
+            (
+                "containment_b",
+                dedup.ngram_containment_pairs(_read(s, d, "documents")).select(
+                    "doc_a", "doc_b", F.col("containment_b").alias("jaccard")
+                ),
+            ),
         ),
         # full-corpus run + (round 5) incremental mode against a simhash
         # index of the doc_id%4!=0 majority — same restricted-relation
@@ -2016,6 +2032,25 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
+"""
+
+
+# asymmetric containment twin (round 8): same shingle CTE and pair
+# intersection as the jaccard oracle, per-direction |∩|/|X| values
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / sa.sz, 6) AS containment_a,
+       round(inter / sb.sz, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(round(inter / sa.sz, 6), round(inter / sb.sz, 6)) >= 0.6
 """
 
 
@@ -3399,6 +3434,16 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_incr",
                 f"SELECT * FROM ({base['dedup_ngram_jaccard']}) "
                 "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
+            ),
+            (
+                "containment_a",
+                f"SELECT doc_a, doc_b, containment_a AS jaccard "
+                f"FROM ({_CONTAINMENT_SQL})",
+            ),
+            (
+                "containment_b",
+                f"SELECT doc_a, doc_b, containment_b AS jaccard "
+                f"FROM ({_CONTAINMENT_SQL})",
             ),
         ),
         "embedding_neardup": _variants_sql(

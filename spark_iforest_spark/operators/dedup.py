@@ -164,6 +164,24 @@ def ngram_jaccard_pairs(
     shingles appearing in more than that many docs before the join — the
     standard skew guard for boilerplate shingles at corpus scale.
     """
+    counts = _ngram_pair_counts(docs, id_col, text_col, n, max_shingle_df)
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return counts.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _ngram_pair_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact n-gram pair family:
+    (doc_a, doc_b, inter, sz_a, sz_b) for doc_a < doc_b with inter >= 1."""
     sh = _hashed_shingles(docs, id_col, text_col, n).select(
         "did", F.explode("shset").alias("sh")
     )
@@ -185,14 +203,53 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.round(
-        F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
-    )
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.did"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.did"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.col("sa.sz").alias("sz_a"), F.col("sb.sz").alias("sz_b"),
+        )
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram set containment
+    C(X→Y) = |X∩Y| / |X| — the quote/boilerplate/wrapper detector:
+    a short doc fully quoted inside a long one has jaccard ≈ |short|/|long|
+    (invisible to a jaccard threshold) but containment ≈ 1.
+
+    Returns (doc_a, doc_b, containment_a, containment_b, jaccard) for
+    doc_a < doc_b where max(containment_a, containment_b) >= threshold;
+    containment_a is the fraction of doc_a's shingles inside doc_b.
+    Same inverted-index core, skew guard, and scale shape as
+    :func:`ngram_jaccard_pairs` (one snapshotted explode, hash-keyed
+    self-join bounded by shared-shingle volume).
+    """
+    counts = _ngram_pair_counts(docs, id_col, text_col, n, max_shingle_df)
+    c_a = F.round(F.col("inter") / F.col("sz_a"), 6)
+    c_b = F.round(F.col("inter") / F.col("sz_b"), 6)
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return (
+        counts.select(
+            "doc_a", "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= float(threshold)
+        )
     )
 
 

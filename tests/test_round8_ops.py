@@ -314,3 +314,42 @@ def test_substr_layout_invariant_and_short_docs(spark):
     # docs shorter than the window are never cut
     short = [t for t in a if t[1] < 5]
     assert short and all(t[1] == t[2] for t in short)
+
+
+# ------------------------------------------- containment pairs
+def test_containment_detects_quote_jaccard_misses(spark):
+    quoted = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quoted), (2, quoted + " " + filler)],
+        "doc_id long, text string",
+    )
+    pairs = _dedup.ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # doc 1 is fully contained in doc 2; jaccard is far below any dedup cut
+    assert p.containment_a == 1.0
+    assert p.containment_b < 0.2 and p.jaccard < 0.2
+    # a jaccard threshold that would catch near-dups misses the quote
+    assert _dedup.ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_containment_consistent_with_jaccard_on_symmetric_dups(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "something else entirely here ok fine")],
+        "doc_id long, text string",
+    )
+    p = _dedup.ngram_containment_pairs(df, threshold=0.6).collect()
+    assert len(p) == 1
+    assert p[0].containment_a == p[0].containment_b == p[0].jaccard == 1.0
+
+
+def test_containment_skew_guard_matches_unguarded_on_cold_shingles(spark):
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(10))) for i in range(20)]
+    rows.append((100, rows[0][1]))  # one exact dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, _dedup.ngram_containment_pairs(df).collect()))
+    b = sorted(map(tuple, _dedup.ngram_containment_pairs(
+        df, max_shingle_df=100).collect()))
+    assert a == b and len(a) == 1
