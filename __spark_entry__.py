@@ -541,6 +541,22 @@ def _union_all(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def _containment_variants(docs: DataFrame) -> list[tuple[str, DataFrame]]:
+    """Both containment directions projected from ONE pair relation, so
+    the snapshotted inverted-index self-join executes once per gate run."""
+    pairs = dedup.ngram_containment_pairs(docs)
+    return [
+        (
+            "containment_a",
+            pairs.select("doc_a", "doc_b", F.col("containment_a").alias("jaccard")),
+        ),
+        (
+            "containment_b",
+            pairs.select("doc_a", "doc_b", F.col("containment_b").alias("jaccard")),
+        ),
+    ]
+
+
 def _tagged_union(*tagged: tuple[str, DataFrame]) -> DataFrame:
     """Union same-schema relations under a leading ``variant`` tag column —
     the gate-merging device that folds a family of twin queries (exact vs
@@ -1129,20 +1145,10 @@ def queries() -> _T:
             ),
             # round 8: asymmetric containment (quote/boilerplate detector)
             # — per-direction |∩|/|X| values ride the jaccard column, one
-            # variant per direction; the oracle recomputes both from the
-            # same shingle CTE
-            (
-                "containment_a",
-                dedup.ngram_containment_pairs(_read(s, d, "documents")).select(
-                    "doc_a", "doc_b", F.col("containment_a").alias("jaccard")
-                ),
-            ),
-            (
-                "containment_b",
-                dedup.ngram_containment_pairs(_read(s, d, "documents")).select(
-                    "doc_a", "doc_b", F.col("containment_b").alias("jaccard")
-                ),
-            ),
+            # variant per direction, BOTH projected from one shared pair
+            # relation (the snapshotted inverted-index join runs once; the
+            # oracle likewise computes its chain once — review fix)
+            *_containment_variants(_read(s, d, "documents")),
         ),
         # full-corpus run + (round 5) incremental mode against a simhash
         # index of the doc_id%4!=0 majority — same restricted-relation
@@ -3435,17 +3441,17 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT * FROM ({base['dedup_ngram_jaccard']}) "
                 "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
             ),
-            (
-                "containment_a",
-                f"SELECT doc_a, doc_b, containment_a AS jaccard "
-                f"FROM ({_CONTAINMENT_SQL})",
-            ),
-            (
-                "containment_b",
-                f"SELECT doc_a, doc_b, containment_b AS jaccard "
-                f"FROM ({_CONTAINMENT_SQL})",
-            ),
-        ),
+        )
+        # both containment directions off ONE evaluation of the chain
+        # (review fix: two separate subqueries doubled the oracle's cost)
+        + f"""
+        UNION ALL
+        SELECT 'containment_' || dir AS variant, doc_a, doc_b,
+               CASE dir WHEN 'a' THEN containment_a
+                        ELSE containment_b END AS jaccard
+        FROM ({_CONTAINMENT_SQL})
+        CROSS JOIN (SELECT unnest(['a', 'b']) AS dir)
+        """,
         "embedding_neardup": _variants_sql(
             ("exact", base["embedding_neardup"]),
             ("lsh", base["embedding_neardup"]),

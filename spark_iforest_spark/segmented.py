@@ -382,24 +382,41 @@ class SegmentedIForestModel:
         def score_chunk(pdf):
             pdf = pdf.reset_index(drop=True)  # positions == labels
             n = len(pdf)
-            # ONE Arrow->numpy conversion for the whole chunk, groups score
-            # from row-index slices (the flagship scorer's conversion
-            # pattern, scorer.py:189) — per-group to_list() re-conversion
-            # was a measured ~20% of scoring wall at sf2.5
-            x_all = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+            groups = [
+                (g, forests.get(_norm_key(key)))
+                for key, g in pdf.groupby("_key", sort=False, dropna=False)
+            ]
             scores_np = np.full(n, np.nan)
             preds_np = np.zeros(n, dtype=np.int32)
-            covered = 0
-            for key, g in pdf.groupby("_key", sort=False, dropna=False):
-                hit = forests.get(_norm_key(key))
-                if hit is None:
-                    continue
-                forest, psi, thr = hit
-                idx = g.index.to_numpy()
-                s = anomaly_scores(forest, x_all[idx], psi)
-                scores_np[idx] = s
-                preds_np[idx] = s > thr
-                covered += len(idx)
+            covered = sum(len(g) for g, hit in groups if hit is not None)
+            if covered == n:
+                # every segment fitted (the steady state): ONE Arrow->numpy
+                # conversion for the whole chunk, groups score from
+                # row-index slices (the flagship scorer's conversion
+                # pattern, scorer.py:189) — per-group to_list()
+                # re-conversion was a measured ~20% of scoring wall at
+                # sf2.5
+                x_all = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+                for g, (forest, psi, thr) in groups:
+                    idx = g.index.to_numpy()
+                    s = _blocked_scores(forest, x_all[idx], psi)
+                    scores_np[idx] = s
+                    preds_np[idx] = s > thr
+            else:
+                # unfitted segments present: convert ONLY fitted groups'
+                # rows — an unfitted segment's rows may carry NULL/ragged
+                # feature arrays (nothing was ever fitted on them), and a
+                # whole-chunk conversion would crash on rows the contract
+                # says must come back as NULL score/prediction
+                for g, hit in groups:
+                    if hit is None:
+                        continue
+                    forest, psi, thr = hit
+                    x = np.asarray(g["_feat"].to_list(), dtype=np.float64)
+                    idx = g.index.to_numpy()
+                    s = _blocked_scores(forest, x, psi)
+                    scores_np[idx] = s
+                    preds_np[idx] = s > thr
             out = {"_key": pdf["_key"]}
             if id_col is not None:
                 out["_id"] = pdf["_id"]

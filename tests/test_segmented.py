@@ -318,3 +318,27 @@ def test_group_seed_canonicalizes_numpy_scalar_keys():
     assert (pyf == npf).all()
     # distinct keys still decorrelate
     assert not (py == segmented._group_seed(7, 4).generate_state(4)).all()
+
+
+def test_transform_broadcast_null_features_on_unfitted_segment(grouped, spark):
+    """Rows of an UNFITTED segment may carry NULL feature arrays (nothing
+    was ever fitted on them); they must come back as NULL score/prediction
+    — not crash the whole-chunk conversion (round-8 review fix). Rows of
+    fitted segments in the same batch still score bit-equal to cogroup."""
+    params = dict(num_trees=20, max_samples=64, contamination=0.05, seed=3)
+    model = segmented.fit_groups(grouped, "seg", **params)
+    junk = spark.createDataFrame(
+        [("ghost", 9001, None), ("ghost", 9002, None)],
+        "seg string, row_id long, features array<double>",
+    )
+    mixed = grouped.where(F.col("row_id") % 7 == 0).unionByName(junk)
+    got = {r.row_id: r for r in
+           model.transform_broadcast(mixed, id_col="row_id").collect()}
+    assert got[9001].anomalyScore is None and got[9001].prediction is None
+    assert got[9002].anomalyScore is None
+    via_cogroup = {r.row_id: r for r in
+                   model.transform(mixed, id_col="row_id").collect()}
+    assert len(got) == len(via_cogroup)
+    for rid, r in via_cogroup.items():
+        assert got[rid].anomalyScore == r.anomalyScore
+        assert got[rid].prediction == r.prediction
