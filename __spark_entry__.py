@@ -1247,6 +1247,17 @@ def queries() -> _T:
                     bits=4, tables=6, multi_probe=1,
                 ),
             ),
+            # round 8: IVF-PQ (FAISS IVFADC) — coarse-cell probe pruning
+            # AND 20-byte residual-code scan in one index; its recall
+            # twin rides ann_recall, re-rank cos values bit-equal to
+            # cosine_topk (pytest re-derivation pin)
+            (
+                "ivfpq",
+                similarity.ivfpq_topk(
+                    _read(s, d, "embeddings"),
+                    _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                ),
+            ),
         ),
         # recall gates: ANN variants checked against the exact top-k relation
         # (itself oracle-green); the oracle pins the exact-side count and the
@@ -1307,6 +1318,21 @@ def queries() -> _T:
                         _read(s, d, "embeddings"),
                         _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                         bits=4, tables=6, multi_probe=1,
+                    ),
+                ),
+            ),
+            # round 8: the composed IVF-PQ index must clear the same
+            # floor — probe-pruned scan over 20-byte residual codes
+            (
+                "ivfpq",
+                similarity.topk_recall(
+                    similarity.cosine_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
+                    ),
+                    similarity.ivfpq_topk(
+                        _read(s, d, "embeddings"),
+                        _read(s, d, "embeddings").where(F.col("vec_id") < 10),
                     ),
                 ),
             ),
@@ -1561,6 +1587,29 @@ def queries() -> _T:
                         "lang",
                         F.lit(None).cast("int").alias("n_tokens"),
                         F.col("score_micro").alias("cum_tokens"),
+                    )
+                )(_read(s, d, "documents")),
+            ),
+            # round 8: CCNet perplexity banding (Wenzek et al. 2020) —
+            # bigram stupid-backoff LM frozen from the 'en' slice, every
+            # doc scored in integer micros, tercile cutpoints, keep
+            # head+middle. The oracle recomputes LM -> scores -> exact
+            # order-statistic cutpoints -> band end-to-end; band rides
+            # n_tokens, avg_nll_micros rides cum_tokens.
+            (
+                "ccnet_keep",
+                (
+                    lambda docs: text.ccnet_filter(
+                        docs,
+                        docs.where(F.col("lang") == _CCNET_REF_LANG),
+                        fractions=_CCNET_FRACTIONS,
+                    )
+                    .join(docs.select("doc_id", "lang"), "doc_id")
+                    .select(
+                        "doc_id",
+                        "lang",
+                        F.col("band").cast("int").alias("n_tokens"),
+                        F.col("avg_nll_micros").alias("cum_tokens"),
                     )
                 )(_read(s, d, "documents")),
             ),
@@ -1828,6 +1877,14 @@ _DSIR_TARGET_LANG = "de"
 # exact-substring dedup gate (round 8): window small enough that the
 # synthetic corpus' planted exact/near dups produce nonzero spans
 _SUBSTR_WINDOW = 8
+# CCNet perplexity gate (round 8): reference LM = the 'en' slice, tercile
+# banding, keep head+middle. The backoff constant is the same snapped
+# integer the operator derives from alpha=0.4.
+_CCNET_REF_LANG = "en"
+_CCNET_FRACTIONS = (0.333333, 0.666667)
+_CCNET_ALPHA_MICROS = int(__import__("math").floor(
+    __import__("math").log(0.4) * 1e6 + 0.5
+))
 # bm25 gate queries — terms present in the synthetic vocabulary; TWO
 # queries so the gate exercises the batch path's per-query isolation
 # (per-query df, broadcast query table, WindowGroupLimit rank)
@@ -2952,6 +3009,101 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_micro DESC, w.doc_id ASC
             LIMIT {_DSIR_TOPK}
         """,
+        # CCNet perplexity banding (round 8): bigram stupid-backoff LM fit
+        # on the reference slice, every doc scored in snapped integer
+        # micros (same floor(x*1e6+0.5) convention as dsir), exact
+        # ceil(f*n)-th-smallest cutpoints, keep head+middle
+        "ccnet_keep": f"""
+            WITH rawdocs AS (
+              SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+            ),
+            tk AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x != '') AS t
+              FROM rawdocs
+            ),
+            ref AS (SELECT t FROM tk WHERE lang = '{_CCNET_REF_LANG}'),
+            uni AS (
+              SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(t) AS w FROM ref)
+              GROUP BY w
+            ),
+            tot AS (SELECT sum(cnt) AS tot FROM uni),
+            bi AS (
+              SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS cnt
+              FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+                FROM ref
+              )
+              GROUP BY 1, 2
+            ),
+            bi_ln AS (
+              SELECT b.w1, b.w2,
+                     CAST(floor(ln(CAST(b.cnt AS DOUBLE) / u.cnt)
+                                * 1000000.0 + 0.5) AS BIGINT) AS ln2
+              FROM bi b JOIN uni u ON b.w1 = u.w
+            ),
+            uni_ln AS (
+              SELECT w,
+                     CAST(floor(ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM tot))
+                                * 1000000.0 + 0.5) AS BIGINT) AS ln1
+              FROM uni
+            ),
+            oov AS (
+              SELECT CAST(floor(ln(1.0 / (SELECT tot FROM tot))
+                                * 1000000.0 + 0.5) AS BIGINT) AS ln_oov
+            ),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) + 1),
+                            i -> {{'prev': CASE WHEN i = 1 THEN NULL
+                                               ELSE t[i - 1] END,
+                                   'cur': t[i]}})) AS p
+              FROM tk
+            ),
+            tok AS (
+              SELECT pr.doc_id,
+                     CASE WHEN b.ln2 IS NOT NULL THEN b.ln2
+                          WHEN pr.p['prev'] IS NULL
+                            THEN coalesce(u.ln1, (SELECT ln_oov FROM oov))
+                          ELSE {_CCNET_ALPHA_MICROS}
+                               + coalesce(u.ln1, (SELECT ln_oov FROM oov))
+                     END AS lnm
+              FROM pairs pr
+              LEFT JOIN bi_ln b
+                ON pr.p['prev'] = b.w1 AND pr.p['cur'] = b.w2
+              LEFT JOIN uni_ln u ON pr.p['cur'] = u.w
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(floor(CAST(-sum(lnm) AS DOUBLE) / count(*))
+                          AS BIGINT) AS avg_nll
+              FROM tok GROUP BY doc_id
+            ),
+            nn AS (SELECT count(*) AS n FROM scored),
+            rk AS (
+              SELECT avg_nll,
+                     row_number() OVER (ORDER BY avg_nll) AS rn
+              FROM scored
+            ),
+            c1 AS (SELECT avg_nll AS v FROM rk
+                   WHERE rn = (SELECT CAST(ceil(n * {_CCNET_FRACTIONS[0]})
+                                           AS BIGINT) FROM nn)),
+            c2 AS (SELECT avg_nll AS v FROM rk
+                   WHERE rn = (SELECT CAST(ceil(n * {_CCNET_FRACTIONS[1]})
+                                           AS BIGINT) FROM nn))
+            SELECT s.doc_id, d.lang,
+                   CASE WHEN s.avg_nll <= (SELECT v FROM c1) THEN 1
+                        WHEN s.avg_nll <= (SELECT v FROM c2) THEN 2
+                        ELSE 3 END AS band,
+                   s.avg_nll
+            FROM scored s JOIN rawdocs d ON s.doc_id = d.doc_id
+            WHERE CASE WHEN s.avg_nll <= (SELECT v FROM c1) THEN 1
+                       WHEN s.avg_nll <= (SELECT v FROM c2) THEN 2
+                       ELSE 3 END IN (1, 2)
+        """,
         "pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,
@@ -3471,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
             ("lsh", base["ann_recall"]),
             ("pq", base["ann_recall"]),
             ("lsh_mp", base["ann_recall"]),
+            ("ivfpq", base["ann_recall"]),
         ),
         "dedup_clusters": _variants_sql(
             ("ngram_edges", base["dedup_clusters"]),
@@ -3591,6 +3744,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dsir', doc_id, lang, CAST(NULL AS INT),
                    CAST(score_micro AS BIGINT)
             FROM ({base["dsir_selection"]})
+            UNION ALL
+            SELECT 'ccnet_keep', doc_id, lang, CAST(band AS INT),
+                   CAST(avg_nll AS BIGINT)
+            FROM ({base["ccnet_keep"]})
         """,
         "normalize_chunks": f"""
             SELECT 'normalize' AS variant, doc_id, CAST(0 AS INT) AS seq,

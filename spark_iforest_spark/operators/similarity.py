@@ -721,3 +721,270 @@ def pq_topk(
     # survivors are <= |Q| * refine * k rows — the final exact rank never
     # needs the two-phase split
     return _ranked(cand, k, False)
+
+
+_IVFPQ_SEED = 0x1F5A9
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 8,
+    n_centroids: int = 64,
+    seed: int = _IVFPQ_SEED,
+    sample_n: int = 4096,
+    max_iter: int = 25,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the IVF-PQ index artifacts: the coarse quantizer centers
+    ((n_cells, dim)) and RESIDUAL product-quantization codebooks
+    ((m, n_centroids, dim/m)) — Jegou/Douze/Schmid 2011's IVFADC, the
+    standard billion-scale ANN index (FAISS ``IVFx,PQy``).
+
+    Both artifacts come from one bounded md5-hash-ordered sample of
+    L2-normalized vectors (deterministic in (data, seed) on any partition
+    layout — the same sample-fit rationale as ``_pq_codebooks``). The PQ
+    codebooks are fit on residuals ``x_n − coarse(x_n)`` rather than the
+    raw vectors: residuals concentrate around 0 with far less variance
+    than the vectors themselves, so the same 8×64 code spends its
+    precision on the part the coarse quantizer didn't explain — the whole
+    point of IVFADC over flat PQ.
+    """
+    from spark_iforest_spark.operators.pipeline import _md5_u32
+
+    rows = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            _md5_u32(F.col(id_col), "ivfpq-sample").alias("_u"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_u", "_id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    coarse = _euclidean_kmeans(Xn, n_cells, seed, max_iter)
+    d2 = ((Xn[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    R = Xn - coarse[d2.argmin(axis=1)]
+    sub = Xn.shape[1] // m
+    codebooks = np.stack(
+        [
+            _euclidean_kmeans(
+                R[:, j * sub : (j + 1) * sub], n_centroids, seed + 1 + j, max_iter
+            )
+            for j in range(m)
+        ]
+    )
+    return coarse, codebooks
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ corpus encoding: (id, cell, code) — the vector's nearest
+    coarse cell plus its residual's m sub-codes packed into one int64, a
+    ~20 B/vector relation that is the ONLY thing the probe scan reads.
+    New vectors encode against the FROZEN (coarse, codebooks) artifacts
+    and append — the same incremental-ingest lifecycle as ``pq_encode``
+    and ``ivf_assign`` (compositionality pytest-pinned). At 100 TB the
+    relation is written PARTITIONED BY cell so a probe's
+    ``cell IN (...)`` predicate prunes to n_probe/n_cells of the files
+    before any row is read."""
+    mm, kc, sub = codebooks.shape
+    if mm > 8 or kc > 256:
+        raise ValueError("packed PQ supports m <= 8 subspaces and <= 256 centroids")
+    C = np.asarray(codebooks, dtype=np.float64)
+    G = np.asarray(coarse, dtype=np.float64)
+    g_sq = (G**2).sum(axis=1)
+    c_sq = (C**2).sum(axis=2)
+
+    def encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            d2 = g_sq[None, :] - 2.0 * (Vn @ G.T)  # argmin drops the |x|^2 term
+            cell = d2.argmin(axis=1)
+            Rres = Vn - G[cell]
+            code = np.zeros(len(Vn), dtype=np.int64)
+            for j in range(mm):
+                rj = Rres[:, j * sub : (j + 1) * sub]
+                dj = c_sq[j][None, :] - 2.0 * (rj @ C[j].T)
+                code |= dj.argmin(axis=1).astype(np.int64) << (8 * j)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.astype(np.int32),
+                    "code": code,
+                }
+            )
+
+    return emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(encode, schema=f"{id_col} long, cell int, code long")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 7,
+    m: int = 8,
+    n_centroids: int = 64,
+    refine: int = 40,
+    seed: int = _IVFPQ_SEED,
+    sample_n: int = 4096,
+    max_iter: int = 25,
+    coarse: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF-PQ (FAISS IVFADC): coarse-cell probing +
+    residual-ADC scoring + bounded exact cosine re-rank.
+
+    Composes the two persisted-index families into the index every
+    billion-scale deployment actually runs: IVF contributes SCAN PRUNING
+    (only n_probe of n_cells cells are read — with the code relation
+    written partitioned by cell, the ``cell IN (...)`` predicate prunes
+    files before any row is read) and PQ contributes SCAN NARROWING (the
+    read rows are 20-byte (id, cell, code) triples, not raw vectors).
+    Neither parent offers both: ivf_topk re-reads raw vectors inside
+    probed cells; pq_topk scans every row's code.
+
+    Scoring decomposes exactly like the paper's IVFADC: for normalized
+    query q and corpus vector x in cell c with residual r,
+    ``<q, x> ~= <q, center_c> + <q, r_hat>`` — the first term is one
+    per-(query, probed-cell) scalar computed on the driver, the second is
+    the standard per-query ADC table over the RESIDUAL codebooks (m
+    lookups per row). Each Arrow batch emits its local top-R per query by
+    (adc desc, id asc) — a superset of the global top-R under any layout
+    (same argument as pq_topk) — so the post-scan shuffle carries
+    O(batches * |Q| * R) rows. The global top-R then re-ranks by EXACT
+    cosine (vectors re-join once by id, sort-merge, never broadcast), so
+    emitted cos_sim values are bit-identical to cosine_topk's for pairs
+    both return. Deterministic end to end: sample-fit artifacts, argmin
+    ties to the lowest index, every selection totally ordered by
+    (score, id).
+
+    Persisted-index mode: pass ``coarse``+``codebooks`` (numpy, serialize
+    once per corpus snapshot) and ``codes`` (an ``ivfpq_encode`` relation
+    read back from parquet) and no fit or corpus encoding re-runs.
+    ``queries`` is collected to the driver (|Q| * m * n_centroids doubles
+    of ADC tables + |Q| * n_probe offsets — the same small-|Q| contract as
+    cosine_topk's broadcast).
+    """
+    if coarse is None or codebooks is None:
+        coarse, codebooks = ivfpq_index(
+            emb, id_col, vec_col, n_cells, m, n_centroids, seed, sample_n, max_iter
+        )
+    if codes is None:
+        codes = ivfpq_encode(emb, coarse, codebooks, id_col, vec_col)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not q_rows:
+        return _ranked(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(None).cast("long").alias("query_id"),
+                F.lit(0.0).alias("cos_sim"),
+            ).where(F.lit(False)),
+            k,
+            False,
+        )
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    G = np.asarray(coarse, dtype=np.float64)
+    mm, kc, sub = codebooks.shape
+    g_sq = (G**2).sum(axis=1)
+    # probe the n_probe nearest coarse cells per query (stable argsort:
+    # distance ties go to the lower cell id)
+    qd2 = g_sq[None, :] - 2.0 * (Qn @ G.T)  # (|Q|, n_cells)
+    n_probe_eff = min(n_probe, len(G))
+    probed = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe_eff]
+    offs = Qn @ G.T  # (|Q|, n_cells): the <q, center_c> term
+    lut = np.stack(
+        [Qn[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(mm)], axis=1
+    )
+    r_cap = refine * k
+    probe_masks = [np.sort(probed[i]).astype(np.int32) for i in range(len(qids))]
+    all_cells = sorted({int(c) for row in probe_masks for c in row})
+
+    # JVM-side prune BEFORE the Python scan: with cell-partitioned storage
+    # this is partition pruning; in-memory it is still a codegen filter
+    scan = codes.where(F.col("cell").isin(all_cells))
+
+    def adc_scan(it):
+        shifts = np.arange(mm, dtype=np.int64) * 8
+        for pdf in it:
+            if not len(pdf):
+                continue
+            code = pdf["code"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            nid = pdf[id_col].to_numpy()
+            sub_codes = (code[:, None] >> shifts[None, :]) & 0xFF  # (B, m)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, probe_masks[qi]) & (nid != qids[qi])
+                cand_idx = np.flatnonzero(mask)
+                if not len(cand_idx):
+                    continue
+                scores = (
+                    lut[qi][np.arange(mm)[None, :], sub_codes[cand_idx]].sum(axis=1)
+                    + offs[qi][cell[cand_idx]]
+                )
+                sel = np.lexsort((nid[cand_idx], -scores))[:r_cap]
+                keep = cand_idx[sel]
+                out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+                out_n.append(nid[keep])
+                out_s.append(scores[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    local_top = scan.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        local_top.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= r_cap)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).cast("array<double>").alias("nv")
+    )
+    cand = (
+        survivors.join(F.broadcast(qdf), F.col("query_id") == F.col("_qid"))
+        .join(nvec.hint("merge"), F.col("neighbor_id") == F.col("_nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    # survivors are <= |Q| * refine * k rows — no two-phase needed
+    return _ranked(cand, k, False)

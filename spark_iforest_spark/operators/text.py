@@ -13,6 +13,8 @@ these run at scan speed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from spark_iforest_spark.functions import EN_STOPWORDS, LANG_STOPWORDS, tokens
@@ -621,3 +623,255 @@ def heavy_hitter_tokens(
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filtering (round 8)
+#
+# Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual Datasets
+# from Web Crawl Data") filter web text by the perplexity of a language
+# model TRAINED ON A TRUSTED REFERENCE CORPUS (they use a KenLM 5-gram on
+# Wikipedia), then band documents into head/middle/tail by corpus-fraction
+# cutoffs and keep head+middle. This is the standard "model the text you
+# want, keep what looks like it" pretraining filter — complementary to
+# DSIR (which RESAMPLES by a target/raw ratio) and to token_typicality
+# (which scores against the corpus's OWN unigram model, no reference).
+#
+# Spark-first shape: the LM is a RELATION (unigram + bigram counts with
+# pre-snapped ln-probabilities in integer micro units — persist with
+# parquet, the same frozen-artifact lifecycle as dsir_estimator / PQ
+# codebooks), scoring is two token-keyed joins + one per-doc aggregate,
+# and banding is a pure codegen CASE against FROZEN cutpoints. All
+# arithmetic follows the repo's engine-portable convention: ln snapped to
+# integer micros via floor(x*1e6 + 0.5) (see dsir_estimator), integer
+# sums, one final floor-division — oracle-exact end to end.
+
+_LM_MICRO = 1e6
+
+
+def _lm_toks(text_col) -> F.Column:
+    """Lowercased whitespace tokens with empties removed — removal BEFORE
+    pairing so bigram adjacency never spans an empty token."""
+    return F.filter(
+        tokens(F.lower(F.coalesce(text_col, F.lit("")))), lambda x: x != F.lit("")
+    )
+
+
+def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit a bigram stupid-backoff LM on a trusted reference corpus.
+
+    Returns the frozen LM relation (ord, w1, w2, cnt, ln_micros):
+
+    * ``ord=2`` rows — one per bigram: ln_micros = snapped
+      ln(cnt(w1 w2) / cnt(w1)), the conditional bigram log-probability.
+    * ``ord=1`` rows — one per unigram (w2 NULL): snapped ln(cnt(w) / T).
+    * one ``ord=0`` row (both NULL, cnt = T): snapped ln(1 / T), the
+      out-of-vocabulary floor (an unseen token is priced as one count).
+
+    Stupid backoff (Brants et al. 2007) needs exactly these three pieces;
+    the backoff multiplier is applied at SCORING time in integer micro
+    space, so the artifact is alpha-free. Scale: one token-keyed and one
+    bigram-keyed count shuffle (both map-side combined), plus a
+    vocab-keyed join of bigrams to their left-token counts — all keyed by
+    vocabulary, never by corpus rows. The reference must contain at least
+    one token (T >= 1); empty references yield a NULL-ln artifact.
+    """
+    toks = reference.select(_lm_toks(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 2),
+                        lambda i: F.struct(
+                            F.element_at(F.col("t"), i + 1).alias("w1"),
+                            F.element_at(F.col("t"), i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("tot"))
+
+    def snap_ln(x):
+        return F.floor(F.log(x) * F.lit(_LM_MICRO) + F.lit(0.5)).cast("long")
+
+    uni_rows = uni.crossJoin(F.broadcast(total)).select(
+        F.lit(1).alias("ord"),
+        F.col("w").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        "cnt",
+        snap_ln(F.col("cnt").cast("double") / F.col("tot")).alias("ln_micros"),
+    )
+    bi_rows = bi.join(
+        uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")), "w1"
+    ).select(
+        F.lit(2).alias("ord"),
+        "w1",
+        "w2",
+        "cnt",
+        snap_ln(F.col("cnt").cast("double") / F.col("c1")).alias("ln_micros"),
+    )
+    oov_row = total.select(
+        F.lit(0).alias("ord"),
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.col("tot").alias("cnt"),
+        snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
+    )
+    return uni_rows.unionByName(bi_rows).unionByName(oov_row)
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document LM negative-log-likelihood against a frozen lm_fit
+    relation: (id, n_tokens, sum_ln_micros, avg_nll_micros).
+
+    Token scoring is stupid backoff in integer micro space: the first
+    token scores by its unigram probability; later tokens score by the
+    bigram conditional when the (prev, cur) bigram was seen, else by
+    ``ln(alpha)`` plus the unigram probability; unseen unigrams fall to
+    the OOV floor. ``avg_nll_micros = floor(-sum / n)`` — lower is more
+    reference-like (avg_nll = ln(perplexity); exp is monotone, so banding
+    on nll IS banding on perplexity, and staying in integer micros keeps
+    the relation engine-portable). Docs with zero tokens carry no signal
+    and are dropped (documented contract, same as the PSI NULL-row drop).
+
+    Scale: pair explode (2n-1 rows/doc) -> one bigram-keyed left join ->
+    one unigram-keyed left join -> one per-doc aggregate with map-side
+    combine. The LM joins are vocabulary-keyed: broadcast the LM when it
+    fits, else AQE skew-handles the Zipf head, same argument as
+    token_typicality.
+    """
+    alpha_micros = int(math.floor(math.log(float(alpha)) * _LM_MICRO + 0.5))
+    pairs = docs.select(
+        F.col(id_col), _lm_toks(F.col(text_col)).alias("t")
+    ).select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("t") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t")),
+                    lambda i: F.struct(
+                        F.when(i > 1, F.element_at(F.col("t"), i - 1)).alias("prev"),
+                        F.element_at(F.col("t"), i).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("p"),
+    ).select(id_col, "p.prev", "p.cur")
+    bi = lm.where(F.col("ord") == 2).select(
+        F.col("w1").alias("prev"), F.col("w2").alias("cur"),
+        F.col("ln_micros").alias("ln2"),
+    )
+    uni = lm.where(F.col("ord") == 1).select(
+        F.col("w1").alias("cur"), F.col("ln_micros").alias("ln1")
+    )
+    oov = lm.where(F.col("ord") == 0).select(F.col("ln_micros").alias("ln_oov"))
+    tok_ln = (
+        pairs.join(bi, ["prev", "cur"], "left")
+        .join(uni, "cur", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            F.col(id_col),
+            F.when(F.col("ln2").isNotNull(), F.col("ln2"))
+            .when(
+                F.col("prev").isNull(), F.coalesce(F.col("ln1"), F.col("ln_oov"))
+            )
+            .otherwise(
+                F.lit(alpha_micros) + F.coalesce(F.col("ln1"), F.col("ln_oov"))
+            )
+            .alias("ln_micros"),
+        )
+    )
+    return (
+        tok_ln.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ln_micros").alias("sum_ln_micros"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_ln_micros",
+            F.floor(
+                (-F.col("sum_ln_micros")).cast("double") / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("avg_nll_micros"),
+        )
+    )
+
+
+def perplexity_cutpoints(
+    scored: DataFrame,
+    fractions: tuple = (0.333333, 0.666667),
+    score_col: str = "avg_nll_micros",
+    rel_err: float = 0.0,
+) -> list:
+    """Corpus-fraction band cutpoints over a scored relation — the FROZEN
+    half of CCNet banding (the paper computes cutoffs once per language on
+    the reference snapshot, then applies them to every shard; recompute =
+    a new calibration decision, exactly the drift-cutpoint contract).
+
+    ``rel_err=0`` resolves each fraction f to the exact ceil(f*n)-th
+    smallest score via approxQuantile's zero-error path (the flagship
+    threshold's pinned convention); at 100 TB pass rel_err > 0 for the
+    bounded-memory mergeable GK sketch instead."""
+    cuts = scored.approxQuantile(score_col, [float(f) for f in fractions], rel_err)
+    return [int(c) for c in cuts]
+
+
+def perplexity_bands(
+    scored: DataFrame,
+    cutpoints: list,
+    score_col: str = "avg_nll_micros",
+) -> DataFrame:
+    """Band a scored relation against frozen cutpoints: band 1 ("head",
+    most reference-like, score <= cut1), 2 ("middle"), 3 ("tail").
+    Pure codegen CASE — zero shuffle, zero Python."""
+    c1, c2 = int(cutpoints[0]), int(cutpoints[1])
+    return scored.withColumn(
+        "band",
+        F.when(F.col(score_col) <= c1, 1)
+        .when(F.col(score_col) <= c2, 2)
+        .otherwise(3),
+    )
+
+
+def ccnet_filter(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    fractions: tuple = (0.333333, 0.666667),
+    keep_bands: tuple = (1, 2),
+    rel_err: float = 0.0,
+) -> DataFrame:
+    """One-call CCNet pass: fit the reference LM, score every doc, band by
+    corpus fractions, keep head+middle (the paper's default). Returns
+    (id, n_tokens, sum_ln_micros, avg_nll_micros, band) for kept docs.
+    Zero-token docs carry no LM signal and are not returned (score them
+    with length/quality rules instead — gopher_filter)."""
+    lm = lm_fit(reference, text_col=text_col)
+    scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+    cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
+    banded = perplexity_bands(scored, cuts)
+    return banded.where(F.col("band").isin(list(keep_bands)))

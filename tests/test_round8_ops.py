@@ -353,3 +353,122 @@ def test_containment_skew_guard_matches_unguarded_on_cold_shingles(spark):
     b = sorted(map(tuple, _dedup.ngram_containment_pairs(
         df, max_shingle_df=100).collect()))
     assert a == b and len(a) == 1
+
+
+# ------------------------------------------------- CCNet perplexity filter
+def _lm_ref(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the mat"),
+            (2, "a cat and a dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _snap(x):
+    return math.floor(math.log(x) * 1e6 + 0.5)
+
+
+def test_lm_fit_hand_computed(spark):
+    lm = {
+        (r["ord"], r["w1"], r["w2"]): (r["cnt"], r["ln_micros"])
+        for r in text.lm_fit(_lm_ref(spark)).collect()
+    }
+    # T = 6 + 6 + 5 = 17 tokens; 'the' appears 4x
+    assert lm[(1, "the", None)] == (4, _snap(4 / 17))
+    # bigram 'the cat' once, left count('the') = 4
+    assert lm[(2, "the", "cat")] == (1, _snap(1 / 4))
+    # 'sat on' twice of count('sat') = 2 -> ln(1) = 0
+    assert lm[(2, "sat", "on")] == (2, 0)
+    # OOV floor row
+    assert lm[(0, None, None)] == (17, _snap(1 / 17))
+
+
+def test_lm_perplexity_all_backoff_paths(spark):
+    """One doc exercising all four scoring paths: first-token unigram,
+    bigram hit, alpha-backoff to a seen unigram, and the OOV floor."""
+    ref = _lm_ref(spark)
+    lm = text.lm_fit(ref)
+    # 'mat' (first token, unigram 2/17) -> 'mat cat' (unseen bigram, seen
+    # unigram 'cat' 2/17, alpha) -> 'cat sat' (seen bigram 1/2) ->
+    # 'sat zzz' (OOV: alpha + ln(1/17))
+    docs = spark.createDataFrame([(0, "mat cat sat zzz")], "doc_id long, text string")
+    alpha_m = math.floor(math.log(0.4) * 1e6 + 0.5)
+    expected_sum = (
+        _snap(2 / 17)
+        + (alpha_m + _snap(2 / 17))
+        + _snap(1 / 2)
+        + (alpha_m + _snap(1 / 17))
+    )
+    row = text.lm_perplexity(docs, lm).collect()[0]
+    assert row["n_tokens"] == 4
+    assert row["sum_ln_micros"] == expected_sum
+    assert row["avg_nll_micros"] == math.floor(-expected_sum / 4)
+
+
+def test_ccnet_filter_keeps_fluent_drops_garbage(spark):
+    ref = _lm_ref(spark)
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),     # in-distribution -> head
+            (1, "the dog sat on the mat"),
+            (2, "a cat and a dog"),
+            (3, "qzx wvu plk mnb qzx wvu"),    # OOV soup -> tail
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["band"] for r in text.ccnet_filter(docs, ref).collect()}
+    assert 3 not in kept          # garbage banded tail and dropped
+    assert set(kept) == {0, 1, 2}
+    assert kept[0] in (1, 2)
+
+
+def test_lm_fit_layout_invariant_and_parquet_roundtrip(spark, tmp_path):
+    ref = _lm_ref(spark)
+    a = sorted(map(tuple, text.lm_fit(ref).collect()))
+    b = sorted(map(tuple, text.lm_fit(ref.repartition(7)).collect()))
+    assert a == b
+    docs = spark.createDataFrame(
+        [(0, "the cat sat zzz"), (1, "dog mat")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lm")
+    text.lm_fit(ref).write.parquet(path)
+    direct = sorted(map(tuple, text.lm_perplexity(docs, text.lm_fit(ref)).collect()))
+    frozen = sorted(
+        map(tuple, text.lm_perplexity(docs, spark.read.parquet(path)).collect())
+    )
+    assert direct == frozen and len(direct) == 2
+
+
+def test_lm_zero_token_docs_dropped(spark):
+    ref = _lm_ref(spark)
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = text.lm_perplexity(docs, text.lm_fit(ref))
+    assert [r["doc_id"] for r in out.collect()] == [0]
+
+
+def test_perplexity_bands_cutpoint_convention(spark):
+    """Cutpoints must resolve to the exact ceil(f*n)-th smallest score and
+    the CASE banding must reproduce a brute-force tercile split."""
+    ref = _lm_ref(spark)
+    rows = [(i, "the cat sat on the mat " + ("zzz " * (i % 5))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = text.lm_perplexity(docs, text.lm_fit(ref))
+    vals = sorted(r["avg_nll_micros"] for r in scored.collect())
+    n = len(vals)
+    cuts = text.perplexity_cutpoints(scored)
+    assert cuts == [
+        vals[math.ceil(n * 0.333333) - 1],
+        vals[math.ceil(n * 0.666667) - 1],
+    ]
+    banded = {r["doc_id"]: r["band"] for r in
+              text.perplexity_bands(scored, cuts).collect()}
+    for r in scored.collect():
+        v = r["avg_nll_micros"]
+        exp = 1 if v <= cuts[0] else (2 if v <= cuts[1] else 3)
+        assert banded[r["doc_id"]] == exp

@@ -718,3 +718,164 @@ def test_lsh_multi_probe_recovers_recall_with_4x_fewer_tables(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_ivfpq_topk_recall_and_exact_cos_values(spark, sf_dir):
+    """IVF-PQ (FAISS IVFADC) must clear the same recall floor as its
+    parents on the adversarial clusterless corpus, and shared pairs must
+    carry cos_sim BIT-EQUAL to the exact path (the re-rank is exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.cosine_topk(emb, q).collect()
+    }
+    appr = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.ivfpq_topk(emb, q).collect()
+    }
+    hits = set(exact) & set(appr)
+    assert len(hits) / len(exact) >= 0.9
+    assert all(exact[p] == appr[p] for p in hits)  # bit-equal, not approx
+
+
+def test_ivfpq_persisted_index_and_incremental_encode_match_scratch(
+    spark, sf_dir, tmp_path
+):
+    """Frozen (coarse, codebooks) + a two-part ivfpq_encode union written
+    to and read back from parquet must search identically to a
+    from-scratch run — the incremental-ingest lifecycle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    old, new = emb.where("vec_id % 3 != 0"), emb.where("vec_id % 3 = 0")
+    coarse, cb = similarity.ivfpq_index(emb)
+    path = str(tmp_path / "ivfpq_codes")
+    similarity.ivfpq_encode(old, coarse, cb).unionByName(
+        similarity.ivfpq_encode(new, coarse, cb)
+    ).write.parquet(path)
+    scratch = sorted(map(tuple, similarity.ivfpq_topk(emb, q).collect()))
+    persisted = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                emb, q, coarse=coarse, codebooks=cb,
+                codes=spark.read.parquet(path),
+            ).collect(),
+        )
+    )
+    assert scratch == persisted and len(scratch) > 0
+
+
+def test_ivfpq_topk_layout_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    a = sorted(map(tuple, similarity.ivfpq_topk(emb.repartition(3), q).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_topk(emb.repartition(17), q).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivfpq_scan_prunes_cells_and_reads_codes_not_vectors(spark, sf_dir, tmp_path):
+    """The 100 TB contract, both halves: the probe's cell predicate is
+    PUSHED to the parquet scan of the code relation (partition/file
+    pruning when stored by cell) and the ADC scan consumes only the
+    20-byte (id, cell, code) triples — no vector column crosses into
+    Python; the exact re-rank re-joins vectors via sort-merge."""
+    import re
+
+    from spark_iforest_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 3")
+    coarse, cb = similarity.ivfpq_index(emb)
+    path = str(tmp_path / "codes")
+    similarity.ivfpq_encode(emb, coarse, cb).write.parquet(path)
+    codes = spark.read.parquet(path)
+    plan = formatted_plan(
+        similarity.ivfpq_topk(emb, q, coarse=coarse, codebooks=cb, codes=codes)
+    )
+    scans = re.findall(
+        r"Scan parquet[^\n]*\n(?:.*\n)*?PushedFilters: (.*)", plan
+    )
+    assert any("In(cell" in s for s in scans)  # probe predicate reached parquet
+    args = re.findall(r"\(\d+\) MapInPandas\n(?:.*\n)*?Arguments: (.*)", plan)
+    adc_side = [a for a in args if "adc_scan(" in a]
+    assert adc_side and all("embedding#" not in a for a in adc_side)
+    assert "SortMergeJoin" in plan
+
+
+def test_ivfpq_topk_driver_rederivation_bit_exact(spark, sf_dir):
+    """IVF-PQ straight-line pin: recompute the whole path on the driver —
+    sample-fit artifacts, cell assignment, residual codes, probe
+    selection, offset+ADC scores, global top-R, exact-cosine re-rank —
+    and require the distributed relation bit-exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    k, n_cells, n_probe, refine = 5, 8, 7, 40
+    got = sorted(map(tuple, similarity.ivfpq_topk(emb, queries, k=k).collect()))
+
+    coarse, cb = similarity.ivfpq_index(emb)
+    enc = {
+        r["vec_id"]: (r["cell"], r["code"])
+        for r in similarity.ivfpq_encode(emb, coarse, cb).collect()
+    }
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    mm, _, sub = cb.shape
+    shifts = np.arange(mm, dtype=np.int64) * 8
+    G = np.asarray(coarse)
+    g_sq = (G**2).sum(axis=1)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    nid = np.asarray(sorted(enc), dtype=np.int64)
+    cell_arr = np.asarray([enc[i][0] for i in nid], dtype=np.int64)
+    code_arr = np.asarray([enc[i][1] for i in nid], dtype=np.int64)
+    sub_codes = (code_arr[:, None] >> shifts[None, :]) & 0xFF
+    expected = []
+    for qid in [v for v in rows if v < 10]:
+        qv = np.asarray(rows[qid], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        qd2 = g_sq - 2.0 * (qn @ G.T)
+        probe = np.sort(np.argsort(qd2, kind="stable")[:n_probe])
+        offs = qn @ G.T
+        lut = np.stack([qn[j * sub : (j + 1) * sub] @ cb[j].T for j in range(mm)])
+        mask = np.isin(cell_arr, probe) & (nid != qid)
+        cand = np.flatnonzero(mask)
+        scores = (
+            lut[np.arange(mm)[None, :], sub_codes[cand]].sum(axis=1)
+            + offs[cell_arr[cand]]
+        )
+        order = cand[np.lexsort((nid[cand], -scores))[: refine * k]]
+        scored = sorted(
+            (
+                (
+                    round6(
+                        fold_dot(rows[qid], rows[int(n)])
+                        / (fold_norm(rows[qid]) * fold_norm(rows[int(n)]))
+                    ),
+                    int(n),
+                )
+                for n in nid[order]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, n) in enumerate(scored[:k], start=1):
+            expected.append((qid, n, rank, cos))
+    assert got == sorted(expected) and len(got) > 0
