@@ -2733,16 +2733,86 @@ def oracle_sql() -> dict[str, str]:
                            / len(t), 6) AS top_token_share
               FROM tok
             )
-            SELECT doc_id, symbol_ratio, alpha_word_frac, stopword_hits,
+            , st AS (
+              SELECT doc_id,
+                     list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                                x -> trim(x)), x -> x != '') AS l,
+                     list_filter(list_transform(regexp_split_to_array(text, '\\n\\n'),
+                                                x -> trim(x)), x -> x != '') AS p,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])
+                          ELSE CAST([] AS VARCHAR[]) END AS g2,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE CAST([] AS VARCHAR[]) END AS g3,
+                     length(text) AS nc
+              FROM tok
+            ),
+            g2m AS (
+              SELECT doc_id, max(c * lg) AS cover FROM (
+                SELECT doc_id, g, count(*) AS c, length(g) AS lg
+                FROM (SELECT doc_id, unnest(g2) AS g FROM st)
+                GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ),
+            g3m AS (
+              SELECT doc_id, max(c * lg) AS cover FROM (
+                SELECT doc_id, g, count(*) AS c, length(g) AS lg
+                FROM (SELECT doc_id, unnest(g3) AS g FROM st)
+                GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ),
+            sr AS (
+              SELECT st.doc_id,
+                     CASE WHEN len(l) > 0
+                          THEN round(1.0 - len(list_distinct(l)) / len(l), 6)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN coalesce(list_sum(list_transform(l, x -> length(x))), 0) > 0
+                          THEN round(CAST(list_sum(list_transform(l, x -> length(x)))
+                                          - list_sum(list_transform(list_distinct(l),
+                                                                    x -> length(x)))
+                                     AS DOUBLE)
+                                     / list_sum(list_transform(l, x -> length(x))), 6)
+                          ELSE 0.0 END AS dup_line_char_frac,
+                     CASE WHEN len(p) > 0
+                          THEN round(1.0 - len(list_distinct(p)) / len(p), 6)
+                          ELSE 0.0 END AS dup_para_frac,
+                     CASE WHEN coalesce(list_sum(list_transform(p, x -> length(x))), 0) > 0
+                          THEN round(CAST(list_sum(list_transform(p, x -> length(x)))
+                                          - list_sum(list_transform(list_distinct(p),
+                                                                    x -> length(x)))
+                                     AS DOUBLE)
+                                     / list_sum(list_transform(p, x -> length(x))), 6)
+                          ELSE 0.0 END AS dup_para_char_frac,
+                     CASE WHEN nc > 0 AND g2m.cover IS NOT NULL
+                          THEN least(1.0, round(CAST(g2m.cover AS DOUBLE) / nc, 6))
+                          ELSE 0.0 END AS top_2gram_char_frac,
+                     CASE WHEN nc > 0 AND g3m.cover IS NOT NULL
+                          THEN least(1.0, round(CAST(g3m.cover AS DOUBLE) / nc, 6))
+                          ELSE 0.0 END AS top_3gram_char_frac
+              FROM st
+              LEFT JOIN g2m ON st.doc_id = g2m.doc_id
+              LEFT JOIN g3m ON st.doc_id = g3m.doc_id
+            )
+            SELECT c.doc_id, symbol_ratio, alpha_word_frac, stopword_hits,
+                   sr.dup_line_frac, sr.dup_line_char_frac,
+                   sr.dup_para_frac, sr.dup_para_char_frac,
+                   sr.top_2gram_char_frac, sr.top_3gram_char_frac,
                    (CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END
                     + CASE WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 2 ELSE 0 END
                     + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
                     + CASE WHEN alpha_word_frac < 0.8 THEN 8 ELSE 0 END
                     + CASE WHEN stopword_hits < 2 THEN 16 ELSE 0 END
                     + CASE WHEN dup_token_frac > 0.3 THEN 32 ELSE 0 END
-                    + CASE WHEN top_token_share > 0.2 THEN 64 ELSE 0 END)
+                    + CASE WHEN top_token_share > 0.2 THEN 64 ELSE 0 END
+                    + CASE WHEN sr.dup_line_frac > 0.3 THEN 128 ELSE 0 END
+                    + CASE WHEN sr.dup_para_frac > 0.3 THEN 256 ELSE 0 END
+                    + CASE WHEN sr.dup_line_char_frac > 0.2 THEN 512 ELSE 0 END
+                    + CASE WHEN sr.top_2gram_char_frac > 0.2 THEN 1024 ELSE 0 END)
                      AS gopher_fail_mask
-            FROM c
+            FROM c JOIN sr ON c.doc_id = sr.doc_id
         """,
         # string-equality n-gram containment (the Spark side compares
         # xxhash64(shingle) — identical semantics absent 64-bit collisions,
@@ -3715,6 +3785,9 @@ def oracle_sql() -> dict[str, str]:
                    tt.n_tokens AS lm_n_tokens, tt.sum_ppb AS lm_sum_ppb,
                    tt.typicality_ppb,
                    go.symbol_ratio, go.alpha_word_frac, go.stopword_hits,
+                   go.dup_line_frac, go.dup_line_char_frac,
+                   go.dup_para_frac, go.dup_para_char_frac,
+                   go.top_2gram_char_frac, go.top_3gram_char_frac,
                    go.gopher_fail_mask,
                    go.gopher_fail_mask = 0 AS gopher_keep
             FROM ({base["text_token_stats"]}) ts

@@ -397,7 +397,123 @@ GOPHER_RULE_BITS = (
     ("stopword_hits", 16),   # EN stopword occurrences < 2
     ("dup_token_frac", 32),  # 1 - distinct/total tokens > 0.3
     ("top_token_share", 64), # modal token frequency share > 0.2
+    # structural-repetition rules (round 8 — the rest of §A1.1's table)
+    ("dup_line_frac", 128),         # duplicate line fraction > 0.3
+    ("dup_para_frac", 256),         # duplicate paragraph fraction > 0.3
+    ("dup_line_char_frac", 512),    # chars in repeated lines > 0.2
+    ("top_2gram_char_frac", 1024),  # chars covered by the modal 2-gram > 0.2
 )
+
+
+def structure_repetition_cols(text_col: str = "text") -> list:
+    """Gopher §A1.1 structural-repetition signals (round 8): duplicate
+    LINE/PARAGRAPH fractions (by count and by character mass) and the
+    character share of the most frequent word 2-/3-gram. Boilerplate,
+    navigation chrome, and template spam repeat at line/paragraph
+    granularity that token-level dup fractions dilute.
+
+    Lines split on newline, paragraphs on blank line; both trimmed with
+    empties dropped BEFORE counting so trailing newlines don't dilute.
+    ``dup_*_char_frac`` counts the characters of repeat occurrences
+    beyond the first (total char mass − distinct char mass);
+    ``top_Ngram_char_frac`` is count(modal gram) · len(gram) / doc chars.
+    All pure array expressions over one projection — no shuffle, no
+    Python; NULL/empty text yields 0.0 everywhere (no signal, no fail).
+    The modal-gram scan is O(|grams|·|distinct|) per row, same bound as
+    repetition_cols' top_token_share."""
+    txt = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    paras = F.filter(
+        F.transform(F.split(txt, "\n\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+    def dup_frac(arr):
+        return (
+            F.when(
+                F.size(arr) > 0,
+                F.round(F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr), 6),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    def char_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    def dup_char_frac(arr):
+        tot = char_sum(arr)
+        dis = char_sum(F.array_distinct(arr))
+        return (
+            F.when(tot > 0, F.round((tot - dis).cast("double") / tot, 6))
+            .otherwise(F.lit(0.0))
+        )
+
+    toks = tokens(txt)
+    n_chars = F.length(txt)
+
+    def top_gram_char_frac(n: int):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        # modal cover = max over distinct grams of count·len. A naive
+        # distinct×filter scan is O(|grams|²) per row — measured 6x slower
+        # end-to-end on this panel; sorting first makes equal grams
+        # adjacent, so ONE O(n log n) sort + O(n) run-length fold finds
+        # the same maximum (run = count, tracked best = max(run·len)).
+        walk = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    (
+                        F.when(x == a["prev"], a["run"] + 1)
+                        .otherwise(F.lit(1).cast("long"))
+                    )
+                    * F.length(x),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
+        )
+        # overlapping occurrences are each counted in full, so raw cover
+        # can exceed the doc length on degenerate repetition — clamp to
+        # 1.0 to keep the signal a fraction (the rule compares > 0.2
+        # either way)
+        return (
+            F.when(
+                (n_chars > 0) & (F.size(grams) > 0),
+                F.least(F.lit(1.0), F.round(walk.cast("double") / n_chars, 6)),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    return [
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_char_frac(lines).alias("dup_line_char_frac"),
+        dup_frac(paras).alias("dup_para_frac"),
+        dup_char_frac(paras).alias("dup_para_char_frac"),
+        top_gram_char_frac(2).alias("top_2gram_char_frac"),
+        top_gram_char_frac(3).alias("top_3gram_char_frac"),
+    ]
 
 
 def gopher_rule_mask(
@@ -408,6 +524,10 @@ def gopher_rule_mask(
     stopword_hits,
     dup_token_frac,
     top_token_share,
+    dup_line_frac=None,
+    dup_para_frac=None,
+    dup_line_char_frac=None,
+    top_2gram_char_frac=None,
     min_tokens: int = 50,
     max_tokens: int = 100_000,
     min_mean_token_len: float = 3.0,
@@ -417,13 +537,20 @@ def gopher_rule_mask(
     min_stopword_hits: int = 2,
     max_dup_token_frac: float = 0.3,
     max_top_token_share: float = 0.2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_para_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_2gram_char_frac: float = 0.2,
 ):
-    """Pure column combinator: fold the seven Gopher signals into a rule
+    """Pure column combinator: fold the Gopher signals into a rule
     bitmask (GOPHER_RULE_BITS order; 0 = keep). Split out from
     :func:`gopher_filter` so text.signals_panel can derive the mask from
     its already-computed panel columns without recomputing any signal.
-    NULL signals (empty documents) fail no rule — NULL comparisons are
-    false in both engines, so the contract is engine-portable."""
+    The four structural-repetition signals (round 8) are optional — pass
+    None to run the original seven-rule battery unchanged (bits 1..64
+    never move). NULL signals (empty documents) fail no rule — NULL
+    comparisons are false in both engines, so the contract is
+    engine-portable."""
     fails = [
         (1, (n_tokens < int(min_tokens)) | (n_tokens > int(max_tokens))),
         (2, (mean_token_len < float(min_mean_token_len))
@@ -434,6 +561,14 @@ def gopher_rule_mask(
         (32, dup_token_frac > float(max_dup_token_frac)),
         (64, top_token_share > float(max_top_token_share)),
     ]
+    for bit, col, thr in (
+        (128, dup_line_frac, float(max_dup_line_frac)),
+        (256, dup_para_frac, float(max_dup_para_frac)),
+        (512, dup_line_char_frac, float(max_dup_line_char_frac)),
+        (1024, top_2gram_char_frac, float(max_top_2gram_char_frac)),
+    ):
+        if col is not None:
+            fails.append((bit, col > thr))
     mask = F.lit(0)
     for bit, cond in fails:
         mask = mask + F.when(cond, F.lit(bit)).otherwise(F.lit(0))
@@ -467,7 +602,8 @@ def gopher_filter(
     **thresholds,
 ) -> DataFrame:
     """Gopher-style document quality battery (Rae et al. 2021): per doc,
-    the seven rule signals, a fail bitmask, and gopher_keep — the
+    the eleven rule signals (round 8 adds the structural-repetition
+    four), a fail bitmask, and gopher_keep — the
     standard pretraining-corpus first-pass filter. One single-scan
     projection (all array/regexp expressions over the shared ``tokens``
     split — no UDF, no shuffle; fuses into the parquet read at 100 TB);
@@ -487,7 +623,10 @@ def gopher_filter(
         / n_chars,
         6,
     ).alias("symbol_ratio")
-    cols = [ts[1], ts[2], symbol_ratio, *gopher_cols(text_col), rep[1], rep[2]]
+    cols = [
+        ts[1], ts[2], symbol_ratio, *gopher_cols(text_col), rep[1], rep[2],
+        *structure_repetition_cols(text_col),
+    ]
     base = docs.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
     mask = gopher_rule_mask(
         F.col("n_tokens"),
@@ -497,6 +636,10 @@ def gopher_filter(
         F.col("stopword_hits"),
         F.col("dup_token_frac"),
         F.col("top_token_share"),
+        F.col("dup_line_frac"),
+        F.col("dup_para_frac"),
+        F.col("dup_line_char_frac"),
+        F.col("top_2gram_char_frac"),
         **thresholds,
     )
     return base.select(

@@ -180,6 +180,7 @@ def signals_panel(
         gopher_cols,
         gopher_rule_mask,
         repetition_cols,
+        structure_repetition_cols,
     )
 
     rep = repetition_cols(text_col)
@@ -202,6 +203,9 @@ def signals_panel(
         # equal to pipeline.gopher_filter by construction (pytest-pinned)
         symbol_ratio,
         *gopher_cols(text_col),
+        # structural repetition (round 8): line/paragraph dup fractions +
+        # modal-gram char shares, feeding the four new mask rules
+        *structure_repetition_cols(text_col),
     )
     mask = gopher_rule_mask(
         F.col("n_tokens"),
@@ -211,6 +215,10 @@ def signals_panel(
         F.col("stopword_hits"),
         F.col("dup_token_frac"),
         F.col("top_token_share"),
+        F.col("dup_line_frac"),
+        F.col("dup_para_frac"),
+        F.col("dup_line_char_frac"),
+        F.col("top_2gram_char_frac"),
     )
     per_row = per_row.select(
         "*", mask.alias("gopher_fail_mask"), (mask == 0).alias("gopher_keep")

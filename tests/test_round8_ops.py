@@ -472,3 +472,68 @@ def test_perplexity_bands_cutpoint_convention(spark):
         v = r["avg_nll_micros"]
         exp = 1 if v <= cuts[0] else (2 if v <= cuts[1] else 3)
         assert banded[r["doc_id"]] == exp
+
+
+# ------------------------------------- structural repetition (Gopher §A1.1)
+def test_structure_repetition_planted_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (0, GOOD),
+            (1, "copy me\ncopy me\ncopy me\nunique line"),      # dup lines
+            (2, "para one\n\npara one\n\npara two"),            # dup paragraphs
+            (3, "spam spam spam spam spam spam other words"),   # modal 2-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pipeline.gopher_filter(df).collect()}
+    # doc 1: 4 lines, 3 identical -> dup_line_frac 0.5 (1 - 2/4), char
+    # frac = 2*7/(3*7+11)
+    assert out[1].dup_line_frac == 0.5
+    assert out[1].gopher_fail_mask & 128 and out[1].gopher_fail_mask & 512
+    # doc 2: paragraphs ['para one','para one','para two'] -> 1 - 2/3
+    assert out[2].dup_para_frac == 0.333333
+    assert out[2].gopher_fail_mask & 256
+    # doc 3: 'spam spam' x5 of 7 grams, cover 5*9/44 > 1 -> clamped 1.0
+    assert out[3].top_2gram_char_frac == 1.0
+    assert out[3].gopher_fail_mask & 1024
+    # clean doc trips none of the structural rules
+    assert out[0].gopher_fail_mask & (128 | 256 | 512 | 1024) == 0
+    # empty / NULL text: every structural signal is 0.0 (checked on the
+    # column factory directly — the full gopher battery's OTHER signals
+    # predate round 8 and assume non-empty text under ANSI division)
+    edge = spark.createDataFrame([(4, ""), (5, None)], "doc_id long, text string")
+    for r in edge.select(
+        "doc_id", *pipeline.structure_repetition_cols("text")
+    ).collect():
+        assert r.dup_line_frac == 0.0 and r.dup_para_char_frac == 0.0
+        assert r.top_2gram_char_frac == 0.0 and r.top_3gram_char_frac == 0.0
+
+
+def test_top_gram_run_fold_matches_bruteforce(spark):
+    """The O(n log n) sorted-run fold must equal a brute-force modal-gram
+    count·len scan on adversarial token streams."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(["a", "bb", "ccc", "dd", "e"]) for _ in range(rng.randrange(0, 25))]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.top_2gram_char_frac, r.top_3gram_char_frac)
+        for r in df.select("doc_id", *pipeline.structure_repetition_cols("text")).collect()
+    }
+    for i, txt in rows:
+        toks = txt.split(" ") if txt else [""]
+        n_chars = len(txt)
+        exp = []
+        for n in (2, 3):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)] \
+                if len(toks) >= n else []
+            if n_chars > 0 and grams:
+                cover = max(grams.count(g) * len(g) for g in set(grams))
+                exp.append(min(1.0, round(cover / n_chars, 6)))
+            else:
+                exp.append(0.0)
+        assert got[i] == tuple(exp), (i, txt, got[i], exp)
