@@ -201,7 +201,7 @@ def _quiesce(spark) -> None:
 
 
 def run_suite(spark, sf_dir: str, timed) -> None:
-    """The 15 headline queries against one sf dir; ``timed(name, fn)`` does
+    """The 16 headline queries against one sf dir; ``timed(name, fn)`` does
     the measurement so the primary tier (min-of-N, spread control) and the
     scale tier (single run) share one definition of the workload."""
     from pyspark.sql import functions as F
@@ -329,6 +329,13 @@ def run_suite(spark, sf_dir: str, timed) -> None:
         lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10)).count(),
     )
     timed("text_quality", lambda: text.quality_score(docs).count())
+    # CCNet perplexity pass (round 8): frozen-LM fit on the 'en' slice +
+    # every doc scored through the bigram backoff joins + exact tercile
+    # cutpoints + banding — the canonical "model the text you want" filter
+    timed(
+        "ccnet_ppl",
+        lambda: text.ccnet_filter(docs, docs.where(F.col("lang") == "en")).count(),
+    )
     # learned-tokenizer end to end (round 6): distributed word count ->
     # driver BPE fit (500 merges) -> memoized Arrow apply over the corpus
     tok_box = {}
