@@ -878,8 +878,15 @@ def ccnet_filter(
     (id, n_tokens, sum_ln_micros, avg_nll_micros, band) for kept docs.
     Zero-token docs carry no LM signal and are not returned (score them
     with length/quality rules instead — gopher_filter)."""
+    from spark_iforest_spark.checkpoint import snapshot
+
     lm = lm_fit(reference, text_col=text_col)
-    scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+    # the cutpoint job and the caller's banded consumption would each
+    # re-execute the whole LM fit + scoring DAG (3 corpus passes measured
+    # at gate sf) — snapshot the scored relation once, both read it back
+    scored = snapshot(
+        lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+    )
     cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
     banded = perplexity_bands(scored, cuts)
     return banded.where(F.col("band").isin(list(keep_bands)))
