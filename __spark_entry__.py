@@ -664,6 +664,7 @@ _PA_LEN_CUTS = [150.0, 250.0, 350.0, 450.0, 550.0, 650.0]
 _PA_TOK_CUTS = [25.0, 45.0, 65.0, 85.0]
 _PA_BPE_MERGES = 200
 _PA_REFIT_WORDS = 2000
+_PA_UNI_VOCAB = 400
 
 
 def _bpe_fit_reference(word_counts: dict, n_merges: int) -> list:
@@ -697,6 +698,97 @@ def _bpe_fit_reference(word_counts: dict, n_merges: int) -> list:
                     i += 1
             item[0] = out
     return merges
+
+
+def _unigram_fit_reference(
+    word_counts: dict, vocab_size: int, max_piece_len: int = 8
+) -> list:
+    """Straight-line unigram-LM refit (round 8): recursive-memo Viterbi,
+    full recount each EM round, no seed-loop early-break — an independent
+    implementation of the Kudo-style hard-EM fit whose piece table must
+    equal tokenizer._unigram_fit's on the same word counts. Bounded
+    input only."""
+    import math as _m
+    from collections import Counter as _C
+
+    WB = "\u2581"
+    words = {WB + w: c for w, c in word_counts.items()}
+    subs: dict = _C()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                p = w[i:j]
+                if WB in p[1:]:
+                    continue
+                subs[p] += c
+    singles = sorted({ch for w in words for ch in w})
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]),
+    )
+
+    def to_scores(freqs):
+        tot = sum(freqs.values())
+        return {
+            p: _m.floor(_m.log(f / tot) * 1e6 + 0.5)
+            for p, f in freqs.items()
+            if f > 0
+        }
+
+    freqs = {p: 2 * subs[p] for p in singles}
+    for p, c in multi[: 4 * vocab_size]:
+        freqs[p] = 2 * c
+    scores = to_scores(freqs)
+
+    def viterbi(w):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def go(i):
+            # best (score, -pieces, -j, path) ending at i
+            if i == 0:
+                return (0, 0, 0, ())
+            top = None
+            for j in range(max(0, i - max_piece_len), i):
+                s = scores.get(w[j:i])
+                if s is None:
+                    continue
+                b = go(j)
+                if b is None:
+                    continue
+                cand = (b[0] + s, b[1] - 1, -j, b[3] + (w[j:i],))
+                if top is None or cand[:3] > top[:3]:
+                    top = cand
+            return top
+
+        return list(go(len(w))[3])
+
+    for it in range(4):
+        usage: dict = _C()
+        for w, c in words.items():
+            for p in viterbi(w):
+                usage[p] += c
+        freqs = {}
+        for p in scores:
+            u = usage.get(p, 0)
+            if len(p) == 1:
+                freqs[p] = 2 * u if u > 0 else 1
+            elif u > 0:
+                freqs[p] = 2 * u
+        multis = sorted(
+            ((p, f) for p, f in freqs.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        n_singles = len(freqs) - len(multis)
+        target = (
+            vocab_size if it == 3 else max(vocab_size, int(len(freqs) * 0.75))
+        )
+        keep = dict(multis[: max(0, target - n_singles)])
+        freqs = {p: f for p, f in freqs.items() if len(p) == 1 or p in keep}
+        scores = to_scores(freqs)
+    return [
+        [p, s] for p, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
 
 
 def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
@@ -739,6 +831,40 @@ def _pa_bpe_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
         want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
         # round 7: EVERY doc must round-trip exactly — the byte fallback
         # removed the alphabet-restricted skip
+        checked += 1
+        ok = ok and dec[r["doc_id"]] == want
+    return refit_ok, ok and checked > 0
+
+
+def _pa_unigram_checks(docs: DataFrame) -> tuple[bool, bool]:
+    """Driver-gated unigram-tokenizer invariants (round 8): refit against
+    the straight-line reference implementation, and exact round-trip of a
+    deterministic 25-doc sample (byte fallback makes it exact for ALL
+    input, including literal ▁)."""
+    from spark_iforest_spark.operators import tokenizer
+
+    wc = {
+        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+    }
+    model = {
+        "kind": "unigram",
+        "pieces": tokenizer._unigram_fit(wc, _PA_UNI_VOCAB),
+        "max_piece_len": 8,
+        "vocab_version": 2,
+    }
+    refit_ok = model["pieces"] == _unigram_fit_reference(wc, _PA_UNI_VOCAB)
+    sample = docs.orderBy("doc_id").limit(25)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.unigram_decode(
+            tokenizer.unigram_encode(sample, model), model
+        ).collect()
+    }
+    checked, ok = 0, True
+    for r in sample.collect():
+        if r["text"] is None:
+            continue
+        want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
         checked += 1
         ok = ok and dec[r["doc_id"]] == want
     return refit_ok, ok and checked > 0
@@ -938,11 +1064,14 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
     refit_ok, roundtrip_ok = _pa_bpe_checks(docs, model)
+    uni_refit_ok, uni_rt_ok = _pa_unigram_checks(docs)
     pack_len_ok, pack_cons_ok = _pa_pack_checks(docs, model)
     layout_ok, auc_ok = _pa_quality_checks(docs)
     check_rows = [
         ("bpe_refit_match", 1.0 if refit_ok else 0.0),
         ("bpe_roundtrip_ok", 1.0 if roundtrip_ok else 0.0),
+        ("unigram_refit_match", 1.0 if uni_refit_ok else 0.0),
+        ("unigram_roundtrip_ok", 1.0 if uni_rt_ok else 0.0),
         ("pack_fixed_len_ok", 1.0 if pack_len_ok else 0.0),
         ("pack_conservation_ok", 1.0 if pack_cons_ok else 0.0),
         ("quality_fit_layout_stable", 1.0 if layout_ok else 0.0),
@@ -2254,6 +2383,8 @@ def _pipeline_artifacts_sql() -> str:
     checks = """
         SELECT 'bpe_refit_match' AS key, 1.0 AS value
         UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
+        UNION ALL SELECT 'unigram_refit_match', 1.0
+        UNION ALL SELECT 'unigram_roundtrip_ok', 1.0
         UNION ALL SELECT 'pack_fixed_len_ok', 1.0
         UNION ALL SELECT 'pack_conservation_ok', 1.0
         UNION ALL SELECT 'quality_fit_layout_stable', 1.0

@@ -35,6 +35,7 @@ training rows — JVM-side concat + slice over the packing discipline).
 
 from __future__ import annotations
 
+import math
 import re
 
 import pandas as pd
@@ -496,6 +497,321 @@ def bpe_decode(
                 _decode_ids(ids_arr, id2tok, byte_of)
                 for ids_arr in pdf["token_ids"]
             ]
+            yield pd.DataFrame({id_col: pdf[id_col], "text": out})
+
+    return encoded.select(F.col(id_col), "token_ids").mapInPandas(
+        decode_batches, schema=f"{id_col} long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (round 8) — Kudo 2018 ("Subword Regularization"),
+# the SentencePiece-style second canonical learned tokenizer next to BPE.
+# Same Spark shape as the BPE family: ONE distributed word-count shuffle,
+# a bounded deterministic driver fit, then memoized Arrow apply passes.
+# Same portability conventions: integer-unit arithmetic in the fit
+# (usage counts in half-units so the coverage floor needs no float sums),
+# log-probs snapped to integer micros, every tie broken totally.
+
+_WB = "▁"  # SentencePiece word-boundary marker (U+2581 LOWER BLOCK)
+
+
+def _viterbi_pieces(
+    w: str, scores: dict[str, int], max_piece_len: int
+) -> list[str] | None:
+    """Best segmentation of ``w`` into scored pieces: maximize total
+    score; ties prefer FEWER pieces, then the LONGER final piece at each
+    DP cell (a total order, so the segmentation is deterministic under
+    any dict iteration order). None if some character has no piece —
+    callers route those through the byte fallback."""
+    n = len(w)
+    # best[i]: (sum_score, -n_pieces, -start_of_last_piece, back_ptr)
+    best: list[tuple | None] = [None] * (n + 1)
+    best[0] = (0, 0, 0, -1)
+    for i in range(1, n + 1):
+        top = None
+        for j in range(max(0, i - max_piece_len), i):
+            b = best[j]
+            if b is None:
+                continue
+            s = scores.get(w[j:i])
+            if s is None:
+                continue
+            cand = (b[0] + s, b[1] - 1, -j, j)
+            if top is None or cand[:3] > top[:3]:
+                top = cand
+        best[i] = top
+    if best[n] is None:
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = best[i][3]
+        out.append(w[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _unigram_fit(
+    word_counts: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int = 8,
+    seed_mult: int = 4,
+    em_iters: int = 4,
+    shrink: float = 0.75,
+) -> list[list]:
+    """Hard-EM (Viterbi-EM) unigram-LM fit on a word-frequency dict.
+
+    Seed = every single character plus the top ``seed_mult*vocab_size``
+    multi-character substrings (length <= max_piece_len) by occurrence
+    mass (count*len, ties lexicographic). Each round: Viterbi-segment
+    every distinct word under current piece scores, re-estimate scores
+    from usage, and shrink the multi-piece set toward ``vocab_size``
+    (single characters are never pruned — full coverage by construction,
+    the moral equivalent of SentencePiece's character_coverage=1.0).
+    Frequencies are kept in integer HALF-units (real usage = 2u, the
+    keep-alive floor for an unused single = 1) so totals are exact
+    integer sums — order-independent — and each ln(f/tot) is snapped to
+    integer micros. Deviation from Kudo 2018, documented: hard EM
+    (Viterbi counts) instead of full forward-backward expectations, and
+    mass-ranked pruning instead of likelihood-loss ranking — the
+    standard simplification; segmentations remain MAP-optimal under the
+    fitted scores either way. ``vocab_size`` is an UPPER bound: hard EM
+    retains only pieces that appear on some word's MAP path, so a small
+    corpus converges well below it (frequent whole words + characters).
+    Returns [[piece, score_micros], ...] sorted by (-score, piece)."""
+    from collections import Counter
+
+    words = {_WB + w: c for w, c in word_counts.items()}
+    sub_counts: Counter = Counter()
+    for w, c in words.items():
+        L = len(w)
+        for i in range(L):
+            top = min(i + max_piece_len, L)
+            for j in range(i + 1, top + 1):
+                p = w[i:j]
+                # a piece with ▁ beyond position 0 could only match across
+                # a literal marker, which encode routes through the byte
+                # fallback — never learnable, so never seeded
+                if _WB in p[1:]:
+                    break
+                sub_counts[p] += c
+    singles = sorted({ch for w in words for ch in w})
+    multi = [(p, c) for p, c in sub_counts.items() if len(p) > 1]
+    multi.sort(key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]))
+
+    def to_scores(freqs_half: dict[str, int]) -> dict[str, int]:
+        tot = sum(freqs_half.values())
+        return {
+            p: math.floor(math.log(f / tot) * 1e6 + 0.5)
+            for p, f in freqs_half.items()
+            if f > 0
+        }
+
+    freqs = {p: 2 * sub_counts[p] for p in singles}
+    for p, c in multi[: seed_mult * vocab_size]:
+        freqs[p] = 2 * c
+    scores = to_scores(freqs)
+    for it in range(em_iters):
+        usage: Counter = Counter()
+        for w, c in words.items():
+            for p in _viterbi_pieces(w, scores, max_piece_len):
+                usage[p] += c
+        freqs = {}
+        for p in scores:
+            u = usage.get(p, 0)
+            if len(p) == 1:
+                freqs[p] = 2 * u if u > 0 else 1  # coverage floor, half-unit
+            elif u > 0:
+                freqs[p] = 2 * u
+        multis = sorted(
+            ((p, f) for p, f in freqs.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        n_singles = len(freqs) - len(multis)
+        target = (
+            vocab_size
+            if it == em_iters - 1
+            else max(vocab_size, int(len(freqs) * shrink))
+        )
+        keep = dict(multis[: max(0, target - n_singles)])
+        freqs = {p: f for p, f in freqs.items() if len(p) == 1 or p in keep}
+        scores = to_scores(freqs)
+    return [[p, s] for p, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    max_piece_len: int = 8,
+    max_words: int = 100_000,
+) -> dict:
+    """Train a unigram-LM tokenizer; returns a JSON-able model
+    ``{"kind": "unigram", "pieces": [[piece, score_micros], ...], ...}``.
+
+    Identical distributed shape to ``bpe_train``: ONE token-keyed count
+    shuffle with map-side combine, the (count-desc, word) top
+    ``max_words`` collected, the fit itself bounded driver work — a pure
+    function of (word counts, params) on any layout. The model is the
+    frozen artifact; persist with fs.save_json like the BPE model."""
+    rows = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_words)
+        .collect()
+    )
+    word_counts = {r["w"]: r["c"] for r in rows}
+    pieces = _unigram_fit(word_counts, vocab_size, max_piece_len)
+    return {
+        "kind": "unigram",
+        "pieces": pieces,
+        "max_piece_len": max_piece_len,
+        "vocab_version": 2,
+    }
+
+
+def unigram_vocab(model: dict) -> list[tuple[str, int]]:
+    """(piece, id) vocabulary: id 0 = ``<unk>``, then the 256 byte tokens
+    (same byte-fallback layout rationale as bpe_vocab v2), then the
+    learned pieces in model order (score desc, piece asc). A piece that
+    spells a reserved literal keeps the FIRST id (byte token wins) —
+    bpe_vocab's documented collision rule."""
+    vocab: list[tuple[str, int]] = []
+    seen: set[str] = set()
+
+    def add(tok: str) -> None:
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append((tok, len(vocab)))
+
+    add(_UNK)
+    for bt in _BYTE_TOKENS:
+        add(bt)
+    for p, _s in model["pieces"]:
+        add(p)
+    return vocab
+
+
+def _unigram_encoder(model: dict):
+    scores = {p: int(s) for p, s in model["pieces"]}
+    ids = dict(unigram_vocab(model))
+    byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
+    return scores, ids, byte_ids, int(model.get("max_piece_len", 8))
+
+
+def _unigram_word_ids(
+    word: str,
+    scores: dict[str, int],
+    ids: dict[str, int],
+    byte_ids: list[int],
+    max_piece_len: int,
+) -> list[int]:
+    """▁-prefixed word → piece ids. Characters without a single-char
+    piece (outside the training alphabet) split the word into covered
+    runs Viterbi-segmented independently, with the uncovered characters
+    emitted as UTF-8 byte tokens between them — lossless for all input,
+    and pieces never bridge a byte-fallback gap (they could not have
+    been learned across an unseen character anyway). A LITERAL ▁ inside
+    the word (i > 0) also goes through the byte fallback even when ▁ is
+    a scored piece: decode maps piece-▁ to a space, so a literal one
+    must travel as bytes to survive the round trip — the unigram
+    analogue of bpe_decode's per-token ``</w>`` rule."""
+    w = _WB + word
+    out: list[int] = []
+    run_start = 0
+
+    def flush(run: str) -> None:
+        if not run:
+            return
+        for p in _viterbi_pieces(run, scores, max_piece_len):
+            out.append(ids[p])
+
+    for i, ch in enumerate(w):
+        if ch not in scores or (i > 0 and ch == _WB):
+            flush(w[run_start:i])
+            out.extend(byte_ids[b] for b in ch.encode("utf-8"))
+            run_start = i + 1
+    flush(w[run_start:])
+    return out
+
+
+def unigram_encode(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<int>) — Viterbi (MAP) segmentation against
+    the frozen unigram LM; the bpe_encode surface for unigram models.
+    Same Arrow-batched pass with a per-worker word→ids memo (Zipf makes
+    the corpus pass dict lookups). Round-trip contract (pytest- and
+    gate-pinned): ``unigram_decode(unigram_encode(x)) == lower(x)`` with
+    whitespace collapsed, for every x."""
+    scores, ids, byte_ids, mpl = _unigram_encoder(model)
+
+    def encode_batches(it):
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append([])
+                    continue
+                doc_ids: list[int] = []
+                for w in _WS.split(text.lower()):
+                    if not w:
+                        continue
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = _unigram_word_ids(w, scores, ids, byte_ids, mpl)
+                        memo[w] = hit
+                    doc_ids.extend(hit)
+                out.append(doc_ids)
+            yield pd.DataFrame({id_col: pdf[id_col], "token_ids": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_batches, schema=f"{id_col} long, token_ids array<int>"
+    )
+
+
+def unigram_decode(
+    encoded: DataFrame, model: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) — exact inverse of ``unigram_encode``: pieces
+    concatenate, byte-token runs reassemble to UTF-8, the ▁ boundary
+    marker becomes a space (replaced PER TOKEN, the bpe_decode rule, so
+    text that merely spells ▁ across byte tokens survives)."""
+    vocab = unigram_vocab(model)
+    id2tok = {i: t for t, i in vocab}
+    tok2id = {t: i for t, i in vocab}
+    byte_of = {tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+
+    def dec(ids_arr) -> str:
+        parts: list[str] = []
+        buf = bytearray()
+        for i in ids_arr:
+            b = byte_of.get(int(i))
+            if b is not None:
+                buf.append(b)
+                continue
+            if buf:
+                parts.append(buf.decode("utf-8", "replace"))
+                buf.clear()
+            parts.append(id2tok.get(int(i), _UNK).replace(_WB, " "))
+        if buf:
+            parts.append(buf.decode("utf-8", "replace"))
+        s = "".join(parts)
+        # exactly one LEADING space comes from the first word's ▁
+        return s[1:] if s.startswith(" ") else s
+
+    def decode_batches(it):
+        for pdf in it:
+            out = [dec(ids_arr) for ids_arr in pdf["token_ids"]]
             yield pd.DataFrame({id_col: pdf[id_col], "text": out})
 
     return encoded.select(F.col(id_col), "token_ids").mapInPandas(

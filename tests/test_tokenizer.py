@@ -278,3 +278,108 @@ def test_decode_preserves_literal_eow_spelling(spark):
     doc = spark.createDataFrame([(1, "</w> x")], "doc_id long, text string")
     dec = tokenizer.bpe_decode(tokenizer.bpe_encode(doc, model), model).collect()[0]["text"]
     assert dec == "</w> x"
+
+
+# ----------------------------------------------- unigram-LM tokenizer (r8)
+def test_unigram_train_layout_invariant(docs):
+    a = tokenizer.unigram_train(docs.repartition(3), vocab_size=300)
+    b = tokenizer.unigram_train(docs.repartition(17), vocab_size=300)
+    assert a == b and len(a["pieces"]) > 10
+
+
+def test_unigram_learns_frequent_words_as_pieces(spark):
+    df = spark.createDataFrame(
+        [(0, "low low low low low lower lowest"), (1, "low lower newest")],
+        ["doc_id", "text"],
+    )
+    m = tokenizer.unigram_train(df, vocab_size=50)
+    pieces = {p for p, _s in m["pieces"]}
+    assert tokenizer._WB + "low" in pieces  # the dominant word survives whole
+
+
+def test_unigram_roundtrip_corpus_exact(docs):
+    m = tokenizer.unigram_train(docs, vocab_size=400)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.unigram_decode(
+            tokenizer.unigram_encode(docs, m), m
+        ).collect()
+    }
+    n = 0
+    for r in docs.collect():
+        want = " ".join(
+            w for w in tokenizer._WS.split((r["text"] or "").lower()) if w
+        )
+        assert dec[r["doc_id"]] == want
+        n += 1
+    assert n > 0
+
+
+def test_unigram_byte_fallback_and_literal_marker_roundtrip(spark):
+    """OOV characters (emoji, accents) and a LITERAL U+2581 in the input
+    must both survive: unseen chars ride byte tokens, and a literal ▁
+    is byte-encoded even though ▁ is a scored piece (decode maps piece-▁
+    to a space)."""
+    fit = spark.createDataFrame(
+        [(0, "plain words only here")], ["doc_id", "text"]
+    )
+    m = tokenizer.unigram_train(fit, vocab_size=50)
+    txt = "café ▁weird zz\U0001F600 plain"
+    df = spark.createDataFrame([(0, txt)], ["doc_id", "text"])
+    out = tokenizer.unigram_decode(
+        tokenizer.unigram_encode(df, m), m
+    ).collect()[0]["text"]
+    want = " ".join(w for w in tokenizer._WS.split(txt.lower()) if w)
+    assert out == want
+    # and no <unk> was emitted
+    ids = dict(tokenizer.unigram_vocab(m))
+    enc = tokenizer.unigram_encode(df, m).collect()[0]["token_ids"]
+    assert ids["<unk>"] not in enc
+
+
+def test_unigram_vocab_layout_and_model_json_roundtrip(spark):
+    import json
+
+    df = spark.createDataFrame([(0, "aa ab aa ba")], ["doc_id", "text"])
+    m = tokenizer.unigram_train(df, vocab_size=30)
+    vocab = tokenizer.unigram_vocab(m)
+    assert vocab[0] == ("<unk>", 0)
+    assert vocab[1] == ("<0x00>", 1) and vocab[256] == ("<0xFF>", 256)
+    toks = [t for t, _ in vocab]
+    assert len(toks) == len(set(toks))  # collision rule: first id wins
+    m2 = json.loads(json.dumps(m))
+    a = tokenizer.unigram_encode(df, m).collect()[0]["token_ids"]
+    b = tokenizer.unigram_encode(df, m2).collect()[0]["token_ids"]
+    assert a == b
+
+
+def test_unigram_viterbi_tiebreaks_deterministic():
+    # equal total scores: 'ab'+'c' vs 'a'+'bc' — fewer-pieces can't break
+    # the tie (both 2 pieces); the LONGER-final-piece rule picks 'a'+'bc'
+    scores = {"a": -10, "b": -10, "c": -10, "ab": -20, "bc": -20}
+    assert tokenizer._viterbi_pieces("abc", scores, 8) == ["a", "bc"]
+    # clear winner: one piece beats any split
+    scores2 = {"a": -10, "b": -10, "ab": -15}
+    assert tokenizer._viterbi_pieces("ab", scores2, 8) == ["ab"]
+    # uncoverable word: None (caller handles byte fallback)
+    assert tokenizer._viterbi_pieces("ax", {"a": -1}, 8) is None
+
+
+def test_unigram_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    m = tokenizer.unigram_train(df.where("doc_id = 0"), vocab_size=30)
+    out = {
+        r["doc_id"]: (r["token_ids"], )
+        for r in tokenizer.unigram_encode(df, m).collect()
+    }
+    assert out[1][0] == [] and out[2][0] == [] and out[3][0] == []
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.unigram_decode(
+            tokenizer.unigram_encode(df, m), m
+        ).collect()
+    }
+    assert dec[0] == "hello world" and dec[1] == "" and dec[2] == ""

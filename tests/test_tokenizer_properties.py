@@ -87,3 +87,67 @@ def test_byte_fallback_roundtrip_arbitrary_unicode(word_counts, novel_word):
     got = _decode_ids(_encode_word_ids(w, ranks, ids, byte_ids), id2tok, byte_of)
     assert got == w
     assert ids["<unk>"] not in _encode_word_ids(w, ranks, ids, byte_ids)
+
+
+# ------------------------------------------- unigram-LM tokenizer (round 8)
+@settings(max_examples=100, deadline=None)
+@given(corpora)
+def test_unigram_fit_deterministic_under_input_order(word_counts):
+    from spark_iforest_spark.operators.tokenizer import _unigram_fit
+
+    a = _unigram_fit(dict(word_counts), 50)
+    b = _unigram_fit(dict(reversed(list(word_counts.items()))), 50)
+    assert a == b  # integer half-unit totals -> order-independent scores
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    corpora,
+    st.text(
+        alphabet=st.characters(
+            exclude_characters=" \t\n\x0b\f\r", exclude_categories=("Cs",)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_unigram_word_roundtrip_any_unicode(word_counts, novel_word):
+    """decode(encode(w)) == w for ANY word against ANY fitted model —
+    covered runs Viterbi-segment, everything else (unseen chars, literal
+    U+2581) rides byte tokens."""
+    from spark_iforest_spark.operators.tokenizer import (
+        _BYTE_TOKENS,
+        _UNK,
+        _WB,
+        _unigram_encoder,
+        _unigram_fit,
+        _unigram_word_ids,
+    )
+
+    model = {
+        "kind": "unigram",
+        "pieces": _unigram_fit(dict(word_counts), 40),
+        "max_piece_len": 8,
+        "vocab_version": 2,
+    }
+    scores, ids, byte_ids, mpl = _unigram_encoder(model)
+    id2tok = {i: t for t, i in ids.items()}
+    byte_of = {ids[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    w = novel_word.lower()
+    got_ids = _unigram_word_ids(w, scores, ids, byte_ids, mpl)
+    assert ids[_UNK] not in got_ids
+    # straight-line decode of the id stream
+    parts, buf = [], bytearray()
+    for i in got_ids:
+        b = byte_of.get(i)
+        if b is not None:
+            buf.append(b)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8"))
+            buf.clear()
+        parts.append(id2tok[i].replace(_WB, " "))
+    if buf:
+        parts.append(buf.decode("utf-8"))
+    s = "".join(parts)
+    assert (s[1:] if s.startswith(" ") else s) == w
