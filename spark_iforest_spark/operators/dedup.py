@@ -1507,3 +1507,63 @@ def remove_repeated_substrings(
             ).alias("clean_md5"),
         )
     )
+
+
+def plan_minhash_bands(
+    threshold: float,
+    num_perms: int = _MINHASH_PERMS,
+    max_miss_at: tuple[float, float] | None = None,
+) -> dict:
+    """Pick the (bands, rows) split of a ``num_perms`` minhash budget for
+    a Jaccard ``threshold`` — the S-curve tuning every LSH deployment does
+    by hand (Leskovec/Rajaraman/Ullman, MMDS §3.4.3), as a driver-side
+    planning utility for :func:`minhash_lsh_pairs` and
+    :func:`minhash_index`.
+
+    A (b, r) banding collides a pair of similarity s with probability
+    ``1 − (1 − s^r)^b``; its knee sits at s* ≈ (1/b)^(1/r). Among the
+    divisor splits of ``num_perms`` this picks the one whose knee is
+    closest to ``threshold`` (ties → more rows per band: steeper curve,
+    fewer spurious candidates — candidate volume, not recall, is what
+    melts at 100 TB). ``max_miss_at=(s, p)`` instead picks the FEWEST-
+    bands split whose miss probability at similarity s is ≤ p — the
+    "guarantee recall, minimize candidate volume" formulation; raises if
+    no split under the budget satisfies it (the caller must raise
+    num_perms, which multiplies signature cost linearly).
+
+    Returns {"bands", "rows", "knee", "collision_prob": fn(s),
+    "miss_prob": fn(s)} — the callables let callers audit the curve at
+    their own operating points. Pure math, no Spark; determinism comes
+    from iterating divisors in ascending band order.
+    """
+    t = float(threshold)
+    if not (0.0 < t < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    splits = [
+        (b, num_perms // b)
+        for b in range(1, int(num_perms) + 1)
+        if num_perms % b == 0
+    ]
+
+    def make(b: int, r: int) -> dict:
+        return {
+            "bands": b,
+            "rows": r,
+            "knee": (1.0 / b) ** (1.0 / r),
+            "collision_prob": lambda s, b=b, r=r: 1.0 - (1.0 - s**r) ** b,
+            "miss_prob": lambda s, b=b, r=r: (1.0 - s**r) ** b,
+        }
+
+    if max_miss_at is not None:
+        s_req, p_req = float(max_miss_at[0]), float(max_miss_at[1])
+        for b, r in splits:  # ascending bands == descending candidate volume
+            if (1.0 - s_req**r) ** b <= p_req:
+                return make(b, r)
+        raise ValueError(
+            f"no (bands, rows) split of {num_perms} perms reaches "
+            f"miss<={p_req} at s={s_req}; raise num_perms"
+        )
+    best = min(
+        splits, key=lambda br: (abs((1.0 / br[0]) ** (1.0 / br[1]) - t), br[0])
+    )
+    return make(*best)

@@ -854,3 +854,45 @@ def test_resolve_clusters_partial_quality_coverage(spark):
     assert out[1]["keep_doc_id"] == 2 and out[1]["keep_quality"] == 0.9
     assert out[7]["keep_doc_id"] == 7 and out[7]["keep_quality"] is None
     assert out[7]["n_members"] == 2
+
+
+# ------------------------------------------------ LSH band planner (round 8)
+def test_plan_minhash_bands_knee_and_curves():
+    from spark_iforest_spark.operators.dedup import plan_minhash_bands
+
+    p = plan_minhash_bands(0.8, 128)
+    # divisor split of the budget (argmin itself is pinned in the next test)
+    assert p["bands"] * p["rows"] == 128
+    # the module's own documented default (16 bands x 8 rows) numbers:
+    # miss at j=0.9 ~ 1e-4, at j=0.8 ~ 5% (minhash_lsh_pairs docstring)
+    d = plan_minhash_bands(0.99, 128, max_miss_at=(0.9, 2e-4))
+    assert (d["bands"], d["rows"]) == (16, 8)
+    assert 1e-5 < d["miss_prob"](0.9) < 2e-4
+    assert 0.03 < d["miss_prob"](0.8) < 0.07
+    # collision + miss are complements
+    assert abs(d["collision_prob"](0.85) + d["miss_prob"](0.85) - 1.0) < 1e-12
+
+
+def test_plan_minhash_bands_argmin_and_guarantee():
+    import pytest as _pt
+
+    from spark_iforest_spark.operators.dedup import plan_minhash_bands
+
+    # brute-force argmin over divisor splits must agree
+    for t in (0.3, 0.5, 0.7, 0.9):
+        p = plan_minhash_bands(t, 128)
+        best = min(
+            ((b, 128 // b) for b in range(1, 129) if 128 % b == 0),
+            key=lambda br: (abs((1.0 / br[0]) ** (1.0 / br[1]) - t), br[0]),
+        )
+        assert (p["bands"], p["rows"]) == best
+    # guarantee mode: fewest bands satisfying the miss bound
+    g = plan_minhash_bands(0.9, 128, max_miss_at=(0.9, 1e-4))
+    assert (g["bands"], g["rows"]) == (32, 4)
+    for b in (1, 2, 4, 8, 16):
+        r = 128 // b
+        assert (1.0 - 0.9**r) ** b > 1e-4  # every fewer-bands split fails
+    with _pt.raises(ValueError):
+        plan_minhash_bands(0.9, 8, max_miss_at=(0.5, 1e-9))
+    with _pt.raises(ValueError):
+        plan_minhash_bands(1.5)
