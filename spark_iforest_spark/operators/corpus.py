@@ -198,3 +198,94 @@ def dataset_card(
         card["drift_vs_baseline"] = {c: r["psi"] for c, r in rep.items()}
         card["max_drift_psi"] = max(card["drift_vs_baseline"].values())
     return card
+
+
+def pretrain_curate(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher: bool = True,
+    line_min_docs: int | None = 2,
+    substr_window: int | None = 50,
+    neardup: bool = True,
+    ccnet_keep_bands: tuple = (1, 2),
+    gopher_thresholds: dict | None = None,
+) -> DataFrame:
+    """The round-8 pretraining recipe as one call — the
+    RefinedWeb/FineWeb-shaped chain over this repo's individually-gated
+    operators, in the canonical order (cheap row-local filters first so
+    every later stage sees a smaller corpus):
+
+    1. Gopher rule battery (full 11 rules) — structural quality gate.
+    2. CCNet perplexity banding (if ``reference`` given) — keep the
+       head+middle of the frozen-reference-LM score distribution.
+    3. C4-style cross-corpus line dedup — boilerplate lines REBUILT out
+       of the text (``with_text`` mode).
+    4. ExactSubstr fixed-window dedup — repeated ≥window-token passages
+       cut, keep-first (text rebuilt again).
+    5. Near-duplicate sweep — clusters collapse to their best
+       representative (``drop_near_duplicates``).
+    6. Benchmark decontamination (if ``benchmark`` given).
+
+    Returns (id, text) with the REBUILT text — the corpus you hand to
+    ``curate_corpus``/``pack_token_ids``. Zero-length and NULL docs are
+    dropped up front (no signal for any stage; the Gopher battery's
+    ratio rules assume non-empty text). Pass None/False to skip a stage.
+
+    Every stage is the already-oracle-gated operator, so the value
+    contract is inherited; the composition itself is pytest-pinned equal
+    to hand-chaining the pieces. NOTE: the CCNet stage computes its
+    cutpoints eagerly (two tiny jobs) at call time — the standard
+    frozen-calibration semantics, not a plan-laziness bug. Scale shape:
+    each stage's shuffles are its own documented narrow keys; between
+    stages only (id, text) flows, and stages 1-2 are scan-fused filters
+    that shrink the corpus before any rebuild shuffle runs.
+    """
+    from spark_iforest_spark.operators.dedup import (
+        drop_near_duplicates,
+        remove_repeated_substrings,
+    )
+    from spark_iforest_spark.operators.pipeline import decontaminate, line_dedup
+    from spark_iforest_spark.operators.text import ccnet_filter
+
+    cur = docs.where(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
+    ).select(id_col, text_col)
+    if gopher:
+        from spark_iforest_spark.operators.pipeline import gopher_filter
+
+        keep = (
+            gopher_filter(cur, id_col, text_col, **(gopher_thresholds or {}))
+            .where("gopher_keep")
+            .select(id_col)
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+    if reference is not None:
+        kept = ccnet_filter(
+            cur, reference, id_col, text_col, keep_bands=ccnet_keep_bands
+        ).select(id_col)
+        cur = cur.join(kept, id_col, "left_semi")
+    if line_min_docs:
+        ld = line_dedup(
+            cur, id_col, text_col, min_docs=line_min_docs, with_text=True
+        )
+        cur = (
+            ld.select(F.col(id_col), F.col("clean_text").alias(text_col))
+            .where(F.length(text_col) > 0)
+        )
+    if substr_window:
+        rs = remove_repeated_substrings(
+            cur, window=substr_window, id_col=id_col, text_col=text_col,
+            with_text=True,
+        )
+        cur = (
+            rs.select(F.col(id_col), F.col("clean_text").alias(text_col))
+            .where(F.length(text_col) > 0)
+        )
+    if neardup:
+        cur = drop_near_duplicates(cur, id_col, text_col)
+    if benchmark is not None:
+        cur = decontaminate(cur, benchmark, id_col, text_col)
+    return cur

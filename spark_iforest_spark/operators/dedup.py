@@ -1464,6 +1464,7 @@ def remove_repeated_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_first: bool = True,
+    with_text: bool = False,
 ) -> DataFrame:
     """Apply :func:`exact_substring_spans`: rebuild each doc's text with
     every cut token dropped. Returns (id, n_tokens, n_kept, clean_md5) —
@@ -1471,7 +1472,10 @@ def remove_repeated_substrings(
     digest convention; rejoining normalizes runs of whitespace to single
     spaces, same as every tokens()-based operator here). Docs with
     nothing to cut pass through (n_kept == n_tokens); a fully-duplicated
-    non-keeper doc collapses to md5('').
+    non-keeper doc collapses to md5(''). ``with_text=True`` adds the
+    rebuilt ``clean_text`` itself (round 8 — composition fodder for
+    pretrain_curate; the digest stays the oracle surface since
+    md5(clean_text) == clean_md5 by construction).
 
     One broadcast-free join of docs against their own (grouped) span
     lists, then a pure Catalyst filter-by-position — no Python, no
@@ -1496,17 +1500,16 @@ def remove_repeated_substrings(
             sp, lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"])
         ),
     )
-    return (
-        df.join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.size(kept).cast("long").alias("n_kept"),
-            F.md5(
-                F.array_join(F.transform(kept, lambda s: s["t"]), " ")
-            ).alias("clean_md5"),
-        )
-    )
+    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    cols = [
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(clean).alias("clean_md5"),
+    ]
+    if with_text:
+        cols.append(clean.alias("clean_text"))
+    return df.join(per_doc, id_col, "left").select(*cols)
 
 
 def plan_minhash_bands(

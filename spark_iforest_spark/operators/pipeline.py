@@ -848,6 +848,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    with_text: bool = False,
 ) -> DataFrame:
     """C4/RefinedWeb-style cross-corpus line deduplication: drop every line
     whose exact text occurs in >= ``min_docs`` DISTINCT documents, keep the
@@ -857,7 +858,10 @@ def line_dedup(
 
     Returns (doc_id, n_lines, n_kept, clean_md5) — the md5 of the rebuilt
     text bounds output width while still pinning the exact reconstruction
-    (order included) for the oracle.
+    (order included) for the oracle. ``with_text=True`` adds the rebuilt
+    ``clean_text`` itself (round 8 — composition fodder for
+    pretrain_curate; md5(clean_text) == clean_md5 by construction, so the
+    digest remains the oracle surface).
 
     Scale shape: lines are keyed by md5(line) so the count-aggregate and the
     count-join shuffle 16-byte digests, never line text (the text rides only
@@ -872,28 +876,30 @@ def line_dedup(
     ).withColumn("_h", F.md5(F.col("line")))
     counts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("n_docs"))
     kept = lines.join(counts, "_h").where(F.col("n_docs") < min_docs)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            )
-        ).alias("clean_md5"),
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ),
+        "\n",
     )
+    aggs = [F.count(F.lit(1)).alias("n_kept"), F.md5(joined).alias("clean_md5")]
+    if with_text:
+        aggs.append(joined.alias("clean_text"))
+    rebuilt = kept.groupBy(id_col).agg(*aggs)
     totals = docs.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
     )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_lines",
+    cols = [
+        F.col(id_col),
+        F.col("n_lines"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
-    )
+    ]
+    if with_text:
+        cols.append(F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    return totals.join(rebuilt, id_col, "left").select(*cols)
 
 
 def pack_sequences(

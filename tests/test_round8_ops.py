@@ -537,3 +537,129 @@ def test_top_gram_run_fold_matches_bruteforce(spark):
             else:
                 exp.append(0.0)
         assert got[i] == tuple(exp), (i, txt, got[i], exp)
+
+
+# --------------------------------------------- pretrain_curate composition
+def test_with_text_matches_digest(spark):
+    """with_text mode must emit exactly the text whose md5 the digest
+    column pins — for both rebuild operators."""
+    from spark_iforest_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (0, "keep one\nBOILER\nkeep two"),
+            (1, "BOILER\nother text"),
+            (2, "a b c d e f g h a b c d e f g h tail"),
+        ],
+        "doc_id long, text string",
+    )
+    ld = pipeline.line_dedup(df, min_docs=2, with_text=True)
+    for r in ld.collect():
+        import hashlib
+
+        assert hashlib.md5(r["clean_text"].encode()).hexdigest() == r["clean_md5"]
+    rs = dd.remove_repeated_substrings(df, window=8, with_text=True)
+    for r in rs.collect():
+        import hashlib
+
+        assert hashlib.md5(r["clean_text"].encode()).hexdigest() == r["clean_md5"]
+    # and the with_text variant changes no digest vs the plain one
+    a = sorted((r["doc_id"], r["clean_md5"]) for r in ld.collect())
+    b = sorted(
+        (r["doc_id"], r["clean_md5"])
+        for r in pipeline.line_dedup(df, min_docs=2).collect()
+    )
+    assert a == b
+
+
+def test_pretrain_curate_stages_and_equality(spark):
+    """Each stage drops its planted target, and the one-call composition
+    equals hand-chaining the constituent operators."""
+    from spark_iforest_spark.operators import corpus as cps
+    from spark_iforest_spark.operators import dedup as dd
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs back "
+        "to the barn where it sleeps in a pile of warm hay until the sun "
+        "rises over the quiet field and all of the animals wake up to eat "
+        "their breakfast before the long day of work begins in earnest"
+    )
+    rows = [
+        (0, good),
+        (1, good.replace("fox", "cat")),          # near-dup of 0
+        (2, "tiny"),                              # gopher: token_count
+        (3, good + "\nSHARED BOILER LINE"),       # line dedup target
+        (4, good.replace("dog", "owl") + "\nSHARED BOILER LINE"),
+        (5, None),                                # dropped up front
+        (6, ""),                                  # dropped up front
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cps.pretrain_curate(docs, substr_window=None, neardup=True)
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 2 not in kept and 5 not in kept and 6 not in kept
+    # the boiler line was rebuilt out, not the whole docs dropped
+    survivors_with_line = [t for t in kept.values() if "SHARED BOILER LINE" in t]
+    assert survivors_with_line == []
+    # near-dup cluster {0,1} collapsed to one representative
+    assert len({0, 1} & set(kept)) == 1
+    # equality with hand-chaining
+    cur = docs.where(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0).select(
+        "doc_id", "text"
+    )
+    keep = (
+        pipeline.gopher_filter(cur).where("gopher_keep").select("doc_id")
+    )
+    cur = cur.join(keep, "doc_id", "left_semi")
+    ld = pipeline.line_dedup(cur, min_docs=2, with_text=True)
+    cur = ld.select("doc_id", F.col("clean_text").alias("text")).where(
+        F.length("text") > 0
+    )
+    cur = dd.drop_near_duplicates(cur, "doc_id", "text")
+    manual = sorted(map(tuple, cur.collect()))
+    assert sorted(map(tuple, out.collect())) == manual
+
+
+def test_pretrain_curate_ccnet_stage_drops_tail(spark):
+    from spark_iforest_spark.operators import corpus as cps
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs back "
+        "to the barn where it sleeps in a pile of warm hay until the sun "
+        "rises over the quiet field and all of the animals wake up to eat "
+        "their breakfast before the long day of work begins in earnest"
+    )
+    rows = [(i, good.replace("fox", f"fox{i}")) for i in range(6)] + [
+        (10, "qzx wvu plk mnb tyu qzx wvu plk mnb tyu"),  # OOV soup -> tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cps.pretrain_curate(
+        docs,
+        reference=docs.where("doc_id < 6"),
+        gopher=False,
+        line_min_docs=None,
+        substr_window=None,
+        neardup=False,
+    )
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 10 not in kept
+    for i in range(6):
+        assert i in kept and kept[i] == rows[i][1]
+
+
+def test_pretrain_curate_substr_stage_cuts_repeats(spark):
+    from spark_iforest_spark.operators import corpus as cps
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta "
+    rows = [
+        (0, (filler * 3) + "unique tail closes the document"),
+        (1, "entirely different words that never repeat anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cps.pretrain_curate(
+        docs, gopher=False, line_min_docs=None, substr_window=8, neardup=False
+    )
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    # the repeated 8-token window was cut beyond its first occurrence
+    assert kept[0].count("alpha beta gamma") == 1
+    assert kept[0].endswith("unique tail closes the document")
+    assert kept[1] == rows[1][1]
