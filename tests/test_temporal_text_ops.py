@@ -209,6 +209,9 @@ def test_signals_panel_equals_joined_operators(spark, sf_dir):
         .join(
             pipeline.gopher_filter(docs).select(
                 "doc_id", "symbol_ratio", "alpha_word_frac", "stopword_hits",
+                "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
+                "top_2gram_char_frac", "top_3gram_char_frac",
                 "gopher_fail_mask", "gopher_keep",
             ),
             "doc_id",
