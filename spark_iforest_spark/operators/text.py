@@ -764,7 +764,11 @@ def lm_perplexity(
     one unigram-keyed left join -> one per-doc aggregate with map-side
     combine. The LM joins are vocabulary-keyed: broadcast the LM when it
     fits, else AQE skew-handles the Zipf head, same argument as
-    token_typicality.
+    token_typicality. NOTE: ``lm`` is referenced by THREE branches
+    (bigram/unigram/OOV) — pass a MATERIALIZED relation (the parquet
+    artifact, or checkpoint.snapshot of a fresh fit, as ccnet_filter
+    does); a lazy fit plan re-executes against the reference corpus once
+    per branch (measured: 12 scans vs 2).
     """
     alpha_micros = int(math.floor(math.log(float(alpha)) * _LM_MICRO + 0.5))
     pairs = docs.select(
@@ -880,10 +884,14 @@ def ccnet_filter(
     with length/quality rules instead — gopher_filter)."""
     from spark_iforest_spark.checkpoint import snapshot
 
-    lm = lm_fit(reference, text_col=text_col)
-    # the cutpoint job and the caller's banded consumption would each
-    # re-execute the whole LM fit + scoring DAG (3 corpus passes measured
-    # at gate sf) — snapshot the scored relation once, both read it back
+    # TWO snapshots, each closing a measured re-execution: the LM relation
+    # is referenced three times by the scoring joins (bi/uni/oov branches
+    # of one union) — left lazy, each branch re-runs the whole fit
+    # against the reference corpus (12 parquet scans in the executed
+    # plan; the dsir_estimator total-rescan lesson again). And the
+    # cutpoint job plus the caller's banded consumption would each
+    # re-execute scoring (3 corpus passes measured at gate sf).
+    lm = snapshot(lm_fit(reference, text_col=text_col))
     scored = snapshot(
         lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
     )

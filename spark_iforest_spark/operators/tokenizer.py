@@ -817,3 +817,41 @@ def unigram_decode(
     return encoded.select(F.col(id_col), "token_ids").mapInPandas(
         decode_batches, schema=f"{id_col} long, text string"
     )
+
+
+def unigram_token_counts(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_unigram_tokens) — the unigram-LM token budget per doc;
+    bpe_token_counts' surface for unigram models. Counts EMITTED ids
+    (byte-fallback characters count one per UTF-8 byte), so it equals
+    ``size(unigram_encode(...).token_ids)`` exactly — the invariant the
+    test pins without materializing the id arrays twice."""
+    scores, ids, byte_ids, mpl = _unigram_encoder(model)
+
+    def count_batches(it):
+        memo: dict[str, int] = {}
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append(0)
+                    continue
+                n = 0
+                for w in _WS.split(text.lower()):
+                    if not w:
+                        continue
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = len(_unigram_word_ids(w, scores, ids, byte_ids, mpl))
+                        memo[w] = hit
+                    n += hit
+                out.append(n)
+            yield pd.DataFrame({id_col: pdf[id_col], "n_unigram_tokens": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        count_batches, schema=f"{id_col} long, n_unigram_tokens int"
+    )

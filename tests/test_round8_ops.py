@@ -663,3 +663,19 @@ def test_pretrain_curate_substr_stage_cuts_repeats(spark):
     assert kept[0].count("alpha beta gamma") == 1
     assert kept[0].endswith("unique tail closes the document")
     assert kept[1] == rows[1][1]
+
+
+def test_lm_scoring_plan_broadcasts_and_bounded_scans(spark, sf_dir):
+    """Scale pins for the CCNet scoring plan: with a materialized LM (the
+    documented contract) every LM join is a broadcast — no corpus-sized
+    shuffle join — and the corpus is scanned a bounded number of times
+    (lazy-LM re-execution measured 12 scans; snapshot keeps it <= 3)."""
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = snapshot(text.lm_fit(docs.where("lang = 'en'")))
+    plan = formatted_plan(text.lm_perplexity(docs, lm))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Scan parquet") <= 3

@@ -383,3 +383,16 @@ def test_unigram_null_and_empty_text(spark):
         ).collect()
     }
     assert dec[0] == "hello world" and dec[1] == "" and dec[2] == ""
+
+
+def test_unigram_token_counts_match_encode(docs):
+    m = tokenizer.unigram_train(docs, vocab_size=300)
+    counts = {
+        r["doc_id"]: r["n_unigram_tokens"]
+        for r in tokenizer.unigram_token_counts(docs, m).collect()
+    }
+    enc = {
+        r["doc_id"]: len(r["token_ids"])
+        for r in tokenizer.unigram_encode(docs, m).collect()
+    }
+    assert counts == enc and len(counts) > 0
