@@ -338,7 +338,8 @@ def pack_token_ids(
 ) -> DataFrame:
     """Trainer handoff: fixed-length token-id training rows.
 
-    Composes the two pinned pieces — ``bpe_encode`` (doc → id array) and
+    Composes the two pinned pieces — ``bpe_encode`` (or
+    ``unigram_encode`` when the model's ``kind`` is ``"unigram"``) and
     ``pipeline.pack_sequences``'s bucket/cumsum discipline (here over the
     ENCODED lengths, so bins reflect real token budgets) — then
     concatenates each bin's docs in id order and slices into ``seq_len``
@@ -368,7 +369,14 @@ def pack_token_ids(
 
     from spark_iforest_spark.operators.pipeline import _md5_u32
 
-    enc = bpe_encode(docs, model, id_col, text_col)
+    # round 8: model-kind dispatch — a unigram_train model packs through
+    # the identical bucket/cumsum/concat/slice discipline, only the
+    # encode pass differs (both encoders share the (id, token_ids)
+    # contract, so every downstream expression is encoder-agnostic)
+    if model.get("kind") == "unigram":
+        enc = unigram_encode(docs, model, id_col, text_col)
+    else:
+        enc = bpe_encode(docs, model, id_col, text_col)
     if eos_id is not None:
         enc = enc.withColumn(
             "token_ids", F.concat("token_ids", F.array(F.lit(int(eos_id))))

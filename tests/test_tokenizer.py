@@ -396,3 +396,21 @@ def test_unigram_token_counts_match_encode(docs):
         for r in tokenizer.unigram_encode(docs, m).collect()
     }
     assert counts == enc and len(counts) > 0
+
+
+def test_pack_token_ids_unigram_model_dispatch(docs):
+    """pack_token_ids must accept a unigram model: same fixed-length and
+    id-multiset-conservation contracts as the BPE path."""
+    m = tokenizer.unigram_train(docs, vocab_size=300)
+    packed = tokenizer.pack_token_ids(docs, m, seq_len=128, n_buckets=8)
+    rows = packed.collect()
+    assert rows and all(1 <= r["n_tokens"] <= 128 for r in rows)
+    from collections import Counter
+
+    pack_ids = Counter()
+    for r in rows:
+        pack_ids.update(r["token_ids"])
+    enc_ids = Counter()
+    for r in tokenizer.unigram_encode(docs, m).collect():
+        enc_ids.update(r["token_ids"])
+    assert pack_ids == enc_ids
