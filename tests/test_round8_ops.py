@@ -619,6 +619,61 @@ def test_pretrain_curate_stages_and_equality(spark):
     assert sorted(map(tuple, out.collect())) == manual
 
 
+def test_pretrain_funnel_counts_and_final_stage(spark):
+    """The funnel's per-stage rows must be monotone non-increasing, stage
+    names in chain order, and the final stage's (n_docs, n_tokens) must
+    equal aggregating pretrain_curate's own output."""
+    from spark_iforest_spark.operators import corpus as cps
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs back "
+        "to the barn where it sleeps in a pile of warm hay until the sun "
+        "rises over the quiet field and all of the animals wake up to eat "
+        "their breakfast before the long day of work begins in earnest"
+    )
+    rows = [
+        (0, good),
+        (1, good.replace("fox", "cat")),
+        (2, "tiny"),                               # gopher kill
+        (3, good + "\nSHARED BOILER LINE"),        # line-dedup rebuild
+        (4, good.replace("dog", "owl") + "\nSHARED BOILER LINE"),
+        (5, None),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(line_min_docs=2, substr_window=None, neardup=True)
+    fun = cps.pretrain_funnel(docs, **kw).orderBy("stage_idx").collect()
+    assert [r["stage"] for r in fun] == ["input", "gopher", "line_dedup", "neardup"]
+    assert fun[0]["n_docs"] == 5  # NULL + empty dropped up front
+    for a, b in zip(fun, fun[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    out = cps.pretrain_curate(docs, **kw)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
+    ).collect()[0]
+    assert (fun[-1]["n_docs"], fun[-1]["n_tokens"]) == (
+        agg["n_docs"],
+        agg["n_tokens"],
+    )
+
+
+def test_pretrain_curate_stage_snapshots_bound_scans(spark, sf_dir):
+    """Stage boundaries must be snapshot points: every rebuild stage
+    consumes its input ~3× (line_dedup: lines self-join + totals;
+    ExactSubstr: spans join + rebuild), so a fully lazy chain re-executes
+    the whole upstream pipeline once per consumption, multiplicatively.
+    With snapshots, the composed output's plan sees upstream stages as
+    LogicalRDDs — near-zero parquet scans survive in the final relation."""
+    from spark_iforest_spark.operators import corpus as cps
+    from spark_iforest_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cps.pretrain_curate(docs, neardup=False)  # gopher + line + substr
+    assert formatted_plan(out).count("Scan parquet") <= 2
+
+
 def test_pretrain_curate_ccnet_stage_drops_tail(spark):
     from spark_iforest_spark.operators import corpus as cps
 
