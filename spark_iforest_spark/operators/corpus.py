@@ -69,13 +69,23 @@ def curate_corpus(
     the dedup digest groupBy, the contaminated-id distinct, id semi-joins,
     and the packing window. Nothing corpus-sized is ever broadcast.
     """
+    from spark_iforest_spark.checkpoint import snapshot
     from spark_iforest_spark.operators.pipeline import (
         decontaminate,
         hash_split,
         pack_sequences,
     )
 
-    keep = clean_corpus(docs, id_col, text_col, min_quality, lang).select(id_col)
+    # snapshot the survivor-ID relation (round-8 plan audit): decontaminate
+    # consumes `kept` twice (shingles + anti-join), so a lazy `keep`
+    # re-executes the whole quality/lang battery per consumption — 14
+    # parquet scans of the corpus in the executed plan, 6 after. The ID
+    # set is the RIGHT thing to checkpoint at 100 TB (ids only, never the
+    # corpus); the extra consumptions of `kept` then cost a parquet
+    # re-scan + broadcast semi-join each, not a battery re-execution.
+    keep = snapshot(
+        clean_corpus(docs, id_col, text_col, min_quality, lang).select(id_col)
+    )
     kept = docs.join(keep, id_col, "left_semi")
     if benchmark is not None:
         kept = decontaminate(kept, benchmark, id_col, text_col)
@@ -362,14 +372,27 @@ def _pretrain_stage_list(
             ("decontaminate", lambda c: decontaminate(c, benchmark, id_col, text_col))
         )
 
+    from spark_iforest_spark.functions import shuffle_partitions
+
     cur = docs.where(
         F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
     ).select(id_col, text_col)
     stages = [("input", cur)]
+    # Stage outputs are repartitioned before materializing: AQE coalesces
+    # a small stage output to ONE partition (parallelismFirst only guards
+    # the shuffle that produced it, not the checkpointed RDD), and the
+    # NEXT stage's compute-heavy per-row work (Gopher battery, minhash
+    # signatures) then runs in a single task — the round-7 grouped-stage
+    # serialization, resurfacing at stage boundaries. One extra (id, text)
+    # exchange per boundary; at 100 TB stage outputs are wide anyway and
+    # this is a balanced no-op-sized shuffle next to each stage's own
+    # groupBy. (The RAW input's scan parallelism is the caller's
+    # responsibility — repartition after reading few/small files.)
+    n_parts = shuffle_partitions(docs.sparkSession)
     for i, (name, fn) in enumerate(ops):
         out = fn(cur)
         if i < len(ops) - 1:  # consumed again by the next stage
-            out = snapshot(out)
+            out = snapshot(out.repartition(n_parts))
         stages.append((name, out))
         cur = out
     return stages

@@ -672,6 +672,10 @@ def test_pretrain_curate_stage_snapshots_bound_scans(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = cps.pretrain_curate(docs, neardup=False)  # gopher + line + substr
     assert formatted_plan(out).count("Scan parquet") <= 2
+    # curate_corpus: the snapshotted keep-id relation caps the quality/lang
+    # battery at ONE execution (14 scans -> 6 in the round-8 audit)
+    cc = cps.curate_corpus(docs, benchmark=docs.where("doc_id % 100 = 0"))
+    assert formatted_plan(cc).count("Scan parquet") <= 8
 
 
 def test_pretrain_curate_ccnet_stage_drops_tail(spark):
