@@ -685,11 +685,22 @@ def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
     one token (T >= 1); empty references yield a NULL-ln artifact.
     """
     toks = reference.select(_lm_toks(F.col(text_col)).alias("t"))
+    # the unigram count relation feeds THREE union branches (its own rows,
+    # the bigram conditional join, and the total/OOV aggregate) — lazy, the
+    # explode+count shuffle over the REFERENCE re-runs once per branch.
+    # persist(), NOT snapshot(): a checkpoint would erase Catalyst's size
+    # estimate for the whole LM subtree and the CORPUS-side scoring joins
+    # degrade from broadcast to sort-merge (measured 2.55 → 6.2 s at
+    # sf0.1, caught by the no-SortMergeJoin plan pin) — persist keeps the
+    # logical plan (stats intact) while computing the shuffle once.
+    # Vocabulary-sized, never corpus-sized.
+    # (callers that fit many LMs in one session can release the blocks via
+    # the returned DataFrame's `_lm_uni` attribute — ccnet_filter does)
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).persist()
     bi = (
         toks.select(
             F.explode(
@@ -737,7 +748,9 @@ def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("tot").alias("cnt"),
         snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
     )
-    return uni_rows.unionByName(bi_rows).unionByName(oov_row)
+    out = uni_rows.unionByName(bi_rows).unionByName(oov_row)
+    out._lm_uni = uni  # handle for callers to unpersist after materializing
+    return out
 
 
 def lm_perplexity(
@@ -891,10 +904,17 @@ def ccnet_filter(
     # plan; the dsir_estimator total-rescan lesson again). And the
     # cutpoint job plus the caller's banded consumption would each
     # re-execute scoring (3 corpus passes measured at gate sf).
-    lm = snapshot(lm_fit(reference, text_col=text_col))
+    lm_raw = lm_fit(reference, text_col=text_col)
+    lm = snapshot(lm_raw)
     scored = snapshot(
         lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
     )
     cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
+    # the eager cutpoint jobs just materialized `scored` (and through it
+    # the lm snapshot), so lm_fit's persisted unigram relation is done —
+    # release its blocks rather than leaking one cached relation per fit
+    uni = getattr(lm_raw, "_lm_uni", None)
+    if uni is not None:
+        uni.unpersist()
     banded = perplexity_bands(scored, cuts)
     return banded.where(F.col("band").isin(list(keep_bands)))
