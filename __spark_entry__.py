@@ -665,6 +665,7 @@ _PA_TOK_CUTS = [25.0, 45.0, 65.0, 85.0]
 _PA_BPE_MERGES = 200
 _PA_REFIT_WORDS = 2000
 _PA_UNI_VOCAB = 400
+_PA_WP_MERGES = 200
 
 
 def _bpe_fit_reference(word_counts: dict, n_merges: int) -> list:
@@ -791,6 +792,53 @@ def _unigram_fit_reference(
     ]
 
 
+def _wordpiece_fit_reference(word_counts: dict, n_merges: int) -> list:
+    """Straight-line WordPiece refit: recount every pair AND symbol from
+    scratch each round, pick argmax cnt(pair)/(cnt(a)*cnt(b)) by exact
+    integer cross-multiplication (ties to the lexicographically first
+    pair) — an independent implementation of the Schuster & Nakajima fit
+    whose piece list must equal tokenizer._wordpiece_fit's on the same
+    word counts. Bounded input only."""
+    seqs = [
+        [[w[0]] + ["##" + ch for ch in w[1:]], c]
+        for w, c in word_counts.items()
+        if "#" not in w
+    ]
+    pieces: list[str] = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        sc: dict = {}
+        for s, c in seqs:
+            for sym in s:
+                sc[sym] = sc.get(sym, 0) + c
+            for p in zip(s, s[1:]):
+                pc[p] = pc.get(p, 0) + c
+        best, bn, bd = None, 0, 0
+        for p, n in pc.items():
+            if n < 2:
+                continue
+            d = sc[p[0]] * sc[p[1]]
+            if best is None or n * bd > bn * d or (n * bd == bn * d and p < best):
+                best, bn, bd = p, n, d
+        if best is None:
+            break
+        merged = best[0] + best[1][2:]
+        pieces.append(merged)
+        for item in seqs:
+            s = item[0]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            item[0] = out
+    return pieces
+
+
+
 def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
     from spark_iforest_spark.functions import tokens
 
@@ -868,6 +916,42 @@ def _pa_unigram_checks(docs: DataFrame) -> tuple[bool, bool]:
         checked += 1
         ok = ok and dec[r["doc_id"]] == want
     return refit_ok, ok and checked > 0
+
+
+def _pa_wordpiece_checks(docs: DataFrame) -> tuple[bool, bool]:
+    """Driver-gated WordPiece invariants (round 8): refit against the
+    straight-line reference implementation, and exact round-trip of the
+    deterministic 25-doc sample (byte fallback + the literal-# and <w>
+    word-start rules make it exact for ALL input)."""
+    from spark_iforest_spark.operators import tokenizer
+
+    wc = {
+        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+    }
+    pieces = tokenizer._wordpiece_fit(wc, _PA_WP_MERGES)
+    refit_ok = pieces == _wordpiece_fit_reference(wc, _PA_WP_MERGES)
+    model = {
+        "kind": "wordpiece",
+        "pieces": pieces,
+        "alphabet": sorted({ch for w in wc if "#" not in w for ch in w}),
+        "vocab_version": 2,
+    }
+    sample = docs.orderBy("doc_id").limit(25)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.wordpiece_decode(
+            tokenizer.wordpiece_encode(sample, model), model
+        ).collect()
+    }
+    checked, ok = 0, True
+    for r in sample.collect():
+        if r["text"] is None:
+            continue
+        want = " ".join(w for w in tokenizer._WS.split(r["text"].lower()) if w)
+        checked += 1
+        ok = ok and dec[r["doc_id"]] == want
+    return refit_ok, ok and checked > 0
+
 
 
 def _pa_pack_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
@@ -1065,6 +1149,7 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
     refit_ok, roundtrip_ok = _pa_bpe_checks(docs, model)
     uni_refit_ok, uni_rt_ok = _pa_unigram_checks(docs)
+    wp_refit_ok, wp_rt_ok = _pa_wordpiece_checks(docs)
     pack_len_ok, pack_cons_ok = _pa_pack_checks(docs, model)
     layout_ok, auc_ok = _pa_quality_checks(docs)
     check_rows = [
@@ -1072,6 +1157,8 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bpe_roundtrip_ok", 1.0 if roundtrip_ok else 0.0),
         ("unigram_refit_match", 1.0 if uni_refit_ok else 0.0),
         ("unigram_roundtrip_ok", 1.0 if uni_rt_ok else 0.0),
+        ("wordpiece_refit_match", 1.0 if wp_refit_ok else 0.0),
+        ("wordpiece_roundtrip_ok", 1.0 if wp_rt_ok else 0.0),
         ("pack_fixed_len_ok", 1.0 if pack_len_ok else 0.0),
         ("pack_conservation_ok", 1.0 if pack_cons_ok else 0.0),
         ("quality_fit_layout_stable", 1.0 if layout_ok else 0.0),
@@ -2359,6 +2446,8 @@ def _pipeline_artifacts_sql() -> str:
         UNION ALL SELECT 'bpe_roundtrip_ok', 1.0
         UNION ALL SELECT 'unigram_refit_match', 1.0
         UNION ALL SELECT 'unigram_roundtrip_ok', 1.0
+        UNION ALL SELECT 'wordpiece_refit_match', 1.0
+        UNION ALL SELECT 'wordpiece_roundtrip_ok', 1.0
         UNION ALL SELECT 'pack_fixed_len_ok', 1.0
         UNION ALL SELECT 'pack_conservation_ok', 1.0
         UNION ALL SELECT 'quality_fit_layout_stable', 1.0

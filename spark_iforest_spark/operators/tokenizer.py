@@ -369,12 +369,15 @@ def pack_token_ids(
 
     from spark_iforest_spark.operators.pipeline import _md5_u32
 
-    # round 8: model-kind dispatch — a unigram_train model packs through
-    # the identical bucket/cumsum/concat/slice discipline, only the
-    # encode pass differs (both encoders share the (id, token_ids)
-    # contract, so every downstream expression is encoder-agnostic)
+    # round 8: model-kind dispatch — unigram_train and wordpiece_train
+    # models pack through the identical bucket/cumsum/concat/slice
+    # discipline, only the encode pass differs (all encoders share the
+    # (id, token_ids) contract, so every downstream expression is
+    # encoder-agnostic)
     if model.get("kind") == "unigram":
         enc = unigram_encode(docs, model, id_col, text_col)
+    elif model.get("kind") == "wordpiece":
+        enc = wordpiece_encode(docs, model, id_col, text_col)
     else:
         enc = bpe_encode(docs, model, id_col, text_col)
     if eos_id is not None:
@@ -862,4 +865,346 @@ def unigram_token_counts(
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         count_batches, schema=f"{id_col} long, n_unigram_tokens int"
+    )
+
+
+# --------------------------------------------------------------- WordPiece
+# (Schuster & Nakajima 2012; the BERT tokenizer) — the third learned
+# subword algorithm, completing the family: BPE merges the most FREQUENT
+# pair, WordPiece the pair with the highest likelihood gain
+# score(a,b) = cnt(ab) / (cnt(a)·cnt(b)), and unigram prunes a seeded
+# vocabulary under an LM. Same engine shape as the other two: ONE
+# word-count shuffle, bounded driver fit, frozen JSON artifact, Arrow
+# memoized apply, byte fallback for lossless round-trips.
+_WP_CONT = "##"
+# literal-'#' rule (the WordPiece analogue of unigram's literal-▁ rule):
+# '#' characters ALWAYS travel as byte tokens — encode never matches a
+# piece over them and the fit never learns pieces containing them (words
+# with '#' are excluded from the fit) — so a vocab string starting with
+# '##' is unambiguously a continuation piece and decode's marker strip is
+# exact for all input.
+_WP_START = "<w>"  # emitted before a WORD-INITIAL byte-fallback run only:
+# continuation pieces mark "not a word start", plain pieces mark a word
+# start, but a raw byte run is position-blind — without this marker,
+# decode could not tell a word beginning with an out-of-alphabet char
+# from a mid-word fallback, and the round trip would weld words together.
+
+
+def _wp_symbols(word: str) -> list[str]:
+    return [word[0]] + [_WP_CONT + ch for ch in word[1:]]
+
+
+def _wp_merge(a: str, b: str) -> str:
+    # b sits at position >= 1, so it ALWAYS carries the ## prefix
+    return a + b[len(_WP_CONT):]
+
+
+def _wordpiece_fit(word_counts: dict[str, int], n_merges: int) -> list[str]:
+    """Incremental WordPiece training on a word-frequency dict: each round
+    merges the adjacent pair maximizing cnt(pair) / (cnt(a)·cnt(b)) —
+    exact integer cross-multiplied comparison, ties to the
+    lexicographically first pair — with the same touched-words-only
+    update discipline as ``_bpe_fit``. Words containing literal '#' are
+    excluded (module literal-# rule). Returns the learned multi-char
+    pieces in creation order."""
+    seqs: dict[int, list[str]] = {}
+    counts: dict[int, int] = {}
+    for i, (w, c) in enumerate(word_counts.items()):
+        if "#" in w:
+            continue
+        seqs[i] = _wp_symbols(w)
+        counts[i] = c
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    sym_count: dict[str, int] = {}
+
+    def add_word(wid: int, sign: int) -> None:
+        s, c = seqs[wid], counts[wid]
+        for sym in s:
+            sym_count[sym] = sym_count.get(sym, 0) + sign * c
+            if sym_count.get(sym, 0) <= 0:
+                sym_count.pop(sym, None)
+        for p in zip(s, s[1:]):
+            pair_count[p] = pair_count.get(p, 0) + sign * c
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wid)
+            elif pair_count.get(p, 0) <= 0:
+                pair_count.pop(p, None)
+                pair_words.pop(p, None)
+
+    for wid in seqs:
+        add_word(wid, +1)
+
+    pieces: list[str] = []
+    for _ in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_num = best_den = 0
+        for p, pc in pair_count.items():
+            if pc < 2:  # a once-seen pair encodes noise, not structure
+                continue
+            den = sym_count[p[0]] * sym_count[p[1]]
+            # pc/den > best_num/best_den  <=>  pc*best_den > best_num*den
+            if (
+                best is None
+                or pc * best_den > best_num * den
+                or (pc * best_den == best_num * den and p < best)
+            ):
+                best, best_num, best_den = p, pc, den
+        if best is None:
+            break
+        merged = _wp_merge(*best)
+        pieces.append(merged)
+        for wid in list(pair_words.get(best, ())):
+            add_word(wid, -1)
+            s = seqs[wid]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[wid] = out
+            add_word(wid, +1)
+    return pieces
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 500,
+    max_words: int = 100_000,
+) -> dict:
+    """Train a WordPiece vocabulary; returns the JSON-able frozen model
+    ``{"kind": "wordpiece", "pieces": [...], "alphabet": [...]}``.
+    Identical distributed shape to ``bpe_train``/``unigram_train``: one
+    map-side-combined word-count shuffle, the (count desc, word) top
+    ``max_words`` collected, the fit bounded driver work — a pure
+    function of (word counts, params) on any partition layout."""
+    rows = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_words)
+        .collect()
+    )
+    word_counts = {r["w"]: r["c"] for r in rows}
+    pieces = _wordpiece_fit(word_counts, n_merges)
+    alphabet = sorted(
+        {ch for w in word_counts if "#" not in w for ch in w}
+    )
+    return {
+        "kind": "wordpiece",
+        "pieces": pieces,
+        "alphabet": alphabet,
+        "vocab_version": 2,
+    }
+
+
+def wordpiece_vocab(model: dict) -> list[tuple[str, int]]:
+    """(token, id) vocabulary: ``<unk>``, the ``<w>`` word-start marker,
+    the 256 byte tokens, the alphabet in plain then continuation form,
+    then the learned pieces in creation order (first id wins on the rare
+    spelling collision — the family's documented rule)."""
+    vocab: list[tuple[str, int]] = []
+    seen: set[str] = set()
+
+    def add(tok: str) -> None:
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append((tok, len(vocab)))
+
+    add(_UNK)
+    add(_WP_START)
+    for bt in _BYTE_TOKENS:
+        add(bt)
+    for ch in model.get("alphabet", []):
+        add(ch)
+    for ch in model.get("alphabet", []):
+        add(_WP_CONT + ch)
+    for p in model["pieces"]:
+        add(p)
+    return vocab
+
+
+def _wp_encoder(model: dict):
+    ids = dict(wordpiece_vocab(model))
+    byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
+    # longest RAW content a piece can cover (cont pieces carry the prefix)
+    max_raw = 1
+    for p in ids:
+        if p in (_UNK, _WP_START) or (p.startswith("<0x") and p.endswith(">")):
+            continue
+        raw = len(p) - len(_WP_CONT) if p.startswith(_WP_CONT) else len(p)
+        max_raw = max(max_raw, raw)
+    return ids, byte_ids, ids[_WP_START], max_raw
+
+
+def _wp_word_ids(
+    word: str,
+    ids: dict[str, int],
+    byte_ids: list[int],
+    start_id: int,
+    max_raw: int,
+) -> list[int]:
+    """word → ids via greedy longest-match-first (the WordPiece apply
+    rule), continuation pieces after the first emission; any position
+    with no matching piece (out-of-alphabet chars, every literal '#')
+    falls back to UTF-8 byte tokens — prefixed with ``<w>`` when the
+    WORD starts that way, so decode keeps the word boundary."""
+    out: list[int] = []
+    i, n = 0, len(word)
+    cont = False
+    while i < n:
+        prefix = _WP_CONT if cont else ""
+        hit = None
+        if word[i] != "#":  # literal-# rule: '#' only ever travels as bytes
+            for j in range(min(n, i + max_raw), i, -1):
+                raw = word[i:j]
+                if "#" in raw:
+                    # a raw span containing '#' could only collide with a
+                    # continuation piece's MARKER spelling — never a match
+                    continue
+                pid = ids.get(prefix + raw)
+                if pid is not None:
+                    hit = (pid, j)
+                    break
+        if hit is not None:
+            out.append(hit[0])
+            i = hit[1]
+        else:
+            if not cont:
+                out.append(start_id)
+            out.extend(byte_ids[b] for b in word[i].encode("utf-8"))
+            i += 1
+        cont = True
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<int>) — the ``bpe_encode`` surface for
+    WordPiece models: same Arrow-batched pass, same per-worker word→ids
+    memo. Round-trip contract (pytest- and gate-pinned):
+    ``wordpiece_decode(wordpiece_encode(x)) == lower(x)`` with whitespace
+    collapsed, for every x."""
+    ids, byte_ids, start_id, max_raw = _wp_encoder(model)
+
+    def encode_batches(it):
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append([])
+                    continue
+                doc_ids: list[int] = []
+                for w in _WS.split(text.lower()):
+                    if not w:
+                        continue
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = _wp_word_ids(w, ids, byte_ids, start_id, max_raw)
+                        memo[w] = hit
+                    doc_ids.extend(hit)
+                out.append(doc_ids)
+            yield pd.DataFrame({id_col: pdf[id_col], "token_ids": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_batches, schema=f"{id_col} long, token_ids array<int>"
+    )
+
+
+def wordpiece_decode(
+    encoded: DataFrame, model: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) — exact inverse of ``wordpiece_encode``: a PLAIN piece
+    or the ``<w>`` marker opens a new word (space), ``##`` pieces strip
+    their marker and concatenate, byte-token runs reassemble to UTF-8."""
+    vocab = wordpiece_vocab(model)
+    id2tok = {i: t for t, i in vocab}
+    tok2id = {t: i for t, i in vocab}
+    byte_of = {tok2id[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    start_id = tok2id[_WP_START]
+
+    def dec(ids_arr) -> str:
+        parts: list[str] = []
+        buf = bytearray()
+
+        def flush() -> None:
+            if buf:
+                parts.append(buf.decode("utf-8", "replace"))
+                buf.clear()
+
+        for i in ids_arr:
+            b = byte_of.get(int(i))
+            if b is not None:
+                buf.append(b)
+                continue
+            flush()
+            if int(i) == start_id:
+                parts.append(" ")
+                continue
+            tok = id2tok.get(int(i), _UNK)
+            if tok.startswith(_WP_CONT):
+                parts.append(tok[len(_WP_CONT):])
+            else:
+                parts.append(" " + tok)
+        flush()
+        s = "".join(parts)
+        return s[1:] if s.startswith(" ") else s
+
+    def decode_batches(it):
+        for pdf in it:
+            out = [dec(ids_arr) for ids_arr in pdf["token_ids"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "text": out})
+
+    return encoded.select(F.col(id_col), "token_ids").mapInPandas(
+        decode_batches, schema=f"{id_col} long, text string"
+    )
+
+
+def wordpiece_token_counts(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_wordpiece_tokens) — equals
+    ``size(wordpiece_encode(...).token_ids)`` exactly (the family's
+    pinned invariant), without materializing the id arrays."""
+    ids, byte_ids, start_id, max_raw = _wp_encoder(model)
+
+    def count_batches(it):
+        memo: dict[str, int] = {}
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append(0)
+                    continue
+                n = 0
+                for w in _WS.split(text.lower()):
+                    if not w:
+                        continue
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = len(
+                            _wp_word_ids(w, ids, byte_ids, start_id, max_raw)
+                        )
+                        memo[w] = hit
+                    n += hit
+                out.append(n)
+            yield pd.DataFrame({id_col: pdf[id_col], "n_wordpiece_tokens": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        count_batches, schema=f"{id_col} long, n_wordpiece_tokens int"
     )

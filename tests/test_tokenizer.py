@@ -414,3 +414,157 @@ def test_pack_token_ids_unigram_model_dispatch(docs):
     for r in tokenizer.unigram_encode(docs, m).collect():
         enc_ids.update(r["token_ids"])
     assert pack_ids == enc_ids
+
+
+# ----------------------------------------------- WordPiece tokenizer (r8)
+def test_wordpiece_train_layout_invariant(docs):
+    a = tokenizer.wordpiece_train(docs.repartition(3), n_merges=150)
+    b = tokenizer.wordpiece_train(docs.repartition(17), n_merges=150)
+    assert a == b and len(a["pieces"]) > 10
+
+
+def test_wordpiece_fit_matches_straightline_reference(docs):
+    """The incremental fit (touched-words-only pair/symbol updates) must
+    equal a recount-from-scratch reference on the same word counts."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    wc = {"low": 9, "lower": 4, "lowest": 3, "newer": 5, "wider": 2, "a#b": 7}
+    assert tokenizer._wordpiece_fit(wc, 30) == entry._wordpiece_fit_reference(
+        wc, 30
+    )
+
+
+def test_wordpiece_prefers_high_likelihood_pairs(spark):
+    """WordPiece merges by cnt(ab)/(cnt(a)cnt(b)), not raw frequency: a
+    pair whose parts appear ONLY together merges before a more frequent
+    pair with promiscuous parts."""
+    # 'qz' appears 3x and q,z never appear apart -> score 3/(3*3)=1/3;
+    # 'aa' appears 8x but 'a' has count 20 -> 8/400 = 1/50.
+    wc = {"qz": 3, "aaa": 4, "ab": 4}
+    pieces = tokenizer._wordpiece_fit(wc, 1)
+    assert pieces == ["qz"]
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    df = spark.createDataFrame(
+        [(0, "unhappy unhappy unhappy un happy")], ["doc_id", "text"]
+    )
+    m = tokenizer.wordpiece_train(df, n_merges=50)
+    ids = dict(tokenizer.wordpiece_vocab(m))
+    id2tok = {i: t for t, i in ids.items()}
+    enc = tokenizer.wordpiece_encode(df, m).collect()[0]["token_ids"]
+    toks = [id2tok[i] for i in enc]
+    # the whole dominant word is a single piece and greedy matching finds it
+    assert "unhappy" in toks
+
+
+def test_wordpiece_roundtrip_corpus_exact(docs):
+    m = tokenizer.wordpiece_train(docs, n_merges=300)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.wordpiece_decode(
+            tokenizer.wordpiece_encode(docs, m), m
+        ).collect()
+    }
+    n = 0
+    for r in docs.collect():
+        want = " ".join(
+            w for w in tokenizer._WS.split((r["text"] or "").lower()) if w
+        )
+        assert dec[r["doc_id"]] == want
+        n += 1
+    assert n > 0
+
+
+def test_wordpiece_literal_hash_and_byte_fallback_roundtrip(spark):
+    """Literal '#' always travels as bytes (so '##'-prefixed vocab strings
+    are unambiguously continuations), out-of-alphabet chars ride byte
+    tokens, and a word STARTING with a fallback char keeps its boundary
+    via the <w> marker."""
+    fit = spark.createDataFrame(
+        [(0, "plain words only here")], ["doc_id", "text"]
+    )
+    m = tokenizer.wordpiece_train(fit, n_merges=50)
+    txt = "café ##x #start zz\U0001F600 plain # x#y"
+    df = spark.createDataFrame([(0, txt)], ["doc_id", "text"])
+    out = tokenizer.wordpiece_decode(
+        tokenizer.wordpiece_encode(df, m), m
+    ).collect()[0]["text"]
+    want = " ".join(w for w in tokenizer._WS.split(txt.lower()) if w)
+    assert out == want
+    ids = dict(tokenizer.wordpiece_vocab(m))
+    enc = tokenizer.wordpiece_encode(df, m).collect()[0]["token_ids"]
+    assert ids["<unk>"] not in enc
+
+
+def test_wordpiece_vocab_layout_and_model_json_roundtrip(spark):
+    import json
+
+    df = spark.createDataFrame([(0, "aa ab aa ba")], ["doc_id", "text"])
+    m = tokenizer.wordpiece_train(df, n_merges=20)
+    vocab = tokenizer.wordpiece_vocab(m)
+    assert vocab[0] == ("<unk>", 0)
+    assert vocab[1] == ("<w>", 1)
+    assert vocab[2] == ("<0x00>", 2) and vocab[257] == ("<0xFF>", 257)
+    toks = [t for t, _ in vocab]
+    assert len(toks) == len(set(toks))
+    # continuation forms of the alphabet are present
+    assert "##a" in toks and "##b" in toks
+    m2 = json.loads(json.dumps(m))
+    a = tokenizer.wordpiece_encode(df, m).collect()[0]["token_ids"]
+    b = tokenizer.wordpiece_encode(df, m2).collect()[0]["token_ids"]
+    assert a == b
+
+
+def test_wordpiece_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    m = tokenizer.wordpiece_train(df.where("doc_id = 0"), n_merges=20)
+    out = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokenizer.wordpiece_encode(df, m).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in tokenizer.wordpiece_decode(
+            tokenizer.wordpiece_encode(df, m), m
+        ).collect()
+    }
+    assert dec[0] == "hello world" and dec[1] == "" and dec[2] == ""
+
+
+def test_wordpiece_token_counts_match_encode(docs):
+    m = tokenizer.wordpiece_train(docs, n_merges=200)
+    counts = {
+        r["doc_id"]: r["n_wordpiece_tokens"]
+        for r in tokenizer.wordpiece_token_counts(docs, m).collect()
+    }
+    enc = {
+        r["doc_id"]: len(r["token_ids"])
+        for r in tokenizer.wordpiece_encode(docs, m).collect()
+    }
+    assert counts == enc and len(counts) > 0
+
+
+def test_pack_token_ids_wordpiece_model_dispatch(docs):
+    m = tokenizer.wordpiece_train(docs, n_merges=200)
+    packed = tokenizer.pack_token_ids(docs, m, seq_len=128, n_buckets=8)
+    rows = packed.collect()
+    assert rows and all(1 <= r["n_tokens"] <= 128 for r in rows)
+    from collections import Counter
+
+    pack_ids = Counter()
+    for r in rows:
+        pack_ids.update(r["token_ids"])
+    enc_ids = Counter()
+    for r in tokenizer.wordpiece_encode(docs, m).collect():
+        enc_ids.update(r["token_ids"])
+    assert pack_ids == enc_ids

@@ -151,3 +151,74 @@ def test_unigram_word_roundtrip_any_unicode(word_counts, novel_word):
         parts.append(buf.decode("utf-8"))
     s = "".join(parts)
     assert (s[1:] if s.startswith(" ") else s) == w
+
+
+# --------------------------------------------- WordPiece tokenizer (round 8)
+@settings(max_examples=100, deadline=None)
+@given(corpora)
+def test_wordpiece_fit_deterministic_under_input_order(word_counts):
+    from spark_iforest_spark.operators.tokenizer import _wordpiece_fit
+
+    a = _wordpiece_fit(dict(word_counts), 50)
+    b = _wordpiece_fit(dict(reversed(list(word_counts.items()))), 50)
+    assert a == b  # exact integer cross-multiplied scores + lex tie-break
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    corpora,
+    st.text(
+        alphabet=st.characters(
+            exclude_characters=" \t\n\x0b\f\r", exclude_categories=("Cs",)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_wordpiece_word_roundtrip_any_unicode(word_counts, novel_word):
+    """decode(encode(w)) == w for ANY word against ANY fitted model —
+    greedy longest-match over covered spans, byte tokens for everything
+    else (unseen chars, every literal '#'), <w> marking a word-initial
+    fallback run."""
+    from spark_iforest_spark.operators.tokenizer import (
+        _BYTE_TOKENS,
+        _UNK,
+        _WP_CONT,
+        _WP_START,
+        _wordpiece_fit,
+        _wp_encoder,
+        _wp_word_ids,
+    )
+
+    model = {
+        "kind": "wordpiece",
+        "pieces": _wordpiece_fit(dict(word_counts), 40),
+        "alphabet": sorted(
+            {ch for w in word_counts if "#" not in w for ch in w}
+        ),
+        "vocab_version": 2,
+    }
+    ids, byte_ids, start_id, max_raw = _wp_encoder(model)
+    id2tok = {i: t for t, i in ids.items()}
+    byte_of = {ids[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    w = novel_word.lower()
+    got_ids = _wp_word_ids(w, ids, byte_ids, start_id, max_raw)
+    assert ids[_UNK] not in got_ids
+    parts, buf = [], bytearray()
+    for i in got_ids:
+        b = byte_of.get(i)
+        if b is not None:
+            buf.append(b)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8"))
+            buf.clear()
+        if i == start_id:
+            parts.append(" ")
+            continue
+        tok = id2tok[i]
+        parts.append(tok[len(_WP_CONT):] if tok.startswith(_WP_CONT) else " " + tok)
+    if buf:
+        parts.append(buf.decode("utf-8"))
+    s = "".join(parts)
+    assert (s[1:] if s.startswith(" ") else s) == w
