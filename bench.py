@@ -355,6 +355,16 @@ def run_suite(spark, sf_dir: str, timed) -> None:
             docs, tok_box["m"], seq_len=2048
         ).count(),
     )
+
+    # WordPiece end to end (round 8): same one-shuffle word count, the
+    # likelihood-ratio driver fit, greedy longest-match Arrow apply
+    def wordpiece():
+        m = tokenizer.wordpiece_train(docs, n_merges=500)
+        tokenizer.wordpiece_token_counts(docs, m).agg(
+            F.sum("n_wordpiece_tokens")
+        ).collect()
+
+    timed("wordpiece_tokenize", wordpiece)
     timed(
         "pricing_summary",
         lambda: relational.pricing_summary(read_table(spark, sf_dir, "lineitem")).count(),
