@@ -1629,8 +1629,9 @@ def queries() -> _T:
         ).select("doc_id", "n_bytes", "content_md5"),
         # structured streaming twins live inside their batch gates
         # (windowed_event_agg, dedup_exact, enriched_agg_check); the
-        # stream-stream join is its own gate against the batch oracle
-        "streaming_follow_counts": _streaming_follow_counts,
+        # stream-stream join rides event_follow_counts as its 'stream'
+        # variant (round 8: merged to keep the gate count at 50 after
+        # pretrain_funnel took a slot)
         # training-data curation pipeline (operators/pipeline.py) — all
         # md5-portable by design, so every gate here is oracle-exact.
         # (hash_split_counts gate dropped: it was a pure aggregation of this
@@ -1820,8 +1821,11 @@ def queries() -> _T:
             F.col("o_orderkey").alias("last_orderkey"),
             F.round("o_totalprice", 6).alias("last_order_price"),
         ),
-        "event_follow_counts": lambda s, d: relational.event_follow_counts(
-            _read(s, d, "events")
+        # batch range-join follow counts + the watermarked STREAM-STREAM
+        # self-join replay — same relation, same IEJoin oracle per variant
+        "event_follow_counts": lambda s, d: _tagged_union(
+            ("batch", relational.event_follow_counts(_read(s, d, "events"))),
+            ("stream", _streaming_follow_counts(s, d)),
         ),
         # cross-corpus line dedup over docs reshaped into 8-token lines
         # (synthetic corpus has no newlines; reshape mirrored in the oracle)
@@ -3759,7 +3763,6 @@ def oracle_sql() -> dict[str, str]:
                 "split_leakage",
                 "source_quality_report",
                 "events_asof_order",
-                "event_follow_counts",
                 "line_dedup",
                 "tfidf_top_terms",
                 "group_quantiles",
@@ -3871,6 +3874,12 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         # ------------- variant-tagged unions of same-schema twins --------
+        # batch + stream-replay follow counts: the SAME IEJoin oracle per
+        # variant (the streaming replay must equal the batch relation)
+        "event_follow_counts": _variants_sql(
+            ("batch", base["event_follow_counts"]),
+            ("stream", base["event_follow_counts"]),
+        ),
         # all forest rows: n_scored is SQL-derivable (per-variant slice
         # counts under the _SEG_GATE_CAP collect bound), the five booleans
         # are pinned TRUE — a scorer/threshold/segment-routing/lifecycle
@@ -4016,7 +4025,6 @@ def oracle_sql() -> dict[str, str]:
             ("salted_batch", base["enriched_agg"]),
             ("stream_enrich", base["enriched_agg"]),
         ),
-        "streaming_follow_counts": base["event_follow_counts"],
         # ------------- harmonized-schema merges --------------------------
         "dedup_exact": f"""
             SELECT 'batch' AS variant, * FROM ({base["dedup_exact"]})
