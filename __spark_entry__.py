@@ -792,6 +792,17 @@ def _unigram_fit_reference(
     ]
 
 
+def _must_replace(s: str, old: str, new: str) -> str:
+    """str.replace that REFUSES to silently no-op: the funnel oracle
+    rewrites threshold constants inside a shared SQL fragment, and a
+    reformat of the fragment must fail HERE at oracle build time, not as
+    an unexplained hash mismatch at the next correctness run."""
+    if old not in s:
+        raise ValueError(f"oracle fragment drift: {old!r} not found")
+    return s.replace(old, new)
+
+
+
 def _wordpiece_fit_reference(word_counts: dict, n_merges: int) -> list:
     """Straight-line WordPiece refit: recount every pair AND symbol from
     scratch each round, pick argmax cnt(pair)/(cnt(a)*cnt(b)) by exact
@@ -852,12 +863,14 @@ def _pa_word_counts(docs: DataFrame, limit: int) -> DataFrame:
     )
 
 
-def _pa_bpe_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
+def _pa_bpe_checks(docs: DataFrame, model: dict, wc: dict | None = None) -> tuple[bool, bool]:
     from spark_iforest_spark.operators import tokenizer
 
-    wc = {
-        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
-    }
+    if wc is None:
+        wc = {
+            r["w"]: r["c"]
+            for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+        }
     refit_ok = tokenizer._bpe_fit(wc, _PA_BPE_MERGES) == _bpe_fit_reference(
         wc, _PA_BPE_MERGES
     )
@@ -884,16 +897,18 @@ def _pa_bpe_checks(docs: DataFrame, model: dict) -> tuple[bool, bool]:
     return refit_ok, ok and checked > 0
 
 
-def _pa_unigram_checks(docs: DataFrame) -> tuple[bool, bool]:
+def _pa_unigram_checks(docs: DataFrame, wc: dict | None = None) -> tuple[bool, bool]:
     """Driver-gated unigram-tokenizer invariants (round 8): refit against
     the straight-line reference implementation, and exact round-trip of a
     deterministic 25-doc sample (byte fallback makes it exact for ALL
     input, including literal ▁)."""
     from spark_iforest_spark.operators import tokenizer
 
-    wc = {
-        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
-    }
+    if wc is None:
+        wc = {
+            r["w"]: r["c"]
+            for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+        }
     model = {
         "kind": "unigram",
         "pieces": tokenizer._unigram_fit(wc, _PA_UNI_VOCAB),
@@ -918,16 +933,18 @@ def _pa_unigram_checks(docs: DataFrame) -> tuple[bool, bool]:
     return refit_ok, ok and checked > 0
 
 
-def _pa_wordpiece_checks(docs: DataFrame) -> tuple[bool, bool]:
+def _pa_wordpiece_checks(docs: DataFrame, wc: dict | None = None) -> tuple[bool, bool]:
     """Driver-gated WordPiece invariants (round 8): refit against the
     straight-line reference implementation, and exact round-trip of the
     deterministic 25-doc sample (byte fallback + the literal-# and <w>
     word-start rules make it exact for ALL input)."""
     from spark_iforest_spark.operators import tokenizer
 
-    wc = {
-        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
-    }
+    if wc is None:
+        wc = {
+            r["w"]: r["c"]
+            for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+        }
     pieces = tokenizer._wordpiece_fit(wc, _PA_WP_MERGES)
     refit_ok = pieces == _wordpiece_fit_reference(wc, _PA_WP_MERGES)
     model = {
@@ -1147,9 +1164,14 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_iforest_spark.operators import tokenizer as _tok
 
     model = _tok.bpe_train(docs, n_merges=_PA_BPE_MERGES)
-    refit_ok, roundtrip_ok = _pa_bpe_checks(docs, model)
-    uni_refit_ok, uni_rt_ok = _pa_unigram_checks(docs)
-    wp_refit_ok, wp_rt_ok = _pa_wordpiece_checks(docs)
+    # ONE word-count collect serves all three refit checks (review fix:
+    # the identical explode+groupBy+limit job previously ran 3x per gate)
+    _wc = {
+        r["w"]: r["c"] for r in _pa_word_counts(docs, _PA_REFIT_WORDS).collect()
+    }
+    refit_ok, roundtrip_ok = _pa_bpe_checks(docs, model, wc=_wc)
+    uni_refit_ok, uni_rt_ok = _pa_unigram_checks(docs, wc=_wc)
+    wp_refit_ok, wp_rt_ok = _pa_wordpiece_checks(docs, wc=_wc)
     pack_len_ok, pack_cons_ok = _pa_pack_checks(docs, model)
     layout_ok, auc_ok = _pa_quality_checks(docs)
     check_rows = [
@@ -3799,11 +3821,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM reshaped
               WHERE length(coalesce(text, '')) > 0
             ),
-            go AS ({base["gopher"]
-                    .replace("FROM documents", "FROM s0")
-                    .replace("WHEN n_tokens < 50 ", "WHEN n_tokens < 20 ")
-                    .replace("WHEN dup_token_frac > 0.3 ",
-                             "WHEN dup_token_frac > 0.9 ")}),
+            go AS ({_must_replace(_must_replace(_must_replace(base["gopher"],
+                    "FROM documents", "FROM s0"),
+                    "WHEN n_tokens < 50 ", "WHEN n_tokens < 20 "),
+                    "WHEN dup_token_frac > 0.3 ",
+                    "WHEN dup_token_frac > 0.9 ")}),
             s1 AS (
               SELECT s0.doc_id, s0.text FROM s0 JOIN go USING (doc_id)
               WHERE go.gopher_fail_mask = 0
@@ -3827,7 +3849,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lkept GROUP BY doc_id
               HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
             ),
-            spans AS ({_SUBSTR_SPANS_SQL.replace("FROM documents", "FROM s2")}),
+            spans AS ({_must_replace(_SUBSTR_SPANS_SQL, "FROM documents", "FROM s2")}),
             d3 AS (
               SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
               FROM s2

@@ -201,7 +201,7 @@ def _quiesce(spark) -> None:
 
 
 def run_suite(spark, sf_dir: str, timed) -> None:
-    """The 16 headline queries against one sf dir; ``timed(name, fn)`` does
+    """The 17 headline queries against one sf dir; ``timed(name, fn)`` does
     the measurement so the primary tier (min-of-N, spread control) and the
     scale tier (single run) share one definition of the workload."""
     from pyspark.sql import functions as F

@@ -906,15 +906,18 @@ def ccnet_filter(
     # re-execute scoring (3 corpus passes measured at gate sf).
     lm_raw = lm_fit(reference, text_col=text_col)
     lm = snapshot(lm_raw)
-    scored = snapshot(
-        lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
-    )
-    cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
-    # the eager cutpoint jobs just materialized `scored` (and through it
-    # the lm snapshot), so lm_fit's persisted unigram relation is done —
-    # release its blocks rather than leaking one cached relation per fit
-    uni = getattr(lm_raw, "_lm_uni", None)
-    if uni is not None:
-        uni.unpersist()
+    try:
+        scored = snapshot(
+            lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+        )
+        cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
+    finally:
+        # the eager cutpoint jobs materialized `scored` (and through it the
+        # lm snapshot), so lm_fit's persisted unigram relation is done —
+        # release its blocks rather than leaking one cached relation per
+        # fit (finally: an empty/failing cutpoint job must not leak either)
+        uni = getattr(lm_raw, "_lm_uni", None)
+        if uni is not None:
+            uni.unpersist()
     banded = perplexity_bands(scored, cuts)
     return banded.where(F.col("band").isin(list(keep_bands)))

@@ -1032,16 +1032,25 @@ def wordpiece_vocab(model: dict) -> list[tuple[str, int]]:
 
 
 def _wp_encoder(model: dict):
-    ids = dict(wordpiece_vocab(model))
+    vocab = wordpiece_vocab(model)
+    ids = dict(vocab)
     byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
+    # MATCHING dict: content pieces only. The reserved spellings (<unk>,
+    # <w>, <0xNN>) must never match raw text — a doc containing the
+    # literal word '<w>x' or '<0x41>' would otherwise encode the marker/
+    # byte id and decode to something else (review-caught round-trip
+    # break). Exact membership, not a prefix test, so a legitimately
+    # LEARNED piece that happens to spell a byte-token-like string is
+    # only excluded when it truly collides (first-id-wins rule: the
+    # reserved id owns the spelling, and the text route is the bytes).
+    reserved = {_UNK, _WP_START, *_BYTE_TOKENS}
+    pieces = {t: i for t, i in vocab if t not in reserved}
     # longest RAW content a piece can cover (cont pieces carry the prefix)
     max_raw = 1
-    for p in ids:
-        if p in (_UNK, _WP_START) or (p.startswith("<0x") and p.endswith(">")):
-            continue
+    for p in pieces:
         raw = len(p) - len(_WP_CONT) if p.startswith(_WP_CONT) else len(p)
         max_raw = max(max_raw, raw)
-    return ids, byte_ids, ids[_WP_START], max_raw
+    return pieces, byte_ids, ids[_WP_START], max_raw
 
 
 def _wp_word_ids(

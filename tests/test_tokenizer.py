@@ -426,13 +426,8 @@ def test_wordpiece_train_layout_invariant(docs):
 def test_wordpiece_fit_matches_straightline_reference(docs):
     """The incremental fit (touched-words-only pair/symbol updates) must
     equal a recount-from-scratch reference on the same word counts."""
-    import importlib.util
+    import __spark_entry__ as entry
 
-    spec = importlib.util.spec_from_file_location(
-        "entry", "/root/repo/__spark_entry__.py"
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
     wc = {"low": 9, "lower": 4, "lowest": 3, "newer": 5, "wider": 2, "a#b": 7}
     assert tokenizer._wordpiece_fit(wc, 30) == entry._wordpiece_fit_reference(
         wc, 30
@@ -500,6 +495,25 @@ def test_wordpiece_literal_hash_and_byte_fallback_roundtrip(spark):
     ids = dict(tokenizer.wordpiece_vocab(m))
     enc = tokenizer.wordpiece_encode(df, m).collect()[0]["token_ids"]
     assert ids["<unk>"] not in enc
+
+
+def test_wordpiece_reserved_spellings_roundtrip(spark):
+    """Text that SPELLS a reserved token (<w>, <unk>, <0x41>) must round-
+    trip as content, not match the reserved id (review-caught: the raw
+    span '<w>x' matched the start-marker spelling and decoded to 'x')."""
+    fit = spark.createDataFrame(
+        # long words push max_raw high enough for '<0x41>'-length matches
+        [(0, "wonderful characters <keep> unknown wonderful <keep>")],
+        ["doc_id", "text"],
+    )
+    m = tokenizer.wordpiece_train(fit, n_merges=80)
+    txt = "<w>x <unk> <0x41> <w>onder x<w>y"
+    df = spark.createDataFrame([(0, txt)], ["doc_id", "text"])
+    out = tokenizer.wordpiece_decode(
+        tokenizer.wordpiece_encode(df, m), m
+    ).collect()[0]["text"]
+    want = " ".join(w for w in tokenizer._WS.split(txt.lower()) if w)
+    assert out == want
 
 
 def test_wordpiece_vocab_layout_and_model_json_roundtrip(spark):

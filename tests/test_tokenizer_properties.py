@@ -198,12 +198,21 @@ def test_wordpiece_word_roundtrip_any_unicode(word_counts, novel_word):
         ),
         "vocab_version": 2,
     }
-    ids, byte_ids, start_id, max_raw = _wp_encoder(model)
-    id2tok = {i: t for t, i in ids.items()}
-    byte_of = {ids[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
+    from spark_iforest_spark.operators.tokenizer import wordpiece_vocab
+
+    pieces, byte_ids, start_id, max_raw = _wp_encoder(model)
+    full = dict(wordpiece_vocab(model))
+    id2tok = {i: t for t, i in full.items()}
+    byte_of = {full[bt]: b for b, bt in enumerate(_BYTE_TOKENS)}
     w = novel_word.lower()
-    got_ids = _wp_word_ids(w, ids, byte_ids, start_id, max_raw)
-    assert ids[_UNK] not in got_ids
+    got_ids = _wp_word_ids(w, pieces, byte_ids, start_id, max_raw)
+    assert full[_UNK] not in got_ids
+    # reserved spellings never match as content (review-pinned): every
+    # emitted id is a content piece, the start marker, or a byte token
+    assert all(
+        i in id2tok and (id2tok[i] in pieces or i == start_id or i in byte_of)
+        for i in got_ids
+    )
     parts, buf = [], bytearray()
     for i in got_ids:
         b = byte_of.get(i)

@@ -80,22 +80,24 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     from spark_iforest_spark.plans import formatted_plan
 
     out: dict[str, dict] = {}
-    for name, fn in entry.queries().items():
-        if only and name not in only:
-            continue
-        try:
-            plan = formatted_plan(fn(spark, sf_dir))
-            out[name] = {
-                "scans": plan.count("Scan parquet"),
-                "exch": plan.count("Exchange"),
-                "smj": plan.count("SortMergeJoin"),
-                "bhj": plan.count("BroadcastHashJoin"),
-                "pyeval": len(PY_NODES.findall(plan)),
-                "rdd": plan.count("Scan ExistingRDD"),
-            }
-        except Exception as e:  # a gate that cannot even build is a finding
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
-    spark.stop()
+    try:
+        for name, fn in entry.queries().items():
+            if only and name not in only:
+                continue
+            try:
+                plan = formatted_plan(fn(spark, sf_dir))
+                out[name] = {
+                    "scans": plan.count("Scan parquet"),
+                    "exch": plan.count("Exchange"),
+                    "smj": plan.count("SortMergeJoin"),
+                    "bhj": plan.count("BroadcastHashJoin"),
+                    "pyeval": len(PY_NODES.findall(plan)),
+                    "rdd": plan.count("Scan ExistingRDD"),
+                }
+            except Exception as e:  # a gate that cannot build is a finding
+                out[name] = {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        spark.stop()
     return out
 
 
@@ -105,6 +107,9 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = args[1:] or None
     rows = audit(sf_dir, only)
+    if not rows:
+        print(f"no queries matched {only!r}")
+        return 1
     width = max(len(k) for k in rows)
     hdr = f"{'query':<{width}}  scans exch smj bhj pyeval rdd"
     print(hdr)
