@@ -1722,7 +1722,9 @@ def queries() -> _T:
             _lines_augmented(_read(s, d, "documents")),
             line_min_docs=3,
             substr_window=_SUBSTR_WINDOW,
-            neardup=False,
+            neardup=True,  # round 8: stage 4 — the drop_near_duplicates
+            # sweep over the REBUILT text, its CC + quality argmax +
+            # anti-join recomputed by the oracle end-to-end
             gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
         ),
         "split_leakage": lambda s, d: pipeline.split_leakage(
@@ -3766,6 +3768,21 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY q.quality DESC, q.doc_id ASC
         ) = 1
     """
+    # pretrain_funnel stage 4: the drop_near_duplicates survivors SQL
+    # (CC + quality argmax + anti-join — the dedup_clusters 'survivors'
+    # variant verbatim) re-pointed at the funnel's rebuilt s3 relation;
+    # _must_replace fails loudly if the shared fragments' spelling drifts
+    funnel_surv_sql = _must_replace(
+        f"""
+        SELECT d.doc_id
+        FROM documents d
+        LEFT JOIN ({base["dedup_clusters"]}) cc ON d.doc_id = cc.doc_id
+        WHERE cc.doc_id IS NULL
+           OR d.doc_id IN (SELECT doc_id FROM ({keep_best_sql}))
+        """,
+        "FROM documents",
+        "FROM s3",
+    )
     return {
         # ------------- pass-through oracles (gate == constituent) --------
         **{
@@ -3873,6 +3890,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
               FROM kept3 GROUP BY doc_id
               HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
+            ),
+            s4 AS (
+              SELECT s3.doc_id, s3.text FROM s3
+              WHERE s3.doc_id IN (SELECT doc_id FROM ({funnel_surv_sql}))
             )
             SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
                    count(*) AS n_docs,
@@ -3894,6 +3915,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM s3
+            UNION ALL
+            SELECT CAST(4 AS INT), 'neardup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s4
         """,
         # ------------- variant-tagged unions of same-schema twins --------
         # batch + stream-replay follow counts: the SAME IEJoin oracle per
