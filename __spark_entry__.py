@@ -1060,6 +1060,58 @@ def _pa_quality_checks(docs: DataFrame) -> tuple[bool, bool]:
     return layout_ok, bool(auc >= 0.9)
 
 
+_GK_REL_ERR = 0.05
+
+
+def _ccnet_gk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch twin for perplexity_cutpoints (round 9): the rel_err>0
+    path recommended at 100 TB gets the same exact+approx anchoring as
+    the flagship threshold (iforest.py exact-order-statistic + GK twins).
+
+    One row per cutpoint, in the corpus_samples schema: cum_tokens = the
+    EXACT (rel_err=0) cutpoint — the oracle recomputes it as the max
+    avg_nll within the band, since an order-statistic cut is always an
+    element of the data — and n_tokens = 1 iff the GK cutpoint's rank
+    interval overlaps [ (f-err)*n, (f+err)*n ] (the approxQuantile
+    contract; the oracle pins TRUE, so a bound violation flips the int
+    and hash-mismatches). The rank probe is ONE aggregate over the
+    snapshot'd scored relation."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    docs = _read(spark, sf_dir, "documents")
+    lm_raw, handle = text.lm_fit(
+        docs.where(F.col("lang") == _CCNET_REF_LANG), return_handle=True
+    )
+    lm = snapshot(lm_raw)
+    try:
+        scored = snapshot(text.lm_perplexity(docs, lm))
+    finally:
+        handle.release()
+    exact = text.perplexity_cutpoints(scored, _CCNET_FRACTIONS, rel_err=0.0)
+    gk = text.perplexity_cutpoints(scored, _CCNET_FRACTIONS, rel_err=_GK_REL_ERR)
+    probes = [
+        c
+        for i, g in enumerate(gk)
+        for c in (
+            F.sum((F.col("avg_nll_micros") < g).cast("long")).alias(f"lo{i}"),
+            F.sum((F.col("avg_nll_micros") <= g).cast("long")).alias(f"hi{i}"),
+        )
+    ]
+    row = scored.agg(F.count(F.lit(1)).alias("n"), *probes).collect()[0]
+    n = row["n"]
+    out = []
+    for i, (f, e, g) in enumerate(zip(_CCNET_FRACTIONS, exact, gk)):
+        # g occupies ranks (lo, hi]; the GK contract promises SOME rank r
+        # with |r - f*n| <= rel_err*n — an interval-overlap test
+        ok = (row[f"lo{i}"] + 1 <= (f + _GK_REL_ERR) * n) and (
+            row[f"hi{i}"] >= (f - _GK_REL_ERR) * n
+        )
+        out.append((i, "gk", 1 if ok else 0, int(e)))
+    return spark.createDataFrame(
+        out, "doc_id long, lang string, n_tokens int, cum_tokens long"
+    )
+
+
 def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_iforest_spark.operators import drift
 
@@ -1709,22 +1761,28 @@ def queries() -> _T:
             benchmark=_read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
         ),
         # round 8: the curation funnel — per-stage (n_docs, n_tokens)
-        # survival over the gopher → line-dedup → ExactSubstr chain
-        # (docs reshaped into 8-token lines as in the line_dedup gate;
-        # window matches _SUBSTR_WINDOW so the substr oracle fragment
-        # reuses verbatim). The DuckDB twin recomputes all three stages
-        # end-to-end, text flowing between them. Thresholds loosened for
-        # the small-vocab synthetic corpus (defaults fail ALL 500 docs on
-        # dup_token_frac/n_tokens; these keep each stage discriminating:
-        # 500→377→377(−235 tok)→368 at sf0.01), and line_min_docs=3
-        # leaves 2-doc repeats for the keep-first substr stage to cut.
+        # survival (docs reshaped into 8-token lines as in the line_dedup
+        # gate; window matches _SUBSTR_WINDOW so the substr oracle
+        # fragment reuses verbatim). The DuckDB twin recomputes every
+        # stage end-to-end, text flowing between them. Thresholds
+        # loosened for the small-vocab synthetic corpus (defaults fail
+        # ALL 500 docs on dup_token_frac/n_tokens; these keep each stage
+        # discriminating), and line_min_docs=3 leaves 2-doc repeats for
+        # the keep-first substr stage to cut. Round 9: the composed
+        # oracle now covers the FULL 6-stage recipe — reference= adds the
+        # ccnet banding stage (LM frozen from the 'en' slice BEFORE any
+        # filtering; reshaping is token-invariant so the unreshaped slice
+        # fits the identical LM) and benchmark= adds decontaminate (the
+        # hash_split decontam semantics over the stage-5 rebuilt text).
         "pretrain_funnel": lambda s, d: corpus.pretrain_funnel(
             _lines_augmented(_read(s, d, "documents")),
+            reference=_read(s, d, "documents").where(
+                F.col("lang") == _CCNET_REF_LANG
+            ),
+            benchmark=_read(s, d, "documents").where(F.col("doc_id") % 100 == 0),
             line_min_docs=3,
             substr_window=_SUBSTR_WINDOW,
-            neardup=True,  # round 8: stage 4 — the drop_near_duplicates
-            # sweep over the REBUILT text, its CC + quality argmax +
-            # anti-join recomputed by the oracle end-to-end
+            neardup=True,
             gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
         ),
         "split_leakage": lambda s, d: pipeline.split_leakage(
@@ -1828,6 +1886,9 @@ def queries() -> _T:
                     )
                 )(_read(s, d, "documents")),
             ),
+            # round 9: the GK (rel_err>0) perplexity_cutpoints twin —
+            # exact cut values oracle-recomputed, bound boolean pinned
+            ("ccnet_gk", _ccnet_gk_rows(s, d)),
         ),
         # temporal joins: as-of (union-window, one shuffle — no range
         # explosion) and a bucketized range self-join (equi-join on
@@ -3768,9 +3829,9 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY q.quality DESC, q.doc_id ASC
         ) = 1
     """
-    # pretrain_funnel stage 4: the drop_near_duplicates survivors SQL
+    # pretrain_funnel stage 5: the drop_near_duplicates survivors SQL
     # (CC + quality argmax + anti-join — the dedup_clusters 'survivors'
-    # variant verbatim) re-pointed at the funnel's rebuilt s3 relation;
+    # variant verbatim) re-pointed at the funnel's rebuilt s4 relation;
     # _must_replace fails loudly if the shared fragments' spelling drifts
     funnel_surv_sql = _must_replace(
         f"""
@@ -3781,7 +3842,20 @@ def oracle_sql() -> dict[str, str]:
            OR d.doc_id IN (SELECT doc_id FROM ({keep_best_sql}))
         """,
         "FROM documents",
-        "FROM s3",
+        "FROM s4",
+    )
+    # pretrain_funnel stage 2 (round 9): the CCNet banding fragment
+    # (corpus_samples ccnet_keep verbatim) re-pointed at the funnel's
+    # reshaped corpus, with SCORING restricted to the gopher survivors —
+    # the LM reference stays the full 'en' slice (the recipe freezes the
+    # reference before any corpus filtering), while cutpoints/bands are
+    # computed over exactly the docs the stage scores, as ccnet_filter does
+    funnel_ccnet_sql = _must_replace(
+        _must_replace(base["ccnet_keep"], "FROM documents", "FROM reshaped"),
+        "              FROM tk\n            ),\n            tok AS (",
+        "              FROM tk\n"
+        "              WHERE doc_id IN (SELECT doc_id FROM s1)\n"
+        "            ),\n            tok AS (",
     )
     return {
         # ------------- pass-through oracles (gate == constituent) --------
@@ -3813,20 +3887,23 @@ def oracle_sql() -> dict[str, str]:
                 "validate_lineitem",
             )
         },
-        # round 8: pretrain_funnel — the gopher → line-dedup → ExactSubstr
-        # survival funnel recomputed end-to-end, with the rebuilt TEXT
-        # flowing between stages. Reuses the gate's existing fragments
-        # verbatim (base["gopher"], _SUBSTR_SPANS_SQL) with their
-        # `documents` source swapped for the previous stage's CTE, so the
-        # per-stage semantics stay single-sourced with the text_signals /
-        # normalize_chunks gates.
+        # round 8: pretrain_funnel — the survival funnel recomputed
+        # end-to-end, with the rebuilt TEXT flowing between stages.
+        # Round 9 extends the composed oracle to the FULL 6-stage recipe:
+        # gopher → ccnet banding → line-dedup → ExactSubstr → near-dup →
+        # decontaminate. Reuses the gate's existing fragments verbatim
+        # (base["gopher"], base["ccnet_keep"], _SUBSTR_SPANS_SQL,
+        # dedup_clusters/keep_best, _SHINGLES_CTE) with their `documents`
+        # source swapped for the previous stage's CTE, so the per-stage
+        # semantics stay single-sourced with the text_signals /
+        # corpus_samples / normalize_chunks / hash_split gates.
         "pretrain_funnel": f"""
             WITH tok0 AS (
-              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t
               FROM documents
             ),
-            reshaped AS (
-              SELECT doc_id,
+            reshaped AS MATERIALIZED (
+              SELECT doc_id, lang,
                      array_to_string(
                        list_transform(
                          range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
@@ -3834,7 +3911,7 @@ def oracle_sql() -> dict[str, str]:
                        ), chr(10)) AS text
               FROM tok0
             ),
-            s0 AS (
+            s0 AS MATERIALIZED (
               SELECT doc_id, text FROM reshaped
               WHERE length(coalesce(text, '')) > 0
             ),
@@ -3843,15 +3920,20 @@ def oracle_sql() -> dict[str, str]:
                     "WHEN n_tokens < 50 ", "WHEN n_tokens < 20 "),
                     "WHEN dup_token_frac > 0.3 ",
                     "WHEN dup_token_frac > 0.9 ")}),
-            s1 AS (
+            s1 AS MATERIALIZED (
               SELECT s0.doc_id, s0.text FROM s0 JOIN go USING (doc_id)
               WHERE go.gopher_fail_mask = 0
+            ),
+            cn AS ({funnel_ccnet_sql}),
+            s2 AS MATERIALIZED (
+              SELECT s1.doc_id, s1.text FROM s1
+              WHERE s1.doc_id IN (SELECT doc_id FROM cn)
             ),
             llines AS (
               SELECT doc_id,
                      unnest(string_split(text, chr(10))) AS line,
                      generate_subscripts(string_split(text, chr(10)), 1) AS pos
-              FROM s1
+              FROM s2
             ),
             lcounts AS (
               SELECT line, count(DISTINCT doc_id) AS n_docs
@@ -3861,15 +3943,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT l.doc_id, l.pos, l.line
               FROM llines l JOIN lcounts c USING (line) WHERE c.n_docs < 3
             ),
-            s2 AS (
+            s3 AS MATERIALIZED (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
               FROM lkept GROUP BY doc_id
               HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
             ),
-            spans AS ({_must_replace(_SUBSTR_SPANS_SQL, "FROM documents", "FROM s2")}),
+            spans AS ({_must_replace(_SUBSTR_SPANS_SQL, "FROM documents", "FROM s3")}),
             d3 AS (
               SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
-              FROM s2
+              FROM s3
             ),
             posl3 AS (
               SELECT doc_id, u.pos AS pos, u.t AS t FROM (
@@ -3886,14 +3968,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
               )
             ),
-            s3 AS (
+            s4 AS MATERIALIZED (
               SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
               FROM kept3 GROUP BY doc_id
               HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
             ),
-            s4 AS (
-              SELECT s3.doc_id, s3.text FROM s3
-              WHERE s3.doc_id IN (SELECT doc_id FROM ({funnel_surv_sql}))
+            s5 AS MATERIALIZED (
+              SELECT s4.doc_id, s4.text FROM s4
+              WHERE s4.doc_id IN (SELECT doc_id FROM ({funnel_surv_sql}))
+            ),
+            s6 AS (
+              SELECT s5.doc_id, s5.text FROM s5
+              WHERE s5.doc_id NOT IN (
+                SELECT DISTINCT c.doc_id
+                FROM (WITH {_must_replace(_SHINGLES_CTE,
+                            "FROM documents", "FROM s5")}
+                      SELECT doc_id, sh FROM sh) c
+                JOIN (WITH {_SHINGLES_CTE}
+                      SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0) b
+                  ON c.sh = b.sh
+              )
             )
             SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
                    count(*) AS n_docs,
@@ -3906,20 +4000,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)
             FROM s1
             UNION ALL
-            SELECT CAST(2 AS INT), 'line_dedup', count(*),
+            SELECT CAST(2 AS INT), 'ccnet', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM s2
             UNION ALL
-            SELECT CAST(3 AS INT), 'exact_substr', count(*),
+            SELECT CAST(3 AS INT), 'line_dedup', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM s3
             UNION ALL
-            SELECT CAST(4 AS INT), 'neardup', count(*),
+            SELECT CAST(4 AS INT), 'exact_substr', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM s4
+            UNION ALL
+            SELECT CAST(5 AS INT), 'neardup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s5
+            UNION ALL
+            SELECT CAST(6 AS INT), 'decontaminate', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM s6
         """,
         # ------------- variant-tagged unions of same-schema twins --------
         # batch + stream-replay follow counts: the SAME IEJoin oracle per
@@ -4170,6 +4274,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ccnet_keep', doc_id, lang, CAST(band AS INT),
                    CAST(avg_nll AS BIGINT)
             FROM ({base["ccnet_keep"]})
+            UNION ALL
+            SELECT 'ccnet_gk', CAST(0 AS BIGINT), 'gk', CAST(1 AS INT),
+                   (SELECT CAST(max(avg_nll) AS BIGINT)
+                    FROM ({base["ccnet_keep"]}) WHERE band = 1)
+            UNION ALL
+            SELECT 'ccnet_gk', CAST(1 AS BIGINT), 'gk', CAST(1 AS INT),
+                   (SELECT CAST(max(avg_nll) AS BIGINT)
+                    FROM ({base["ccnet_keep"]}))
         """,
         "normalize_chunks": f"""
             SELECT 'normalize' AS variant, doc_id, CAST(0 AS INT) AS seq,

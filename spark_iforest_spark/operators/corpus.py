@@ -266,10 +266,6 @@ def pretrain_curate(
     neardup). Each stage's (id, text) survivor set is exactly the
     relation worth materializing: it only shrinks downstream.
     """
-    from spark_iforest_spark.operators.dedup import (
-        drop_near_duplicates,
-        remove_repeated_substrings,
-    )
     return _pretrain_stage_list(
         docs,
         reference=reference,

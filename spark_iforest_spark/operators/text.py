@@ -665,10 +665,32 @@ def _lm_toks(text_col) -> F.Column:
     )
 
 
-def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
+class LmFitHandle:
+    """Releases the vocabulary-sized count relation ``lm_fit`` persists.
+
+    ``lm_fit(..., return_handle=True)`` returns ``(lm, handle)``; call
+    ``handle.release()`` once the LM relation has been materialized
+    (collected, snapshotted, or written) — sessions that fit many LMs
+    would otherwise accumulate one cached relation per fit. Idempotent."""
+
+    def __init__(self, uni: DataFrame):
+        self._uni = uni
+
+    def release(self) -> None:
+        if self._uni is not None:
+            self._uni.unpersist()
+            self._uni = None
+
+
+def lm_fit(
+    reference: DataFrame, text_col: str = "text", return_handle: bool = False
+):
     """Fit a bigram stupid-backoff LM on a trusted reference corpus.
 
-    Returns the frozen LM relation (ord, w1, w2, cnt, ln_micros):
+    Returns the frozen LM relation (ord, w1, w2, cnt, ln_micros) — or
+    ``(relation, LmFitHandle)`` when ``return_handle=True``, so callers
+    that fit many LMs in one session can release the persisted unigram
+    count blocks after materializing (``ccnet_filter`` does). The fields:
 
     * ``ord=2`` rows — one per bigram: ln_micros = snapped
       ln(cnt(w1 w2) / cnt(w1)), the conditional bigram log-probability.
@@ -693,9 +715,7 @@ def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
     # degrade from broadcast to sort-merge (measured 2.55 → 6.2 s at
     # sf0.1, caught by the no-SortMergeJoin plan pin) — persist keeps the
     # logical plan (stats intact) while computing the shuffle once.
-    # Vocabulary-sized, never corpus-sized.
-    # (callers that fit many LMs in one session can release the blocks via
-    # the returned DataFrame's `_lm_uni` attribute — ccnet_filter does)
+    # Vocabulary-sized, never corpus-sized; release via return_handle.
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -749,7 +769,8 @@ def lm_fit(reference: DataFrame, text_col: str = "text") -> DataFrame:
         snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
     )
     out = uni_rows.unionByName(bi_rows).unionByName(oov_row)
-    out._lm_uni = uni  # handle for callers to unpersist after materializing
+    if return_handle:
+        return out, LmFitHandle(uni)
     return out
 
 
@@ -904,7 +925,7 @@ def ccnet_filter(
     # plan; the dsir_estimator total-rescan lesson again). And the
     # cutpoint job plus the caller's banded consumption would each
     # re-execute scoring (3 corpus passes measured at gate sf).
-    lm_raw = lm_fit(reference, text_col=text_col)
+    lm_raw, lm_handle = lm_fit(reference, text_col=text_col, return_handle=True)
     lm = snapshot(lm_raw)
     try:
         scored = snapshot(
@@ -916,8 +937,6 @@ def ccnet_filter(
         # lm snapshot), so lm_fit's persisted unigram relation is done —
         # release its blocks rather than leaking one cached relation per
         # fit (finally: an empty/failing cutpoint job must not leak either)
-        uni = getattr(lm_raw, "_lm_uni", None)
-        if uni is not None:
-            uni.unpersist()
+        lm_handle.release()
     banded = perplexity_bands(scored, cuts)
     return banded.where(F.col("band").isin(list(keep_bands)))

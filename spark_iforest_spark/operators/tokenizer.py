@@ -709,7 +709,16 @@ def unigram_vocab(model: dict) -> list[tuple[str, int]]:
 
 
 def _unigram_encoder(model: dict):
-    scores = {p: int(s) for p, s in model["pieces"]}
+    # MATCHING dict: content pieces only — the same reserved-spelling
+    # guard as _wp_encoder. A learned piece that SPELLS a reserved token
+    # (<unk>, <0xNN>) gets the reserved id from unigram_vocab
+    # (first-id-wins), so letting Viterbi match it would emit the
+    # reserved id and decode would reinterpret it as <unk>/a raw byte —
+    # a round-trip break. Excluded pieces route their text through the
+    # byte fallback instead; single-char run coverage is unaffected
+    # because every reserved spelling is >= 5 chars.
+    reserved = {_UNK, *_BYTE_TOKENS}
+    scores = {p: int(s) for p, s in model["pieces"] if p not in reserved}
     ids = dict(unigram_vocab(model))
     byte_ids = [ids[bt] for bt in _BYTE_TOKENS]
     return scores, ids, byte_ids, int(model.get("max_piece_len", 8))
@@ -994,6 +1003,12 @@ def wordpiece_train(
     )
     word_counts = {r["w"]: r["c"] for r in rows}
     pieces = _wordpiece_fit(word_counts, n_merges)
+    # Intentional spelling hygiene, not an oversight: words containing a
+    # literal '#' are excluded from the alphabet ENTIRELY (not just the
+    # '#' char) so no alphabet entry can ever be confused with a ##-
+    # continuation marker's spelling. A character appearing ONLY inside
+    # '#'-adjacent words therefore rides the byte fallback — lossless
+    # (round-trip gate-pinned), merely one id longer for that rare char.
     alphabet = sorted(
         {ch for w in word_counts if "#" not in w for ch in w}
     )

@@ -396,10 +396,23 @@ class SegmentedIForestModel:
                 # pattern, scorer.py:189) — per-group to_list()
                 # re-conversion was a measured ~20% of scoring wall at
                 # sf2.5
-                x_all = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+                try:
+                    x_all = np.asarray(pdf["_feat"].to_list(), dtype=np.float64)
+                except ValueError:
+                    # segments are fitted independently, so one model may
+                    # legitimately carry different feature dims per
+                    # segment (review-caught): a ragged chunk can't
+                    # convert in one shot — score per group instead
+                    # (bit-equal, just the pre-batching conversion cost)
+                    x_all = None
                 for g, (forest, psi, thr) in groups:
                     idx = g.index.to_numpy()
-                    s = _blocked_scores(forest, x_all[idx], psi)
+                    x = (
+                        x_all[idx]
+                        if x_all is not None
+                        else np.asarray(g["_feat"].to_list(), dtype=np.float64)
+                    )
+                    s = _blocked_scores(forest, x, psi)
                     scores_np[idx] = s
                     preds_np[idx] = s > thr
             else:

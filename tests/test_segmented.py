@@ -319,6 +319,21 @@ def test_group_seed_canonicalizes_numpy_scalar_keys():
     # distinct keys still decorrelate
     assert not (py == segmented._group_seed(7, 4).generate_state(4)).all()
 
+    # numpy>=2.0 regime simulated (the env pins 1.26, where repr of a
+    # numpy scalar already equals the Python repr, making the asserts
+    # above vacuously green): a scalar whose repr is 'np.int64(3)' must
+    # still hash like 3 — this FAILS if the .item() canonicalization in
+    # _group_seed is removed
+    class _Np2Int:
+        def __repr__(self):
+            return "np.int64(3)"
+
+        def item(self):
+            return 3
+
+    np2 = segmented._group_seed(7, _Np2Int()).generate_state(4)
+    assert (py == np2).all()
+
 
 def test_transform_broadcast_null_features_on_unfitted_segment(grouped, spark):
     """Rows of an UNFITTED segment may carry NULL feature arrays (nothing
@@ -342,3 +357,30 @@ def test_transform_broadcast_null_features_on_unfitted_segment(grouped, spark):
     for rid, r in via_cogroup.items():
         assert got[rid].anomalyScore == r.anomalyScore
         assert got[rid].prediction == r.prediction
+
+
+def test_transform_broadcast_mixed_feature_dims(spark):
+    """Segments are fitted independently, so one model may legitimately
+    carry different feature dimensionalities per segment (round-9 review
+    fix): the covered==n one-shot Arrow conversion raises ValueError on
+    the ragged chunk — it must fall back to per-group conversion and stay
+    bit-equal to the cogroup path."""
+    rng = np.random.default_rng(11)
+    rows, rid = [], 0
+    for g, dim in [("a", 3), ("b", 5)]:
+        for _ in range(60):
+            rows.append((g, rid, rng.standard_normal(dim).tolist()))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "seg string, row_id long, features array<double>"
+    )
+    model = segmented.fit_groups(
+        df, "seg", num_trees=20, max_samples=32, contamination=0.1, seed=5
+    )
+    bc = {r.row_id: r for r in
+          model.transform_broadcast(df, id_col="row_id").collect()}
+    cg = {r.row_id: r for r in model.transform(df, id_col="row_id").collect()}
+    assert len(bc) == len(cg) == rid
+    for k, r in cg.items():
+        assert bc[k].anomalyScore == r.anomalyScore
+        assert bc[k].prediction == r.prediction

@@ -582,3 +582,27 @@ def test_pack_token_ids_wordpiece_model_dispatch(docs):
     for r in tokenizer.wordpiece_encode(docs, m).collect():
         enc_ids.update(r["token_ids"])
     assert pack_ids == enc_ids
+
+
+def test_unigram_reserved_spellings_roundtrip(spark):
+    """A LEARNED piece that spells a reserved token (<unk>, <0xNN>) must
+    never match in Viterbi (review-caught): unigram_vocab gives such a
+    piece the reserved id (first-id-wins), so matching it would emit the
+    byte-token/unk id and decode to something else. Colliding text routes
+    through single-char pieces / byte fallback instead — the unigram
+    analogue of test_wordpiece_reserved_spellings_roundtrip."""
+    fit = spark.createDataFrame(
+        [(0, "the x 0 4 1 < > u n k the quick brown fox the")],
+        ["doc_id", "text"],
+    )
+    m = tokenizer.unigram_train(fit, vocab_size=64)
+    # splice in adversarial pieces spelling reserved tokens, with the best
+    # possible score (0) so Viterbi would always prefer them if matchable
+    m["pieces"] = [["<0x41>", 0], ["<unk>", 0]] + m["pieces"]
+    for txt in ("the<0x41>", "<0x41>", "a <unk> b", "x<unk>0"):
+        df = spark.createDataFrame([(0, txt)], ["doc_id", "text"])
+        out = tokenizer.unigram_decode(
+            tokenizer.unigram_encode(df, m), m
+        ).collect()[0]["text"]
+        want = " ".join(w for w in tokenizer._WS.split(txt.lower()) if w)
+        assert out == want, txt
