@@ -413,11 +413,14 @@ def pretrain_funnel(
     (stage_idx, stage, n_docs, n_tokens) of the SURVIVING corpus after
     that stage, stage 0 being the non-empty input.
 
-    Costs one extra aggregation job per stage on top of the curation
-    itself: the chain's stage boundaries are already snapshot() points,
-    so each count reads materialized blocks instead of re-executing the
-    pipeline (the raw input row is the one extra parquet scan). Token
-    counts use the repo-wide whitespace tokens() so every number is
+    Costs ONE extra aggregation job on top of the curation itself
+    (round 9 — previously one global-agg exchange per stage): every
+    stage's rows are tagged with their stage label, unioned, and counted
+    in a single map-side-combined groupBy over the already-materialized
+    stage blocks (the raw input's branch is the one extra parquet scan);
+    a broadcast spine join restores all-zero rows for stages no document
+    survived, so the report schema is layout- and survival-independent.
+    Token counts use the repo-wide whitespace tokens() so every number is
     DuckDB-recomputable end-to-end.
     """
     from functools import reduce
@@ -437,19 +440,29 @@ def pretrain_funnel(
         ccnet_keep_bands=ccnet_keep_bands,
         gopher_thresholds=gopher_thresholds,
     )
-    parts = []
-    for idx, (name, rel) in enumerate(stages):
-        parts.append(
-            rel.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.coalesce(
-                    F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
-                ).alias("n_tokens"),
-            ).select(
-                F.lit(idx).alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                F.col("n_docs"),
-                F.col("n_tokens").cast("long").alias("n_tokens"),
-            )
+    parts = [
+        rel.select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n_toks"),
         )
-    return reduce(DataFrame.unionByName, parts)
+        for idx, (name, rel) in enumerate(stages)
+    ]
+    counts = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_toks").alias("n_tokens"),
+        )
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(idx, name) for idx, (name, _rel) in enumerate(stages)],
+        "stage_idx int, stage string",
+    )
+    return spine.join(F.broadcast(counts), ["stage_idx", "stage"], "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
