@@ -1112,6 +1112,34 @@ def _ccnet_gk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pa_lm_merge_check(docs: DataFrame) -> bool:
+    """lm_merge's fold-losslessness, value-anchored (round 9): fitting the
+    LM on three disjoint doc_id slices and merging the artifacts must
+    reproduce the one-shot fit on the whole corpus BIT-EXACTLY (integer
+    counts are the sufficient statistic; ln recomputed from merged
+    counts). Set equality via two distributed anti-joins — no driver
+    collect of the vocabulary relation. The one-shot side's values are
+    already hash-anchored through the corpus_samples ccnet_keep oracle,
+    so a TRUE here chains the merged artifact to external ground truth."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    full, h0 = text.lm_fit(docs, return_handle=True)
+    handles, shards = [h0], []
+    for i in range(3):
+        lm, h = text.lm_fit(
+            docs.where(F.col("doc_id") % 3 == i), return_handle=True
+        )
+        handles.append(h)
+        shards.append(snapshot(lm))
+    merged = text.lm_merge(*shards)
+    try:
+        ok = full.exceptAll(merged).isEmpty() and merged.exceptAll(full).isEmpty()
+    finally:
+        for h in handles:
+            h.release()
+    return ok
+
+
 def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_iforest_spark.operators import drift
 
@@ -1237,6 +1265,9 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pack_conservation_ok", 1.0 if pack_cons_ok else 0.0),
         ("quality_fit_layout_stable", 1.0 if layout_ok else 0.0),
         ("quality_auc_ok", 1.0 if auc_ok else 0.0),
+        # round 9: sharded LM fit + artifact merge == one-shot fit,
+        # bit-exact (distributed set equality; see _pa_lm_merge_check)
+        ("lm_merge_match", 1.0 if _pa_lm_merge_check(docs) else 0.0),
     ]
 
     mk = lambda rows: spark.createDataFrame(rows, "key string, value double")
@@ -2541,6 +2572,7 @@ def _pipeline_artifacts_sql() -> str:
         UNION ALL SELECT 'pack_conservation_ok', 1.0
         UNION ALL SELECT 'quality_fit_layout_stable', 1.0
         UNION ALL SELECT 'quality_auc_ok', 1.0
+        UNION ALL SELECT 'lm_merge_match', 1.0
     """
     return _variants_sql(
         ("word_count", wc),

@@ -741,16 +741,28 @@ def lm_fit(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = uni.agg(F.sum("cnt").alias("tot"))
+    out = _lm_rows(uni, bi, total)
+    if return_handle:
+        return out, LmFitHandle(uni)
+    return out
 
-    def snap_ln(x):
-        return F.floor(F.log(x) * F.lit(_LM_MICRO) + F.lit(0.5)).cast("long")
 
+def _snap_ln(x) -> F.Column:
+    return F.floor(F.log(x) * F.lit(_LM_MICRO) + F.lit(0.5)).cast("long")
+
+
+def _lm_rows(uni: DataFrame, bi: DataFrame, total: DataFrame) -> DataFrame:
+    """(unigram counts (w, cnt), bigram counts (w1, w2, cnt), total (tot))
+    → the frozen LM relation. Shared by ``lm_fit`` (counts from one
+    corpus pass) and ``lm_merge`` (counts summed across shard artifacts)
+    so both produce bit-identical rows: the snapped log-probabilities are
+    pure functions of the exact integer counts."""
     uni_rows = uni.crossJoin(F.broadcast(total)).select(
         F.lit(1).alias("ord"),
         F.col("w").alias("w1"),
         F.lit(None).cast("string").alias("w2"),
         "cnt",
-        snap_ln(F.col("cnt").cast("double") / F.col("tot")).alias("ln_micros"),
+        _snap_ln(F.col("cnt").cast("double") / F.col("tot")).alias("ln_micros"),
     )
     bi_rows = bi.join(
         uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")), "w1"
@@ -759,19 +771,54 @@ def lm_fit(
         "w1",
         "w2",
         "cnt",
-        snap_ln(F.col("cnt").cast("double") / F.col("c1")).alias("ln_micros"),
+        _snap_ln(F.col("cnt").cast("double") / F.col("c1")).alias("ln_micros"),
     )
     oov_row = total.select(
         F.lit(0).alias("ord"),
         F.lit(None).cast("string").alias("w1"),
         F.lit(None).cast("string").alias("w2"),
         F.col("tot").alias("cnt"),
-        snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
+        _snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
     )
-    out = uni_rows.unionByName(bi_rows).unionByName(oov_row)
-    if return_handle:
-        return out, LmFitHandle(uni)
-    return out
+    return uni_rows.unionByName(bi_rows).unionByName(oov_row)
+
+
+def lm_merge(*lms: DataFrame) -> DataFrame:
+    """Merge frozen ``lm_fit`` artifacts into ONE LM — bit-identical to
+    fitting on the concatenated reference, without re-reading any text.
+
+    The artifact carries exact integer counts, which are the sufficient
+    statistic: merged unigram/bigram counts are plain sums, the total is
+    the sum of the ord=0 rows, and the snapped log-probabilities are
+    recomputed from the merged counts with the SAME expressions lm_fit
+    uses — so ``lm_merge(lm_fit(A), lm_fit(B)) == lm_fit(A ∪ B)``
+    exactly (pytest- and gate-pinned; the same fold-lossless discipline
+    as table_profile / temperature_budgets). The 100 TB shape: profile
+    each reference shard independently — one corpus pass per shard,
+    a vocabulary-sized artifact each — persist the artifacts, merge in
+    seconds, re-merge when a shard is added or rebuilt. All groupBys
+    here are vocabulary-keyed over artifact ROWS, never corpus-keyed.
+    Pass MATERIALIZED artifacts (the persisted parquet, or a snapshot of
+    a fresh fit): this plan consumes the artifact union four times
+    (unigram counts twice, bigram counts, total), so a lazy fit
+    re-executes against its reference corpus once per branch — the same
+    note as lm_perplexity.
+    """
+    from functools import reduce
+
+    allrows = reduce(DataFrame.unionByName, lms)
+    uni = (
+        allrows.where(F.col("ord") == 1)
+        .groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    bi = (
+        allrows.where(F.col("ord") == 2)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    total = allrows.where(F.col("ord") == 0).agg(F.sum("cnt").alias("tot"))
+    return _lm_rows(uni, bi, total)
 
 
 def lm_perplexity(

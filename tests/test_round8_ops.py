@@ -738,3 +738,40 @@ def test_lm_scoring_plan_broadcasts_and_bounded_scans(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("Scan parquet") <= 3
+
+
+def test_lm_merge_equals_oneshot(spark, sf_dir):
+    """Sharded fit + artifact merge == one-shot fit, BIT-exact: the
+    artifact's integer counts are the sufficient statistic, and lm_merge
+    recomputes the snapped log-probs from the merged counts with the
+    same expressions (round 9 — the fold-lossless mergeable-profile
+    discipline applied to the CCNet reference LM)."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = sorted(map(tuple, text.lm_fit(docs).collect()))
+    shards = [
+        snapshot(text.lm_fit(docs.where(F.col("doc_id") % 3 == i)))
+        for i in range(3)
+    ]
+    merged = sorted(map(tuple, text.lm_merge(*shards).collect()))
+    assert merged == full and full
+    # layout invariance of the merge itself
+    merged2 = sorted(
+        map(tuple, text.lm_merge(*[s.repartition(7) for s in shards]).collect())
+    )
+    assert merged2 == full
+
+
+def test_lm_merge_tolerates_empty_shard(spark):
+    """A shard whose reference slice was empty contributes a NULL-ln
+    artifact (documented lm_fit contract); merging it must be a no-op."""
+    ref = _lm_ref(spark)
+    empty = ref.where(F.lit(False))
+    a = sorted(map(tuple, text.lm_fit(ref).collect()))
+    b = sorted(
+        map(tuple, text.lm_merge(text.lm_fit(ref), text.lm_fit(empty)).collect())
+    )
+    assert a == b and a
