@@ -97,13 +97,9 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
 # documents share most of their 8-grams, unrelated documents almost none.
 # The oracle reproduces this reshape in SQL (same CTE, see oracle_sql).
 def _lines_augmented(docs: DataFrame) -> DataFrame:
-    toks = F.split(F.col("text"), r"\s+")
-    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("long")
-    lines = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
-    )
-    return docs.withColumn("text", F.array_join(lines, "\n"))
+    from spark_iforest_spark.functions import reshape_lines
+
+    return docs.withColumn("text", reshape_lines("text", 8))
 
 
 # --------------------------------------------------------------- iforest
@@ -1078,14 +1074,18 @@ def _ccnet_gk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot'd scored relation."""
     from spark_iforest_spark.checkpoint import snapshot
 
+    import math
+
     docs = _read(spark, sf_dir, "documents")
     lm_raw, handle = text.lm_fit(
         docs.where(F.col("lang") == _CCNET_REF_LANG), return_handle=True
     )
-    lm = snapshot(lm_raw)
     try:
+        lm = snapshot(lm_raw)
         scored = snapshot(text.lm_perplexity(docs, lm))
     finally:
+        # acquire-inside-try (review fix): a failing snapshot job must not
+        # leave the fit's persisted unigram relation cached
         handle.release()
     exact = text.perplexity_cutpoints(scored, _CCNET_FRACTIONS, rel_err=0.0)
     gk = text.perplexity_cutpoints(scored, _CCNET_FRACTIONS, rel_err=_GK_REL_ERR)
@@ -1101,10 +1101,14 @@ def _ccnet_gk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = row["n"]
     out = []
     for i, (f, e, g) in enumerate(zip(_CCNET_FRACTIONS, exact, gk)):
-        # g occupies ranks (lo, hi]; the GK contract promises SOME rank r
-        # with |r - f*n| <= rel_err*n — an interval-overlap test
-        ok = (row[f"lo{i}"] + 1 <= (f + _GK_REL_ERR) * n) and (
-            row[f"hi{i}"] >= (f - _GK_REL_ERR) * n
+        # g occupies integer ranks (lo, hi]; approxQuantile's documented
+        # contract promises SOME rank r with floor((f-err)*N) <= r <=
+        # ceil((f+err)*N). INTEGER interval overlap (review fix: a
+        # real-valued test was both stricter — no ceil slack, flipping
+        # the pinned boolean on a compliant sketch at the boundary — and
+        # looser, able to overlap with no integer rank in common).
+        ok = (row[f"lo{i}"] + 1 <= math.ceil((f + _GK_REL_ERR) * n)) and (
+            row[f"hi{i}"] >= math.floor((f - _GK_REL_ERR) * n)
         )
         out.append((i, "gk", 1 if ok else 0, int(e)))
     return spark.createDataFrame(
@@ -1123,21 +1127,23 @@ def _pa_lm_merge_check(docs: DataFrame) -> bool:
     so a TRUE here chains the merged artifact to external ground truth."""
     from spark_iforest_spark.checkpoint import snapshot
 
-    full, h0 = text.lm_fit(docs, return_handle=True)
-    handles, shards = [h0], []
-    for i in range(3):
-        lm, h = text.lm_fit(
-            docs.where(F.col("doc_id") % 3 == i), return_handle=True
-        )
-        handles.append(h)
-        shards.append(snapshot(lm))
-    merged = text.lm_merge(*shards)
+    handles, shards = [], []
     try:
-        ok = full.exceptAll(merged).isEmpty() and merged.exceptAll(full).isEmpty()
+        # every acquisition inside the try (review fix): a failure during
+        # a later fit/snapshot must still release the earlier handles
+        full, h0 = text.lm_fit(docs, return_handle=True)
+        handles.append(h0)
+        for i in range(3):
+            lm, h = text.lm_fit(
+                docs.where(F.col("doc_id") % 3 == i), return_handle=True
+            )
+            handles.append(h)
+            shards.append(snapshot(lm))
+        merged = text.lm_merge(*shards)
+        return full.exceptAll(merged).isEmpty() and merged.exceptAll(full).isEmpty()
     finally:
         for h in handles:
             h.release()
-    return ok
 
 
 def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:

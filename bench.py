@@ -371,21 +371,14 @@ def run_suite(spark, sf_dir: str, timed) -> None:
     # bound: 22.8 s cold / 15.8 s third-action warm at sf0.1, probes
     # 0.058/0.054; the warm number is the sum of its stage costs, no
     # re-execution). Full 6-stage chain in the correctness gate's shape:
-    # docs reshaped into 8-token lines, ccnet reference = the 'en' slice,
-    # decontaminate vs the doc_id%100 benchmark. min-of-N reports the
-    # codegen-warm steady state a long-running curation job lives in.
-    rtoks = F.split(F.col("text"), r"\s+")
-    r_lines = F.ceil(F.size(rtoks) / F.lit(8)).cast("long")
-    reshaped = docs.withColumn(
-        "text",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(r_lines, F.lit(1)) - 1),
-                lambda i: F.array_join(F.slice(rtoks, i * 8 + 1, 8), " "),
-            ),
-            "\n",
-        ),
-    )
+    # docs reshaped into 8-token lines (shared reshape_lines helper — the
+    # benchmarked workload is exactly the gate-verified shape), ccnet
+    # reference = the 'en' slice, decontaminate vs the doc_id%100
+    # benchmark. min-of-N reports the codegen-warm steady state a
+    # long-running curation job lives in.
+    from spark_iforest_spark.functions import reshape_lines
+
+    reshaped = docs.withColumn("text", reshape_lines("text", 8))
     timed(
         "pretrain_curate",
         lambda: corpus.pretrain_curate(

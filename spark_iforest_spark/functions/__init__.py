@@ -26,6 +26,25 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(c, r"\s+")
 
 
+def reshape_lines(text_col: str | Column, width: int = 8) -> Column:
+    """Reshape a whitespace token stream into newline-separated lines of
+    ``width`` tokens (empty/whitespace-only text yields one empty line).
+    The synthetic corpus has no natural line structure, so the line-level
+    dedup gates AND the pretrain_curate benchmark both impose this one —
+    single-sourced here so the benchmarked workload is exactly the shape
+    the correctness gate verifies (review fix: the two copies could
+    silently drift)."""
+    toks = tokens(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("long")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        ),
+        "\n",
+    )
+
+
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams joined by single spaces.
 

@@ -973,8 +973,8 @@ def ccnet_filter(
     # cutpoint job plus the caller's banded consumption would each
     # re-execute scoring (3 corpus passes measured at gate sf).
     lm_raw, lm_handle = lm_fit(reference, text_col=text_col, return_handle=True)
-    lm = snapshot(lm_raw)
     try:
+        lm = snapshot(lm_raw)
         scored = snapshot(
             lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
         )

@@ -3,13 +3,17 @@
 The round-8 official record drifted +16-36% on three headline queries
 (dedup_ngram_jaccard, dedup_incremental, bpe_tokenize) vs round 7, all
 inside the machine's documented bimodality band but none re-measured in
-isolation.  This tool runs a chosen subset of headline queries in ONE
-fresh session (bench.py's exact session config, data prep, and query
-definitions), min-of-N each with between-run quiesce, and prints a
-single JSON line — the A/B evidence SCALE.md's drift table records.
+isolation.  This tool runs a chosen subset of the supported headline
+queries in ONE fresh session (bench.py's exact session config, data
+prep, and query definitions — including the minhash index's lifecycle:
+built immediately before dedup_incremental and unpersisted after, so no
+extra cached blocks sit under the other measurements), min-of-N each
+with between-run quiesce, and prints a single JSON line — the A/B
+evidence SCALE.md's drift table records.
 
 Usage:  python tools/ab_isolated.py [n_runs] [query ...]
-        (default: 4 runs of the three round-8 drifted queries)
+        (default: 4 runs of the three round-8 drifted queries;
+        any integer argument anywhere sets n_runs, last one wins)
 """
 
 from __future__ import annotations
@@ -26,18 +30,39 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 
 DRIFTED = ["dedup_ngram_jaccard", "dedup_incremental", "bpe_tokenize"]
+# bench.py suite order, restricted to what this tool implements — run in
+# the same relative order as the suite so cache/GC state is comparable
+SUPPORTED = [
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "ccnet_ppl",
+    "bpe_tokenize",
+]
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    n = 4
+    wanted = []
+    for a in args:
+        if a.isdigit():
+            n = int(a)
+        else:
+            wanted.append(a)
+    wanted = wanted or list(DRIFTED)
+    unknown = [q for q in wanted if q not in SUPPORTED]
+    if unknown:
+        # validate BEFORE the minutes of session/cache setup (review fix)
+        sys.exit(
+            f"unsupported queries {unknown}; this tool implements {SUPPORTED}"
+        )
+    wanted = [q for q in SUPPORTED if q in wanted]
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from spark_iforest_spark.operators import dedup, tokenizer
+    from spark_iforest_spark.operators import dedup, text, tokenizer
     from spark_iforest_spark.sources import read_table
-
-    args = sys.argv[1:]
-    n = int(args[0]) if args and args[0].isdigit() else 4
-    wanted = [a for a in args if not a.isdigit()] or list(DRIFTED)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -66,40 +91,48 @@ def main() -> None:
     docs = read_table(spark, SF_DIR, "documents").repartition(int(CPUS)).cache()
     docs.count()
 
-    defs = {
-        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
-            docs, max_shingle_df=100
-        ).count()
-    }
-    if "dedup_incremental" in wanted:
-        index = dedup.minhash_index(docs.where(F.col("doc_id") % 4 != 0)).cache()
-        index.count()
-        defs["dedup_incremental"] = lambda: dedup.minhash_lsh_pairs_incremental(
-            docs.where(F.col("doc_id") % 4 == 0), index, assume_disjoint_ids=True
-        ).count()
-
-    def bpe() -> None:
-        m = tokenizer.bpe_train(docs, n_merges=500)
-        tokenizer.bpe_token_counts(docs, m).agg(F.sum("n_bpe_tokens")).collect()
-
-    defs["bpe_tokenize"] = bpe
-
-    if "ccnet_ppl" in wanted:
-        from spark_iforest_spark.operators import text
-
-        defs["ccnet_ppl"] = lambda: text.ccnet_filter(
-            docs, docs.where(F.col("lang") == "en")
-        ).count()
-
-    out = {}
-    for q in wanted:
+    def run(name: str, fn, prepare=None, cleanup=None):
+        state = prepare() if prepare else None
         runs: list[float] = []
         for _ in range(n):
             t0 = time.perf_counter()
-            defs[q]()
+            fn(state)
             runs.append(round(time.perf_counter() - t0, 3))
             _quiesce(spark)
-        out[q] = {"min": min(runs), "runs": runs}
+        if cleanup:
+            cleanup(state)
+        return {"min": min(runs), "runs": runs}
+
+    def _index_prepare():
+        index = dedup.minhash_index(docs.where(F.col("doc_id") % 4 != 0)).cache()
+        index.count()
+        return index
+
+    def _bpe(_):
+        m = tokenizer.bpe_train(docs, n_merges=500)
+        tokenizer.bpe_token_counts(docs, m).agg(F.sum("n_bpe_tokens")).collect()
+
+    defs = {
+        "dedup_ngram_jaccard": dict(
+            fn=lambda _: dedup.ngram_jaccard_pairs(docs, max_shingle_df=100).count()
+        ),
+        "dedup_incremental": dict(
+            fn=lambda index: dedup.minhash_lsh_pairs_incremental(
+                docs.where(F.col("doc_id") % 4 == 0), index,
+                assume_disjoint_ids=True,
+            ).count(),
+            prepare=_index_prepare,
+            cleanup=lambda index: index.unpersist(),
+        ),
+        "ccnet_ppl": dict(
+            fn=lambda _: text.ccnet_filter(
+                docs, docs.where(F.col("lang") == "en")
+            ).count()
+        ),
+        "bpe_tokenize": dict(fn=_bpe),
+    }
+
+    out = {q: run(q, **defs[q]) for q in wanted}
 
     probe_end = min(_calibration_probe(), _calibration_probe())
     print(
