@@ -870,12 +870,31 @@ def line_dedup(
     negligible; a collision could only MERGE two lines' counts — the
     conservative (over-removal) direction.
     """
-    lines = docs.select(
+    lines = _doc_lines(docs, id_col, text_col)
+    counts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("n_docs"))
+    kept = lines.join(counts, "_h").where(F.col("n_docs") < min_docs)
+    return _rebuild_kept_lines(kept, docs, id_col, text_col, with_text)
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, _h=md5(line)) — one row per document line."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("_h", F.md5(F.col("line")))
-    counts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("n_docs"))
-    kept = lines.join(counts, "_h").where(F.col("n_docs") < min_docs)
+
+
+def _rebuild_kept_lines(
+    kept: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    with_text: bool,
+) -> DataFrame:
+    """Shared rebuild tail of line_dedup / line_dedup_incremental: regroup
+    surviving (pos, line) rows per doc in original order, emit
+    (id, n_lines, n_kept, clean_md5[, clean_text]) for EVERY input doc
+    (a doc with zero surviving lines keeps md5('')/empty text)."""
     joined = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "line"))),
@@ -900,6 +919,71 @@ def line_dedup(
     if with_text:
         cols.append(F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     return totals.join(rebuilt, id_col, "left").select(*cols)
+
+
+def line_count_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line_md5, n_docs) — the persistable corpus-state artifact behind
+    :func:`line_dedup_incremental`: per distinct line digest, the number
+    of distinct documents containing that line. 16-byte digests + counts
+    only — never line text — so the 100 TB artifact is boilerplate-
+    vocabulary-sized, not corpus-sized. Indexes over DOC-DISJOINT shards
+    merge exactly with :func:`merge_line_count_indexes` (distinct-doc
+    counts sum when the doc sets are disjoint — the same fold-lossless
+    contract as table_profile / lm_merge)."""
+    return (
+        _doc_lines(docs, id_col, text_col)
+        .groupBy(F.col("_h").alias("line_md5"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def merge_line_count_indexes(*indexes: DataFrame) -> DataFrame:
+    """Fold doc-disjoint :func:`line_count_index` artifacts into one —
+    plain digest-keyed count sums (exact under disjointness; overlapping
+    shards would double-count their shared docs, same caveat as every
+    incremental mode's assume-disjoint contract)."""
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, indexes)
+        .groupBy("line_md5")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    with_text: bool = False,
+) -> DataFrame:
+    """Line-dedup a NEW batch against an already-indexed corpus: output ==
+    ``line_dedup(indexed_corpus ∪ batch)`` restricted to the batch's rows,
+    bit-exactly, when the batch's doc ids are disjoint from the indexed
+    corpus (gate- and pytest-pinned — the same contract as
+    exact_dedup_incremental / minhash_lsh_pairs_incremental). History is
+    immutable by design: a batch line that pushes a count over
+    ``min_docs`` does not re-clean already-shipped documents — the
+    standard append-only curation contract. Refresh the state with
+    ``merge_line_count_indexes(index, line_count_index(batch))``.
+
+    Scale: per-batch work only. Batch lines shuffle by digest once for
+    their own distinct-doc counts; the corpus-sized index is SEMI-JOINED
+    down to the batch's digests (broadcast of the batch digest set) before
+    the count merge, so nothing corpus-sized ever shuffles."""
+    lines = _doc_lines(batch, id_col, text_col)
+    bcounts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("_bn"))
+    idx = index.select(F.col("line_md5").alias("_h"), F.col("n_docs").alias("_in"))
+    relevant = idx.join(F.broadcast(bcounts.select("_h")), "_h", "left_semi")
+    total = bcounts.join(relevant, "_h", "left").select(
+        "_h", (F.col("_bn") + F.coalesce(F.col("_in"), F.lit(0))).alias("n_docs")
+    )
+    kept = lines.join(total, "_h").where(F.col("n_docs") < min_docs)
+    return _rebuild_kept_lines(kept, batch, id_col, text_col, with_text)
 
 
 def pack_sequences(

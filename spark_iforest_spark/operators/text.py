@@ -948,6 +948,34 @@ def perplexity_bands(
     )
 
 
+def ccnet_apply(
+    docs: DataFrame,
+    lm: DataFrame,
+    cutpoints: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    keep_bands: tuple = (1, 2),
+) -> DataFrame:
+    """Apply a FROZEN CCNet calibration to a new shard: score against a
+    persisted ``lm_fit`` relation, band with persisted cutpoints — no
+    fit, no quantile pass. This is the paper's production shape and the
+    100 TB one: calibrate ONCE on the reference snapshot
+    (``lm_fit`` → ``lm_perplexity`` → ``perplexity_cutpoints``, or just
+    ``ccnet_filter``), persist (lm, cutpoints), then every crawl shard is
+    a single scoring pass — two vocabulary-keyed broadcast joins, one
+    map-side-combined per-doc aggregate, a codegen CASE. Recomputing
+    cutpoints per shard would be a new calibration decision AND make
+    shard outputs incomparable (the drift-cutpoint contract). With
+    (lm, cutpoints) frozen from a calibration corpus, ``ccnet_apply``
+    over that same corpus reproduces ``ccnet_filter`` exactly
+    (gate-pinned). ``lm`` must be MATERIALIZED (parquet / snapshot) —
+    the lm_perplexity three-branch note."""
+    scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+    banded = perplexity_bands(scored, cutpoints)
+    return banded.where(F.col("band").isin(list(keep_bands)))
+
+
 def ccnet_filter(
     docs: DataFrame,
     reference: DataFrame,

@@ -775,3 +775,85 @@ def test_lm_merge_tolerates_empty_shard(spark):
         map(tuple, text.lm_merge(text.lm_fit(ref), text.lm_fit(empty)).collect())
     )
     assert a == b and a
+
+
+def test_line_dedup_incremental_equals_full_restricted(spark, sf_dir):
+    """The incremental contract: cleaning a disjoint NEW batch against
+    line_count_index(rest) == line_dedup(whole corpus) restricted to the
+    batch's rows, bit-exact (text included) — per-batch work only, the
+    index is digests + counts."""
+    from spark_iforest_spark.functions import reshape_lines
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("text", reshape_lines("text", 8))
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    rest = docs.where(F.col("doc_id") % 4 != 0)
+    full = sorted(
+        map(
+            tuple,
+            pipeline.line_dedup(docs, with_text=True)
+            .where(F.col("doc_id") % 4 == 0)
+            .collect(),
+        )
+    )
+    incr = sorted(
+        map(
+            tuple,
+            pipeline.line_dedup_incremental(
+                batch, pipeline.line_count_index(rest), with_text=True
+            ).collect(),
+        )
+    )
+    assert incr == full and full
+
+
+def test_line_count_index_merge_equals_oneshot(spark, sf_dir):
+    """Doc-disjoint shard indexes fold exactly: merge of 3 slices == the
+    one-shot index (distinct-doc counts sum under disjointness)."""
+    from spark_iforest_spark.functions import reshape_lines
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("text", reshape_lines("text", 8))
+    )
+    one = sorted(map(tuple, pipeline.line_count_index(docs).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            pipeline.merge_line_count_indexes(
+                *[
+                    pipeline.line_count_index(
+                        docs.where(F.col("doc_id") % 3 == i)
+                    )
+                    for i in range(3)
+                ]
+            ).collect(),
+        )
+    )
+    assert merged == one and one
+
+
+def test_ccnet_apply_frozen_equals_filter(spark, sf_dir):
+    """The production shard path — score + band against FROZEN
+    (lm, cutpoints), no refit, no quantile pass — reproduces
+    ccnet_filter's end-to-end relation exactly when the artifacts come
+    from the same calibration corpus."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    ref = docs.where(F.col("lang") == "en")
+    via_filter = sorted(map(tuple, text.ccnet_filter(docs, ref).collect()))
+    lm_raw, handle = text.lm_fit(ref, return_handle=True)
+    try:
+        lm = snapshot(lm_raw)
+        cuts = text.perplexity_cutpoints(snapshot(text.lm_perplexity(docs, lm)))
+    finally:
+        handle.release()
+    via_apply = sorted(map(tuple, text.ccnet_apply(docs, lm, cuts).collect()))
+    assert via_apply == via_filter and via_filter

@@ -47,8 +47,17 @@ SCAN_BUDGET: dict[str, int] = {
     "ann_recall": 30,
     # 5 independent ANN pipelines (ivf/lsh/pq/lsh_mp/ivfpq), 2-3 scans each
     "ann_approx_topk": 30,
-    # 6 sampler variants, each an independent pass over documents
-    "corpus_samples": 46,
+    # 8 sampler variants, each an independent pass over documents
+    # (round 9: +ccnet_gk — LocalRelation, no scans, its calibration is
+    # memoized driver-side — and +ccnet_apply, a fresh frozen-artifact
+    # scoring pass reading documents twice: the token-pair explode and
+    # the lang join-back)
+    "corpus_samples": 52,
+    # round 9: full + incremental variants — the full pass reads the
+    # corpus for lines/counts/totals; the incr variant independently
+    # reads the quarter-batch (lines/counts/totals) and the 3/4 slice
+    # once to build line_count_index
+    "line_dedup": 18,
     # full + lsh + incr + incr_mp variants; the two incrementals each build
     # a fresh index over the 3/4 slice and probe with the 1/4 batch
     "embedding_neardup": 26,
