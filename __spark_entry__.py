@@ -2148,6 +2148,30 @@ def queries() -> _T:
                     F.col("clean_md5").alias("digest"),
                 ),
             ),
+            # round 9: the incremental ExactSubstr contract — cleaning the
+            # doc_id%4==0 quarter-batch against substr_window_index(rest)
+            # == the full run restricted to the batch (keeper resolved via
+            # the index's stored first occurrence, so no monotonic-id
+            # assumption), recomputed end-to-end by the same full SQL
+            (
+                "substr_cut_incr",
+                (
+                    lambda docs: dedup.remove_repeated_substrings_incremental(
+                        docs.where(F.col("doc_id") % 4 == 0),
+                        dedup.substr_window_index(
+                            docs.where(F.col("doc_id") % 4 != 0),
+                            window=_SUBSTR_WINDOW,
+                        ),
+                        window=_SUBSTR_WINDOW,
+                    )
+                )(_read(s, d, "documents")).select(
+                    "doc_id",
+                    F.lit(0).cast("int").alias("seq"),
+                    F.col("n_tokens").alias("size_a"),
+                    F.col("n_kept").alias("size_b"),
+                    F.col("clean_md5").alias("digest"),
+                ),
+            ),
         ),
         # per-group GK-sketch quantiles (exact == quantile_disc at gate n)
         # and rows-frame trailing-window stats
@@ -4411,6 +4435,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'substr_cut', doc_id, CAST(0 AS INT), n_tokens, n_kept,
                    clean_md5
             FROM ({_SUBSTR_CUT_SQL})
+            UNION ALL
+            SELECT 'substr_cut_incr', doc_id, CAST(0 AS INT), n_tokens,
+                   n_kept, clean_md5
+            FROM ({_SUBSTR_CUT_SQL}) WHERE doc_id % 4 = 0
         """,
         "rollup_panel": f"""
             SELECT 'orders_cube' AS variant, status AS k1, priority AS k2,

@@ -1417,9 +1417,16 @@ def exact_substring_spans(
         cut = cut.join(keeper, "h").where(
             ~((F.col(id_col) == F.col("_k.i")) & (F.col("pos") == F.col("_k.p")))
         )
+    return _merge_cut_spans(cut, id_col, window)
+
+
+def _merge_cut_spans(cut: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, pos) cut windows → disjoint merged (id, start, end) intervals
+    via the per-doc Catalyst array fold — shared by the full and
+    incremental span paths so both merge identically."""
     w = int(window)
     empty = F.array().cast("array<struct<start:int,end:int>>")
-    spans = (
+    return (
         cut.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
         .select(
@@ -1454,7 +1461,122 @@ def exact_substring_spans(
         .select(id_col, F.explode("_spans").alias("s"))
         .select(id_col, F.col("s.start").alias("start"), F.col("s.end").alias("end"))
     )
-    return spans
+
+
+def substr_window_index(
+    df: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(h, n_occurrences, first_id, first_pos) — the persistable corpus
+    state behind :func:`exact_substring_spans_incremental`: per distinct
+    w-token window digest, its occurrence count and FIRST occurrence
+    (min (id, pos) — the keep-first keeper). 32-hex digests + three
+    numbers per distinct window, never window text. Doc-disjoint shard
+    indexes merge exactly with :func:`merge_substr_window_indexes`."""
+    return (
+        _window_keys(df, id_col, text_col, window)
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_f"),
+        )
+        .select(
+            "h",
+            "n_occurrences",
+            F.col("_f.i").alias("first_id"),
+            F.col("_f.p").alias("first_pos"),
+        )
+    )
+
+
+def merge_substr_window_indexes(*indexes: DataFrame) -> DataFrame:
+    """Fold doc-disjoint :func:`substr_window_index` artifacts into one:
+    counts sum, the keeper is the min first-occurrence across shards —
+    both exact under doc-disjointness (the incremental family's standard
+    assume-disjoint contract)."""
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, indexes)
+    return (
+        merged.groupBy("h")
+        .agg(
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            F.min(
+                F.struct(
+                    F.col("first_id").alias("i"), F.col("first_pos").alias("p")
+                )
+            ).alias("_f"),
+        )
+        .select(
+            "h",
+            "n_occurrences",
+            F.col("_f.i").alias("first_id"),
+            F.col("_f.p").alias("first_pos"),
+        )
+    )
+
+
+def exact_substring_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Spans to cut in a NEW doc-disjoint batch, judged against
+    (indexed corpus ∪ batch) window counts: output ==
+    ``exact_substring_spans(corpus ∪ batch)`` restricted to the batch's
+    docs, exactly (gate- and pytest-pinned) — the ExactSubstr member of
+    the incremental family (exact / minhash / line dedup). History is
+    immutable: a batch occurrence that makes an already-shipped window
+    duplicated does not re-cut shipped docs.
+
+    The keeper needs no monotonic-id assumption: the index stores each
+    window's global first occurrence, so the exemption compares the
+    batch's first against the indexed first — when the indexed side
+    wins, no batch occurrence is exempt (ids are disjoint, so the
+    equality test never matches a batch row).
+
+    Scale: per-batch work only. Batch windows shuffle by digest once;
+    the corpus-sized index is SEMI-JOINED down to the batch's digests
+    (broadcast of the batch digest set) before the count/keeper merge."""
+    wins = snapshot(_window_keys(batch, id_col, text_col, window))
+    bagg = wins.groupBy("h").agg(
+        F.count("*").alias("_bc"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("_bk"),
+    )
+    idx = index.select(
+        "h",
+        F.col("n_occurrences").alias("_ic"),
+        F.struct(
+            F.col("first_id").alias("i"), F.col("first_pos").alias("p")
+        ).alias("_if"),
+    )
+    relevant = idx.join(F.broadcast(bagg.select("h")), "h", "left_semi")
+    tot = bagg.join(relevant, "h", "left").select(
+        "h",
+        (F.col("_bc") + F.coalesce(F.col("_ic"), F.lit(0))).alias("_c"),
+        F.when(F.col("_if").isNull(), F.col("_bk"))
+        .otherwise(F.least(F.col("_bk"), F.col("_if")))
+        .alias("_k"),
+    )
+    dup = tot.where(F.col("_c") >= int(min_count))
+    cut = wins.join(dup.select("h", "_k"), "h")
+    if keep_first:
+        # the global keeper may be an indexed occurrence; batch ids are
+        # disjoint, so the equality simply never exempts anything then
+        cut = cut.where(
+            ~((F.col(id_col) == F.col("_k.i")) & (F.col("pos") == F.col("_k.p")))
+        )
+    return _merge_cut_spans(cut, id_col, window)
 
 
 def remove_repeated_substrings(
@@ -1485,6 +1607,19 @@ def remove_repeated_substrings(
         df, window=window, min_count=min_count, id_col=id_col,
         text_col=text_col, keep_first=keep_first,
     )
+    return _apply_cut_spans(df, spans, id_col, text_col, with_text)
+
+
+def _apply_cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    with_text: bool,
+) -> DataFrame:
+    """Shared rebuild tail of remove_repeated_substrings[_incremental]:
+    drop every token inside a cut span, emit (id, n_tokens, n_kept,
+    clean_md5[, clean_text]) for EVERY input doc."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "end")).alias("_spans")
     )
@@ -1510,6 +1645,28 @@ def remove_repeated_substrings(
     if with_text:
         cols.append(clean.alias("clean_text"))
     return df.join(per_doc, id_col, "left").select(*cols)
+
+
+def remove_repeated_substrings_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    window: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+    with_text: bool = False,
+) -> DataFrame:
+    """Apply :func:`exact_substring_spans_incremental` to a NEW batch:
+    output == ``remove_repeated_substrings(corpus ∪ batch)`` restricted
+    to the batch's rows, bit-exact (rebuilt digests included), for
+    doc-disjoint batches. Refresh the state with
+    ``merge_substr_window_indexes(index, substr_window_index(batch))``."""
+    spans = exact_substring_spans_incremental(
+        batch, index, window=window, min_count=min_count, id_col=id_col,
+        text_col=text_col, keep_first=keep_first,
+    )
+    return _apply_cut_spans(batch, spans, id_col, text_col, with_text)
 
 
 def plan_minhash_bands(

@@ -896,3 +896,91 @@ def test_plan_minhash_bands_argmin_and_guarantee():
         plan_minhash_bands(0.9, 8, max_miss_at=(0.5, 1e-9))
     with _pt.raises(ValueError):
         plan_minhash_bands(1.5)
+
+
+def test_substr_incremental_equals_full_restricted(spark, sf_dir):
+    """The ExactSubstr incremental contract: cleaning a disjoint NEW
+    batch against substr_window_index(rest) == remove_repeated_substrings
+    over the whole corpus restricted to the batch's rows, bit-exact
+    (rebuilt text included) — keeper resolved through the index's stored
+    first occurrence, so interleaved (non-monotonic) ids work too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0)   # interleaved ids
+    rest = docs.where(F.col("doc_id") % 4 != 0)
+    full = sorted(
+        map(
+            tuple,
+            dedup.remove_repeated_substrings(docs, window=8, with_text=True)
+            .where(F.col("doc_id") % 4 == 0)
+            .collect(),
+        )
+    )
+    incr = sorted(
+        map(
+            tuple,
+            dedup.remove_repeated_substrings_incremental(
+                batch,
+                dedup.substr_window_index(rest, window=8),
+                window=8,
+                with_text=True,
+            ).collect(),
+        )
+    )
+    assert incr == full and full
+
+
+def test_substr_window_index_merge_equals_oneshot(spark, sf_dir):
+    """Doc-disjoint shard indexes fold exactly: counts sum, the keeper is
+    the min first-occurrence across shards."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    one = sorted(map(tuple, dedup.substr_window_index(docs, window=8).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            dedup.merge_substr_window_indexes(
+                *[
+                    dedup.substr_window_index(
+                        docs.where(F.col("doc_id") % 3 == i), window=8
+                    )
+                    for i in range(3)
+                ]
+            ).collect(),
+        )
+    )
+    assert merged == one and one
+
+
+def test_substr_incremental_batch_keeper_exempt(spark):
+    """A window duplicated ONLY within the batch keeps its batch-first
+    occurrence; a window already in the index cuts every batch
+    occurrence (the indexed keeper already shipped)."""
+    w = 4
+    phrase = "alpha beta gamma delta"
+    rest = spark.createDataFrame(
+        [(10, f"{phrase} trailing words here")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, f"{phrase} unique tail twenty"),          # indexed dup -> cut
+            (21, "epsilon zeta eta theta only once x y"),  # batch dup keeper
+            (22, "epsilon zeta eta theta second copy z"),  # batch dup -> cut
+            (23, "totally fresh words never repeated ok"), # untouched
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.substr_window_index(rest, window=w)
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_repeated_substrings_incremental(
+            batch, idx, window=w, with_text=True
+        ).collect()
+    }
+    assert out[20].n_kept == out[20].n_tokens - w        # indexed window cut
+    assert "alpha" not in out[20].clean_text
+    assert out[21].n_kept == out[21].n_tokens            # batch keeper exempt
+    assert out[22].n_kept == out[22].n_tokens - w        # batch second copy cut
+    assert out[23].n_kept == out[23].n_tokens
