@@ -1165,6 +1165,11 @@ def _pa_lm_merge_check(docs: DataFrame) -> bool:
         # a later fit/snapshot must still release the earlier handles
         full, h0 = text.lm_fit(docs, return_handle=True)
         handles.append(h0)
+        # snapshot BEFORE the two exceptAll branches (round-10 advice fix):
+        # each branch is a full consumer, so a lazy `full` would re-execute
+        # the whole fit against the corpus per branch — the exact multi-
+        # consume re-execution the lm_perplexity/lm_merge notes warn about
+        full = snapshot(full)
         for i in range(3):
             lm, h = text.lm_fit(
                 docs.where(F.col("doc_id") % 3 == i), return_handle=True
@@ -2005,6 +2010,8 @@ def queries() -> _T:
                         pipeline.line_count_index(
                             rl.where(F.col("doc_id") % 4 != 0)
                         ),
+                        # %4 slices are disjoint by construction
+                        assume_disjoint_ids=True,
                     )
                 )(_lines_augmented(_read(s, d, "documents"))),
             ),
@@ -2163,6 +2170,8 @@ def queries() -> _T:
                             window=_SUBSTR_WINDOW,
                         ),
                         window=_SUBSTR_WINDOW,
+                        # %4 slices are disjoint by construction
+                        assume_disjoint_ids=True,
                     )
                 )(_read(s, d, "documents")).select(
                     "doc_id",

@@ -34,6 +34,15 @@ Round 5 additions:
   Python/JVM traceback plus an error-line count, so a transient retried
   executor stack (BENCH_r04's truncated tail) is distinguishable from a
   swallowed failure without the full log.
+
+Round 10: the measurement SELF-HEALS under load. When an attempt's probe
+spread or per-query stability rule trips, the harness waits for the box
+to go idle (probe-gated, <=90 s) and re-runs the whole probe-bracketed
+primary tier — up to $SPARK_GRAFT_HEAL_ATTEMPTS extra attempts (default
+2) within $SPARK_GRAFT_HEAL_BUDGET_SEC (default 600). The summary flags
+``load_flag`` only when NO attempt was clean, and BENCH_DETAIL records
+every attempt's run lists + probes, so a surviving flag is accompanied
+by the proof that the box never went idle.
 """
 
 from __future__ import annotations
@@ -453,54 +462,130 @@ def main() -> None:
     _warm = pandas_udf(lambda v: v, "double")
     spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
 
-    timings: dict[str, float | None] = {}
-    all_runs: dict[str, list[float]] = {}
-    unstable: list[str] = []
     _calibration_probe()  # warm numpy/BLAS so the timed probe is pure compute
-    # min-of-2 probes: the probe measures the machine's CAPABILITY (like
-    # every other timing here); a single sample right after session start
-    # can absorb JVM background-thread jitter and false-flag a quiet run
-    probe_start = min(_calibration_probe(), _calibration_probe())
 
-    def timed(name: str, fn) -> None:
-        # min-of-N with spread control: 3 base runs, then keep re-running
-        # (bounded at 5 total) until the two fastest runs agree within 2x —
-        # min-of-N reports the machine's capability instead of scheduler
-        # luck, and the full run list ships in the JSON so a contaminated
-        # recording is self-evident
-        runs: list[float] = []
-        while True:
-            t0 = time.time()
-            try:
-                fn()
-            except Exception:
-                # record the head, null the query, keep the suite running —
-                # a one-query failure must not cost the whole artifact
-                py_errors[name] = traceback.format_exc().splitlines()[:_ERR_HEAD_LINES]
-                all_runs[name] = runs
-                timings[name] = None
+    def measure_attempt() -> dict:
+        """One probe-bracketed pass of the full primary suite (min-of-N
+        per query with spread control). Returns the attempt record that
+        ships verbatim in BENCH_DETAIL's ``attempts`` list."""
+        timings: dict[str, float | None] = {}
+        all_runs: dict[str, list[float]] = {}
+        unstable: list[str] = []
+        # min-of-2 probes: the probe measures the machine's CAPABILITY
+        # (like every other timing here); a single sample right after
+        # session start can absorb JVM background-thread jitter and
+        # false-flag a quiet run
+        p_start = min(_calibration_probe(), _calibration_probe())
+
+        def timed(name: str, fn) -> None:
+            # min-of-N with spread control: 3 base runs, then keep
+            # re-running (bounded at 5 total) until the two fastest runs
+            # agree within 2x — min-of-N reports the machine's capability
+            # instead of scheduler luck, and the full run list ships in
+            # the JSON so a contaminated recording is self-evident
+            runs: list[float] = []
+            while True:
+                t0 = time.time()
+                try:
+                    fn()
+                except Exception:
+                    # record the head, null the query, keep the suite
+                    # running — a one-query failure must not cost the
+                    # whole artifact
+                    py_errors[name] = traceback.format_exc().splitlines()[
+                        :_ERR_HEAD_LINES
+                    ]
+                    all_runs[name] = runs
+                    timings[name] = None
+                    _quiesce(spark)
+                    return
+                runs.append(round(time.time() - t0, 3))
+                # quiesce between RUNS, outside the timing window (round
+                # 7): run k's dropped intermediates used to be GC'd UNDER
+                # run k+1, whose straggler task-end events then hit the
+                # reclaimed accumulators — that was the whole storm
                 _quiesce(spark)
-                return
-            runs.append(round(time.time() - t0, 3))
-            # quiesce between RUNS, outside the timing window (round 7):
-            # run k's dropped intermediates used to be GC'd UNDER run k+1,
-            # whose straggler task-end events then hit the reclaimed
-            # accumulators — that was the whole storm (per-run attribution
-            # measured it to exactly the min-of-N re-runs; a suite with
-            # between-run quiesce records 0 benign lines)
-            _quiesce(spark)
-            srt = sorted(runs)
-            stable = len(runs) >= 3 and srt[1] <= 2.0 * srt[0]
-            if stable or len(runs) >= 5:
-                if not stable:
-                    unstable.append(name)
+                srt = sorted(runs)
+                stable = len(runs) >= 3 and srt[1] <= 2.0 * srt[0]
+                if stable or len(runs) >= 5:
+                    if not stable:
+                        unstable.append(name)
+                    break
+            all_runs[name] = runs
+            timings[name] = round(min(runs), 3)
+
+        run_suite(spark, SF_DIR, timed)
+        p_end = min(_calibration_probe(), _calibration_probe())
+        spread = max(p_start, p_end) / max(min(p_start, p_end), 1e-9)
+        return {
+            "timings": timings,
+            "runs": all_runs,
+            "unstable": unstable,
+            "calibration": {"probe_start_sec": p_start, "probe_end_sec": p_end},
+            "probe_spread": round(spread, 3),
+            "clean": not unstable and spread < 1.5,
+        }
+
+    # ---- self-healing measurement loop (round 10 — the driver's official
+    # record was load-flagged two rounds running while clean evidence sat
+    # in session records): when an attempt's end probe or per-query spread
+    # rule trips, wait for the box to go idle (probe-gated, bounded) and
+    # re-run the WHOLE primary tier with fresh probes. Per-query min-of-N
+    # can't attribute probe contamination to specific queries, so the
+    # defensible unit of retry is the probe-bracketed attempt. Bounded by
+    # attempts AND wall-clock so a persistently-loaded box still emits an
+    # artifact — with the full attempt history recorded, which then PROVES
+    # the box never went idle rather than leaving a coin-flip record.
+    heal_attempts = int(os.environ.get("SPARK_GRAFT_HEAL_ATTEMPTS", "2"))
+    heal_budget = float(os.environ.get("SPARK_GRAFT_HEAL_BUDGET_SEC", "600"))
+    heal_t0 = time.time()
+    attempts: list[dict] = []
+    idle_est = None
+    while True:
+        att = measure_attempt()
+        attempts.append(att)
+        cal = att["calibration"]
+        seen = [cal["probe_start_sec"], cal["probe_end_sec"]]
+        idle_est = min(seen + ([idle_est] if idle_est is not None else []))
+        if att["clean"] or len(attempts) > heal_attempts:
+            break
+        if time.time() - heal_t0 > heal_budget:
+            break
+        # wait for idle before burning another full attempt: probe every
+        # few seconds until within 1.3x of the best capability seen, or
+        # give up after 90 s and measure anyway (the attempt's own probes
+        # will tell the truth either way)
+        wait_t0 = time.time()
+        while time.time() - wait_t0 < 90:
+            p = min(_calibration_probe(), _calibration_probe())
+            idle_est = min(idle_est, p)
+            if p <= idle_est * 1.3:
                 break
-        all_runs[name] = runs
-        timings[name] = round(min(runs), 3)
+            time.sleep(8)
 
-    run_suite(spark, SF_DIR, timed)
-
-    probe_end = min(_calibration_probe(), _calibration_probe())
+    chosen_idx = next(
+        (i for i, a in enumerate(attempts) if a["clean"]), len(attempts) - 1
+    )
+    chosen = attempts[chosen_idx]
+    # capability merge: a query's best time across ALL attempts (external
+    # load only ever inflates; more attempts = larger N for min-of-N).
+    # Stability likewise: one attempt with an agreeing fastest-pair is
+    # enough evidence for that query.
+    q_names = list(chosen["timings"].keys())
+    timings = {}
+    all_runs = {}
+    for q in q_names:
+        per = [a["timings"].get(q) for a in attempts]
+        ok = [v for v in per if v is not None]
+        timings[q] = min(ok) if ok else None
+        all_runs[q] = [r for a in attempts for r in a["runs"].get(q, [])]
+    unstable = sorted(
+        set.intersection(*[set(a["unstable"]) for a in attempts])
+        if attempts
+        else set()
+    )
+    probe_start = chosen["calibration"]["probe_start_sec"]
+    probe_end = chosen["calibration"]["probe_end_sec"]
     state.update(
         {
             "metric": "headline_total",
@@ -517,9 +602,7 @@ def main() -> None:
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             # emergency-emit state stays COMPACT (round-6 contract): a
             # SIGTERM mid-scale-tier must still leave a parseable record
-            "load_flag": bool(unstable)
-            or max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
-            >= 1.5,
+            "load_flag": not any(a["clean"] for a in attempts),
             "errors": {"partial": "scale tier interrupted"},
         }
     )
@@ -595,7 +678,6 @@ def main() -> None:
                 :_ERR_HEAD_LINES
             ]
 
-    probe_spread = max(probe_start, probe_end) / max(min(probe_start, probe_end), 1e-9)
     ok_timings = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok_timings.values()), 3)
     tap.stop()
@@ -607,6 +689,14 @@ def main() -> None:
             "probe_end_sec": probe_end,
         },
         "unstable_queries": unstable,
+        # full self-heal history (round 10): every attempt's run lists,
+        # probes, and verdict — a still-flagged artifact now carries the
+        # PROOF that N probe-gated retries never found the box idle
+        "attempts": [
+            {k: a[k] for k in ("runs", "calibration", "unstable", "probe_spread", "clean")}
+            for a in attempts
+        ],
+        "chosen_attempt": chosen_idx,
         "scaling": scaling,
         "errors": {
             "stderr_error_lines": tap.error_lines,
@@ -642,7 +732,12 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "load_flag": bool(unstable) or probe_spread >= 1.5,
+                # flagged only when NO attempt was probe-clean: the heal
+                # loop re-runs the primary tier (bounded, idle-gated) when
+                # a probe trips, so a surviving flag means the attempt
+                # history shows the box never went idle
+                "load_flag": not any(a["clean"] for a in attempts),
+                "n_attempts": len(attempts),
                 "stderr_error_lines": tap.error_lines,
                 "n_python_exceptions": len(py_errors),
                 "detail": "BENCH_DETAIL.json",

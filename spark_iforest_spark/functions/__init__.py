@@ -28,7 +28,11 @@ def tokens(text_col: str | Column) -> Column:
 
 def reshape_lines(text_col: str | Column, width: int = 8) -> Column:
     """Reshape a whitespace token stream into newline-separated lines of
-    ``width`` tokens (empty/whitespace-only text yields one empty line).
+    ``width`` tokens. Empty text yields one empty line; whitespace-only
+    text yields one line of the space-joined EMPTY tokens (F.split keeps
+    leading/trailing empty tokens, so ``' '`` splits to ['', ''] and the
+    line is ``' '``) — the DuckDB oracle's regexp_split_to_array mirrors
+    the same convention, so both sides agree by construction.
     The synthetic corpus has no natural line structure, so the line-level
     dedup gates AND the pretrain_curate benchmark both impose this one —
     single-sourced here so the benchmarked workload is exactly the shape
@@ -121,3 +125,47 @@ def shuffle_partitions(spark, fallback: int | None = None) -> int:
         if fallback is not None:
             return fallback
         return int(spark.sparkContext.defaultParallelism)
+
+
+def check_batch_disjoint(
+    batch,
+    indexed_ids,
+    id_col: str,
+    assume_disjoint_ids: bool,
+    broadcast_batch: bool,
+    index_name: str,
+) -> None:
+    """Default-on disjointness guard for the id-less incremental indexes
+    (line_count_index / substr_window_index — round-9 directive): their
+    artifacts store digests and counts, never doc ids, so a re-ingested
+    batch doc would silently double-count and over-remove. Callers must
+    either pass ``indexed_ids`` (the indexed corpus's (id) relation —
+    persist it next to the index; ids are the cheap column) for an exact
+    overlap check, or set ``assume_disjoint_ids=True`` to declare batch
+    ids known-new (the normal crawl case).
+
+    Runs ONE bounded action when checking: batch ids (broadcast by
+    default) semi-join the indexed id relation, stopping at the first
+    overlap row. Raises ``ValueError`` on overlap or when neither the id
+    relation nor the declaration is supplied.
+    """
+    if assume_disjoint_ids:
+        return
+    if indexed_ids is None:
+        raise ValueError(
+            f"{index_name} stores no doc ids, so batch/corpus disjointness "
+            "cannot be verified from the index alone. Pass indexed_ids= "
+            "(the indexed corpus's id relation) to verify, or set "
+            "assume_disjoint_ids=True if batch ids are known-new."
+        )
+    bids = batch.select(F.col(id_col)).distinct()
+    if broadcast_batch:
+        bids = F.broadcast(bids)
+    idx_ids = indexed_ids.select(F.col(indexed_ids.columns[0]).alias(id_col))
+    overlap = idx_ids.join(bids, id_col, "left_semi").limit(1)
+    if not overlap.isEmpty():
+        raise ValueError(
+            f"batch doc ids overlap the {index_name}'d corpus — incremental "
+            "counts would double-count them. Rebuild/merge the index without "
+            "the re-ingested docs, or dedup the batch ids first."
+        )

@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from spark_iforest_spark.checkpoint import snapshot
-from spark_iforest_spark.functions import cosine, tokens, word_shingles
+from spark_iforest_spark.functions import (
+    check_batch_disjoint,
+    cosine,
+    tokens,
+    word_shingles,
+)
 
 # MinHash universal-hash parameters: h_i(x) = (a_i*x + b_i) mod PRIME.
 # Fixed seed => signatures deterministic across runs/partitions. The prime is
@@ -251,6 +256,179 @@ def ngram_containment_pairs(
             >= float(threshold)
         )
     )
+
+
+def shingle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(did, sh, n) — the persistable inverted shingle index behind
+    :func:`ngram_jaccard_pairs_incremental`: one row per (doc, distinct
+    hashed word n-gram), xxhash64 digests only, never shingle text. Per-
+    doc shingle-set sizes are derivable (groupBy did), so no second
+    artifact is needed. The shingle order ``n`` is RECORDED per the
+    substr-index convention: indexes at different n key incompatible
+    digest spaces, and merge/apply verify it instead of silently joining
+    garbage. Doc-disjoint shard indexes merge with
+    :func:`merge_shingle_indexes` (plain union — rows are per-doc)."""
+    return (
+        _hashed_shingles(docs, id_col, text_col, n)
+        .select("did", F.explode("shset").alias("sh"))
+        .withColumn("n", F.lit(int(n)))
+    )
+
+
+def _assert_index_param(
+    index: DataFrame, col: str, expected: int | None, who: str
+) -> None:
+    """Shared recorded-parameter check (substr window / shingle n): one
+    min/max aggregate; artifacts lacking the column pass unchecked
+    (pre-recording artifacts — contract rests on the caller)."""
+    if col not in index.columns:
+        return
+    row = index.select(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    if row["lo"] is None:
+        return
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{who}: index mixes {col} values {row['lo']} and {row['hi']} — "
+            f"indexes are only mergeable/applicable at one {col}"
+        )
+    if expected is not None and row["lo"] != int(expected):
+        raise ValueError(
+            f"{who}: index was built at {col}={row['lo']}, "
+            f"called with {col}={int(expected)}"
+        )
+
+
+def merge_shingle_indexes(
+    *indexes: DataFrame, verify_n: bool = True
+) -> DataFrame:
+    """Fold doc-disjoint :func:`shingle_index` artifacts into one — rows
+    are per-(doc, shingle), so the fold is a plain union; only the
+    recorded shingle order is verified (mixed-n unions would key
+    incompatible digest spaces). Re-ingested doc ids are the APPLY
+    function's supersede problem (it anti-joins batch ids like the
+    minhash family), not the merge's."""
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, indexes)
+    if verify_n and all("n" in ix.columns for ix in indexes):
+        _assert_index_param(merged, "n", None, "merge_shingle_indexes")
+    return merged
+
+
+def _jaccard_pairs_vs_index(
+    batch_sh: DataFrame,
+    corpus_sh: DataFrame,
+    threshold: float,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Exact batch-touching jaccard pairs from two exploded (did, sh)
+    relations with disjoint id sets: (doc_a, doc_b, jaccard), doc_a <
+    doc_b, jaccard >= threshold, restricted to pairs with >= 1 batch doc.
+
+    Scale shape: the corpus index never shuffles whole — it is cut down
+    twice by bounded probes (its rows sharing a batch shingle; then all
+    rows of just the candidate dids, for exact set sizes) before any
+    join that groups. Both probes broadcast the batch-derived key set by
+    default; ``broadcast_batch=False`` falls back to shuffle semi-joins."""
+    batch_sh = snapshot(batch_sh.select("did", "sh"), eager=False)
+    bkeys = batch_sh.select("sh").distinct()
+    if broadcast_batch:
+        bkeys = F.broadcast(bkeys)
+    # corpus rows on batch shingles: exactly the rows that can contribute
+    # to a batch-touching intersection count
+    shared = snapshot(
+        corpus_sh.select("did", "sh").join(bkeys, "sh", "left_semi"),
+        eager=False,
+    )
+    tagged = batch_sh.withColumn("b", F.lit(1)).unionByName(
+        shared.withColumn("b", F.lit(0))
+    )
+    inter = (
+        tagged.alias("a")
+        .join(
+            tagged.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")),
+        )
+        # corpus-corpus collisions on a shared batch shingle are full-run
+        # pairs too, but not batch-touching — the incremental contract
+        # (and the already-indexed corpus run) owns them
+        .where((F.col("a.b") == 1) | (F.col("b.b") == 1))
+        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand_ids = shared.select("did").distinct()
+    if broadcast_batch:
+        cand_ids = F.broadcast(cand_ids)
+    corpus_sizes = (
+        corpus_sh.select("did", "sh")
+        .join(cand_ids, "did", "left_semi")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    sizes = batch_sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz")).unionByName(
+        corpus_sizes
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.did"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.did"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= float(threshold))
+    )
+
+
+def ngram_jaccard_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
+    verify_n: bool = True,
+) -> DataFrame:
+    """EXACT-jaccard member of the incremental dedup family: emits the
+    same (doc_a, doc_b, jaccard) relation as ``ngram_jaccard_pairs(old ∪
+    new)`` RESTRICTED to pairs touching >= 1 new document (gate- and
+    pytest-pinned), against a persisted :func:`shingle_index` — old
+    corpus text is never re-read. This is the pair generator
+    ``pretrain_curate``'s default near-dup stage needs to go
+    incremental (minhash approximates; the default recipe is exact).
+
+    Re-ingest is superseded like the minhash twin: a batch id already in
+    the index replaces its indexed rows (anti-join); pass
+    ``assume_disjoint_ids=True`` to skip that probe for known-new crawl
+    ids. The recorded shingle order is verified (``verify_n=False``
+    skips the aggregate). No ``max_shingle_df`` here by design: the skew
+    cap changes every doc's effective set size, so exactness would need
+    corpus-wide document frequencies per batch — at the scale where the
+    cap matters, use the minhash family (its incremental twin has the
+    documented band-bucket bound) or keep a (sh, df) side artifact and
+    cap offline.
+
+    Scale: per-batch work only — batch shingles hash/explode once; the
+    corpus-sized index is probed twice through batch-derived semi-joins
+    (shingle keys, then candidate dids) and never shuffles whole."""
+    if verify_n:
+        _assert_index_param(index, "n", n, "ngram_jaccard_pairs_incremental")
+    batch_sh = _hashed_shingles(new_docs, id_col, text_col, n).select(
+        F.col("did"), F.explode("shset").alias("sh")
+    )
+    fresh = index.select("did", "sh")
+    if not assume_disjoint_ids:
+        batch_ids = new_docs.select(F.col(id_col).alias("did")).distinct()
+        if broadcast_batch:
+            batch_ids = F.broadcast(batch_ids)
+        fresh = fresh.join(batch_ids, "did", "left_anti")
+    return _jaccard_pairs_vs_index(batch_sh, fresh, threshold, broadcast_batch)
 
 
 def _verify_candidates(
@@ -1469,12 +1647,16 @@ def substr_window_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(h, n_occurrences, first_id, first_pos) — the persistable corpus
-    state behind :func:`exact_substring_spans_incremental`: per distinct
-    w-token window digest, its occurrence count and FIRST occurrence
-    (min (id, pos) — the keep-first keeper). 32-hex digests + three
-    numbers per distinct window, never window text. Doc-disjoint shard
-    indexes merge exactly with :func:`merge_substr_window_indexes`."""
+    """(h, n_occurrences, first_id, first_pos, window) — the persistable
+    corpus state behind :func:`exact_substring_spans_incremental`: per
+    distinct w-token window digest, its occurrence count and FIRST
+    occurrence (min (id, pos) — the keep-first keeper). 32-hex digests +
+    three numbers per distinct window, never window text. The window
+    size is RECORDED in the artifact (round-9 advice fix): indexes built
+    at different windows key incompatible digest spaces, so merge/apply
+    verify the recorded value instead of silently producing wrong spans.
+    Doc-disjoint shard indexes merge exactly with
+    :func:`merge_substr_window_indexes`."""
     return (
         _window_keys(df, id_col, text_col, window)
         .groupBy("h")
@@ -1489,18 +1671,61 @@ def substr_window_index(
             "n_occurrences",
             F.col("_f.i").alias("first_id"),
             F.col("_f.p").alias("first_pos"),
+            F.lit(int(window)).alias("window"),
         )
     )
 
 
-def merge_substr_window_indexes(*indexes: DataFrame) -> DataFrame:
+def _assert_index_window(index: DataFrame, window: int | None, who: str) -> None:
+    """Verify a substr_window_index artifact's recorded window size.
+
+    Pre-round-10 artifacts lack the column and pass unchecked (the
+    must-match-window contract then rests on the caller, as before). The
+    check is one min/max aggregate over the artifact's int column — on a
+    persisted parquet index that is a stats-only scan; on a still-lazy
+    index it forces one computation, which the incremental/merge paths
+    materialize anyway."""
+    if "window" not in index.columns:
+        return
+    row = index.select(
+        F.min("window").alias("lo"), F.max("window").alias("hi")
+    ).first()
+    if row["lo"] is None:  # empty index constrains nothing
+        return
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{who}: index mixes window sizes {row['lo']} and {row['hi']} — "
+            "indexes are only mergeable/applicable at one window size"
+        )
+    if window is not None and row["lo"] != int(window):
+        raise ValueError(
+            f"{who}: index was built at window={row['lo']}, "
+            f"called with window={int(window)}"
+        )
+
+
+def merge_substr_window_indexes(
+    *indexes: DataFrame, verify_window: bool = True
+) -> DataFrame:
     """Fold doc-disjoint :func:`substr_window_index` artifacts into one:
     counts sum, the keeper is the min first-occurrence across shards —
     both exact under doc-disjointness (the incremental family's standard
-    assume-disjoint contract)."""
+    assume-disjoint contract). Indexes MUST share one window size — the
+    digest spaces of different windows are incompatible and a mixed merge
+    would silently yield corrupt spans; the recorded ``window`` column is
+    verified across all inputs (round-9 advice fix; ``verify_window=False``
+    skips the one aggregate job when the caller has already checked)."""
     from functools import reduce
 
+    all_recorded = all("window" in ix.columns for ix in indexes)
+    if not all_recorded:  # tolerate pre-round-10 artifacts: unverifiable
+        indexes = tuple(
+            ix.drop("window") if "window" in ix.columns else ix for ix in indexes
+        )
     merged = reduce(DataFrame.unionByName, indexes)
+    if all_recorded and verify_window:
+        _assert_index_window(merged, None, "merge_substr_window_indexes")
+    extra = [F.min("window").alias("window")] if all_recorded else []
     return (
         merged.groupBy("h")
         .agg(
@@ -1510,12 +1735,14 @@ def merge_substr_window_indexes(*indexes: DataFrame) -> DataFrame:
                     F.col("first_id").alias("i"), F.col("first_pos").alias("p")
                 )
             ).alias("_f"),
+            *extra,
         )
         .select(
             "h",
             "n_occurrences",
             F.col("_f.i").alias("first_id"),
             F.col("_f.p").alias("first_pos"),
+            *(["window"] if all_recorded else []),
         )
     )
 
@@ -1528,6 +1755,10 @@ def exact_substring_spans_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_first: bool = True,
+    broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
+    indexed_ids: DataFrame | None = None,
+    verify_window: bool = True,
 ) -> DataFrame:
     """Spans to cut in a NEW doc-disjoint batch, judged against
     (indexed corpus ∪ batch) window counts: output ==
@@ -1543,9 +1774,26 @@ def exact_substring_spans_incremental(
     wins, no batch occurrence is exempt (ids are disjoint, so the
     equality test never matches a batch row).
 
+    Disjointness is a correctness precondition (a re-ingested doc's
+    windows would double-count and over-cut) and the index stores only
+    the keeper's id — so the guard is default-on (round-9 directive):
+    pass ``indexed_ids`` for an exact overlap check or set
+    ``assume_disjoint_ids=True`` for known-new crawl ids. The index's
+    recorded window size is verified against the ``window`` argument
+    (round-9 advice fix; ``verify_window=False`` skips that aggregate).
+
     Scale: per-batch work only. Batch windows shuffle by digest once;
-    the corpus-sized index is SEMI-JOINED down to the batch's digests
-    (broadcast of the batch digest set) before the count/keeper merge."""
+    the corpus-sized index is SEMI-JOINED down to the batch's digests —
+    broadcast of the batch digest set by default, or a shuffle semi-join
+    with ``broadcast_batch=False`` for batches too large to broadcast
+    (round-9 advice fix, mirroring minhash_lsh_pairs_incremental) —
+    before the count/keeper merge."""
+    check_batch_disjoint(
+        batch, indexed_ids, id_col, assume_disjoint_ids, broadcast_batch,
+        "substr_window_index",
+    )
+    if verify_window:
+        _assert_index_window(index, window, "exact_substring_spans_incremental")
     wins = snapshot(_window_keys(batch, id_col, text_col, window))
     bagg = wins.groupBy("h").agg(
         F.count("*").alias("_bc"),
@@ -1560,7 +1808,10 @@ def exact_substring_spans_incremental(
             F.col("first_id").alias("i"), F.col("first_pos").alias("p")
         ).alias("_if"),
     )
-    relevant = idx.join(F.broadcast(bagg.select("h")), "h", "left_semi")
+    bkeys = bagg.select("h")
+    if broadcast_batch:
+        bkeys = F.broadcast(bkeys)
+    relevant = idx.join(bkeys, "h", "left_semi")
     tot = bagg.join(relevant, "h", "left").select(
         "h",
         (F.col("_bc") + F.coalesce(F.col("_ic"), F.lit(0))).alias("_c"),
@@ -1656,15 +1907,23 @@ def remove_repeated_substrings_incremental(
     text_col: str = "text",
     keep_first: bool = True,
     with_text: bool = False,
+    broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
+    indexed_ids: DataFrame | None = None,
+    verify_window: bool = True,
 ) -> DataFrame:
     """Apply :func:`exact_substring_spans_incremental` to a NEW batch:
     output == ``remove_repeated_substrings(corpus ∪ batch)`` restricted
     to the batch's rows, bit-exact (rebuilt digests included), for
-    doc-disjoint batches. Refresh the state with
+    doc-disjoint batches (guard/broadcast/window knobs pass through —
+    see the span function). Refresh the state with
     ``merge_substr_window_indexes(index, substr_window_index(batch))``."""
     spans = exact_substring_spans_incremental(
         batch, index, window=window, min_count=min_count, id_col=id_col,
         text_col=text_col, keep_first=keep_first,
+        broadcast_batch=broadcast_batch,
+        assume_disjoint_ids=assume_disjoint_ids,
+        indexed_ids=indexed_ids, verify_window=verify_window,
     )
     return _apply_cut_spans(batch, spans, id_col, text_col, with_text)
 

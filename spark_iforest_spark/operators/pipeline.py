@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from spark_iforest_spark.functions import tokens, word_shingles
+from spark_iforest_spark.functions import (
+    check_batch_disjoint,
+    tokens,
+    word_shingles,
+)
 
 # RE2-and-Java-compatible regex subset so the DuckDB oracle's
 # regexp_extract_all/regexp_replace produce bit-identical results.
@@ -960,6 +964,9 @@ def line_dedup_incremental(
     text_col: str = "text",
     min_docs: int = 2,
     with_text: bool = False,
+    broadcast_batch: bool = True,
+    assume_disjoint_ids: bool = False,
+    indexed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Line-dedup a NEW batch against an already-indexed corpus: output ==
     ``line_dedup(indexed_corpus ∪ batch)`` restricted to the batch's rows,
@@ -971,14 +978,33 @@ def line_dedup_incremental(
     standard append-only curation contract. Refresh the state with
     ``merge_line_count_indexes(index, line_count_index(batch))``.
 
+    Disjointness is a CORRECTNESS precondition here (a re-ingested doc's
+    lines would double-count and over-remove), and unlike the minhash
+    index this artifact stores no doc ids to supersede against — so the
+    guard is default-on (round-9 directive): pass ``indexed_ids`` (the
+    indexed corpus's (id) relation — persist it next to the index; ids
+    are the cheap column) and overlapping batches raise ``ValueError``,
+    or set ``assume_disjoint_ids=True`` to declare ids known-new (the
+    normal crawl case) and skip the check.
+
     Scale: per-batch work only. Batch lines shuffle by digest once for
     their own distinct-doc counts; the corpus-sized index is SEMI-JOINED
-    down to the batch's digests (broadcast of the batch digest set) before
-    the count merge, so nothing corpus-sized ever shuffles."""
+    down to the batch's digests — broadcast of the batch digest set by
+    default; ``broadcast_batch=False`` falls back to a shuffle semi-join
+    for batches whose digest set would not fit the broadcast limit
+    (round-9 advice fix, mirroring minhash_lsh_pairs_incremental). Either
+    way nothing corpus-sized ever shuffles."""
+    check_batch_disjoint(
+        batch, indexed_ids, id_col, assume_disjoint_ids, broadcast_batch,
+        "line_count_index",
+    )
     lines = _doc_lines(batch, id_col, text_col)
     bcounts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("_bn"))
     idx = index.select(F.col("line_md5").alias("_h"), F.col("n_docs").alias("_in"))
-    relevant = idx.join(F.broadcast(bcounts.select("_h")), "_h", "left_semi")
+    bkeys = bcounts.select("_h")
+    if broadcast_batch:
+        bkeys = F.broadcast(bkeys)
+    relevant = idx.join(bkeys, "_h", "left_semi")
     total = bcounts.join(relevant, "_h", "left").select(
         "_h", (F.col("_bn") + F.coalesce(F.col("_in"), F.lit(0))).alias("n_docs")
     )

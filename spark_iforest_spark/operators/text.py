@@ -783,6 +783,21 @@ def _lm_rows(uni: DataFrame, bi: DataFrame, total: DataFrame) -> DataFrame:
     return uni_rows.unionByName(bi_rows).unionByName(oov_row)
 
 
+def _looks_materialized(df: DataFrame) -> bool:
+    """Cheap is-this-artifact-materialized heuristic for multi-consume
+    relations: a materialized artifact reads as a leaf (parquet Relation,
+    snapshot LogicalRDD, persisted InMemoryRelation — cache substitution
+    happens before optimization) possibly under projections/filters/
+    unions, while a still-lazy fit keeps its Aggregate operators in the
+    optimized plan. Unreadable plans count as materialized (stay quiet
+    rather than false-alarm)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return "Aggregate" not in plan
+
+
 def lm_merge(*lms: DataFrame) -> DataFrame:
     """Merge frozen ``lm_fit`` artifacts into ONE LM — bit-identical to
     fitting on the concatenated reference, without re-reading any text.
@@ -802,10 +817,25 @@ def lm_merge(*lms: DataFrame) -> DataFrame:
     a fresh fit): this plan consumes the artifact union four times
     (unigram counts twice, bigram counts, total), so a lazy fit
     re-executes against its reference corpus once per branch — the same
-    note as lm_perplexity.
+    note as lm_perplexity. The documented footgun now fails LOUDLY
+    (round-9 directive): an input whose optimized plan still contains an
+    aggregation (i.e. looks like an un-materialized lm_fit, not a
+    parquet/snapshot/cached leaf) draws a ``UserWarning`` at build time.
     """
+    import warnings
     from functools import reduce
 
+    for i, lm in enumerate(lms):
+        if not _looks_materialized(lm):
+            warnings.warn(
+                f"lm_merge input #{i} looks like an un-materialized lm_fit "
+                "plan (its optimized plan still aggregates); this merge "
+                "consumes each artifact four times, so the fit would "
+                "re-execute against its reference corpus per branch. "
+                "Snapshot or persist the artifact first.",
+                UserWarning,
+                stacklevel=2,
+            )
     allrows = reduce(DataFrame.unionByName, lms)
     uni = (
         allrows.where(F.col("ord") == 1)

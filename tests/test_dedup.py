@@ -925,6 +925,7 @@ def test_substr_incremental_equals_full_restricted(spark, sf_dir):
                 dedup.substr_window_index(rest, window=8),
                 window=8,
                 with_text=True,
+                assume_disjoint_ids=True,
             ).collect(),
         )
     )
@@ -976,7 +977,7 @@ def test_substr_incremental_batch_keeper_exempt(spark):
     out = {
         r.doc_id: r
         for r in dedup.remove_repeated_substrings_incremental(
-            batch, idx, window=w, with_text=True
+            batch, idx, window=w, with_text=True, assume_disjoint_ids=True
         ).collect()
     }
     assert out[20].n_kept == out[20].n_tokens - w        # indexed window cut

@@ -1,0 +1,278 @@
+"""Round-10 hardening: default-on disjointness guards for the id-less
+incremental indexes, substr-index window recording, shuffle-semi-join
+fallbacks, and the lm_merge lazy-input warning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.checkpoint import snapshot
+from spark_iforest_spark.operators import dedup, pipeline, text
+
+
+def _docs(spark):
+    boiler = "copyright footer all rights reserved by the site"
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta\n{boiler}"),
+            (2, f"epsilon zeta eta theta\n{boiler}"),
+            (3, f"iota kappa lambda mu\n{boiler}"),
+            (4, "unique text that appears nowhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# disjointness guards (round-9 directive 2): the line/substr indexes store
+# digests, never doc ids, so the guard must be DEFAULT-ON — an overlapping
+# batch raises, a declared-disjoint batch passes
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_incremental_guard_default_on(spark):
+    docs = _docs(spark)
+    rest = docs.where(F.col("doc_id") <= 3)
+    idx = pipeline.line_count_index(rest)
+    overlapping = docs.where(F.col("doc_id").isin(3, 4))  # 3 is indexed
+
+    # no id relation, no declaration -> refuses to guess
+    with pytest.raises(ValueError, match="disjointness cannot be verified"):
+        pipeline.line_dedup_incremental(overlapping, idx)
+
+    # exact check against the indexed id relation -> raises on overlap
+    with pytest.raises(ValueError, match="overlap"):
+        pipeline.line_dedup_incremental(
+            overlapping, idx, indexed_ids=rest.select("doc_id")
+        )
+
+    # a genuinely disjoint batch passes the exact check
+    batch = docs.where(F.col("doc_id") == 4)
+    ok = pipeline.line_dedup_incremental(
+        batch, idx, indexed_ids=rest.select("doc_id")
+    )
+    assert ok.count() == 1
+
+    # the declaration skips the check (caller owns the contract)
+    declared = pipeline.line_dedup_incremental(
+        batch, idx, assume_disjoint_ids=True
+    )
+    assert sorted(map(tuple, declared.collect())) == sorted(
+        map(tuple, ok.collect())
+    )
+
+
+def test_substr_incremental_guard_default_on(spark):
+    docs = _docs(spark)
+    rest = docs.where(F.col("doc_id") <= 3)
+    idx = dedup.substr_window_index(rest, window=4)
+    overlapping = docs.where(F.col("doc_id").isin(3, 4))
+
+    with pytest.raises(ValueError, match="disjointness cannot be verified"):
+        dedup.exact_substring_spans_incremental(overlapping, idx, window=4)
+
+    with pytest.raises(ValueError, match="overlap"):
+        dedup.remove_repeated_substrings_incremental(
+            overlapping, idx, window=4, indexed_ids=rest.select("doc_id")
+        )
+
+    batch = docs.where(F.col("doc_id") == 4)
+    ok = dedup.remove_repeated_substrings_incremental(
+        batch, idx, window=4, indexed_ids=rest.select("doc_id")
+    )
+    assert ok.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# recorded window size (round-9 advice): mismatched apply and mixed-window
+# merges fail loudly instead of silently producing wrong spans
+# ---------------------------------------------------------------------------
+
+
+def test_substr_index_records_window_and_apply_verifies(spark):
+    docs = _docs(spark)
+    idx = dedup.substr_window_index(docs.where("doc_id <= 3"), window=4)
+    assert "window" in idx.columns
+    assert idx.select("window").distinct().collect()[0][0] == 4
+
+    with pytest.raises(ValueError, match="built at window=4"):
+        dedup.exact_substring_spans_incremental(
+            docs.where("doc_id = 4"), idx, window=6, assume_disjoint_ids=True
+        )
+
+
+def test_substr_index_merge_rejects_mixed_windows(spark):
+    docs = _docs(spark)
+    a = dedup.substr_window_index(docs.where("doc_id <= 2"), window=4)
+    b = dedup.substr_window_index(docs.where("doc_id >= 3"), window=6)
+    with pytest.raises(ValueError, match="mixes window sizes"):
+        dedup.merge_substr_window_indexes(a, b).count()
+
+    merged = dedup.merge_substr_window_indexes(
+        a, dedup.substr_window_index(docs.where("doc_id >= 3"), window=4)
+    )
+    assert merged.select("window").distinct().collect()[0][0] == 4
+
+
+# ---------------------------------------------------------------------------
+# broadcast_batch=False (round-9 advice): the shuffle semi-join fallback is
+# value-identical to the broadcast path
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_broadcast_fallback_matches(spark):
+    docs = _docs(spark)
+    rest, batch = docs.where("doc_id <= 3"), docs.where("doc_id = 4")
+
+    li = pipeline.line_count_index(rest)
+    a = pipeline.line_dedup_incremental(
+        batch, li, with_text=True, assume_disjoint_ids=True
+    )
+    b = pipeline.line_dedup_incremental(
+        batch, li, with_text=True, assume_disjoint_ids=True,
+        broadcast_batch=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    si = dedup.substr_window_index(rest, window=4)
+    a = dedup.remove_repeated_substrings_incremental(
+        batch, si, window=4, with_text=True, assume_disjoint_ids=True
+    )
+    b = dedup.remove_repeated_substrings_incremental(
+        batch, si, window=4, with_text=True, assume_disjoint_ids=True,
+        broadcast_batch=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# lm_merge lazy-input warning (round-9 directive 8)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_merge_warns_on_lazy_inputs_only(spark):
+    docs = _docs(spark)
+    lazy_a = text.lm_fit(docs.where("doc_id <= 2"))
+    lazy_b = text.lm_fit(docs.where("doc_id >= 3"))
+    with pytest.warns(UserWarning, match="un-materialized lm_fit"):
+        text.lm_merge(lazy_a, lazy_b)
+
+    import warnings
+
+    snap_a, snap_b = snapshot(lazy_a), snapshot(lazy_b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        merged = text.lm_merge(snap_a, snap_b)
+    one = text.lm_fit(docs)
+    assert merged.exceptAll(one).isEmpty() and one.exceptAll(merged).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs_incremental (round 10): the EXACT-jaccard member of
+# the incremental family — full relation restricted to batch-touching pairs
+# ---------------------------------------------------------------------------
+
+
+def _corpus_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_ngram_jaccard_incremental_equals_full_restricted(spark, sf_dir):
+    docs = _corpus_docs(spark, sf_dir)
+    rest = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+
+    full = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(docs)
+            .where((F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0))
+            .collect(),
+        )
+    )
+    incr = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs_incremental(
+                batch, dedup.shingle_index(rest), assume_disjoint_ids=True
+            ).collect(),
+        )
+    )
+    assert incr == full and full
+
+
+def test_ngram_jaccard_incremental_shuffle_fallback_matches(spark, sf_dir):
+    docs = _corpus_docs(spark, sf_dir)
+    rest = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    idx = dedup.shingle_index(rest)
+    a = dedup.ngram_jaccard_pairs_incremental(
+        batch, idx, assume_disjoint_ids=True
+    )
+    b = dedup.ngram_jaccard_pairs_incremental(
+        batch, idx, assume_disjoint_ids=True, broadcast_batch=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_shingle_index_merge_and_n_verification(spark, sf_dir):
+    docs = _corpus_docs(spark, sf_dir).limit(60)
+    one = sorted(map(tuple, dedup.shingle_index(docs).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            dedup.merge_shingle_indexes(
+                *[
+                    dedup.shingle_index(docs.where(F.col("doc_id") % 3 == i))
+                    for i in range(3)
+                ]
+            ).collect(),
+        )
+    )
+    assert merged == one and one
+
+    a = dedup.shingle_index(docs, n=3)
+    b = dedup.shingle_index(docs, n=4)
+    with pytest.raises(ValueError, match="mixes n values"):
+        dedup.merge_shingle_indexes(a, b).count()
+    with pytest.raises(ValueError, match="built at n=3"):
+        dedup.ngram_jaccard_pairs_incremental(
+            docs, a, n=4, assume_disjoint_ids=True
+        )
+
+
+def test_ngram_jaccard_incremental_supersedes_reingested_ids(spark):
+    olds = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "zz yy xx ww vv uu tt ss"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.shingle_index(olds)
+    # doc 1 arrives AGAIN with doc 3's text: its stale indexed shingles
+    # must not pair it with itself or inflate intersections
+    batch = spark.createDataFrame(
+        [
+            (1, "zz yy xx ww vv uu tt ss"),  # now a dup of doc 2
+            (3, "aa bb cc dd ee ff gg hh"),  # dup of doc 1's NEW... gone text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_incremental(batch, idx).collect()
+    }
+    # expected = full run over ({2} from index, superseded 1, new 3)
+    expect_docs = spark.createDataFrame(
+        [
+            (2, "zz yy xx ww vv uu tt ss"),
+            (1, "zz yy xx ww vv uu tt ss"),
+            (3, "aa bb cc dd ee ff gg hh"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(expect_docs).collect()
+    }
+    assert got == want == {(1, 2): 1.0}

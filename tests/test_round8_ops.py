@@ -803,7 +803,8 @@ def test_line_dedup_incremental_equals_full_restricted(spark, sf_dir):
         map(
             tuple,
             pipeline.line_dedup_incremental(
-                batch, pipeline.line_count_index(rest), with_text=True
+                batch, pipeline.line_count_index(rest), with_text=True,
+                assume_disjoint_ids=True,
             ).collect(),
         )
     )
