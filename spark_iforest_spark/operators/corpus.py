@@ -293,6 +293,7 @@ def _pretrain_stage_list(
     neardup: bool = True,
     ccnet_keep_bands: tuple = (1, 2),
     gopher_thresholds: dict | None = None,
+    capture: dict | None = None,
 ) -> list[tuple[str, DataFrame]]:
     """The pretrain_curate chain as a list of (stage_name, survivors)
     relations — shared by :func:`pretrain_curate` (returns the last) and
@@ -306,6 +307,15 @@ def _pretrain_stage_list(
     RAW input is never snapshotted (stage 1's multi-consume re-scans
     parquet — cheaper than checkpointing a 100 TB corpus), and the final
     stage stays lazy for the caller.
+
+    ``capture`` (round 10, for :func:`curation_state`) receives the
+    ccnet stage's frozen artifacts — ``capture["lm"]`` (the snapshotted
+    lm_fit relation) and ``capture["cutpoints"]`` — so the calibration a
+    corpus run computed can be persisted and re-applied to later batches
+    (``ccnet_apply`` semantics). The stage body inlines exactly
+    ccnet_filter's pieces (same snapshots, same eager cutpoint jobs);
+    the pretrain_funnel gate pins the composition against the DuckDB
+    oracle, so any drift from ccnet_filter's behavior hash-mismatches.
     """
     from spark_iforest_spark.checkpoint import snapshot
     from spark_iforest_spark.operators.dedup import (
@@ -313,7 +323,12 @@ def _pretrain_stage_list(
         remove_repeated_substrings,
     )
     from spark_iforest_spark.operators.pipeline import decontaminate, line_dedup
-    from spark_iforest_spark.operators.text import ccnet_filter
+    from spark_iforest_spark.operators.text import (
+        lm_fit,
+        lm_perplexity,
+        perplexity_bands,
+        perplexity_cutpoints,
+    )
 
     def _gopher(c: DataFrame) -> DataFrame:
         from spark_iforest_spark.operators.pipeline import gopher_filter
@@ -330,9 +345,26 @@ def _pretrain_stage_list(
         )
 
     def _ccnet(c: DataFrame) -> DataFrame:
-        kept = ccnet_filter(
-            c, reference, id_col, text_col, keep_bands=ccnet_keep_bands
-        ).select(id_col)
+        # ccnet_filter's exact internals (two snapshots closing the
+        # measured re-executions, handle released after the eager
+        # cutpoint jobs) — inlined so the frozen (lm, cutpoints) pair is
+        # capturable for the incremental path
+        lm_raw, lm_handle = lm_fit(reference, text_col=text_col, return_handle=True)
+        try:
+            lm = snapshot(lm_raw)
+            scored = snapshot(
+                lm_perplexity(c, lm, id_col=id_col, text_col=text_col)
+            )
+            cuts = perplexity_cutpoints(scored)
+        finally:
+            lm_handle.release()
+        if capture is not None:
+            capture["lm"], capture["cutpoints"] = lm, cuts
+        kept = (
+            perplexity_bands(scored, cuts)
+            .where(F.col("band").isin(list(ccnet_keep_bands)))
+            .select(id_col)
+        )
         return c.join(kept, id_col, "left_semi")
 
     def _line(c: DataFrame) -> DataFrame:
@@ -476,4 +508,589 @@ def pretrain_funnel(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation (round 10) — the one-call crawl loop the per-stage
+# incremental pieces make possible: freeze a corpus's per-stage state once
+# (curation_state), then thread every new batch through frozen gopher →
+# ccnet_apply → line_dedup_incremental → ExactSubstr-incremental →
+# exact-jaccard near-dup vs the shingle index → decontaminate
+# (pretrain_curate_incremental), fold shard states (merge_curation_states),
+# and roll the state forward after each batch (update_curation_state).
+#
+# Contract (the incremental family's standard append-only semantics,
+# composed): the batch output equals the full 6-stage chain over
+# (corpus ∪ batch) restricted to the batch's rows, where corpus-side
+# history is immutable — corpus docs keep the text and survival the
+# corpus-only run gave them, and the ccnet calibration is FROZEN from the
+# state (recomputing cutpoints per batch would be a new calibration
+# decision AND make batch outputs incomparable — the drift-cutpoint
+# contract). Gate-pinned end to end by the pretrain_funnel_incr oracle,
+# which recomputes exactly this composition in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+class CurationState:
+    """Frozen per-stage corpus state for :func:`pretrain_curate_incremental`.
+
+    Every field is a bounded, persistable relation (write each to parquet,
+    reload, rebuild the object) or a plain value:
+
+    * ``ids`` — the curated corpus's raw doc ids (the disjointness guard's
+      exact check; ids are the cheap column at 100 TB).
+    * ``lm``/``cutpoints`` — the frozen CCNet calibration (lm_fit relation
+      + banding cutpoints), None when the recipe has no ccnet stage. ``lm``
+      must stay MATERIALIZED (parquet/snapshot — the lm_perplexity
+      three-branch note).
+    * ``line_index`` — line_count_index over the corpus docs ENTERING the
+      line-dedup stage (digest + count rows).
+    * ``substr_index`` — substr_window_index over the docs entering the
+      ExactSubstr stage (digest + count + first-occurrence rows, window
+      recorded).
+    * ``shingle_index``/``labels``/``quality`` — the near-dup stage's
+      state over the docs entering it: inverted shingle rows, the corpus's
+      duplicate-cluster labels, and (id, quality) for cluster resolution.
+    * ``params`` — the frozen recipe parameters; incremental application
+      and state merging refuse mismatched params.
+    """
+
+    def __init__(
+        self,
+        ids: DataFrame,
+        lm: DataFrame | None,
+        cutpoints: list | None,
+        line_index: DataFrame | None,
+        substr_index: DataFrame | None,
+        shingle_index: DataFrame | None,
+        labels: DataFrame | None,
+        quality: DataFrame | None,
+        params: dict,
+    ):
+        self.ids = ids
+        self.lm = lm
+        self.cutpoints = cutpoints
+        self.line_index = line_index
+        self.substr_index = substr_index
+        self.shingle_index = shingle_index
+        self.labels = labels
+        self.quality = quality
+        self.params = dict(params)
+
+
+def curation_state(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher: bool = True,
+    line_min_docs: int | None = 2,
+    substr_window: int | None = 50,
+    neardup: bool = True,
+    ccnet_keep_bands: tuple = (1, 2),
+    gopher_thresholds: dict | None = None,
+) -> CurationState:
+    """Run the pretrain_curate chain over a corpus and capture the frozen
+    per-stage state a later :func:`pretrain_curate_incremental` needs.
+
+    The chain executed here is EXACTLY :func:`_pretrain_stage_list` (same
+    snapshots, same eager ccnet calibration), so the corpus-side stage
+    outputs — and therefore the indexes built from each stage's input —
+    match what ``pretrain_curate(docs, ...)`` computed for the same
+    corpus. Stage-to-index mapping: the line index is built over the docs
+    ENTERING line dedup, the substr index over the docs entering
+    ExactSubstr, and the near-dup trio over the docs entering the
+    near-dup sweep — the relations whose counts the full run over
+    (corpus ∪ batch) would merge with the batch's.
+
+    Eagerness: the ccnet cutpoint jobs and the corpus cluster labels run
+    NOW (dup_clusters is iterative); the index relations come back lazy —
+    persist them (parquet) before production use. Scale: every artifact
+    is digest-, vocabulary-, or id-keyed; nothing here is wider than the
+    corpus's own curation run.
+    """
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.functions import shuffle_partitions
+    from spark_iforest_spark.operators.dedup import (
+        dup_clusters,
+        shingle_index as _shingle_index,
+        substr_window_index,
+    )
+    from spark_iforest_spark.operators.pipeline import line_count_index
+    from spark_iforest_spark.operators.text import quality_score
+
+    cap: dict = {}
+    stages = _pretrain_stage_list(
+        docs,
+        reference=reference,
+        benchmark=None,
+        id_col=id_col,
+        text_col=text_col,
+        gopher=gopher,
+        line_min_docs=line_min_docs,
+        substr_window=substr_window,
+        neardup=False,  # the state needs the near-dup stage's INPUT only
+        ccnet_keep_bands=ccnet_keep_bands,
+        gopher_thresholds=gopher_thresholds,
+        capture=cap,
+    )
+    by_name = {name: i for i, (name, _rel) in enumerate(stages)}
+
+    def _input_of(stage: str) -> DataFrame:
+        return stages[by_name[stage] - 1][1]
+
+    line_index = (
+        line_count_index(_input_of("line_dedup"), id_col, text_col)
+        if line_min_docs
+        else None
+    )
+    substr_index = (
+        substr_window_index(
+            _input_of("exact_substr"), window=substr_window,
+            id_col=id_col, text_col=text_col,
+        )
+        if substr_window
+        else None
+    )
+    sh_idx = labels = quality = None
+    if neardup:
+        # the near-dup input is the chain's LAST stage here (neardup=False
+        # above), so it is not snapshot'd yet — and the three artifacts
+        # below each consume it
+        n_parts = shuffle_partitions(docs.sparkSession)
+        nd_in = snapshot(stages[-1][1].repartition(n_parts))
+        sh_idx = _shingle_index(nd_in, id_col, text_col, n=3)
+        labels = dup_clusters(nd_in, id_col, text_col)
+        quality = quality_score(nd_in, id_col, text_col).select(
+            F.col(id_col), "quality"
+        )
+    return CurationState(
+        ids=docs.select(F.col(id_col)).distinct(),
+        lm=cap.get("lm"),
+        cutpoints=cap.get("cutpoints"),
+        line_index=line_index,
+        substr_index=substr_index,
+        shingle_index=sh_idx,
+        labels=labels,
+        quality=quality,
+        params={
+            "id_col": id_col,
+            "text_col": text_col,
+            "gopher": bool(gopher),
+            "gopher_thresholds": dict(gopher_thresholds or {}),
+            "line_min_docs": line_min_docs,
+            "substr_window": substr_window,
+            "neardup": bool(neardup),
+            "ccnet_keep_bands": tuple(ccnet_keep_bands),
+            "has_ccnet": reference is not None,
+            "jaccard_n": 3,
+            "jaccard_threshold": 0.8,
+        },
+    )
+
+
+def _pretrain_incr_stage_list(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+    capture: dict | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """The incremental chain as (stage_name, batch_survivors) relations —
+    shared by :func:`pretrain_curate_incremental` (returns the last) and
+    :func:`pretrain_funnel_incremental` (aggregates each). Stage
+    boundaries snapshot like the full builder (same multi-consume
+    rationale). ``capture`` receives each index-feeding stage input
+    (``line_input``/``substr_input``/``neardup_input``) and the merged
+    cluster labels (``labels_full``) for :func:`update_curation_state`."""
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.functions import (
+        check_batch_disjoint,
+        shuffle_partitions,
+    )
+    from spark_iforest_spark.operators.dedup import (
+        dup_clusters_incremental,
+        ngram_jaccard_pairs_incremental,
+        remove_repeated_substrings_incremental,
+        resolve_clusters,
+    )
+    from spark_iforest_spark.operators.pipeline import (
+        decontaminate,
+        gopher_filter,
+        line_dedup_incremental,
+    )
+    from spark_iforest_spark.operators.text import ccnet_apply, quality_score
+
+    p = state.params
+    id_col, text_col = p["id_col"], p["text_col"]
+    check_batch_disjoint(
+        batch, state.ids, id_col, assume_disjoint_ids, True, "curation_state"
+    )
+    cap = capture if capture is not None else {}
+
+    def _gopher(c: DataFrame) -> DataFrame:
+        return (
+            gopher_filter(
+                c, id_col, text_col, keep_cols=(text_col,),
+                **p["gopher_thresholds"],
+            )
+            .where("gopher_keep")
+            .select(id_col, text_col)
+        )
+
+    def _ccnet(c: DataFrame) -> DataFrame:
+        kept = ccnet_apply(
+            c, state.lm, state.cutpoints, id_col=id_col, text_col=text_col,
+            keep_bands=p["ccnet_keep_bands"],
+        ).select(id_col)
+        return c.join(kept, id_col, "left_semi")
+
+    def _line(c: DataFrame) -> DataFrame:
+        cap["line_input"] = c
+        ld = line_dedup_incremental(
+            c, state.line_index, id_col, text_col,
+            min_docs=p["line_min_docs"], with_text=True,
+            assume_disjoint_ids=True,  # guarded once at entry vs state.ids
+        )
+        return (
+            ld.select(F.col(id_col), F.col("clean_text").alias(text_col))
+            .where(F.length(text_col) > 0)
+        )
+
+    def _substr(c: DataFrame) -> DataFrame:
+        cap["substr_input"] = c
+        rs = remove_repeated_substrings_incremental(
+            c, state.substr_index, window=p["substr_window"],
+            id_col=id_col, text_col=text_col, with_text=True,
+            assume_disjoint_ids=True,
+        )
+        return (
+            rs.select(F.col(id_col), F.col("clean_text").alias(text_col))
+            .where(F.length(text_col) > 0)
+        )
+
+    def _neardup(c: DataFrame) -> DataFrame:
+        cap["neardup_input"] = c
+        # batch-touching exact-jaccard pairs vs the corpus shingle index,
+        # folded into the corpus's persisted cluster labels: full-corpus
+        # clusters reconstruct exactly (dup_clusters_incremental), so the
+        # quality argmax resolves over the SAME membership the full run
+        # would see — only the batch side's verdicts are consumed
+        pairs = snapshot(
+            ngram_jaccard_pairs_incremental(
+                c, state.shingle_index, id_col, text_col,
+                n=p["jaccard_n"], threshold=p["jaccard_threshold"],
+                assume_disjoint_ids=True,
+            )
+        )
+        labels_full = dup_clusters_incremental(
+            pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col
+        )
+        cap["labels_full"] = labels_full
+        quality = state.quality.unionByName(
+            quality_score(c, id_col, text_col).select(F.col(id_col), "quality")
+        )
+        keep = resolve_clusters(
+            c, labels=labels_full, quality=quality,
+            id_col=id_col, text_col=text_col,
+        )
+        losers = labels_full.join(
+            keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
+        ).select(id_col)
+        return c.join(losers, id_col, "left_anti")
+
+    ops: list[tuple[str, object]] = []
+    if p["gopher"]:
+        ops.append(("gopher", _gopher))
+    if p["has_ccnet"]:
+        ops.append(("ccnet", _ccnet))
+    if p["line_min_docs"]:
+        ops.append(("line_dedup", _line))
+    if p["substr_window"]:
+        ops.append(("exact_substr", _substr))
+    if p["neardup"]:
+        ops.append(("neardup", _neardup))
+    if benchmark is not None:
+        ops.append(
+            ("decontaminate",
+             lambda c: decontaminate(c, benchmark, id_col, text_col))
+        )
+
+    n_parts = shuffle_partitions(batch.sparkSession)
+    cur = batch.where(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
+    ).select(id_col, text_col)
+    stages = [("input", cur)]
+    for i, (name, fn) in enumerate(ops):
+        out = fn(cur)
+        if i < len(ops) - 1:
+            out = snapshot(out.repartition(n_parts))
+        stages.append((name, out))
+        cur = out
+    return stages
+
+
+def pretrain_curate_incremental(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> DataFrame:
+    """Curate a NEW doc-disjoint batch against a frozen
+    :func:`curation_state` — the 100 TB crawl loop's steady state: no
+    corpus re-read, no refit, no recalibration. Returns (id, text) with
+    the rebuilt batch text, == the full 6-stage ``pretrain_curate`` over
+    (corpus ∪ batch) restricted to the batch under the append-only
+    contract (corpus history immutable, calibration frozen) — gate-pinned
+    end to end by the ``pretrain_funnel_incr`` composed oracle.
+
+    Per-batch cost: the batch's own stage work plus bounded probes of
+    each index (broadcast semi-joins of batch-derived key sets); the
+    only corpus-sized relations touched are the persisted indexes, each
+    cut down to batch-relevant rows before any shuffle. Roll the state
+    forward with :func:`update_curation_state`.
+    """
+    return _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids,
+    )[-1][1]
+
+
+def pretrain_funnel_incremental(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> DataFrame:
+    """Stage-by-stage survival report of the BATCH under
+    :func:`pretrain_curate_incremental` — (stage_idx, stage, n_docs,
+    n_tokens) per stage, same shape and aggregation plan as
+    :func:`pretrain_funnel` (one map-side-combined groupBy over the
+    materialized stage blocks + zero-row spine union)."""
+    from functools import reduce
+
+    from spark_iforest_spark.functions import tokens
+
+    text_col = state.params["text_col"]
+    stages = _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids,
+    )
+    parts = [
+        rel.select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n_toks"),
+        )
+        for idx, (name, rel) in enumerate(stages)
+    ]
+    counts = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_toks").alias("n_tokens"),
+        )
+    )
+    spine_zero = batch.sparkSession.createDataFrame(
+        [(idx, name, 0, 0) for idx, (name, _rel) in enumerate(stages)],
+        "stage_idx int, stage string, n_docs long, n_tokens long",
+    )
+    return (
+        counts.unionByName(spine_zero)
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
+    """Fold two doc-disjoint shard states into one. Mismatched params or
+    cutpoints raise: merging states calibrated differently is a new
+    calibration decision, not a fold.
+
+    Exactness contract, stated precisely: each artifact folds losslessly
+    AT ITS OWN STAGE (line counts sum; substr counts sum, keeper = min
+    first-occurrence; shingle rows union; labels = connected components
+    over both shards' stars + the cross-shard pairs) — so the merged
+    state equals the one-shot state of the concatenated corpus whenever
+    the upstream stages are shard-local, i.e. per-row (gopher; ccnet
+    under a SHARED frozen calibration). The REBUILD stages are the
+    append-only asymmetry: shard A's text was line/substr-rebuilt
+    against shard A alone, so a line that crosses min_docs only across
+    shards is (correctly, per the incremental family's history-immutable
+    contract) still present in each shard's downstream artifacts, where
+    a one-shot run over A ∪ B would have removed it. With the rebuild
+    stages off — or shards with no cross-shard repeated lines/windows —
+    merge == one-shot exactly (both pytest-pinned).
+
+    Per artifact: counts sum (line index), counts + first-occurrence min
+    (substr index), plain union (shingle rows, quality, ids), and for
+    cluster labels a connected-components pass over both shards' star
+    edges plus the CROSS-shard near-dup pairs — computed from the two
+    persisted shingle indexes alone (index-vs-index exact jaccard), no
+    shard text ever re-read."""
+    from spark_iforest_spark.operators.dedup import (
+        _jaccard_pairs_vs_index,
+        dup_clusters_incremental,
+        merge_shingle_indexes,
+        merge_substr_window_indexes,
+    )
+    from spark_iforest_spark.operators.pipeline import merge_line_count_indexes
+
+    if a.params != b.params:
+        raise ValueError(
+            "merge_curation_states: shard states were built with different "
+            f"recipe params: {a.params} vs {b.params}"
+        )
+    if a.cutpoints != b.cutpoints:
+        raise ValueError(
+            "merge_curation_states: shard states carry different ccnet "
+            "cutpoints — fold-losslessness requires a shared frozen "
+            "calibration (fit once, pass the same (lm, cutpoints) to every "
+            f"shard): {a.cutpoints} vs {b.cutpoints}"
+        )
+    p = a.params
+    id_col = p["id_col"]
+    line_index = (
+        merge_line_count_indexes(a.line_index, b.line_index)
+        if a.line_index is not None
+        else None
+    )
+    substr_index = (
+        merge_substr_window_indexes(a.substr_index, b.substr_index)
+        if a.substr_index is not None
+        else None
+    )
+    sh_idx = labels = quality = None
+    if p["neardup"]:
+        sh_idx = merge_shingle_indexes(a.shingle_index, b.shingle_index)
+        quality = a.quality.unionByName(b.quality)
+        cross = _jaccard_pairs_vs_index(
+            b.shingle_index.select("did", "sh"),
+            a.shingle_index.select("did", "sh"),
+            p["jaccard_threshold"],
+            True,
+        ).select("doc_a", "doc_b")
+        star_b = b.labels.select(
+            F.col(id_col).alias("doc_a"), F.col("cluster_rep").alias("doc_b")
+        ).where(F.col("doc_a") != F.col("doc_b"))
+        labels = dup_clusters_incremental(
+            cross.unionByName(star_b), a.labels, id_col=id_col
+        )
+    return CurationState(
+        ids=a.ids.unionByName(b.ids),
+        lm=a.lm,  # identical under the shared-calibration contract
+        cutpoints=a.cutpoints,
+        line_index=line_index,
+        substr_index=substr_index,
+        shingle_index=sh_idx,
+        labels=labels,
+        quality=quality,
+        params=p,
+    )
+
+
+def curate_and_update_state(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> tuple[DataFrame, CurationState]:
+    """One chain run, both outputs: the curated batch relation AND the
+    rolled-forward state — what the steady-state ingest job calls per
+    crawl (running :func:`pretrain_curate_incremental` and
+    :func:`update_curation_state` separately would execute the batch
+    chain twice)."""
+    cap: dict = {}
+    out = _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids, capture=cap,
+    )[-1][1]
+    return out, _state_from_capture(state, batch, cap)
+
+
+def update_curation_state(
+    state: CurationState,
+    batch: DataFrame,
+    assume_disjoint_ids: bool = False,
+) -> CurationState:
+    """Roll the frozen state forward after ingesting a batch: the next
+    batch then dedups against (corpus ∪ this batch) — completing the
+    crawl loop. Each index absorbs the batch's contribution AT ITS OWN
+    STAGE INPUT (the batch's post-ccnet lines, post-line-dedup windows,
+    post-substr shingles — exactly the relations the one-shot chain
+    counts), the cluster labels become the already-computed merged
+    labels, and the calibration stays frozen (recalibrating is a
+    deliberate, separate decision). Per-batch cost: the incremental
+    chain itself plus one index-merge aggregate per artifact (use
+    :func:`curate_and_update_state` to get the curated batch from the
+    same run)."""
+    return curate_and_update_state(
+        batch, state, benchmark=None, assume_disjoint_ids=assume_disjoint_ids
+    )[1]
+
+
+def _state_from_capture(
+    state: CurationState, batch: DataFrame, cap: dict
+) -> CurationState:
+    """Fold a batch chain run's captured stage inputs into the state."""
+    from spark_iforest_spark.operators.dedup import (
+        merge_shingle_indexes,
+        merge_substr_window_indexes,
+        shingle_index as _shingle_index,
+        substr_window_index,
+    )
+    from spark_iforest_spark.operators.pipeline import (
+        line_count_index,
+        merge_line_count_indexes,
+    )
+    from spark_iforest_spark.operators.text import quality_score
+
+    p = state.params
+    id_col, text_col = p["id_col"], p["text_col"]
+    line_index = state.line_index
+    if p["line_min_docs"]:
+        line_index = merge_line_count_indexes(
+            state.line_index,
+            line_count_index(cap["line_input"], id_col, text_col),
+        )
+    substr_index = state.substr_index
+    if p["substr_window"]:
+        substr_index = merge_substr_window_indexes(
+            state.substr_index,
+            substr_window_index(
+                cap["substr_input"], window=p["substr_window"],
+                id_col=id_col, text_col=text_col,
+            ),
+        )
+    sh_idx, labels, quality = (
+        state.shingle_index, state.labels, state.quality,
+    )
+    if p["neardup"]:
+        sh_idx = merge_shingle_indexes(
+            state.shingle_index,
+            _shingle_index(
+                cap["neardup_input"], id_col, text_col, n=p["jaccard_n"]
+            ),
+        )
+        labels = cap["labels_full"]
+        quality = state.quality.unionByName(
+            quality_score(cap["neardup_input"], id_col, text_col).select(
+                F.col(id_col), "quality"
+            )
+        )
+    return CurationState(
+        ids=state.ids.unionByName(batch.select(F.col(id_col)).distinct()),
+        lm=state.lm,
+        cutpoints=state.cutpoints,
+        line_index=line_index,
+        substr_index=substr_index,
+        shingle_index=sh_idx,
+        labels=labels,
+        quality=quality,
+        params=p,
     )

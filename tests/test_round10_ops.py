@@ -276,3 +276,187 @@ def test_ngram_jaccard_incremental_supersedes_reingested_ids(spark):
         for r in dedup.ngram_jaccard_pairs(expect_docs).collect()
     }
     assert got == want == {(1, 2): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# incremental curation capstone (round 10): curation_state +
+# pretrain_curate_incremental + merge/update — semantic pins for every
+# cross-boundary interaction (merged line counts, indexed substr keeper,
+# cross-corpus near-dup resolution, decontamination)
+# ---------------------------------------------------------------------------
+
+from spark_iforest_spark.operators import corpus
+
+
+def test_pretrain_curate_incremental_micro_semantics(spark):
+    boiler = "ad footer banner here"
+    passage = "wx xy yz zq"
+    corp = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nsolo alpha beta gamma"),
+            (2, f"{boiler}\n{passage} corpus tail words"),
+            (3, "totally original content lives right here today"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"{boiler}\nfresh content alpha beta"),
+            (11, f"{passage} some more unique words"),
+            (13, "leaky benchmark question answer choice text"),
+            (14, "nothing shared anywhere plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(900, "benchmark question answer")], "doc_id long, text string"
+    )
+    state = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    out = {
+        r.doc_id: r.text
+        for r in corpus.pretrain_curate_incremental(
+            batch, state, benchmark=benchmark, assume_disjoint_ids=True
+        ).collect()
+    }
+    assert out == {
+        # boilerplate line: corpus count 2 + batch 1 = 3 >= min_docs -> the
+        # BATCH copy is rebuilt out (corpus docs keep theirs: history)
+        10: "fresh content alpha beta",
+        # repeated 4-token window: indexed count 1 + batch 1 = 2 -> cut,
+        # keeper is the indexed first occurrence (doc 2)
+        11: "some more unique words",
+        # 13 dropped by decontaminate (shares a 3-shingle with benchmark)
+        14: "nothing shared anywhere plain words",
+    }
+
+    funnel = {
+        r.stage: (r.stage_idx, r.n_docs)
+        for r in corpus.pretrain_funnel_incremental(
+            batch, state, benchmark=benchmark, assume_disjoint_ids=True
+        ).collect()
+    }
+    assert funnel == {
+        "input": (0, 4),
+        "line_dedup": (1, 4),
+        "exact_substr": (2, 4),
+        "neardup": (3, 4),
+        "decontaminate": (4, 3),
+    }
+
+
+def test_pretrain_curate_incremental_neardup_cross_boundary(spark):
+    corp = spark.createDataFrame(
+        [
+            (3, "totally original content lives right here today"),
+            (5, "unrelated corpus filler words beyond compare"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (12, "totally original content lives right here today"),  # dup of 3
+            (20, "brand new one of a kind"),
+            (21, "twin text copies here now exactly"),
+            (22, "twin text copies here now exactly"),  # dup of 21, loses tie
+        ],
+        "doc_id long, text string",
+    )
+    state = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=None,
+        substr_window=None, neardup=True,
+    )
+    out = sorted(
+        r.doc_id
+        for r in corpus.pretrain_curate_incremental(
+            batch, state, assume_disjoint_ids=True
+        ).collect()
+    )
+    # 12 loses to the already-shipped corpus copy (equal quality, min id);
+    # 22 loses the within-batch tie to 21
+    assert out == [20, 21]
+
+
+def test_merge_curation_states_equals_oneshot_for_row_local_stages(spark):
+    shard_a = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "shared near duplicate body text here"),
+        ],
+        "doc_id long, text string",
+    )
+    shard_b = spark.createDataFrame(
+        [
+            (3, "shared near duplicate body text here"),  # crosses shards
+            (4, "omega psi chi phi upsilon tau"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        reference=None, gopher=False, line_min_docs=None, substr_window=None,
+        neardup=True,
+    )
+    merged = corpus.merge_curation_states(
+        corpus.curation_state(shard_a, **kw),
+        corpus.curation_state(shard_b, **kw),
+    )
+    one = corpus.curation_state(shard_a.unionByName(shard_b), **kw)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(merged.ids) == rows(one.ids)
+    assert rows(merged.shingle_index) == rows(one.shingle_index)
+    assert rows(merged.quality) == rows(one.quality)
+    # the cross-shard pair (2, 3) must cluster identically
+    assert rows(merged.labels) == rows(one.labels) == [(2, 2), (3, 2)]
+
+    batch = spark.createDataFrame(
+        [(10, "shared near duplicate body text here")],
+        "doc_id long, text string",
+    )
+    got_m = corpus.pretrain_curate_incremental(
+        batch, merged, assume_disjoint_ids=True
+    ).count()
+    got_o = corpus.pretrain_curate_incremental(
+        batch, one, assume_disjoint_ids=True
+    ).count()
+    assert got_m == got_o == 0  # the batch copy loses to doc 2 both ways
+
+
+def test_update_curation_state_accumulates_counts(spark):
+    boiler = "subscribe to our newsletter now"
+    corp = spark.createDataFrame(
+        [(1, f"{boiler}\ncorpus only body text")], "doc_id long, text string"
+    )
+    state = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=3,
+        substr_window=None, neardup=False,
+    )
+    b1 = spark.createDataFrame(
+        [(10, f"{boiler}\nfirst batch body text")], "doc_id long, text string"
+    )
+    out1, state1 = corpus.curate_and_update_state(
+        b1, state, assume_disjoint_ids=True
+    )
+    # count 2 < 3: batch-1 doc keeps the boilerplate line
+    assert out1.collect()[0].text == f"{boiler}\nfirst batch body text"
+
+    b2 = spark.createDataFrame(
+        [(20, f"{boiler}\nsecond batch body text")], "doc_id long, text string"
+    )
+    out2 = corpus.pretrain_curate_incremental(
+        b2, state1, assume_disjoint_ids=True
+    )
+    # the rolled-forward index carries batch 1's occurrence: 3 >= 3
+    assert out2.collect()[0].text == "second batch body text"
+
+    # params/cutpoints mismatches refuse to fold
+    other = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=2,
+        substr_window=None, neardup=False,
+    )
+    with pytest.raises(ValueError, match="different recipe params"):
+        corpus.merge_curation_states(state, other)
