@@ -1859,6 +1859,38 @@ def queries() -> _T:
             neardup=True,
             gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
         ),
+        # round 10: the ONE-CALL INCREMENTAL curation capstone, anchored
+        # end to end — the doc_id%4==0 quarter arrives as the new crawl
+        # batch against curation_state(rest) (frozen ccnet calibration
+        # from the corpus run, line/substr/shingle indexes at each
+        # stage's input, corpus cluster labels + quality), then flows
+        # through the full incremental chain incl. decontaminate. The
+        # oracle recomputes the append-only composition in DuckDB:
+        # corpus chain corpus-only (history immutable), batch stages
+        # merging counts with the corpus stage inputs, cutpoints frozen
+        # from the corpus side.
+        "pretrain_funnel_incr": lambda s, d: (
+            lambda rl: corpus.pretrain_funnel_incremental(
+                rl.where(F.col("doc_id") % 4 == 0),
+                corpus.curation_state(
+                    rl.where(F.col("doc_id") % 4 != 0),
+                    reference=_read(s, d, "documents").where(
+                        F.col("lang") == _CCNET_REF_LANG
+                    ),
+                    line_min_docs=3,
+                    substr_window=_SUBSTR_WINDOW,
+                    neardup=True,
+                    gopher_thresholds={
+                        "min_tokens": 20, "max_dup_token_frac": 0.9,
+                    },
+                ),
+                benchmark=_read(s, d, "documents").where(
+                    F.col("doc_id") % 100 == 0
+                ),
+                # %4 slices are disjoint by construction
+                assume_disjoint_ids=True,
+            )
+        )(_lines_augmented(_read(s, d, "documents"))),
         "split_leakage": lambda s, d: pipeline.split_leakage(
             _read(s, d, "documents")
         ),
@@ -3983,6 +4015,44 @@ def oracle_sql() -> dict[str, str]:
         "              WHERE doc_id IN (SELECT doc_id FROM s1)\n"
         "            ),\n            tok AS (",
     )
+    # pretrain_funnel_incr ccnet (round 10): same fragment, but the FROZEN
+    # CALIBRATION split — every gopher survivor (corpus AND batch) is
+    # scored by the same reference LM, while the band CUTPOINTS are
+    # computed over the CORPUS side only (doc_id % 4 != 0): exactly
+    # curation_state's calibration (cutpoints from the corpus run) applied
+    # to the batch via ccnet_apply, recomputed independently in DuckDB
+    incr_ccnet_sql = _must_replace(
+        _must_replace(
+            _must_replace(
+                _must_replace(base["ccnet_keep"], "FROM documents", "FROM reshaped"),
+                "              FROM tk\n            ),\n            tok AS (",
+                "              FROM tk\n"
+                "              WHERE doc_id IN (SELECT doc_id FROM s1all)\n"
+                "            ),\n            tok AS (",
+            ),
+            "nn AS (SELECT count(*) AS n FROM scored),",
+            "nn AS (SELECT count(*) AS n FROM scored WHERE doc_id % 4 != 0),",
+        ),
+        "                     row_number() OVER (ORDER BY avg_nll) AS rn\n"
+        "              FROM scored",
+        "                     row_number() OVER (ORDER BY avg_nll) AS rn\n"
+        "              FROM scored WHERE doc_id % 4 != 0",
+    )
+    # the near-dup + keeper fragment over the incr gate's combined stage-4
+    # relation (corpus frozen text ∪ batch rebuilt text): incremental
+    # clustering reconstructs FULL clusters exactly, so the oracle can
+    # compute them over the union directly
+    incr_surv_sql = _must_replace(
+        f"""
+        SELECT d.doc_id
+        FROM documents d
+        LEFT JOIN ({base["dedup_clusters"]}) cc ON d.doc_id = cc.doc_id
+        WHERE cc.doc_id IS NULL
+           OR d.doc_id IN (SELECT doc_id FROM ({keep_best_sql}))
+        """,
+        "FROM documents",
+        "FROM s4all",
+    )
     return {
         # ------------- pass-through oracles (gate == constituent) --------
         **{
@@ -4149,6 +4219,262 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM s6
+        """,
+        # round 10: pretrain_funnel_incr — the ONE-CALL INCREMENTAL
+        # curation capstone's composed oracle. The doc_id%4==0 quarter
+        # arrives as the new crawl batch against curation_state(rest);
+        # the oracle recomputes the append-only composition end to end in
+        # DuckDB: per-row stages (gopher; ccnet with the CORPUS-side
+        # cutpoints — the frozen calibration) score everything in one
+        # pass, the corpus chain (c2 -> c3 -> c4) is rebuilt CORPUS-ONLY
+        # (history immutable), and each batch stage merges its counts
+        # with the corpus stage INPUT exactly as the incremental
+        # operators do: line totals = corpus + batch distinct-doc counts,
+        # substr dup keys + keep-first keeper over (corpus ∪ batch)
+        # windows with only batch occurrences cut, near-dup clusters over
+        # the combined stage-4 relation (incremental CC reconstructs full
+        # clusters exactly), then decontaminate. Fragments are the gate
+        # suite's own, re-pointed with _must_replace.
+        "pretrain_funnel_incr": f"""
+            WITH tok0 AS (
+              SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents
+            ),
+            reshaped AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     array_to_string(
+                       list_transform(
+                         range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
+                         i -> array_to_string(t[i*8+1 : i*8+8], ' ')
+                       ), chr(10)) AS text
+              FROM tok0
+            ),
+            s0 AS MATERIALIZED (
+              SELECT doc_id, text FROM reshaped
+              WHERE length(coalesce(text, '')) > 0
+            ),
+            go AS ({_must_replace(_must_replace(_must_replace(base["gopher"],
+                    "FROM documents", "FROM s0"),
+                    "WHEN n_tokens < 50 ", "WHEN n_tokens < 20 "),
+                    "WHEN dup_token_frac > 0.3 ",
+                    "WHEN dup_token_frac > 0.9 ")}),
+            s1all AS MATERIALIZED (
+              SELECT s0.doc_id, s0.text FROM s0 JOIN go USING (doc_id)
+              WHERE go.gopher_fail_mask = 0
+            ),
+            cn AS ({incr_ccnet_sql}),
+            s2all AS MATERIALIZED (
+              SELECT s1all.doc_id, s1all.text FROM s1all
+              WHERE s1all.doc_id IN (SELECT doc_id FROM cn)
+            ),
+            c2 AS (SELECT * FROM s2all WHERE doc_id % 4 != 0),
+            b2 AS (SELECT * FROM s2all WHERE doc_id % 4 = 0),
+            clines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM c2
+            ),
+            blines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM b2
+            ),
+            ccnt AS (
+              SELECT line, count(DISTINCT doc_id) AS n FROM clines GROUP BY line
+            ),
+            bcnt AS (
+              SELECT line, count(DISTINCT doc_id) AS n FROM blines GROUP BY line
+            ),
+            c3 AS MATERIALIZED (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM (SELECT l.doc_id, l.pos, l.line
+                    FROM clines l JOIN ccnt c USING (line) WHERE c.n < 3)
+              GROUP BY doc_id
+              HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
+            ),
+            b3 AS MATERIALIZED (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM (SELECT l.doc_id, l.pos, l.line
+                    FROM blines l
+                    JOIN bcnt b USING (line)
+                    LEFT JOIN ccnt c USING (line)
+                    WHERE b.n + coalesce(c.n, 0) < 3)
+              GROUP BY doc_id
+              HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
+            ),
+            cd3 AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+              FROM c3
+            ),
+            bd3 AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+              FROM b3
+            ),
+            cwins AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, len(toks) - {_SUBSTR_WINDOW} + 1),
+                         i -> {{'pos': i,
+                                'h': md5(array_to_string(
+                                       toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
+                FROM cd3
+              )
+            ),
+            bwins AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, len(toks) - {_SUBSTR_WINDOW} + 1),
+                         i -> {{'pos': i,
+                                'h': md5(array_to_string(
+                                       toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
+                FROM bd3
+              )
+            ),
+            cdupk AS (SELECT h FROM cwins GROUP BY h HAVING count(*) >= 2),
+            ccut AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM (SELECT w.doc_id, w.pos, w.h
+                      FROM cwins w JOIN cdupk USING (h))
+              ) WHERE rn > 1
+            ),
+            cisl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                          ORDER BY pos) <= {_SUBSTR_WINDOW}
+                                THEN 0 ELSE 1 END AS b
+                    FROM ccut)
+            ),
+            cspans AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS start,
+                     CAST(max(pos) + {_SUBSTR_WINDOW} AS INT) AS "end"
+              FROM cisl GROUP BY doc_id, g
+            ),
+            c4 AS MATERIALIZED (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+              FROM (
+                SELECT p.doc_id, p.pos, p.t FROM (
+                  SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(toks)),
+                                  j -> {{'pos': j, 't': toks[j+1]}})) AS u
+                    FROM cd3
+                  )
+                ) p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM cspans s
+                  WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+                )
+              )
+              GROUP BY doc_id
+              HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
+            ),
+            allwins AS (
+              SELECT * FROM cwins UNION ALL SELECT * FROM bwins
+            ),
+            adupk AS (SELECT h FROM allwins GROUP BY h HAVING count(*) >= 2),
+            bcut AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM (SELECT w.doc_id, w.pos, w.h
+                      FROM allwins w JOIN adupk USING (h))
+              ) WHERE rn > 1 AND doc_id % 4 = 0
+            ),
+            bisl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                          ORDER BY pos) <= {_SUBSTR_WINDOW}
+                                THEN 0 ELSE 1 END AS b
+                    FROM bcut)
+            ),
+            bspans AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS start,
+                     CAST(max(pos) + {_SUBSTR_WINDOW} AS INT) AS "end"
+              FROM bisl GROUP BY doc_id, g
+            ),
+            b4 AS MATERIALIZED (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+              FROM (
+                SELECT p.doc_id, p.pos, p.t FROM (
+                  SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(toks)),
+                                  j -> {{'pos': j, 't': toks[j+1]}})) AS u
+                    FROM bd3
+                  )
+                ) p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM bspans s
+                  WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+                )
+              )
+              GROUP BY doc_id
+              HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
+            ),
+            s4all AS MATERIALIZED (
+              SELECT * FROM c4 UNION ALL SELECT * FROM b4
+            ),
+            b5 AS MATERIALIZED (
+              SELECT b4.doc_id, b4.text FROM b4
+              WHERE b4.doc_id IN (SELECT doc_id FROM ({incr_surv_sql}))
+            ),
+            b6 AS (
+              SELECT b5.doc_id, b5.text FROM b5
+              WHERE b5.doc_id NOT IN (
+                SELECT DISTINCT c.doc_id
+                FROM (WITH {_must_replace(_SHINGLES_CTE,
+                            "FROM documents", "FROM b5")}
+                      SELECT doc_id, sh FROM sh) c
+                JOIN (WITH {_SHINGLES_CTE}
+                      SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0) b
+                  ON c.sh = b.sh
+              )
+            )
+            SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+                   count(*) AS n_docs,
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT) AS n_tokens
+            FROM (SELECT text FROM s0 WHERE doc_id % 4 = 0)
+            UNION ALL
+            SELECT CAST(1 AS INT), 'gopher', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM (SELECT text FROM s1all WHERE doc_id % 4 = 0)
+            UNION ALL
+            SELECT CAST(2 AS INT), 'ccnet', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM b2
+            UNION ALL
+            SELECT CAST(3 AS INT), 'line_dedup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM b3
+            UNION ALL
+            SELECT CAST(4 AS INT), 'exact_substr', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM b4
+            UNION ALL
+            SELECT CAST(5 AS INT), 'neardup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM b5
+            UNION ALL
+            SELECT CAST(6 AS INT), 'decontaminate', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM b6
         """,
         # ------------- variant-tagged unions of same-schema twins --------
         # batch + stream-replay follow counts: the SAME IEJoin oracle per

@@ -375,6 +375,29 @@ def run_suite(spark, sf_dir: str, timed) -> None:
 
     timed("wordpiece_tokenize", wordpiece)
 
+    # lm_merge (round 10 — the directive-7 scale row): the shard-artifact
+    # fold itself, timed in its production shape — three MATERIALIZED
+    # shard LMs (fit untimed; at 100 TB they are persisted parquet) merged
+    # into one artifact and fully consumed. Vocabulary-keyed groupBys over
+    # artifact rows, never corpus rows: the time should stay flat-ish in
+    # corpus size (vocab grows sublinearly), which the 5x tier's ratio row
+    # makes checkable.
+    from spark_iforest_spark.checkpoint import snapshot as _snap
+
+    lm_shards = []
+    for i in range(3):
+        lm_i, lm_h = text.lm_fit(
+            docs.where(F.col("doc_id") % 3 == i), return_handle=True
+        )
+        # eager: materialize the artifact NOW (untimed setup), then release
+        # the fit's persisted unigram blocks — the ccnet_filter lifecycle
+        lm_shards.append(_snap(lm_i, eager=True))
+        lm_h.release()
+    timed(
+        "lm_merge",
+        lambda: text.lm_merge(*lm_shards).agg(F.sum("cnt")).collect(),
+    )
+
     # the flagship curation composition (round 9 — promoted to a headline
     # query once a clean cold/warm A/B proved it data-bound, not codegen-
     # bound: 22.8 s cold / 15.8 s third-action warm at sf0.1, probes
