@@ -1183,6 +1183,33 @@ def _pa_lm_merge_check(docs: DataFrame) -> bool:
             h.release()
 
 
+def _pa_dsir_merge_check(docs: DataFrame) -> bool:
+    """dsir_merge's fold-losslessness, value-anchored (round 10): fitting
+    the hashed-ngram importance estimator on three disjoint (target, raw)
+    doc_id slices and merging the artifacts must reproduce the one-shot
+    fit BIT-EXACTLY (bucket counts are the sufficient statistic; snapped
+    log ratios recomputed from merged counts through the shared
+    _dsir_rows builder). Distributed set equality, no driver collect.
+    Same params as the dsir_select gate (target = the 'de' slice,
+    n_buckets=2048)."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    target = docs.where(F.col("lang") == "de")
+    full = snapshot(pipeline.dsir_estimator(target, docs, n_buckets=2048))
+    shards = [
+        snapshot(
+            pipeline.dsir_estimator(
+                target.where(F.col("doc_id") % 3 == i),
+                docs.where(F.col("doc_id") % 3 == i),
+                n_buckets=2048,
+            )
+        )
+        for i in range(3)
+    ]
+    merged = pipeline.dsir_merge(*shards, n_buckets=2048)
+    return full.exceptAll(merged).isEmpty() and merged.exceptAll(full).isEmpty()
+
+
 def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_iforest_spark.operators import drift
 
@@ -1311,6 +1338,9 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round 9: sharded LM fit + artifact merge == one-shot fit,
         # bit-exact (distributed set equality; see _pa_lm_merge_check)
         ("lm_merge_match", 1.0 if _pa_lm_merge_check(docs) else 0.0),
+        # round 10: sharded DSIR estimator fit + artifact merge ==
+        # one-shot fit, bit-exact (see _pa_dsir_merge_check)
+        ("dsir_merge_match", 1.0 if _pa_dsir_merge_check(docs) else 0.0),
     ]
 
     mk = lambda rows: spark.createDataFrame(rows, "key string, value double")
@@ -2699,6 +2729,7 @@ def _pipeline_artifacts_sql() -> str:
         UNION ALL SELECT 'quality_fit_layout_stable', 1.0
         UNION ALL SELECT 'quality_auc_ok', 1.0
         UNION ALL SELECT 'lm_merge_match', 1.0
+        UNION ALL SELECT 'dsir_merge_match', 1.0
     """
     return _variants_sql(
         ("word_count", wc),

@@ -1094,3 +1094,66 @@ def _state_from_capture(
         quality=quality,
         params=p,
     )
+
+
+_STATE_RELATIONS = (
+    "ids", "lm", "line_index", "substr_index", "shingle_index", "labels",
+    "quality",
+)
+
+
+def save_curation_state(state: CurationState, path: str) -> None:
+    """Persist a :class:`CurationState` under ``path``: one parquet
+    directory per artifact relation plus ``state.json`` (params,
+    cutpoints, and which relations are present). Writing IS the
+    materialization point the incremental path wants anyway (the lm /
+    index relations must be materialized before multi-consume scoring),
+    so the production loop is: build state → save → every later session
+    ``load_curation_state`` and ingests batches against parquet-backed
+    artifacts. Works on any Hadoop-visible filesystem (local, HDFS,
+    s3a://) via the session's FS — the fs.save_json pathway."""
+    from spark_iforest_spark import fs
+
+    spark = state.ids.sparkSession
+    present = []
+    for name in _STATE_RELATIONS:
+        rel = getattr(state, name)
+        if rel is not None:
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+            present.append(name)
+    fs.save_json(
+        spark,
+        f"{path}/state.json",
+        {
+            "params": state.params,
+            "cutpoints": state.cutpoints,
+            "relations": present,
+        },
+    )
+
+
+def load_curation_state(spark, path: str) -> CurationState:
+    """Rebuild a :class:`CurationState` saved by
+    :func:`save_curation_state`. Relations come back as parquet scans —
+    materialized by definition, broadcast-stats intact — and tuple-typed
+    params are restored from their JSON list form."""
+    from spark_iforest_spark import fs
+
+    meta = fs.load_json(spark, f"{path}/state.json")
+    params = dict(meta["params"])
+    params["ccnet_keep_bands"] = tuple(params["ccnet_keep_bands"])
+    rels = {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in meta["relations"]
+    }
+    return CurationState(
+        ids=rels["ids"],
+        lm=rels.get("lm"),
+        cutpoints=meta["cutpoints"],
+        line_index=rels.get("line_index"),
+        substr_index=rels.get("substr_index"),
+        shingle_index=rels.get("shingle_index"),
+        labels=rels.get("labels"),
+        quality=rels.get("quality"),
+        params=params,
+    )

@@ -1140,9 +1140,7 @@ def dsir_estimator(
         "cnt", "cnt_t"
     )
     r = _dsir_bucket_counts(raw, text_col, m, salt).withColumnRenamed("cnt", "cnt_r")
-    a = float(alpha)
-    tot = Window.partitionBy()
-    full = (
+    counts = (
         buckets.join(t, "bucket", "left")
         .join(r, "bucket", "left")
         .select(
@@ -1150,14 +1148,25 @@ def dsir_estimator(
             F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
             F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
         )
-        .select(
-            "bucket",
-            "cnt_t",
-            "cnt_r",
-            # exact integer gram totals: Σ bucket counts == count of grams
-            F.sum("cnt_t").over(tot).cast("double").alias("_nt"),
-            F.sum("cnt_r").over(tot).cast("double").alias("_nr"),
-        )
+    )
+    return _dsir_rows(counts, m, alpha)
+
+
+def _dsir_rows(counts: DataFrame, m: int, alpha: float) -> DataFrame:
+    """Full-spine (bucket, cnt_t, cnt_r) counts → the frozen estimator
+    relation. Shared by ``dsir_estimator`` (counts from one corpus pass)
+    and ``dsir_merge`` (counts summed across shard artifacts) so both
+    produce bit-identical rows: the snapped log ratios are pure functions
+    of the exact integer counts — the _lm_rows discipline."""
+    a = float(alpha)
+    tot = Window.partitionBy()
+    full = counts.select(
+        "bucket",
+        "cnt_t",
+        "cnt_r",
+        # exact integer gram totals: Σ bucket counts == count of grams
+        F.sum("cnt_t").over(tot).cast("double").alias("_nt"),
+        F.sum("cnt_r").over(tot).cast("double").alias("_nr"),
     )
     log_t = F.log((F.col("cnt_t").cast("double") + F.lit(a)) / (F.col("_nt") + F.lit(a * m)))
     log_r = F.log((F.col("cnt_r").cast("double") + F.lit(a)) / (F.col("_nr") + F.lit(a * m)))
@@ -1169,6 +1178,39 @@ def dsir_estimator(
         .cast("long")
         .alias("log_ratio_micro"),
     )
+
+
+def dsir_merge(
+    *estimators: DataFrame, n_buckets: int = 10_000, alpha: float = 1.0
+) -> DataFrame:
+    """Merge frozen ``dsir_estimator`` artifacts into ONE — bit-identical
+    to fitting on the concatenated (target, raw) corpora, without
+    re-reading any text: the artifact's integer bucket counts are the
+    sufficient statistic, merged by plain per-bucket sums, and the
+    snapped log ratios are recomputed from the merged counts with the
+    SAME expressions the fit uses (``_dsir_rows``) — the lm_merge /
+    table_profile fold-lossless discipline, gate- and pytest-pinned.
+
+    The 100 TB shape: profile each (target, raw) shard pair
+    independently — one corpus pass each, an m-row artifact — persist,
+    merge in milliseconds, re-merge when a shard is rebuilt. Everything
+    here is m-row-keyed; no corpus is touched. ``n_buckets`` and
+    ``alpha`` MUST match the shard fits (every shard artifact always
+    carries its full m-row spine, so the merged spine is complete by
+    construction — a mismatched n_buckets would change the digest space,
+    same caveat as the substr window)."""
+    from functools import reduce
+
+    merged = (
+        reduce(DataFrame.unionByName,
+               [e.select("bucket", "cnt_t", "cnt_r") for e in estimators])
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt_t").cast("long").alias("cnt_t"),
+            F.sum("cnt_r").cast("long").alias("cnt_r"),
+        )
+    )
+    return _dsir_rows(merged, int(n_buckets), alpha)
 
 
 def dsir_weights(

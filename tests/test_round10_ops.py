@@ -460,3 +460,107 @@ def test_update_curation_state_accumulates_counts(spark):
     )
     with pytest.raises(ValueError, match="different recipe params"):
         corpus.merge_curation_states(state, other)
+
+
+# ---------------------------------------------------------------------------
+# dsir_merge (round 10): sharded estimator fits fold bit-exactly
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_merge_equals_oneshot(spark, sf_dir):
+    docs = _corpus_docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "de")
+    one = sorted(
+        map(tuple, pipeline.dsir_estimator(target, docs, n_buckets=512).collect())
+    )
+    shards = [
+        snapshot(
+            pipeline.dsir_estimator(
+                target.where(F.col("doc_id") % 3 == i),
+                docs.where(F.col("doc_id") % 3 == i),
+                n_buckets=512,
+            )
+        )
+        for i in range(3)
+    ]
+    merged = sorted(
+        map(tuple, pipeline.dsir_merge(*shards, n_buckets=512).collect())
+    )
+    assert merged == one and one
+
+
+def test_dsir_merge_empty_shard_is_noop(spark, sf_dir):
+    docs = _corpus_docs(spark, sf_dir).limit(40)
+    target = docs.where(F.col("lang") == "de")
+    est = snapshot(pipeline.dsir_estimator(target, docs, n_buckets=256))
+    empty = snapshot(
+        pipeline.dsir_estimator(
+            target.where(F.lit(False)), docs.where(F.lit(False)), n_buckets=256
+        )
+    )
+    merged = sorted(
+        map(tuple, pipeline.dsir_merge(est, empty, n_buckets=256).collect())
+    )
+    assert merged == sorted(map(tuple, est.collect()))
+
+
+# ---------------------------------------------------------------------------
+# CurationState persistence: save -> load -> identical incremental verdicts
+# ---------------------------------------------------------------------------
+
+
+def test_curation_state_save_load_roundtrip(spark, tmp_path):
+    boiler = "ad footer banner here"
+    corp = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nsolo alpha beta gamma"),
+            (2, f"{boiler}\nwx xy yz zq corpus tail words"),
+            (3, "totally original content lives right here today"),
+        ],
+        "doc_id long, text string",
+    )
+    # batch texts walk SEEN reference bigrams (so they band head/middle
+    # under the frozen tiny-corpus LM) while their surviving 4-token
+    # windows are novel re-orderings (so ExactSubstr cuts the copied run
+    # but leaves a non-empty tail): doc 10 = doc 2's text + a re-start
+    # that substr trims back to "ad footer banner"; doc 11 = the boiler
+    # line (removed: corpus 2 + batch 1 >= 3) over a 3-token line too
+    # short to window
+    batch = spark.createDataFrame(
+        [
+            (10, f"{boiler} wx xy yz zq corpus tail words ad footer banner"),
+            (11, f"{boiler}\nsolo alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    state = corpus.curation_state(
+        corp, reference=corp, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    want = {
+        r.doc_id: r.text
+        for r in corpus.pretrain_curate_incremental(
+            batch, state, assume_disjoint_ids=True
+        ).collect()
+    }
+    # every stage did real cross-boundary work and left survivors
+    assert want == {10: "ad footer banner", 11: "solo alpha beta"}
+
+    path = str(tmp_path / "state")
+    corpus.save_curation_state(state, path)
+    loaded = corpus.load_curation_state(spark, path)
+    assert loaded.params == state.params
+    assert loaded.cutpoints == state.cutpoints
+    got = {
+        r.doc_id: r.text
+        for r in corpus.pretrain_curate_incremental(
+            batch, loaded, assume_disjoint_ids=True
+        ).collect()
+    }
+    assert got == want
+
+    # the exact disjointness guard works against the reloaded id relation
+    with pytest.raises(ValueError, match="overlap"):
+        corpus.pretrain_curate_incremental(
+            corp.limit(1), loaded, benchmark=None
+        )
