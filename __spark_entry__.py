@@ -1565,6 +1565,21 @@ def queries() -> _T:
                     ),
                 ),
             ),
+            # round 10: the EXACT-jaccard incremental twin — same quarter
+            # batch against a persisted inverted shingle index; contract
+            # is the full exact relation restricted to batch-touching
+            # pairs (the oracle filters the same full SQL)
+            (
+                "ngram_incr",
+                dedup.ngram_jaccard_pairs_incremental(
+                    _read(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+                    dedup.shingle_index(
+                        _read(s, d, "documents").where(F.col("doc_id") % 4 != 0)
+                    ),
+                    # %4 slices are disjoint by construction
+                    assume_disjoint_ids=True,
+                ),
+            ),
             # round 8: asymmetric containment (quote/boilerplate detector)
             # — per-direction |∩|/|X| values ride the jaccard column, one
             # variant per direction, BOTH projected from one shared pair
@@ -4605,6 +4620,13 @@ def oracle_sql() -> dict[str, str]:
             # full relation restricted to pairs touching a new doc
             (
                 "minhash_incr",
+                f"SELECT * FROM ({base['dedup_ngram_jaccard']}) "
+                "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
+            ),
+            # round 10: the exact-jaccard incremental twin shares the
+            # minhash_incr contract — and therefore its oracle
+            (
+                "ngram_incr",
                 f"SELECT * FROM ({base['dedup_ngram_jaccard']}) "
                 "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0",
             ),
