@@ -63,6 +63,12 @@ SCAN_BUDGET: dict[str, int] = {
     "embedding_neardup": 26,
     # full + incr simhash variants over documents slices
     "dedup_simhash": 20,
+    # round 10: six independent variants over documents (ngram_exact,
+    # minhash_lsh, minhash_incr, ngram_incr, containment a+b off one
+    # shared chain) — ngram_incr adds its own batch-shingle read plus the
+    # 3/4-slice shingle_index build; no single pipeline re-reads its own
+    # input
+    "dedup_jaccard_pairs": 18,
 }
 
 PY_NODES = re.compile(
