@@ -1917,7 +1917,10 @@ def queries() -> _T:
         "pretrain_funnel_incr": lambda s, d: (
             lambda rl: corpus.pretrain_funnel_incremental(
                 rl.where(F.col("doc_id") % 4 == 0),
-                corpus.curation_state(
+                # materialized = the persisted-artifact stand-in (the
+                # shingle index is probed twice by pair generation; lazy
+                # it would rebuild per probe)
+                corpus.materialize_curation_state(corpus.curation_state(
                     rl.where(F.col("doc_id") % 4 != 0),
                     reference=_read(s, d, "documents").where(
                         F.col("lang") == _CCNET_REF_LANG
@@ -1928,7 +1931,7 @@ def queries() -> _T:
                     gopher_thresholds={
                         "min_tokens": 20, "max_dup_token_frac": 0.9,
                     },
-                ),
+                )),
                 benchmark=_read(s, d, "documents").where(
                     F.col("doc_id") % 100 == 0
                 ),

@@ -423,6 +423,32 @@ def run_suite(spark, sf_dir: str, timed) -> None:
             gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
         ).count(),
     )
+    # the INCREMENTAL steady state (round 10): the state is built once on
+    # the doc_id%4!=0 three-quarters and materialized (the persisted-
+    # artifact stand-in, untimed — production reads it back as parquet);
+    # timing covers only the per-batch work of curating the %4==0 quarter
+    # against it: the number a daily crawl pays instead of re-running
+    # pretrain_curate over the whole corpus. Same params as the full
+    # composition, so full-vs-incremental is apples-to-apples.
+    cur_state = corpus.materialize_curation_state(
+        corpus.curation_state(
+            reshaped.where(F.col("doc_id") % 4 != 0),
+            reference=docs.where(F.col("lang") == "en"),
+            line_min_docs=3,
+            substr_window=8,
+            neardup=True,
+            gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
+        )
+    )
+    timed(
+        "pretrain_curate_incr",
+        lambda: corpus.pretrain_curate_incremental(
+            reshaped.where(F.col("doc_id") % 4 == 0),
+            cur_state,
+            benchmark=docs.where(F.col("doc_id") % 100 == 0),
+            assume_disjoint_ids=True,
+        ).count(),
+    )
     timed(
         "pricing_summary",
         lambda: relational.pricing_summary(read_table(spark, sf_dir, "lineitem")).count(),
@@ -640,7 +666,10 @@ def main() -> None:
             tier_times: dict[str, float | None] = {}
 
             tier_t0 = time.time()
-            tier_budget = float(os.environ.get("SPARK_GRAFT_TIER_BUDGET_SEC", "300"))
+            # 420 s default (round 10 — was 300): the suite grew to 21
+            # queries (lm_merge, pretrain_curate_incr) and the round-10
+            # record showed the old budget truncating the tier's tail
+            tier_budget = float(os.environ.get("SPARK_GRAFT_TIER_BUDGET_SEC", "420"))
             truncated = []
 
             def timed_once(name: str, fn) -> None:

@@ -969,11 +969,15 @@ def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
     if p["neardup"]:
         sh_idx = merge_shingle_indexes(a.shingle_index, b.shingle_index)
         quality = a.quality.unionByName(b.quality)
+        # broadcast_batch=False: unlike the crawl loop, BOTH sides here
+        # are corpus-sized shard indexes — broadcasting shard B's shingle
+        # key set would ship a corpus-scale relation to every executor.
+        # The shuffle semi-join path keys both sides by digest instead.
         cross = _jaccard_pairs_vs_index(
             b.shingle_index.select("did", "sh"),
             a.shingle_index.select("did", "sh"),
             p["jaccard_threshold"],
-            True,
+            False,
         ).select("doc_a", "doc_b")
         star_b = b.labels.select(
             F.col(id_col).alias("doc_a"), F.col("cluster_rep").alias("doc_b")
@@ -1157,3 +1161,24 @@ def load_curation_state(spark, path: str) -> CurationState:
         quality=rels.get("quality"),
         params=params,
     )
+
+
+def materialize_curation_state(state: CurationState) -> CurationState:
+    """Snapshot every artifact relation in place (eager localCheckpoint /
+    reliable checkpoint per the session conf) and return the state.
+
+    Sessions that build a state and immediately ingest against it —
+    without the parquet round-trip of :func:`save_curation_state` —
+    want this: the incremental chain probes several artifacts more than
+    once (the shingle index twice per pair generation; every index once
+    per batch RUN when benchmarking), and a lazy artifact re-executes
+    its build per consumption. After :func:`load_curation_state` this is
+    a no-op-shaped convenience (parquet scans are already materialized).
+    """
+    from spark_iforest_spark.checkpoint import snapshot
+
+    for name in _STATE_RELATIONS:
+        rel = getattr(state, name)
+        if rel is not None:
+            setattr(state, name, snapshot(rel, eager=True))
+    return state
