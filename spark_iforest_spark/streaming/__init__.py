@@ -620,3 +620,112 @@ def sessionize_stream_merging(
             "sum_value",
         )
     )
+
+
+def curate_batch_version(
+    spark: SparkSession,
+    state_dir: str,
+    output_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> None:
+    """One ``curate_stream`` step: read the latest persisted CurationState
+    version AT OR BELOW ``batch_id``, run the frozen-calibration 6-stage
+    incremental chain (``corpus.curate_and_update_state``) on the batch,
+    write the curated batch under ``output_dir/b{batch_id}`` and the
+    rolled-forward state under ``state_dir/v{batch_id + 1}``.
+
+    The parent rule makes a retried batch idempotent under foreachBatch's
+    at-least-once contract: batch ``b`` writes ``v{b+1}`` and reads the
+    newest version ``<= b``, so it can never read its own (possibly
+    partial) output — a retry re-reads the same parent and regenerates
+    bit-identical curated rows and state (pytest-pinned, same argument as
+    ``merge_index_version``). The initial state — built once from the
+    immutable corpus with ``corpus.curation_state`` — must be saved at
+    ``state_dir/v0`` before the stream starts.
+
+    The default-on disjointness guard runs per batch against the PARENT
+    state's id relation, so a crawl that re-delivers an already-ingested
+    document in a LATER batch fails loudly instead of double-counting
+    (a same-batch retry passes: its parent predates its own ingest).
+    """
+    from spark_iforest_spark.operators import corpus
+
+    parents = [v for v in _index_versions(spark, state_dir) if v <= batch_id]
+    if not parents:
+        raise ValueError(
+            f"curate_stream: no CurationState version <= {batch_id} under "
+            f"{state_dir} — save the corpus state at {state_dir}/v0 "
+            "(corpus.curation_state -> corpus.save_curation_state) before "
+            "starting the stream"
+        )
+    state = corpus.load_curation_state(spark, f"{state_dir}/v{parents[-1]}")
+    curated, new_state = corpus.curate_and_update_state(
+        batch_df,
+        state,
+        benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids,
+    )
+    curated.write.mode("overwrite").parquet(f"{output_dir}/b{batch_id}")
+    corpus.save_curation_state(new_state, f"{state_dir}/v{batch_id + 1}")
+
+
+def curate_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+):
+    """Continuous crawl curation — the streaming driver of the one-call
+    incremental-curation capstone: every micro-batch runs
+    ``pretrain_curate_incremental`` against the latest persisted
+    :class:`~spark_iforest_spark.operators.corpus.CurationState` and rolls
+    the state forward, so batch N+1 dedups against (corpus ∪ batches
+    1..N) with zero Structured-Streaming state (the durable state lives
+    in the versioned parquet artifacts, not the state store — restarts
+    and retries resume from the newest committed version).
+
+    Per-batch cost is the incremental chain's: the batch's own stage work
+    plus bounded index probes (batch-keyed semi-joins); the state write
+    re-persists each artifact relation — at 100 TB the per-version full
+    rewrite is the demo simplification, exactly as for
+    ``incremental_dedup_ingest``: a MERGE INTO format (Delta/Iceberg)
+    replaces the version dance with the row-level count upserts the
+    merge folds already emit, and the frozen ``lm`` artifact (identical
+    across versions) becomes a write-once reference.
+
+    Returns the started StreamingQuery (availableNow-triggered: it
+    terminates when the backlog drains; ``awaitTermination`` to block).
+    Read the final state back with :func:`latest_curation_state` and the
+    curated corpus delta with ``spark.read.parquet(f"{output_dir}/b*")``.
+    """
+    spark = stream_docs.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch_version(
+            spark,
+            state_dir,
+            output_dir,
+            batch_df,
+            batch_id,
+            benchmark=benchmark,
+            assume_disjoint_ids=assume_disjoint_ids,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_curation_state(spark: SparkSession, state_dir: str):
+    """Load the newest CurationState version written by
+    :func:`curate_stream` (Hadoop-FS listing — any filesystem URI)."""
+    from spark_iforest_spark.operators import corpus
+
+    versions = _index_versions(spark, state_dir)
+    return corpus.load_curation_state(spark, f"{state_dir}/v{versions[-1]}")

@@ -436,3 +436,152 @@ def test_incremental_neardup_ingest_matches_batch(spark, sf_dir, tmpdir):
     )
     want = sorted(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# curate_stream: streaming driver of the incremental-curation capstone
+# ---------------------------------------------------------------------------
+
+
+def _curation_micro_corpus(spark):
+    boiler = "ad footer banner here"
+    corp = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nsolo alpha beta gamma"),
+            (2, f"{boiler}\nwx xy yz zq corpus tail words"),
+            (3, "totally original content lives right here today"),
+        ],
+        "doc_id long, text string",
+    )
+    batches = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in (
+            # boiler line crosses min_docs=3 only WITH the corpus counts;
+            # doc 11's window run is an ExactSubstr cut vs the index
+            [
+                (10, f"{boiler}\nsolo alpha beta"),
+                (11, f"{boiler} wx xy yz zq corpus tail words ad footer banner"),
+            ],
+            # near-dup of corpus doc 3 (loses to the shipped copy) plus a
+            # fresh doc whose boiler copy is now count>=3 via batch 1's ingest
+            [
+                (20, "totally original content lives right here today"),
+                (21, f"{boiler}\nbrand new one of a kind"),
+            ],
+            [(30, "closing unrelated plain words batch")],
+        )
+    ]
+    return corp, batches
+
+
+def test_curate_batch_version_retry_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-running a batch id must regenerate
+    the identical curated part AND the identical state version (the parent
+    rule reads only versions <= batch_id, never the batch's own output)."""
+    from spark_iforest_spark.operators import corpus
+
+    corp, batches = _curation_micro_corpus(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    # no ccnet here (reference=None): batch 1's novel texts would band out
+    # under the tiny frozen LM and leave nothing to compare the retry on
+    st = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    corpus.save_curation_state(st, state_dir + "/v0")
+    S.curate_batch_version(spark, state_dir, out_dir, batches[0], 0)
+    S.curate_batch_version(spark, state_dir, out_dir, batches[1], 1)
+    first_out = sorted(map(tuple, spark.read.parquet(out_dir + "/b1").collect()))
+    first_line = sorted(
+        map(tuple, spark.read.parquet(state_dir + "/v2/line_index").collect())
+    )
+    first_ids = sorted(
+        r[0] for r in spark.read.parquet(state_dir + "/v2/ids").collect()
+    )
+    S.curate_batch_version(spark, state_dir, out_dir, batches[1], 1)  # retry
+    assert first_out == sorted(
+        map(tuple, spark.read.parquet(out_dir + "/b1").collect())
+    )
+    assert first_line == sorted(
+        map(tuple, spark.read.parquet(state_dir + "/v2/line_index").collect())
+    )
+    assert first_ids == sorted(
+        r[0] for r in spark.read.parquet(state_dir + "/v2/ids").collect()
+    )
+    assert len(first_out) > 0
+
+
+def test_curate_stream_matches_sequential_replay(spark, tmpdir):
+    """Multi-micro-batch streaming curation == running the batch-mode
+    incremental chain sequentially over the SAME batches: per-part curated
+    rows bit-equal, final state artifacts set-equal. Batch composition is
+    recovered from the versioned states' id deltas (ids(v{b+1}) −
+    ids(v{b})), so the assertion is order-faithful no matter which file
+    each micro-batch picked up."""
+    from spark_iforest_spark.operators import corpus
+
+    corp, batches = _curation_micro_corpus(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    src = str(tmpdir) + "/src"
+    st = corpus.curation_state(
+        corp, reference=corp, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    corpus.save_curation_state(st, state_dir + "/v0")
+    all_docs = batches[0]
+    for b in batches[1:]:
+        all_docs = all_docs.unionByName(b)
+    for b in batches:  # one part file per batch => 3 micro-batches
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = S.curate_stream(stream, state_dir, out_dir)
+    q.awaitTermination()
+
+    from spark_iforest_spark import fs as hfs
+
+    versions = sorted(
+        int(c["name"][1:])
+        for c in hfs.list_children(spark, state_dir)
+        if c["name"].startswith("v")
+    )
+    assert versions == [0, 1, 2, 3]
+
+    # replay in batch mode over the actual micro-batch composition
+    ids_of = {
+        v: {r[0] for r in spark.read.parquet(f"{state_dir}/v{v}/ids").collect()}
+        for v in versions
+    }
+    replay = corpus.load_curation_state(spark, state_dir + "/v0")
+    for b in range(3):
+        batch_ids = ids_of[b + 1] - ids_of[b]
+        assert batch_ids  # every micro-batch ingested something
+        batch_df = all_docs.where(F.col("doc_id").isin(*batch_ids))
+        out, replay = corpus.curate_and_update_state(batch_df, replay)
+        got = sorted(map(tuple, spark.read.parquet(f"{out_dir}/b{b}").collect()))
+        want = sorted(map(tuple, out.collect()))
+        assert got == want, f"batch {b}: {got} != {want}"
+
+    final = S.latest_curation_state(spark, state_dir)
+    for rel in ("ids", "line_index", "substr_index", "shingle_index",
+                "labels", "quality"):
+        got = sorted(map(tuple, getattr(final, rel).collect()))
+        want = sorted(map(tuple, getattr(replay, rel).collect()))
+        assert got == want, f"state relation {rel} diverged"
+
+    # the stream did real cross-boundary work: doc 20 (near-dup of corpus
+    # doc 3) was dropped, doc 10's boiler line was rebuilt out
+    curated = {
+        r.doc_id: r.text for r in spark.read.parquet(out_dir + "/b*").collect()
+    }
+    assert 20 not in curated
+    assert curated[10] == "solo alpha beta"
+
+
+def test_curate_stream_requires_initial_state(spark, tmpdir):
+    b = spark.createDataFrame([(1, "plain words")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="v0"):
+        S.curate_batch_version(
+            spark, str(tmpdir) + "/nostate", str(tmpdir) + "/out", b, 0
+        )
