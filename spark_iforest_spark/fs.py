@@ -33,6 +33,16 @@ def exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def delete(spark, path: str, recursive: bool = True) -> bool:
+    """Delete ``path`` (tree) through the Hadoop FileSystem — the retention
+    primitive the versioned sinks' pruning uses. Returns False if the path
+    did not exist (idempotent: a retried prune is a no-op)."""
+    fs, p = _resolve(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
 def list_children(spark, path: str) -> list[dict]:
     """Immediate children of ``path`` as
     ``{"name", "path", "size", "is_dir"}`` dicts; empty list if the path

@@ -729,3 +729,40 @@ def latest_curation_state(spark: SparkSession, state_dir: str):
 
     versions = _index_versions(spark, state_dir)
     return corpus.load_curation_state(spark, f"{state_dir}/v{versions[-1]}")
+
+
+def prune_versions(
+    spark: SparkSession, versioned_dir: str, keep: int = 2
+) -> list[int]:
+    """Retention for the FULL-REWRITE versioned sinks — the digest index
+    (``incremental_dedup_ingest``'s ``v{N}``) and the curation state
+    (``curate_stream``'s ``v{N}``): delete all but the newest ``keep``
+    versions and return the pruned version ids.
+
+    Only the newest version is ever read forward (``latest_dedup_index`` /
+    ``latest_curation_state``); older versions exist solely as parents for
+    the at-least-once retry window, so ``keep=2`` (default) covers a retry
+    of the last committed batch. Pruning can never make a stale retry
+    silently wrong: a retried batch whose parent was pruned finds NO
+    version ``<= batch_id`` and raises (``curate_batch_version``) or
+    rebuilds from scratch only when the index dir is genuinely empty
+    (``merge_index_version`` with no parents treats the batch as first) —
+    so prune only after the stream's checkpoint has committed past the
+    batches that would read the pruned parents, and keep ``keep >= 2``
+    unless the stream is stopped.
+
+    NOT for the append-only sinks (``incremental_neardup_ingest``'s
+    ``b{N}`` parts): there every part IS live data — the union of parts is
+    the relation; compact those with ``layout.compact_files`` instead.
+
+    ``keep < 1`` raises (the newest version is the live state).
+    """
+    from spark_iforest_spark import fs as hfs
+
+    if keep < 1:
+        raise ValueError(f"prune_versions: keep must be >= 1, got {keep}")
+    versions = _index_versions(spark, versioned_dir)
+    pruned = versions[:-keep] if len(versions) > keep else []
+    for v in pruned:
+        hfs.delete(spark, f"{versioned_dir}/v{v}", recursive=True)
+    return pruned

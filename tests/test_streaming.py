@@ -585,3 +585,53 @@ def test_curate_stream_requires_initial_state(spark, tmpdir):
         S.curate_batch_version(
             spark, str(tmpdir) + "/nostate", str(tmpdir) + "/out", b, 0
         )
+
+
+def test_prune_versions_keeps_newest_and_sinks_still_read(spark, tmpdir):
+    """Retention on the full-rewrite versioned sinks: only the newest
+    ``keep`` versions survive, the forward readers still resolve, a
+    stale curation retry whose parent was pruned raises loudly, and a
+    re-run of the same prune is a no-op."""
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import corpus, dedup
+
+    # digest-index sink: 4 versions
+    idx = str(tmpdir) + "/idx"
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10, f"text number {b}")], "doc_id long, text string"
+        )
+        S.merge_index_version(spark, idx, df, b)
+    assert S.prune_versions(spark, idx, keep=2) == [0, 1]
+    assert [c["name"] for c in sorted(
+        hfs.list_children(spark, idx), key=lambda c: c["name"]
+    )] == ["v2", "v3"]
+    assert S.latest_dedup_index(spark, idx).count() == 4
+    assert S.prune_versions(spark, idx, keep=2) == []  # idempotent no-op
+
+    # curation-state sink: stale retry against a pruned parent raises
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    corp = spark.createDataFrame(
+        [(1, "plain corpus words right here")], "doc_id long, text string"
+    )
+    st = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=None,
+        substr_window=None, neardup=True,
+    )
+    corpus.save_curation_state(st, state_dir + "/v0")
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(100 + b, f"fresh batch words number {b}")],
+            "doc_id long, text string",
+        )
+        S.curate_batch_version(spark, state_dir, out_dir, batch, b)
+    assert S.prune_versions(spark, state_dir, keep=1) == [0, 1]
+    assert S.latest_curation_state(spark, state_dir).ids.count() == 3
+    stale = spark.createDataFrame(
+        [(999, "stale retry words")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no CurationState version"):
+        S.curate_batch_version(spark, state_dir, out_dir, stale, 0)
+
+    with pytest.raises(ValueError, match="keep"):
+        S.prune_versions(spark, idx, keep=0)
