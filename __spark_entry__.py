@@ -1354,6 +1354,41 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pretrain_funnel_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental curation gate: batch A against the frozen
+    corpus state, batch B against the state ROLLED FORWARD past A —
+    variant-tagged union of both funnels, so the driver's oracle anchors
+    update_curation_state's index folds externally (B's line counts see
+    corpus + A lines, B's substr keeper sees corpus + A windows, B's
+    near-dup clusters fold over corpus + A shingles). The states are
+    materialized (persisted-artifact stand-in: the chain probes the
+    shingle index twice per pair generation; lazy they would rebuild per
+    probe)."""
+    rl = _lines_augmented(_read(spark, sf_dir, "documents"))
+    bench = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
+    state0 = corpus.materialize_curation_state(corpus.curation_state(
+        rl.where(F.col("doc_id") % 4 != 0),
+        reference=_read(spark, sf_dir, "documents").where(
+            F.col("lang") == _CCNET_REF_LANG
+        ),
+        line_min_docs=3,
+        substr_window=_SUBSTR_WINDOW,
+        neardup=True,
+        gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
+    ))
+    # %8 slices are disjoint from each other and from the %4!=0 corpus
+    funnel_a, state1 = corpus.pretrain_funnel_and_update_state(
+        rl.where(F.col("doc_id") % 8 == 0), state0,
+        benchmark=bench, assume_disjoint_ids=True,
+    )
+    funnel_b = corpus.pretrain_funnel_incremental(
+        rl.where(F.col("doc_id") % 8 == 4),
+        corpus.materialize_curation_state(state1),
+        benchmark=bench, assume_disjoint_ids=True,
+    )
+    return _tagged_union(("batch_a", funnel_a), ("batch_b", funnel_b))
+
+
 def _event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type panel: exact user cardinality + HLL++ 3-sigma
     invariant + JSON-props stats, joined on event_type (merges the former
@@ -1905,40 +1940,17 @@ def queries() -> _T:
             gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
         ),
         # round 10: the ONE-CALL INCREMENTAL curation capstone, anchored
-        # end to end — the doc_id%4==0 quarter arrives as the new crawl
-        # batch against curation_state(rest) (frozen ccnet calibration
-        # from the corpus run, line/substr/shingle indexes at each
-        # stage's input, corpus cluster labels + quality), then flows
-        # through the full incremental chain incl. decontaminate. The
-        # oracle recomputes the append-only composition in DuckDB:
-        # corpus chain corpus-only (history immutable), batch stages
-        # merging counts with the corpus stage inputs, cutpoints frozen
-        # from the corpus side.
-        "pretrain_funnel_incr": lambda s, d: (
-            lambda rl: corpus.pretrain_funnel_incremental(
-                rl.where(F.col("doc_id") % 4 == 0),
-                # materialized = the persisted-artifact stand-in (the
-                # shingle index is probed twice by pair generation; lazy
-                # it would rebuild per probe)
-                corpus.materialize_curation_state(corpus.curation_state(
-                    rl.where(F.col("doc_id") % 4 != 0),
-                    reference=_read(s, d, "documents").where(
-                        F.col("lang") == _CCNET_REF_LANG
-                    ),
-                    line_min_docs=3,
-                    substr_window=_SUBSTR_WINDOW,
-                    neardup=True,
-                    gopher_thresholds={
-                        "min_tokens": 20, "max_dup_token_frac": 0.9,
-                    },
-                )),
-                benchmark=_read(s, d, "documents").where(
-                    F.col("doc_id") % 100 == 0
-                ),
-                # %4 slices are disjoint by construction
-                assume_disjoint_ids=True,
-            )
-        )(_lines_augmented(_read(s, d, "documents"))),
+        # end to end ACROSS A ROLL-FORWARD — two crawl batches arrive in
+        # sequence against curation_state(rest): batch A (doc_id%8==0)
+        # runs against the frozen corpus state, the state rolls forward
+        # (update_curation_state's per-stage index folds), then batch B
+        # (doc_id%8==4) runs against the ROLLED state — so B's verdicts
+        # depend on corpus ∪ A history. The oracle recomputes the whole
+        # append-only composition in DuckDB: corpus chain corpus-only
+        # (history immutable), A's stages merging counts with the corpus
+        # stage inputs, B's stages merging with corpus + A stage inputs,
+        # cutpoints frozen from the corpus side throughout.
+        "pretrain_funnel_incr": _pretrain_funnel_incr,
         "split_leakage": lambda s, d: pipeline.split_leakage(
             _read(s, d, "documents")
         ),
@@ -4087,21 +4099,27 @@ def oracle_sql() -> dict[str, str]:
         "                     row_number() OVER (ORDER BY avg_nll) AS rn\n"
         "              FROM scored WHERE doc_id % 4 != 0",
     )
-    # the near-dup + keeper fragment over the incr gate's combined stage-4
+    # the near-dup + keeper fragment over an incr gate combined stage-4
     # relation (corpus frozen text ∪ batch rebuilt text): incremental
     # clustering reconstructs FULL clusters exactly, so the oracle can
-    # compute them over the union directly
-    incr_surv_sql = _must_replace(
-        f"""
+    # compute them over the union directly. Round 10: a factory — the
+    # two-batch roll-forward gate needs it over BOTH unions (corpus ∪ A
+    # for batch A's verdicts, corpus ∪ A ∪ B for batch B's)
+    def _incr_surv_sql(rel: str) -> str:
+        return _must_replace(
+            f"""
         SELECT d.doc_id
         FROM documents d
         LEFT JOIN ({base["dedup_clusters"]}) cc ON d.doc_id = cc.doc_id
         WHERE cc.doc_id IS NULL
            OR d.doc_id IN (SELECT doc_id FROM ({keep_best_sql}))
         """,
-        "FROM documents",
-        "FROM s4all",
-    )
+            "FROM documents",
+            f"FROM {rel}",
+        )
+
+    incr_surv_a_sql = _incr_surv_sql("s4alla")
+    incr_surv_b_sql = _incr_surv_sql("s4allb")
     return {
         # ------------- pass-through oracles (gate == constituent) --------
         **{
@@ -4317,12 +4335,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE s1all.doc_id IN (SELECT doc_id FROM cn)
             ),
             c2 AS (SELECT * FROM s2all WHERE doc_id % 4 != 0),
-            b2 AS (SELECT * FROM s2all WHERE doc_id % 4 = 0),
+            a2 AS (SELECT * FROM s2all WHERE doc_id % 8 = 0),
+            b2 AS (SELECT * FROM s2all WHERE doc_id % 8 = 4),
             clines AS (
               SELECT doc_id,
                      unnest(string_split(text, chr(10))) AS line,
                      generate_subscripts(string_split(text, chr(10)), 1) AS pos
               FROM c2
+            ),
+            alines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM a2
             ),
             blines AS (
               SELECT doc_id,
@@ -4332,6 +4357,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             ccnt AS (
               SELECT line, count(DISTINCT doc_id) AS n FROM clines GROUP BY line
+            ),
+            acnt AS (
+              SELECT line, count(DISTINCT doc_id) AS n FROM alines GROUP BY line
             ),
             bcnt AS (
               SELECT line, count(DISTINCT doc_id) AS n FROM blines GROUP BY line
@@ -4343,19 +4371,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
               HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
             ),
+            a3 AS MATERIALIZED (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM (SELECT l.doc_id, l.pos, l.line
+                    FROM alines l
+                    JOIN acnt a USING (line)
+                    LEFT JOIN ccnt c USING (line)
+                    WHERE a.n + coalesce(c.n, 0) < 3)
+              GROUP BY doc_id
+              HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
+            ),
             b3 AS MATERIALIZED (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
               FROM (SELECT l.doc_id, l.pos, l.line
                     FROM blines l
                     JOIN bcnt b USING (line)
                     LEFT JOIN ccnt c USING (line)
-                    WHERE b.n + coalesce(c.n, 0) < 3)
+                    LEFT JOIN acnt a USING (line)
+                    WHERE b.n + coalesce(c.n, 0) + coalesce(a.n, 0) < 3)
               GROUP BY doc_id
               HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
             ),
             cd3 AS (
               SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
               FROM c3
+            ),
+            ad3 AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+              FROM a3
             ),
             bd3 AS (
               SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
@@ -4370,6 +4413,17 @@ def oracle_sql() -> dict[str, str]:
                                 'h': md5(array_to_string(
                                        toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
                 FROM cd3
+              )
+            ),
+            awins AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, len(toks) - {_SUBSTR_WINDOW} + 1),
+                         i -> {{'pos': i,
+                                'h': md5(array_to_string(
+                                       toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
+                FROM ad3
               )
             ),
             bwins AS (
@@ -4425,17 +4479,58 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
               HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
             ),
-            allwins AS (
-              SELECT * FROM cwins UNION ALL SELECT * FROM bwins
+            aall AS (SELECT * FROM cwins UNION ALL SELECT * FROM awins),
+            adup AS (SELECT h FROM aall GROUP BY h HAVING count(*) >= 2),
+            acut AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM (SELECT w.doc_id, w.pos, w.h
+                      FROM aall w JOIN adup USING (h))
+              ) WHERE rn > 1 AND doc_id % 8 = 0
             ),
-            adupk AS (SELECT h FROM allwins GROUP BY h HAVING count(*) >= 2),
+            aisl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                          ORDER BY pos) <= {_SUBSTR_WINDOW}
+                                THEN 0 ELSE 1 END AS b
+                    FROM acut)
+            ),
+            aspans AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS start,
+                     CAST(max(pos) + {_SUBSTR_WINDOW} AS INT) AS "end"
+              FROM aisl GROUP BY doc_id, g
+            ),
+            a4 AS MATERIALIZED (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+              FROM (
+                SELECT p.doc_id, p.pos, p.t FROM (
+                  SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(toks)),
+                                  j -> {{'pos': j, 't': toks[j+1]}})) AS u
+                    FROM ad3
+                  )
+                ) p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM aspans s
+                  WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+                )
+              )
+              GROUP BY doc_id
+              HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
+            ),
+            ball AS (SELECT * FROM aall UNION ALL SELECT * FROM bwins),
+            bdup AS (SELECT h FROM ball GROUP BY h HAVING count(*) >= 2),
             bcut AS (
               SELECT doc_id, pos FROM (
                 SELECT doc_id, pos,
                        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
                 FROM (SELECT w.doc_id, w.pos, w.h
-                      FROM allwins w JOIN adupk USING (h))
-              ) WHERE rn > 1 AND doc_id % 4 = 0
+                      FROM ball w JOIN bdup USING (h))
+              ) WHERE rn > 1 AND doc_id % 8 = 4
             ),
             bisl AS (
               SELECT doc_id, pos,
@@ -4470,12 +4565,31 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
               HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
             ),
-            s4all AS MATERIALIZED (
-              SELECT * FROM c4 UNION ALL SELECT * FROM b4
+            s4alla AS MATERIALIZED (
+              SELECT * FROM c4 UNION ALL SELECT * FROM a4
+            ),
+            s4allb AS MATERIALIZED (
+              SELECT * FROM s4alla UNION ALL SELECT * FROM b4
+            ),
+            a5 AS MATERIALIZED (
+              SELECT a4.doc_id, a4.text FROM a4
+              WHERE a4.doc_id IN (SELECT doc_id FROM ({incr_surv_a_sql}))
             ),
             b5 AS MATERIALIZED (
               SELECT b4.doc_id, b4.text FROM b4
-              WHERE b4.doc_id IN (SELECT doc_id FROM ({incr_surv_sql}))
+              WHERE b4.doc_id IN (SELECT doc_id FROM ({incr_surv_b_sql}))
+            ),
+            a6 AS (
+              SELECT a5.doc_id, a5.text FROM a5
+              WHERE a5.doc_id NOT IN (
+                SELECT DISTINCT c.doc_id
+                FROM (WITH {_must_replace(_SHINGLES_CTE,
+                            "FROM documents", "FROM a5")}
+                      SELECT doc_id, sh FROM sh) c
+                JOIN (WITH {_SHINGLES_CTE}
+                      SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0) b
+                  ON c.sh = b.sh
+              )
             ),
             b6 AS (
               SELECT b5.doc_id, b5.text FROM b5
@@ -4489,38 +4603,74 @@ def oracle_sql() -> dict[str, str]:
                   ON c.sh = b.sh
               )
             )
-            SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
-                   count(*) AS n_docs,
+            SELECT 'batch_a' AS variant, CAST(0 AS INT) AS stage_idx,
+                   'input' AS stage, count(*) AS n_docs,
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT) AS n_tokens
-            FROM (SELECT text FROM s0 WHERE doc_id % 4 = 0)
+            FROM (SELECT text FROM s0 WHERE doc_id % 8 = 0)
             UNION ALL
-            SELECT CAST(1 AS INT), 'gopher', count(*),
+            SELECT 'batch_a', CAST(1 AS INT), 'gopher', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
-            FROM (SELECT text FROM s1all WHERE doc_id % 4 = 0)
+            FROM (SELECT text FROM s1all WHERE doc_id % 8 = 0)
             UNION ALL
-            SELECT CAST(2 AS INT), 'ccnet', count(*),
+            SELECT 'batch_a', CAST(2 AS INT), 'ccnet', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM a2
+            UNION ALL
+            SELECT 'batch_a', CAST(3 AS INT), 'line_dedup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM a3
+            UNION ALL
+            SELECT 'batch_a', CAST(4 AS INT), 'exact_substr', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM a4
+            UNION ALL
+            SELECT 'batch_a', CAST(5 AS INT), 'neardup', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM a5
+            UNION ALL
+            SELECT 'batch_a', CAST(6 AS INT), 'decontaminate', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM a6
+            UNION ALL
+            SELECT 'batch_b' AS variant, CAST(0 AS INT) AS stage_idx,
+                   'input' AS stage, count(*) AS n_docs,
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT) AS n_tokens
+            FROM (SELECT text FROM s0 WHERE doc_id % 8 = 4)
+            UNION ALL
+            SELECT 'batch_b', CAST(1 AS INT), 'gopher', count(*),
+                   CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
+                        AS BIGINT)
+            FROM (SELECT text FROM s1all WHERE doc_id % 8 = 4)
+            UNION ALL
+            SELECT 'batch_b', CAST(2 AS INT), 'ccnet', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b2
             UNION ALL
-            SELECT CAST(3 AS INT), 'line_dedup', count(*),
+            SELECT 'batch_b', CAST(3 AS INT), 'line_dedup', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b3
             UNION ALL
-            SELECT CAST(4 AS INT), 'exact_substr', count(*),
+            SELECT 'batch_b', CAST(4 AS INT), 'exact_substr', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b4
             UNION ALL
-            SELECT CAST(5 AS INT), 'neardup', count(*),
+            SELECT 'batch_b', CAST(5 AS INT), 'neardup', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b5
             UNION ALL
-            SELECT CAST(6 AS INT), 'decontaminate', count(*),
+            SELECT 'batch_b', CAST(6 AS INT), 'decontaminate', count(*),
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b6

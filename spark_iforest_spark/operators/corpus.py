@@ -868,15 +868,43 @@ def pretrain_funnel_incremental(
     n_tokens) per stage, same shape and aggregation plan as
     :func:`pretrain_funnel` (one map-side-combined groupBy over the
     materialized stage blocks + zero-row spine union)."""
-    from functools import reduce
-
-    from spark_iforest_spark.functions import tokens
-
-    text_col = state.params["text_col"]
     stages = _pretrain_incr_stage_list(
         batch, state, benchmark=benchmark,
         assume_disjoint_ids=assume_disjoint_ids,
     )
+    return _funnel_of_stages(stages, state.params["text_col"], batch.sparkSession)
+
+
+def pretrain_funnel_and_update_state(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> tuple[DataFrame, CurationState]:
+    """One chain run, funnel report + rolled-forward state — the
+    observability twin of :func:`curate_and_update_state` (running
+    :func:`pretrain_funnel_incremental` and :func:`update_curation_state`
+    separately would execute the batch chain twice). The sequential crawl
+    loop that wants per-batch survival reporting calls this per batch."""
+    cap: dict = {}
+    stages = _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids, capture=cap,
+    )
+    funnel = _funnel_of_stages(stages, state.params["text_col"], batch.sparkSession)
+    return funnel, _state_from_capture(state, batch, cap)
+
+
+def _funnel_of_stages(
+    stages: list[tuple[str, DataFrame]], text_col: str, spark
+) -> DataFrame:
+    """The funnel aggregation shared by the full and incremental report
+    builders: ONE map-side-combined groupBy over tagged unioned stage
+    rows, plus a zero-row spine so empty stages still report."""
+    from functools import reduce
+
+    from spark_iforest_spark.functions import tokens
+
     parts = [
         rel.select(
             F.lit(idx).cast("int").alias("stage_idx"),
@@ -893,7 +921,7 @@ def pretrain_funnel_incremental(
             F.sum("_n_toks").alias("n_tokens"),
         )
     )
-    spine_zero = batch.sparkSession.createDataFrame(
+    spine_zero = spark.createDataFrame(
         [(idx, name, 0, 0) for idx, (name, _rel) in enumerate(stages)],
         "stage_idx int, stage string, n_docs long, n_tokens long",
     )

@@ -564,3 +564,53 @@ def test_curation_state_save_load_roundtrip(spark, tmp_path):
         corpus.pretrain_curate_incremental(
             corp.limit(1), loaded, benchmark=None
         )
+
+
+def test_pretrain_funnel_and_update_state_matches_separate_calls(spark):
+    """The one-run (funnel, rolled state) pair must equal running
+    pretrain_funnel_incremental and update_curation_state separately —
+    same funnel rows, same rolled-forward artifacts, and the next batch
+    gets identical verdicts from either state."""
+    boiler = "ad footer banner here"
+    corp = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nsolo alpha beta gamma"),
+            (2, f"{boiler}\nwx xy yz zq corpus tail words"),
+            (3, "totally original content lives right here today"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_a = spark.createDataFrame(
+        [(10, f"{boiler}\nfresh content alpha beta"),
+         (11, "totally original content lives right here today")],
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(20, f"{boiler}\nbrand new one of a kind")],
+        "doc_id long, text string",
+    )
+    kw = dict(reference=None, gopher=False, line_min_docs=3, substr_window=4,
+              neardup=True)
+    funnel, rolled = corpus.pretrain_funnel_and_update_state(
+        batch_a, corpus.curation_state(corp, **kw), assume_disjoint_ids=True
+    )
+    want_funnel = sorted(map(tuple, corpus.pretrain_funnel_incremental(
+        batch_a, corpus.curation_state(corp, **kw), assume_disjoint_ids=True
+    ).collect()))
+    assert sorted(map(tuple, funnel.collect())) == want_funnel
+    want_state = corpus.update_curation_state(
+        corpus.curation_state(corp, **kw), batch_a, assume_disjoint_ids=True
+    )
+    for rel in ("ids", "line_index", "substr_index", "shingle_index",
+                "labels", "quality"):
+        got = sorted(map(tuple, getattr(rolled, rel).collect()))
+        want = sorted(map(tuple, getattr(want_state, rel).collect()))
+        assert got == want, f"rolled state relation {rel} diverged"
+    got_b = sorted(map(tuple, corpus.pretrain_curate_incremental(
+        batch_b, rolled, assume_disjoint_ids=True
+    ).collect()))
+    want_b = sorted(map(tuple, corpus.pretrain_curate_incremental(
+        batch_b, want_state, assume_disjoint_ids=True
+    ).collect()))
+    # batch_b's boiler line crosses min_docs only through batch_a's fold
+    assert got_b == want_b == [(20, "brand new one of a kind")]
