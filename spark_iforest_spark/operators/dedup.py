@@ -1490,6 +1490,7 @@ def dup_clusters_incremental(
     new_pairs: DataFrame,
     old_labels: DataFrame,
     id_col: str = "doc_id",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Merge a NEW batch's near-dup edges into a PERSISTED cluster-label
     relation — the incremental-family member for connected components,
@@ -1512,16 +1513,41 @@ def dup_clusters_incremental(
     the same recursive-CTE oracle as the full run — components that merge
     across the batch boundary get the new global min as rep).
 
-    Scale shape: per-batch work is |old_labels| + |new_pairs| through a
-    handful of join rounds; old TEXT, signatures, and edges are never
-    touched."""
-    star = old_labels.select(
+    Scale shape (round 10): the iterative CC loop runs over the TOUCHED
+    components only. New edges have both endpoints among the pair nodes,
+    and old connectivity never crosses component boundaries, so the graph
+    partitions cleanly: components sharing no node with ``new_pairs``
+    keep their labels verbatim (one non-iterative anti-join), and the
+    hook/pointer-jump rounds — each a shuffle join PLUS a driver-blocking
+    convergence count — see only the touched components' stars plus the
+    new pairs, i.e. batch-proportional input instead of |old_labels| per
+    round. Old TEXT, signatures, and edges are never touched.
+    ``broadcast_batch=False`` swaps the batch-keyed semi-join probes to
+    shuffle joins for batches too large to broadcast."""
+    pairs = snapshot(new_pairs.select("doc_a", "doc_b"))
+    nodes = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    bcast = F.broadcast if broadcast_batch else (lambda d: d)
+    # snapshotted: consumed by both the semi- and the anti-join below —
+    # lazy it would re-probe old_labels per consumer
+    touched_reps = snapshot(
+        old_labels.join(bcast(nodes), id_col, "left_semi")
+        .select("cluster_rep")
+        .distinct()
+    )
+    touched = old_labels.join(bcast(touched_reps), "cluster_rep", "left_semi")
+    untouched = old_labels.join(bcast(touched_reps), "cluster_rep", "left_anti")
+    star = touched.select(
         F.col(id_col).alias("doc_a"), F.col("cluster_rep").alias("doc_b")
     ).where(F.col("doc_a") != F.col("doc_b"))
-    merged = star.unionByName(new_pairs.select("doc_a", "doc_b"))
-    labels = _connected_components(merged)
+    labels = _connected_components(star.unionByName(pairs))
     dup_clusters_incremental.last_rounds = _connected_components.last_rounds
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+    return untouched.select(id_col, "cluster_rep").unionByName(
+        labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -985,3 +985,36 @@ def test_substr_incremental_batch_keeper_exempt(spark):
     assert out[21].n_kept == out[21].n_tokens            # batch keeper exempt
     assert out[22].n_kept == out[22].n_tokens - w        # batch second copy cut
     assert out[23].n_kept == out[23].n_tokens
+
+
+def test_dup_clusters_incremental_untouched_components_carry_over(spark):
+    """Round 10 (touched-only CC): components sharing no node with the new
+    pairs must carry their labels verbatim — only the touched components'
+    stars enter the iterative loop — and the shuffle-fallback path
+    (broadcast_batch=False) must produce the identical relation."""
+    pairs_old = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31), (31, 32)], "doc_a long, doc_b long"
+    )
+    old_labels = dedup._connected_components(pairs_old).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    # touches ONLY the {30,31,32} component (plus new docs 5,6)
+    new_pairs = spark.createDataFrame(
+        [(5, 32), (5, 6)], "doc_a long, doc_b long"
+    )
+    want = {
+        10: 10, 11: 10, 20: 20, 21: 20,  # untouched, verbatim
+        5: 5, 6: 5, 30: 5, 31: 5, 32: 5,  # merged under new global min
+    }
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dup_clusters_incremental(new_pairs, old_labels).collect()
+    }
+    assert got == want
+    got_shuffle = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dup_clusters_incremental(
+            new_pairs, old_labels, broadcast_batch=False
+        ).collect()
+    }
+    assert got_shuffle == want
