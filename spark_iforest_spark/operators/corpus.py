@@ -784,18 +784,23 @@ def _pretrain_incr_stage_list(
                 assume_disjoint_ids=True,
             )
         )
-        labels_full = dup_clusters_incremental(
-            pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col
+        # touched-only resolution (round 10): batch verdicts only depend
+        # on clusters containing a pair node — resolve those, not every
+        # corpus cluster; labels_full (untouched carried verbatim, no
+        # iteration) still feeds the state fold
+        labels_full, labels_touched = dup_clusters_incremental(
+            pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col,
+            return_touched=True,
         )
         cap["labels_full"] = labels_full
         quality = state.quality.unionByName(
             quality_score(c, id_col, text_col).select(F.col(id_col), "quality")
         )
         keep = resolve_clusters(
-            c, labels=labels_full, quality=quality,
+            c, labels=labels_touched, quality=quality,
             id_col=id_col, text_col=text_col,
         )
-        losers = labels_full.join(
+        losers = labels_touched.join(
             keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
         ).select(id_col)
         return c.join(losers, id_col, "left_anti")

@@ -1491,6 +1491,7 @@ def dup_clusters_incremental(
     old_labels: DataFrame,
     id_col: str = "doc_id",
     broadcast_batch: bool = True,
+    return_touched: bool = False,
 ) -> DataFrame:
     """Merge a NEW batch's near-dup edges into a PERSISTED cluster-label
     relation — the incremental-family member for connected components,
@@ -1523,7 +1524,14 @@ def dup_clusters_incremental(
     new pairs, i.e. batch-proportional input instead of |old_labels| per
     round. Old TEXT, signatures, and edges are never touched.
     ``broadcast_batch=False`` swaps the batch-keyed semi-join probes to
-    shuffle joins for batches too large to broadcast."""
+    shuffle joins for batches too large to broadcast.
+
+    ``return_touched=True`` additionally returns the TOUCHED-only label
+    relation (exactly the clusters containing a pair node, freshly
+    re-labeled) as ``(full, touched)`` — downstream per-batch resolution
+    (quality argmax + loser anti-join) only needs those clusters, so the
+    caller can keep its whole verdict path batch-proportional instead of
+    re-aggregating every corpus cluster per batch."""
     pairs = snapshot(new_pairs.select("doc_a", "doc_b"))
     nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -1545,9 +1553,13 @@ def dup_clusters_incremental(
     ).where(F.col("doc_a") != F.col("doc_b"))
     labels = _connected_components(star.unionByName(pairs))
     dup_clusters_incremental.last_rounds = _connected_components.last_rounds
-    return untouched.select(id_col, "cluster_rep").unionByName(
-        labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+    touched_out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
     )
+    full = untouched.select(id_col, "cluster_rep").unionByName(touched_out)
+    if return_touched:
+        return full, touched_out
+    return full
 
 
 # ---------------------------------------------------------------------------
