@@ -1183,6 +1183,50 @@ def _pa_lm_merge_check(docs: DataFrame) -> bool:
             h.release()
 
 
+def _pa_curation_merge_check(docs: DataFrame) -> bool:
+    """merge_curation_states' fold-losslessness, value-anchored (round 10):
+    building per-shard curation states on two disjoint doc_id slices and
+    folding them must reproduce the one-shot state of the concatenated
+    corpus EXACTLY when the upstream stages are row-local (rebuild stages
+    off — the fold's documented exactness contract). The interesting part
+    is the near-dup fold: cross-shard pairs come from index-vs-index
+    exact jaccard and the cluster labels from a CC fold over both shards'
+    stars + those pairs, with no shard text re-read. Distributed set
+    equality over ids, shingle index, labels, and quality; the one-shot
+    side's constituents (shingles, jaccard pairs, clusters, quality) are
+    each hash-anchored by their own gates, so TRUE chains the fold to
+    external ground truth. Runs on the doc_id%3==0 slice to bound cost."""
+    from spark_iforest_spark.operators import corpus as _corpus
+
+    uni = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    kw = dict(
+        reference=None, gopher=False, line_min_docs=None, substr_window=None,
+        neardup=True,
+    )
+    merged = _corpus.merge_curation_states(
+        _corpus.materialize_curation_state(
+            _corpus.curation_state(uni.where(F.col("doc_id") % 6 == 0), **kw)
+        ),
+        _corpus.materialize_curation_state(
+            _corpus.curation_state(uni.where(F.col("doc_id") % 6 == 3), **kw)
+        ),
+    )
+    one = _corpus.curation_state(uni, **kw)
+
+    def eq(x: DataFrame, y: DataFrame) -> bool:
+        return x.exceptAll(y).isEmpty() and y.exceptAll(x).isEmpty()
+
+    return (
+        eq(merged.ids, one.ids)
+        and eq(
+            merged.shingle_index.select("did", "sh"),
+            one.shingle_index.select("did", "sh"),
+        )
+        and eq(merged.labels, one.labels)
+        and eq(merged.quality, one.quality)
+    )
+
+
 def _pa_dsir_merge_check(docs: DataFrame) -> bool:
     """dsir_merge's fold-losslessness, value-anchored (round 10): fitting
     the hashed-ngram importance estimator on three disjoint (target, raw)
@@ -1341,6 +1385,9 @@ def _pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round 10: sharded DSIR estimator fit + artifact merge ==
         # one-shot fit, bit-exact (see _pa_dsir_merge_check)
         ("dsir_merge_match", 1.0 if _pa_dsir_merge_check(docs) else 0.0),
+        # round 10: per-shard curation states + artifact fold == one-shot
+        # state (rebuild stages off; see _pa_curation_merge_check)
+        ("curation_merge_match", 1.0 if _pa_curation_merge_check(docs) else 0.0),
     ]
 
     mk = lambda rows: spark.createDataFrame(rows, "key string, value double")
@@ -2760,6 +2807,7 @@ def _pipeline_artifacts_sql() -> str:
         UNION ALL SELECT 'quality_auc_ok', 1.0
         UNION ALL SELECT 'lm_merge_match', 1.0
         UNION ALL SELECT 'dsir_merge_match', 1.0
+        UNION ALL SELECT 'curation_merge_match', 1.0
     """
     return _variants_sql(
         ("word_count", wc),
