@@ -790,7 +790,7 @@ def _pretrain_incr_stage_list(
         # iteration) still feeds the state fold
         labels_full, labels_touched = dup_clusters_incremental(
             pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col,
-            return_touched=True,
+            return_touched=True, snapshot_pairs=False,  # pairs snapshotted above
         )
         cap["labels_full"] = labels_full
         quality = state.quality.unionByName(
@@ -1015,8 +1015,14 @@ def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
         star_b = b.labels.select(
             F.col(id_col).alias("doc_a"), F.col("cluster_rep").alias("doc_b")
         ).where(F.col("doc_a") != F.col("doc_b"))
+        from spark_iforest_spark.checkpoint import snapshot as _snap
+
+        # snapshotted: dup_clusters_incremental consumes its pair relation
+        # twice (node set + CC edges), and this one embeds the
+        # index-vs-index jaccard join — lazy it would run that join twice
         labels = dup_clusters_incremental(
-            cross.unionByName(star_b), a.labels, id_col=id_col
+            _snap(cross.unionByName(star_b)), a.labels, id_col=id_col,
+            snapshot_pairs=False,
         )
     return CurationState(
         ids=a.ids.unionByName(b.ids),

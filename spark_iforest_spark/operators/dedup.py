@@ -1492,6 +1492,7 @@ def dup_clusters_incremental(
     id_col: str = "doc_id",
     broadcast_batch: bool = True,
     return_touched: bool = False,
+    snapshot_pairs: bool = True,
 ) -> DataFrame:
     """Merge a NEW batch's near-dup edges into a PERSISTED cluster-label
     relation — the incremental-family member for connected components,
@@ -1532,7 +1533,14 @@ def dup_clusters_incremental(
     (quality argmax + loser anti-join) only needs those clusters, so the
     caller can keep its whole verdict path batch-proportional instead of
     re-aggregating every corpus cluster per batch."""
-    pairs = snapshot(new_pairs.select("doc_a", "doc_b"))
+    # new_pairs is consumed twice (node set + CC edge union), so a lazy
+    # pair plan would execute twice — snapshotted here by default;
+    # callers that already pass a snapshotted relation (the incremental
+    # chain, merge_curation_states) set snapshot_pairs=False to skip the
+    # redundant checkpoint job per batch
+    pairs = new_pairs.select("doc_a", "doc_b")
+    if snapshot_pairs:
+        pairs = snapshot(pairs)
     nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
