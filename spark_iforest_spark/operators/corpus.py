@@ -790,7 +790,9 @@ def _pretrain_incr_stage_list(
         # iteration) still feeds the state fold
         labels_full, labels_touched = dup_clusters_incremental(
             pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col,
-            return_touched=True, snapshot_pairs=False,  # pairs snapshotted above
+            return_touched=True,
+            # pairs snapshotted above; state labels are materialized
+            snapshot_pairs=False, snapshot_labels=False,
         )
         cap["labels_full"] = labels_full
         quality = state.quality.unionByName(
@@ -1022,7 +1024,8 @@ def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
         # index-vs-index jaccard join — lazy it would run that join twice
         labels = dup_clusters_incremental(
             _snap(cross.unionByName(star_b)), a.labels, id_col=id_col,
-            snapshot_pairs=False,
+            # a.labels comes from a materialized/persisted shard state
+            snapshot_pairs=False, snapshot_labels=False,
         )
     return CurationState(
         ids=a.ids.unionByName(b.ids),

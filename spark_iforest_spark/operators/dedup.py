@@ -1493,6 +1493,7 @@ def dup_clusters_incremental(
     broadcast_batch: bool = True,
     return_touched: bool = False,
     snapshot_pairs: bool = True,
+    snapshot_labels: bool = True,
 ) -> DataFrame:
     """Merge a NEW batch's near-dup edges into a PERSISTED cluster-label
     relation — the incremental-family member for connected components,
@@ -1541,6 +1542,11 @@ def dup_clusters_incremental(
     pairs = new_pairs.select("doc_a", "doc_b")
     if snapshot_pairs:
         pairs = snapshot(pairs)
+    # old_labels is consumed three times (touched probe, touched stars,
+    # untouched carry-over) — same default-snapshot / opt-out contract;
+    # the curation chain passes False (its state labels are materialized)
+    if snapshot_labels:
+        old_labels = snapshot(old_labels.select(id_col, "cluster_rep"))
     nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
