@@ -902,6 +902,27 @@ def pretrain_funnel_and_update_state(
     return funnel, _state_from_capture(state, batch, cap)
 
 
+def curate_report_and_update_state(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+) -> tuple[DataFrame, DataFrame, CurationState]:
+    """One chain run, all three outputs: (curated batch, funnel report,
+    rolled-forward state) — what a monitored steady-state ingest job wants
+    per crawl batch. Interior stage blocks are snapshotted, so the funnel
+    aggregate, the curated output, and the state fold share them; only the
+    final stage's own pass (a filter over the snapshotted penultimate
+    block) runs once per extra consumer."""
+    cap: dict = {}
+    stages = _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids, capture=cap,
+    )
+    funnel = _funnel_of_stages(stages, state.params["text_col"], batch.sparkSession)
+    return stages[-1][1], funnel, _state_from_capture(state, batch, cap)
+
+
 def _funnel_of_stages(
     stages: list[tuple[str, DataFrame]], text_col: str, spark
 ) -> DataFrame:

@@ -630,12 +630,17 @@ def curate_batch_version(
     batch_id: int,
     benchmark: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
+    funnel_dir: str | None = None,
 ) -> None:
     """One ``curate_stream`` step: read the latest persisted CurationState
     version AT OR BELOW ``batch_id``, run the frozen-calibration 6-stage
     incremental chain (``corpus.curate_and_update_state``) on the batch,
     write the curated batch under ``output_dir/b{batch_id}`` and the
-    rolled-forward state under ``state_dir/v{batch_id + 1}``.
+    rolled-forward state under ``state_dir/v{batch_id + 1}``. With
+    ``funnel_dir`` set, also write the batch's stage-survival report
+    (``pretrain_funnel_incremental`` shape, from the SAME chain run) under
+    ``funnel_dir/b{batch_id}`` — the per-crawl observability a monitored
+    ingest loop tails.
 
     The parent rule makes a retried batch idempotent under foreachBatch's
     at-least-once contract: batch ``b`` writes ``v{b+1}`` and reads the
@@ -662,12 +667,21 @@ def curate_batch_version(
             "starting the stream"
         )
     state = corpus.load_curation_state(spark, f"{state_dir}/v{parents[-1]}")
-    curated, new_state = corpus.curate_and_update_state(
-        batch_df,
-        state,
-        benchmark=benchmark,
-        assume_disjoint_ids=assume_disjoint_ids,
-    )
+    if funnel_dir is None:
+        curated, new_state = corpus.curate_and_update_state(
+            batch_df,
+            state,
+            benchmark=benchmark,
+            assume_disjoint_ids=assume_disjoint_ids,
+        )
+    else:
+        curated, funnel, new_state = corpus.curate_report_and_update_state(
+            batch_df,
+            state,
+            benchmark=benchmark,
+            assume_disjoint_ids=assume_disjoint_ids,
+        )
+        funnel.write.mode("overwrite").parquet(f"{funnel_dir}/b{batch_id}")
     curated.write.mode("overwrite").parquet(f"{output_dir}/b{batch_id}")
     corpus.save_curation_state(new_state, f"{state_dir}/v{batch_id + 1}")
 
@@ -678,6 +692,7 @@ def curate_stream(
     output_dir: str,
     benchmark: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
+    funnel_dir: str | None = None,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -713,6 +728,7 @@ def curate_stream(
             batch_id,
             benchmark=benchmark,
             assume_disjoint_ids=assume_disjoint_ids,
+            funnel_dir=funnel_dir,
         )
 
     return (

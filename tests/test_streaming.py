@@ -635,3 +635,31 @@ def test_prune_versions_keeps_newest_and_sinks_still_read(spark, tmpdir):
 
     with pytest.raises(ValueError, match="keep"):
         S.prune_versions(spark, idx, keep=0)
+
+
+def test_curate_batch_version_funnel_dir(spark, tmpdir):
+    """With funnel_dir set, each batch also persists its stage-survival
+    report — identical to pretrain_funnel_incremental over the same
+    (batch, parent state), from the same single chain run."""
+    from spark_iforest_spark.operators import corpus
+
+    corp, batches = _curation_micro_corpus(spark)
+    state_dir = str(tmpdir) + "/state"
+    st = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    corpus.save_curation_state(st, state_dir + "/v0")
+    S.curate_batch_version(
+        spark, state_dir, str(tmpdir) + "/out", batches[0], 0,
+        funnel_dir=str(tmpdir) + "/funnel",
+    )
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmpdir) + "/funnel/b0").collect()))
+    want = sorted(map(tuple, corpus.pretrain_funnel_incremental(
+        batches[0], corpus.load_curation_state(spark, state_dir + "/v0"),
+        assume_disjoint_ids=True,
+    ).collect()))
+    assert got == want and len(got) == 4  # input/line_dedup/substr/neardup
+    # curated output written from the same run
+    assert spark.read.parquet(str(tmpdir) + "/out/b0").count() > 0
