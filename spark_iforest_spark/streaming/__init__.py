@@ -693,6 +693,7 @@ def curate_stream(
     benchmark: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
     funnel_dir: str | None = None,
+    keep_versions: int | None = None,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -716,6 +717,12 @@ def curate_stream(
     terminates when the backlog drains; ``awaitTermination`` to block).
     Read the final state back with :func:`latest_curation_state` and the
     curated corpus delta with ``spark.read.parquet(f"{output_dir}/b*")``.
+
+    ``keep_versions`` (opt-in) prunes the state dir to the newest N
+    versions after each committed batch — the self-contained retention a
+    long-running loop wants. Keep it >= 2 (or None) if batches can retry:
+    a retried batch whose parent was pruned fails loudly rather than
+    re-deriving from the wrong version (see :func:`prune_versions`).
     """
     spark = stream_docs.sparkSession
 
@@ -730,6 +737,8 @@ def curate_stream(
             assume_disjoint_ids=assume_disjoint_ids,
             funnel_dir=funnel_dir,
         )
+        if keep_versions is not None:
+            prune_versions(spark, state_dir, keep=keep_versions)
 
     return (
         stream_docs.writeStream.foreachBatch(step)

@@ -663,3 +663,34 @@ def test_curate_batch_version_funnel_dir(spark, tmpdir):
     assert got == want and len(got) == 4  # input/line_dedup/substr/neardup
     # curated output written from the same run
     assert spark.read.parquet(str(tmpdir) + "/out/b0").count() > 0
+
+
+def test_curate_stream_keep_versions_autoprune(spark, tmpdir):
+    """Opt-in retention inside the stream: after the backlog drains only
+    the newest N state versions remain, and the forward reader still
+    resolves the final rolled state."""
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import corpus
+
+    corp, batches = _curation_micro_corpus(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    src = str(tmpdir) + "/src"
+    st = corpus.curation_state(
+        corp, reference=None, gopher=False, line_min_docs=3, substr_window=4,
+        neardup=True,
+    )
+    corpus.save_curation_state(st, state_dir + "/v0")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = S.curate_stream(stream, state_dir, out_dir, keep_versions=2)
+    q.awaitTermination()
+    names = sorted(
+        c["name"] for c in hfs.list_children(spark, state_dir)
+        if c["name"].startswith("v")
+    )
+    assert names == ["v2", "v3"]
+    final = S.latest_curation_state(spark, state_dir)
+    assert final.ids.count() == 3 + sum(b.count() for b in batches)
