@@ -1018,3 +1018,54 @@ def test_dup_clusters_incremental_untouched_components_carry_over(spark):
         ).collect()
     }
     assert got_shuffle == want
+
+
+def test_dup_clusters_incremental_random_graphs_match_unionfind(spark):
+    """Randomized property pin for the touched-only fold: for arbitrary
+    graphs split into (old edges, batch-touching edges), folding the
+    batch edges into CC(old) must equal a driver-side union-find over ALL
+    edges (min-id reps), restricted to labeled nodes — covering chained
+    cross-component merges, pair nodes absent from the old labels, and
+    isolated new components, at shapes the hand-built cases don't."""
+    import random
+
+    def unionfind(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(12, 40)
+        all_edges = sorted({
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(rng.randint(6, 30))
+        })
+        new_nodes = set(rng.sample(range(n_nodes), rng.randint(1, n_nodes // 3)))
+        new_pairs = [e for e in all_edges if e[0] in new_nodes or e[1] in new_nodes]
+        old_edges = [e for e in all_edges if e not in new_pairs]
+        if not new_pairs or not old_edges:
+            continue
+        old_labels = dedup._connected_components(
+            spark.createDataFrame(old_edges, "doc_a long, doc_b long")
+        ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in dedup.dup_clusters_incremental(
+                spark.createDataFrame(new_pairs, "doc_a long, doc_b long"),
+                old_labels,
+            ).collect()
+        }
+        full = unionfind(all_edges)
+        # old_edges ∪ new_pairs partition all_edges, so every edge-touched
+        # node must come back labeled, with the union-find's min-id rep
+        assert got == full, f"seed {seed}: labels diverge"
