@@ -574,6 +574,49 @@ def _variants_sql(*pairs: tuple[str, str]) -> str:
     )
 
 
+def _ndv_profile_variant(li: DataFrame) -> DataFrame:
+    """table_profile 'ndv' variant: the mergeable HLL distinct-count family
+    (relational.ndv_sketch_partial / merge_ndv_sketches — the statistic
+    profile_partial's additive fold cannot carry) checked against exact NDV.
+    Harmonized to the panel schema: n_rows carries the EXACT distinct count
+    (DuckDB-recomputed end-to-end); the three value columns are booleans the
+    Spark side computes genuinely and the oracle pins TRUE — min_value =
+    one-shot sketch estimate within 8% of exact (≈5σ at lg_k=12), max_value
+    = 3-shard merged estimate within 8% of exact, mean_value = merged
+    within 3% of one-shot (estimate equality between the two paths is NOT
+    part of the contract — see ndv_sketch_partial's docstring)."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    one = relational.approx_ndv(li, cols).withColumnRenamed("ndv", "ndv_one")
+    shards = _union_all(
+        *[
+            relational.ndv_sketch_partial(
+                li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == k), cols
+            )
+            for k in range(3)
+        ]
+    )
+    merged = relational.ndv_estimates(
+        relational.merge_ndv_sketches(shards)
+    ).withColumnRenamed("ndv", "ndv_merged")
+
+    def _close(a: str, b: str, tol: float):
+        return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).cast("double")
+
+    return (
+        relational.exact_ndv(li, cols)
+        .join(one, "column")
+        .join(merged, "column")
+        .select(
+            "column",
+            F.col("ndv").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_nulls"),
+            _close("ndv_one", "ndv", 0.08).alias("min_value"),
+            _close("ndv_merged", "ndv", 0.08).alias("max_value"),
+            _close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
+        )
+    )
+
+
 def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-replay streaming gate: readStream(events) → watermark +
     tumbling window → memory sink (complete mode, availableNow). The
@@ -2210,6 +2253,9 @@ def queries() -> _T:
                     F.lit(None).cast("double").alias("mean_value"),
                 ),
             ),
+            # round 10: the mergeable HLL distinct-count family — exact NDV
+            # recomputed by DuckDB, sketch-accuracy booleans pinned TRUE
+            ("ndv", _ndv_profile_variant(_read(s, d, "lineitem"))),
         ),
         # the same events⋈orders aggregate from two plans that must both
         # equal the plain-join oracle: the salted batch join (salting must
@@ -4767,6 +4813,29 @@ def oracle_sql() -> dict[str, str]:
             # incr variant's oracle IS the one-shot SQL (round 8)
             ("incr", base["table_profile"]),
             ("skew", base["skew_report"]),
+            # round 10 ndv variant: exact distinct counts end-to-end; the
+            # three sketch-accuracy booleans (one-shot ≤8%, merged ≤8%,
+            # merged-vs-one-shot ≤3%) are literal TRUE here because the
+            # Spark side computes them genuinely against these same exact
+            # counts (datasketches estimates are not DuckDB-reproducible)
+            (
+                "ndv",
+                """
+                SELECT col AS column, n_rows,
+                       CAST(NULL AS BIGINT) AS n_nulls,
+                       1.0 AS min_value, 1.0 AS max_value, 1.0 AS mean_value
+                FROM (
+                  SELECT 'l_orderkey' AS col,
+                         count(DISTINCT l_orderkey) AS n_rows FROM lineitem
+                  UNION ALL SELECT 'l_partkey',
+                         count(DISTINCT l_partkey) FROM lineitem
+                  UNION ALL SELECT 'l_suppkey',
+                         count(DISTINCT l_suppkey) FROM lineitem
+                  UNION ALL SELECT 'l_returnflag',
+                         count(DISTINCT l_returnflag) FROM lineitem
+                )
+                """,
+            ),
         ),
         "dedup_simhash": _variants_sql(
             ("full", base["dedup_simhash"]),

@@ -614,3 +614,102 @@ def test_pretrain_funnel_and_update_state_matches_separate_calls(spark):
     ).collect()))
     # batch_b's boiler line crosses min_docs only through batch_a's fold
     assert got_b == want_b == [(20, "brand new one of a kind")]
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL distinct-count sketches (round 10): the statistic
+# profile_partial's additive fold cannot carry — shard sketches fold to the
+# corpus NDV without rescanning old shards
+# ---------------------------------------------------------------------------
+
+
+def test_ndv_sketch_refuses_unsupported_types(spark):
+    from spark_iforest_spark.operators import relational
+
+    df = spark.createDataFrame([(1, 1.5)], "a long, b double")
+    with pytest.raises(ValueError, match="money_units"):
+        relational.ndv_sketch_partial(df, ["b"])
+
+
+def test_ndv_merge_equals_oneshot_in_exact_regime(spark):
+    """Below the sketch's coupon-mode capacity both the one-shot and the
+    shard-merged sketches store the distinct hash set exactly, so both
+    estimates equal the true NDV — and are therefore equal to each other
+    and invariant to partitioning (the tight regime of the bounded-error
+    contract)."""
+    from spark_iforest_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 97}", i % 13) for i in range(2000)],
+        "id long, s string, g long",
+    )
+    one = {
+        r["column"]: r["ndv"]
+        for r in relational.approx_ndv(df, ["s", "g"]).collect()
+    }
+    assert one == {"s": 97, "g": 13}
+    # layout invariance in the exact regime
+    one7 = {
+        r["column"]: r["ndv"]
+        for r in relational.approx_ndv(df.repartition(7), ["s", "g"]).collect()
+    }
+    assert one7 == one
+    parts = [
+        relational.ndv_sketch_partial(df.where(F.col("id") % 3 == k), ["s", "g"])
+        for k in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            relational.merge_ndv_sketches(u)
+        ).collect()
+    }
+    assert merged == one
+
+
+def test_ndv_bounded_error_in_dense_regime(spark, sf_dir):
+    """Above the coupon capacity (lineitem's l_orderkey) the estimate is
+    approximate: pin the gate's own bounds — one-shot and 3-shard-merged
+    within 8% of exact, merged within 3% of one-shot."""
+    from spark_iforest_spark.operators import relational
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_orderkey", "l_partkey"]
+    exact = {r["column"]: r["ndv"] for r in relational.exact_ndv(li, cols).collect()}
+    one = {r["column"]: r["ndv"] for r in relational.approx_ndv(li, cols).collect()}
+    parts = [
+        relational.ndv_sketch_partial(
+            li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == k), cols
+        )
+        for k in range(3)
+    ]
+    merged = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            relational.merge_ndv_sketches(
+                parts[0].unionByName(parts[1]).unionByName(parts[2])
+            )
+        ).collect()
+    }
+    for c in cols:
+        assert abs(one[c] / exact[c] - 1.0) <= 0.08
+        assert abs(merged[c] / exact[c] - 1.0) <= 0.08
+        assert abs(merged[c] / one[c] - 1.0) <= 0.03
+
+
+def test_ndv_merge_refuses_mixed_lg_k(spark):
+    """allowDifferentLgConfigK stays False: folding shards sketched at
+    different precisions must fail loudly, not silently downgrade every
+    estimate to the coarsest shard (same posture as the substr-window
+    index's must-match window)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spark_iforest_spark.operators import relational
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = relational.ndv_sketch_partial(df, ["id"], lg_k=12)
+    b = relational.ndv_sketch_partial(df, ["id"], lg_k=14)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        relational.merge_ndv_sketches(a.unionByName(b)).collect()

@@ -69,6 +69,11 @@ SCAN_BUDGET: dict[str, int] = {
     # 3/4-slice shingle_index build; no single pipeline re-reads its own
     # input
     "dedup_jaccard_pairs": 18,
+    # round 10: profile + incr (3 shard partials) + skew (events) + ndv
+    # (exact anchor, one-shot sketch, 3 shard sketches) — ten independent
+    # single-scan aggregates across two tables; no pipeline re-reads its
+    # own input
+    "table_profile": 24,
 }
 
 PY_NODES = re.compile(
