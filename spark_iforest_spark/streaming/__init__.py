@@ -358,6 +358,97 @@ def latest_dedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/v{versions[-1]}")
 
 
+def ndv_monitor_ingest(
+    stream_df: DataFrame,
+    state_dir: str,
+    columns: list[str],
+    lg_k: int = 12,
+    series_dir: str | None = None,
+):
+    """Continuous distinct-count monitoring: every micro-batch folds its
+    HLL sketches (``relational.ndv_sketch_partial``) into the persisted
+    (column, sketch) state and writes it as a new version — running NDV
+    over everything ever ingested, with zero stream-store state and no
+    rescans of old data (the sketch register state is the foldable
+    sufficient statistic; the state is ~4 KB per column at lg_k=12
+    regardless of corpus size).
+
+    Same strict-parent versioning as ``incremental_dedup_ingest`` (a retry
+    reads only versions strictly older than its batch id), but NDV has a
+    safety margin the digest/count sinks lack: sketch insertion is
+    idempotent (registers are a max over per-item hashes, i.e. SET
+    semantics), so even a double-fold of the same batch cannot inflate the
+    estimate — at-least-once delivery is harmless by construction, not
+    just by the version dance.
+
+    With ``series_dir`` each batch also writes its post-fold estimates as
+    ``series_dir/b{batch_id}`` rows (batch_version, column, ndv) — the
+    running-NDV time series a drift monitor plots (a sudden NDV plateau on
+    an id column is a duplicate-ingestion smell; a jump on a categorical
+    column is a schema/vocabulary drift smell).
+
+    Returns the started StreamingQuery (availableNow-triggered streams
+    terminate when the backlog drains)."""
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        merge_ndv_version(
+            spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_ndv_version(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    columns: list[str],
+    lg_k: int = 12,
+    series_dir: str | None = None,
+) -> None:
+    """One ``ndv_monitor_ingest`` fold step: sketch the batch, union with
+    the latest state version STRICTLY older than ``batch_id``, fold with
+    ``merge_ndv_sketches``, write ``v{batch_id}`` (and the estimate series
+    row when ``series_dir`` is set)."""
+    from spark_iforest_spark.operators import relational
+
+    batch_sk = relational.ndv_sketch_partial(batch_df, columns, lg_k)
+    parents = [v for v in _index_versions(spark, state_dir) if v < batch_id]
+    if parents:
+        parent = spark.read.parquet(f"{state_dir}/v{parents[-1]}")
+        merged = relational.merge_ndv_sketches(parent.unionByName(batch_sk))
+    else:
+        merged = batch_sk
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+    if series_dir is not None:
+        relational.ndv_estimates(
+            spark.read.parquet(f"{state_dir}/v{batch_id}")
+        ).select(
+            F.lit(batch_id).alias("batch_version"), "column", "ndv"
+        ).write.mode("overwrite").parquet(f"{series_dir}/b{batch_id}")
+
+
+def latest_ndv_sketches(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the newest (column, sketch) state written by
+    ``ndv_monitor_ingest`` — feed to ``relational.ndv_estimates`` for the
+    current running NDV, or union with other tables' states and re-fold."""
+    versions = _index_versions(spark, state_dir)
+    return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+
+def ndv_series(spark: SparkSession, series_dir: str) -> DataFrame:
+    """The running-NDV time series: union of every per-batch estimate part
+    under ``series_dir`` (batch_version, column, ndv) — monotone
+    non-decreasing per column by sketch-set semantics."""
+    return spark.read.parquet(f"{series_dir}/b*")
+
+
 def incremental_neardup_ingest(
     stream_docs: DataFrame,
     index_dir: str,

@@ -694,3 +694,75 @@ def test_curate_stream_keep_versions_autoprune(spark, tmpdir):
     assert names == ["v2", "v3"]
     final = S.latest_curation_state(spark, state_dir)
     assert final.ids.count() == 3 + sum(b.count() for b in batches)
+
+
+def test_ndv_monitor_ingest_matches_exact(spark, sf_dir, tmpdir):
+    """Multi-micro-batch NDV monitoring: after the backlog drains, the
+    folded sketch state's estimates must equal the exact distinct counts
+    for small-cardinality columns (sketch still in its exact coupon
+    regime) and stay within the gate's 8% bound for the id column."""
+    from spark_iforest_spark.operators import relational
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    src = tmpdir + "/src"
+    docs.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, lang string, source string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    cols = ["doc_id", "lang", "source"]
+    q = S.ndv_monitor_ingest(
+        stream, tmpdir + "/state", cols, series_dir=tmpdir + "/series"
+    )
+    q.awaitTermination()
+    got = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            S.latest_ndv_sketches(spark, tmpdir + "/state")
+        ).collect()
+    }
+    exact = {r["column"]: r["ndv"] for r in relational.exact_ndv(docs, cols).collect()}
+    assert got["lang"] == exact["lang"] and got["source"] == exact["source"]
+    assert abs(got["doc_id"] / exact["doc_id"] - 1.0) <= 0.08
+
+    # the running series is monotone non-decreasing per column (sketch-set
+    # semantics: folding new rows can only grow the distinct set)
+    series = S.ndv_series(spark, tmpdir + "/series").collect()
+    by_col = {}
+    for r in sorted(series, key=lambda r: (r["column"], r["batch_version"])):
+        assert by_col.get(r["column"], 0) <= r["ndv"]
+        by_col[r["column"]] = r["ndv"]
+    assert len({r["batch_version"] for r in series}) == 4
+
+
+def test_merge_ndv_version_retry_and_double_fold(spark, tmpdir):
+    """Retry idempotence (strict-parent rule) AND the stronger property the
+    digest/count sinks lack: sketch insertion has set semantics, so
+    folding the SAME rows again as a later batch leaves every estimate
+    unchanged — at-least-once re-delivery cannot inflate NDV."""
+    from spark_iforest_spark.operators import relational
+
+    state = tmpdir + "/state"
+    b0 = spark.createDataFrame([(i, f"k{i % 7}") for i in range(50)], "id long, s string")
+    b1 = spark.createDataFrame(
+        [(i, f"k{i % 11}") for i in range(40, 90)], "id long, s string"
+    )
+    cols = ["id", "s"]
+
+    def est(version):
+        return {
+            r["column"]: r["ndv"]
+            for r in relational.ndv_estimates(
+                spark.read.parquet(f"{state}/v{version}")
+            ).collect()
+        }
+
+    S.merge_ndv_version(spark, state, b0, 0, cols)
+    S.merge_ndv_version(spark, state, b1, 1, cols)
+    first = est(1)
+    assert first == {"id": 90, "s": 11}
+    S.merge_ndv_version(spark, state, b1, 1, cols)  # simulated retry
+    assert est(1) == first
+    S.merge_ndv_version(spark, state, b1, 2, cols)  # full re-delivery later
+    assert est(2) == first
