@@ -577,6 +577,41 @@ def profile_partial(df: DataFrame, columns: list[str], scale: int = 4) -> DataFr
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def merge_profile_partials(partials: DataFrame) -> DataFrame:
+    """Fold :func:`profile_partial` shard relations into ONE relation of
+    the SAME partial schema — the re-mergeable intermediate
+    :func:`merge_profiles` cannot produce (it finalizes the mean, losing
+    ``sum_units``). This is what an incremental/streaming maintainer folds
+    per batch and what a shard-tree fold passes between levels: integer
+    sums and monotone-rounded min/max make the fold associative and
+    lossless, so any fold shape finalizes to the identical one-shot
+    profile (pytest-pinned)."""
+    return partials.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.sum("sum_units").alias("sum_units"),
+    )
+
+
+def finalize_profile(partials: DataFrame, scale: int = 4) -> DataFrame:
+    """Finalize a partial-schema relation (one row per column — fold
+    first with :func:`merge_profile_partials` if holding shard rows) to
+    :func:`table_profile`'s exact output schema, with the same rounding
+    as the one-shot path."""
+    return partials.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "min_value",
+        "max_value",
+        F.round(
+            units_to_double(F.col("sum_units"), scale) / F.col("n_rows"), 6
+        ).alias("mean_value"),
+    )
+
+
 def merge_profiles(partials: DataFrame, scale: int = 4) -> DataFrame:
     """Fold :func:`profile_partial` shard relations (union any number of
     them first) into :func:`table_profile`'s exact output schema. Integer

@@ -449,6 +449,105 @@ def ndv_series(spark: SparkSession, series_dir: str) -> DataFrame:
     return spark.read.parquet(f"{series_dir}/b*")
 
 
+def profile_monitor_ingest(
+    stream_df: DataFrame,
+    state_dir: str,
+    columns: list[str],
+    ndv_columns: list[str] | None = None,
+    lg_k: int = 12,
+):
+    """Continuously-maintained table profile: every micro-batch folds its
+    ``relational.profile_partial`` rows (count / nulls / min / max /
+    exact fixed-point sum) — and, for ``ndv_columns``, its HLL sketches —
+    into a strict-parent versioned state. The running profile over
+    everything ever ingested costs one single-scan aggregate per batch
+    plus a constant-size state read/write: the profile state is one row
+    per column, the sketch state ~4 KB per column, both independent of
+    corpus size. ``latest_profile`` reads it back in
+    ``table_profile``'s schema (plus an ``ndv`` column when sketched).
+
+    The profile fold is EXACT (integer sums, monotone-rounded min/max —
+    finalizes bit-equal to profiling the concatenated batches); the NDV
+    fold carries the sketch family's bounded-error contract. Retries are
+    idempotent by the strict-parent rule; NOTE the asymmetry under
+    genuine row re-delivery across different batch ids: the sketch side
+    is immune (set semantics) but the profile side double-counts like
+    any additive aggregate — exactly-once row delivery (the file source,
+    a transactional sink) is the profile fold's contract.
+
+    Returns the started StreamingQuery (availableNow-triggered streams
+    terminate when the backlog drains)."""
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        merge_profile_version(
+            spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_profile_version(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    columns: list[str],
+    ndv_columns: list[str] | None = None,
+    lg_k: int = 12,
+) -> None:
+    """One ``profile_monitor_ingest`` fold step: profile (and sketch) the
+    batch, fold with the latest state version STRICTLY older than
+    ``batch_id``, write ``v{batch_id}/profile`` (+ ``/ndv``)."""
+    from spark_iforest_spark.operators import relational
+
+    prof = relational.profile_partial(batch_df, columns)
+    sk = (
+        relational.ndv_sketch_partial(batch_df, ndv_columns, lg_k)
+        if ndv_columns
+        else None
+    )
+    parents = [v for v in _index_versions(spark, state_dir) if v < batch_id]
+    if parents:
+        pdir = f"{state_dir}/v{parents[-1]}"
+        prof = relational.merge_profile_partials(
+            spark.read.parquet(f"{pdir}/profile").unionByName(prof)
+        )
+        if sk is not None:
+            sk = relational.merge_ndv_sketches(
+                spark.read.parquet(f"{pdir}/ndv").unionByName(sk)
+            )
+    vdir = f"{state_dir}/v{batch_id}"
+    prof.write.mode("overwrite").parquet(f"{vdir}/profile")
+    if sk is not None:
+        sk.write.mode("overwrite").parquet(f"{vdir}/ndv")
+
+
+def latest_profile(
+    spark: SparkSession, state_dir: str, scale: int = 4
+) -> DataFrame:
+    """The current running profile in ``table_profile``'s schema; when the
+    state carries NDV sketches, their estimates join on as an ``ndv``
+    column (full outer on column name: unsketched columns carry NULL ndv,
+    sketch-only columns carry NULL profile stats)."""
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import relational
+
+    vdir = f"{state_dir}/v{_index_versions(spark, state_dir)[-1]}"
+    prof = relational.finalize_profile(
+        spark.read.parquet(f"{vdir}/profile"), scale
+    )
+    names = {c["name"] for c in hfs.list_children(spark, vdir)}
+    if "ndv" not in names:
+        return prof
+    est = relational.ndv_estimates(spark.read.parquet(f"{vdir}/ndv"))
+    return prof.join(est, "column", "full")
+
+
 def incremental_neardup_ingest(
     stream_docs: DataFrame,
     index_dir: str,

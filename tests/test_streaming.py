@@ -766,3 +766,91 @@ def test_merge_ndv_version_retry_and_double_fold(spark, tmpdir):
     assert est(1) == first
     S.merge_ndv_version(spark, state, b1, 2, cols)  # full re-delivery later
     assert est(2) == first
+
+
+def test_profile_monitor_ingest_matches_oneshot(spark, sf_dir, tmpdir):
+    """Multi-micro-batch profile maintenance: after the backlog drains the
+    folded state must finalize BIT-EQUAL to the one-shot table_profile of
+    everything ingested (exact additive fold), with the sketched columns'
+    ndv joined on (bounded-error) and unsketched ones NULL."""
+    from spark_iforest_spark.operators import relational
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    src = tmpdir + "/src"
+    li.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(
+        "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = S.profile_monitor_ingest(
+        stream,
+        tmpdir + "/state",
+        ["l_quantity", "l_extendedprice"],
+        ndv_columns=["l_orderkey", "l_returnflag"],
+    )
+    q.awaitTermination()
+    got = S.latest_profile(spark, tmpdir + "/state").collect()
+    by_col = {r["column"]: r for r in got}
+    want = {
+        r["column"]: r
+        for r in relational.table_profile(
+            li, ["l_quantity", "l_extendedprice"]
+        ).collect()
+    }
+    for c, w in want.items():
+        g = by_col[c]
+        assert (g["n_rows"], g["n_nulls"], g["min_value"], g["max_value"],
+                g["mean_value"]) == (w["n_rows"], w["n_nulls"], w["min_value"],
+                                     w["max_value"], w["mean_value"])
+        assert g["ndv"] is None  # profiled but not sketched
+    exact = {
+        r["column"]: r["ndv"]
+        for r in relational.exact_ndv(li, ["l_orderkey", "l_returnflag"]).collect()
+    }
+    assert by_col["l_returnflag"]["ndv"] == exact["l_returnflag"]
+    assert abs(by_col["l_orderkey"]["ndv"] / exact["l_orderkey"] - 1.0) <= 0.08
+    assert by_col["l_orderkey"]["n_rows"] is None  # sketched but not profiled
+
+
+def test_merge_profile_partials_any_fold_shape(spark):
+    """The partial→partial fold is associative and lossless: left-nested,
+    right-nested, and flat folds of three shards all finalize bit-equal
+    to the one-shot table_profile."""
+    from spark_iforest_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17) / 3.0, None if i % 5 == 0 else float(i)) for i in range(300)],
+        "id long, a double, b double",
+    )
+    shards = [
+        relational.profile_partial(df.where(F.col("id") % 3 == k), ["a", "b"])
+        for k in range(3)
+    ]
+    m = relational.merge_profile_partials
+    left = m(m(shards[0].unionByName(shards[1])).unionByName(shards[2]))
+    right = m(shards[0].unionByName(m(shards[1].unionByName(shards[2]))))
+    flat = m(shards[0].unionByName(shards[1]).unionByName(shards[2]))
+    want = sorted(map(tuple, relational.table_profile(df, ["a", "b"]).collect()))
+    for fold in (left, right, flat):
+        got = sorted(map(tuple, relational.finalize_profile(fold).collect()))
+        assert got == want
+
+
+def test_merge_profile_version_retry_idempotent(spark, tmpdir):
+    """Strict-parent retry: re-running a batch id regenerates the identical
+    profile version (bit-exact — the additive state is deterministic)."""
+    state = tmpdir + "/state"
+    b0 = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, x double")
+    b1 = spark.createDataFrame([(3, 6.0), (4, None)], "id long, x double")
+    S.merge_profile_version(spark, state, b0, 0, ["x"], ndv_columns=["id"])
+    S.merge_profile_version(spark, state, b1, 1, ["x"], ndv_columns=["id"])
+    first = sorted(map(tuple, spark.read.parquet(state + "/v1/profile").collect()))
+    ndv_first = sorted(
+        map(tuple, S.latest_profile(spark, state).select("column", "ndv").collect())
+    )
+    S.merge_profile_version(spark, state, b1, 1, ["x"], ndv_columns=["id"])
+    assert sorted(map(tuple, spark.read.parquet(state + "/v1/profile").collect())) == first
+    assert sorted(
+        map(tuple, S.latest_profile(spark, state).select("column", "ndv").collect())
+    ) == ndv_first
