@@ -574,6 +574,36 @@ def _variants_sql(*pairs: tuple[str, str]) -> str:
     )
 
 
+def _profile_fold_variants(li: DataFrame) -> list:
+    """table_profile's two shard-fold variants off ONE set of snapshotted
+    shard partials: 'incr' = the one-shot merge_profiles fold (round 8),
+    'fold' = the nested partial→partial merge_profile_partials fold +
+    finalize_profile (round 10 — the re-mergeable intermediate the
+    streaming profile maintainer uses, here with a deliberately
+    left-nested shape so fold ASSOCIATIVITY is anchored externally, not
+    just pytest-pinned). Both oracles are the one-shot profile SQL."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        snapshot(
+            relational.profile_partial(
+                li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == k), cols
+            )
+        )
+        for k in range(3)
+    ]
+    nested = relational.merge_profile_partials(
+        relational.merge_profile_partials(
+            parts[0].unionByName(parts[1])
+        ).unionByName(parts[2])
+    )
+    return [
+        ("incr", relational.merge_profiles(_union_all(*parts))),
+        ("fold", relational.finalize_profile(nested)),
+    ]
+
+
 def _ndv_profile_variant(li: DataFrame) -> DataFrame:
     """table_profile 'ndv' variant: the mergeable HLL distinct-count family
     (relational.ndv_sketch_partial / merge_ndv_sketches — the statistic
@@ -2214,32 +2244,15 @@ def queries() -> _T:
                     ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
                 ),
             ),
-            # round 8: the mergeable shard path — profile three disjoint
-            # hash-shards separately, fold with merge_profiles; the result
-            # must equal the one-shot whole-table profile, so the oracle is
-            # the SAME SQL as the 'profile' variant (exact integer-unit
-            # sums and monotone-rounded minima make the fold lossless)
-            (
-                "incr",
-                relational.merge_profiles(
-                    _union_all(
-                        *[
-                            relational.profile_partial(
-                                _read(s, d, "lineitem").where(
-                                    F.pmod(F.col("l_orderkey"), F.lit(3)) == k
-                                ),
-                                [
-                                    "l_quantity",
-                                    "l_extendedprice",
-                                    "l_discount",
-                                    "l_tax",
-                                ],
-                            )
-                            for k in range(3)
-                        ]
-                    )
-                ),
-            ),
+            # round 8 incr + round 10 fold: the mergeable shard paths —
+            # profile three disjoint hash-shards separately (snapshotted
+            # once, shared by both variants), then (incr) the one-shot
+            # merge_profiles fold and (fold) the nested partial→partial
+            # merge_profile_partials fold + finalize_profile; both must
+            # equal the one-shot whole-table profile, so both oracles ARE
+            # the 'profile' variant's SQL (exact integer-unit sums and
+            # monotone-rounded minima make any fold shape lossless)
+            *_profile_fold_variants(_read(s, d, "lineitem")),
             (
                 "skew",
                 relational.skew_report(
@@ -4810,8 +4823,10 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _variants_sql(
             ("profile", base["table_profile"]),
             # merge(shard partials) must equal the one-shot profile, so the
-            # incr variant's oracle IS the one-shot SQL (round 8)
+            # incr variant's oracle IS the one-shot SQL (round 8), and so
+            # is the round-10 nested partial→partial fold's
             ("incr", base["table_profile"]),
+            ("fold", base["table_profile"]),
             ("skew", base["skew_report"]),
             # round 10 ndv variant: exact distinct counts end-to-end; the
             # three sketch-accuracy booleans (one-shot ≤8%, merged ≤8%,

@@ -69,10 +69,11 @@ SCAN_BUDGET: dict[str, int] = {
     # 3/4-slice shingle_index build; no single pipeline re-reads its own
     # input
     "dedup_jaccard_pairs": 18,
-    # round 10: profile + incr (3 shard partials) + skew (events) + ndv
-    # (exact anchor, one-shot sketch, 3 shard sketches) — ten independent
-    # single-scan aggregates across two tables; no pipeline re-reads its
-    # own input
+    # round 10: profile + skew (events) + ndv (exact anchor, one-shot
+    # sketch, 3 shard sketches) — seven independent single-scan
+    # aggregates across two tables (the incr/fold shard partials are
+    # snapshotted once and show as rdd, not scans); no pipeline re-reads
+    # its own input
     "table_profile": 24,
 }
 
