@@ -2179,6 +2179,20 @@ def queries() -> _T:
             # with persisted (lm, cutpoints) == ccnet_filter end-to-end,
             # against the SAME recomputed oracle
             ("ccnet_apply", _ccnet_apply_rows(s, d)),
+            # round 10: exact-k per-stratum sample (the exact-count
+            # complement of the Bernoulli sampler) — md5-permutation rank
+            # recomputed end-to-end by DuckDB; sample_rank rides n_tokens
+            (
+                "strat_k",
+                pipeline.stratified_sample_k(
+                    _read(s, d, "documents"), 30
+                ).select(
+                    "doc_id",
+                    "lang",
+                    F.col("sample_rank").cast("int").alias("n_tokens"),
+                    F.lit(None).cast("long").alias("cum_tokens"),
+                ),
+            ),
         ),
         # temporal joins: as-of (union-window, one shuffle — no range
         # explosion) and a bucketized range self-join (equi-join on
@@ -5084,6 +5098,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ccnet_apply', doc_id, lang, CAST(band AS INT),
                    CAST(avg_nll AS BIGINT)
             FROM ({base["ccnet_keep"]})
+            UNION ALL
+            SELECT 'strat_k', doc_id, lang, CAST(sample_rank AS INT),
+                   CAST(NULL AS BIGINT)
+            FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || 'strat_k'),
+                                doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 30
         """,
         "normalize_chunks": f"""
             SELECT 'normalize' AS variant, doc_id, CAST(0 AS INT) AS seq,

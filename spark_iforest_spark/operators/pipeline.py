@@ -175,6 +175,40 @@ def stratified_sample(
     return df.where(u < edge)
 
 
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat_k",
+) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample: rank rows within each
+    stratum by md5(id|salt) — a per-stratum uniform random permutation,
+    reproducible across layouts and engines — and keep the first ``k``
+    (all rows when a stratum has fewer). The exact-count complement of
+    :func:`stratified_sample`'s Bernoulli fractions: fixed evaluation
+    panels, per-language audit slices, anything where "exactly 10k docs
+    per language" is the contract and a binomially-varying count is not.
+
+    Appends ``sample_rank`` (1-based within the stratum, by the same
+    permutation) — a stable take-the-first-n handle for nested budgets.
+
+    Scale: the rank filter compiles to WindowGroupLimit (plan-pinned),
+    so each task pre-prunes to its local top-k per stratum before the
+    single stratum-keyed shuffle — no stratum funnels more than
+    partitions·k rows through its window task, and there is no global
+    sort. Skew note: one giant stratum still converges on one reducer
+    for its final top-k merge; at extreme k·strata skew, pre-aggregate
+    with an extra salt level (the salted_join pattern) before ranking.
+    """
+    key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(k))
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -713,3 +713,60 @@ def test_ndv_merge_refuses_mixed_lg_k(spark):
     b = relational.ndv_sketch_partial(df, ["id"], lg_k=14)
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         relational.merge_ndv_sketches(a.unionByName(b)).collect()
+
+
+# ---------------------------------------------------------------------------
+# exact-k per-stratum sampling (round 10): the exact-count complement of
+# stratified_sample's Bernoulli fractions
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_k_exact_counts_and_determinism(spark):
+    from spark_iforest_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 10 else "small") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    # 'small' has 20 members, 'big' 180; k=25 keeps all of small, 25 of big
+    got = P.stratified_sample_k(df, 25)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 25, "small": 20}
+    # ranks are 1..n within each stratum
+    ranks = sorted(r["sample_rank"] for r in got.where(F.col("lang") == "big").collect())
+    assert ranks == list(range(1, 26))
+    # layout invariance: membership and ranks are a pure function of
+    # (id, salt) — repartitioning changes nothing
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, P.stratified_sample_k(df.repartition(13), 25).collect()))
+    assert a == b
+    # growth stability: adding new docs never evicts by re-hash alone —
+    # a kept doc's rank can only grow if new ids hash ahead of it, and
+    # the permutation of OLD ids is unchanged (relative order preserved)
+    bigger = df.unionByName(
+        spark.createDataFrame([(1000 + i, "big") for i in range(50)],
+                              "doc_id long, lang string")
+    )
+    old_order = [r["doc_id"] for r in got.where(F.col("lang") == "big")
+                 .orderBy("sample_rank").collect()]
+    new_kept = P.stratified_sample_k(bigger, 25).where(F.col("lang") == "big")
+    new_order = [r["doc_id"] for r in new_kept.orderBy("sample_rank").collect()]
+    surviving = [d for d in old_order if d in set(new_order)]
+    filtered_new = [d for d in new_order if d in set(old_order)]
+    assert surviving == filtered_new
+
+
+def test_stratified_sample_k_plans_as_window_group_limit(spark):
+    """The rank filter must compile to WindowGroupLimit so each task
+    pre-prunes to its local per-stratum top-k before the shuffle — the
+    property that keeps a giant stratum from funneling its whole slice
+    through one window task."""
+    from spark_iforest_spark.operators import pipeline as P
+    from spark_iforest_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, lang string"
+    )
+    plan = formatted_plan(P.stratified_sample_k(df, 5))
+    assert "WindowGroupLimit" in plan

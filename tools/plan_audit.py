@@ -47,11 +47,11 @@ SCAN_BUDGET: dict[str, int] = {
     "ann_recall": 30,
     # 5 independent ANN pipelines (ivf/lsh/pq/lsh_mp/ivfpq), 2-3 scans each
     "ann_approx_topk": 30,
-    # 8 sampler variants, each an independent pass over documents
+    # 9 sampler variants, each an independent pass over documents
     # (round 9: +ccnet_gk — LocalRelation, no scans, its calibration is
     # memoized driver-side — and +ccnet_apply, a fresh frozen-artifact
     # scoring pass reading documents twice: the token-pair explode and
-    # the lang join-back)
+    # the lang join-back; round 10: +strat_k, one scan)
     "corpus_samples": 52,
     # round 9: full + incremental variants — the full pass reads the
     # corpus for lines/counts/totals; the incr variant independently
