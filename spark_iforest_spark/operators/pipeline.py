@@ -200,6 +200,11 @@ def stratified_sample_k(
     sort. Skew note: one giant stratum still converges on one reducer
     for its final top-k merge; at extreme k·strata skew, pre-aggregate
     with an extra salt level (the salted_join pattern) before ranking.
+
+    Contract: ids must be non-NULL (concat_ws silently skips NULLs, so
+    every NULL id would hash identically — and SQL engines that
+    NULL-propagate `||` would order them differently); same id-keyed
+    precondition as hash_split/shuffle_corpus.
     """
     key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
