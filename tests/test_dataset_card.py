@@ -31,3 +31,15 @@ def test_dataset_card_drift_section(spark, docs):
     card = corpus.dataset_card(docs, baseline=baseline)
     assert set(card["drift_vs_baseline"]) == set(baseline)
     assert card["max_drift_psi"] < 1e-6  # same snapshot: no drift
+
+
+def test_dataset_card_approx_ndv_bounded(spark, docs):
+    """approx_ndv=True replaces only the totals scan's exact digest
+    distinct with the HLL estimate: dup rate within the sketch's bound,
+    every other section identical."""
+    exact = corpus.dataset_card(docs)
+    approx = corpus.dataset_card(docs, approx_ndv=True)
+    assert abs(approx["exact_dup_rate"] - exact["exact_dup_rate"]) <= 0.02
+    for k in ("n_docs", "n_tokens", "n_chars", "sources", "langs",
+              "quality_deciles", "pack_fill_deciles"):
+        assert approx[k] == exact[k]
