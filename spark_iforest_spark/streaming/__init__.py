@@ -950,9 +950,10 @@ def prune_versions(
     spark: SparkSession, versioned_dir: str, keep: int = 2
 ) -> list[int]:
     """Retention for the FULL-REWRITE versioned sinks — the digest index
-    (``incremental_dedup_ingest``'s ``v{N}``) and the curation state
-    (``curate_stream``'s ``v{N}``): delete all but the newest ``keep``
-    versions and return the pruned version ids.
+    (``incremental_dedup_ingest``'s ``v{N}``), the curation state
+    (``curate_stream``'s ``v{N}``), and the monitor states
+    (``ndv_monitor_ingest`` / ``profile_monitor_ingest``): delete all but
+    the newest ``keep`` versions and return the pruned version ids.
 
     Only the newest version is ever read forward (``latest_dedup_index`` /
     ``latest_curation_state``); older versions exist solely as parents for

@@ -854,3 +854,39 @@ def test_merge_profile_version_retry_idempotent(spark, tmpdir):
     assert sorted(
         map(tuple, S.latest_profile(spark, state).select("column", "ndv").collect())
     ) == ndv_first
+
+
+def test_prune_versions_composes_with_monitor_states(spark, tmpdir):
+    """The monitor states follow the same v{N} full-rewrite convention as
+    the digest index, so prune_versions applies: keep-newest-2, latest
+    still resolves, and a later batch folds against the newest survivor."""
+    state = tmpdir + "/state"
+    cols = ["id"]
+    for b in range(4):
+        S.merge_ndv_version(
+            spark,
+            state,
+            spark.createDataFrame([(b * 10 + i,) for i in range(10)], "id long"),
+            b,
+            cols,
+        )
+    pruned = S.prune_versions(spark, state, keep=2)
+    assert pruned == [0, 1]
+    from spark_iforest_spark.operators import relational
+
+    est = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            S.latest_ndv_sketches(spark, state)
+        ).collect()
+    }
+    assert est == {"id": 40}
+    b4 = spark.createDataFrame([(100 + i,) for i in range(5)], "id long")
+    S.merge_ndv_version(spark, state, b4, 4, cols)
+    est = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            S.latest_ndv_sketches(spark, state)
+        ).collect()
+    }
+    assert est == {"id": 45}
