@@ -647,6 +647,51 @@ def _ndv_profile_variant(li: DataFrame) -> DataFrame:
     )
 
 
+def _ndv_group_variant(li: DataFrame) -> DataFrame:
+    """Grouped twin of the ndv variant: distinct l_orderkey per
+    l_returnflag through the same three paths (exact anchor, one-shot
+    grouped sketch, 3-shard grouped fold). Harmonized: column carries
+    '<flag>|l_orderkey', n_rows the exact per-group NDV
+    (DuckDB-recomputed), the three booleans the same 8%/8%/3% bounds."""
+    one = relational.approx_ndv(
+        li, ["l_orderkey"], group_cols=["l_returnflag"]
+    ).withColumnRenamed("ndv", "ndv_one")
+    shards = _union_all(
+        *[
+            relational.ndv_sketch_partial(
+                li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == k),
+                ["l_orderkey"],
+                group_cols=["l_returnflag"],
+            )
+            for k in range(3)
+        ]
+    )
+    merged = relational.ndv_estimates(
+        relational.merge_ndv_sketches(shards, group_cols=["l_returnflag"])
+    ).withColumnRenamed("ndv", "ndv_merged")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("ndv")
+    )
+
+    def _close(a: str, b: str, tol: float):
+        return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).cast("double")
+
+    return (
+        exact.join(one.drop("column"), "l_returnflag")
+        .join(merged.drop("column"), "l_returnflag")
+        .select(
+            F.concat_ws("|", F.col("l_returnflag"), F.lit("l_orderkey")).alias(
+                "column"
+            ),
+            F.col("ndv").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_nulls"),
+            _close("ndv_one", "ndv", 0.08).alias("min_value"),
+            _close("ndv_merged", "ndv", 0.08).alias("max_value"),
+            _close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
+        )
+    )
+
+
 def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-replay streaming gate: readStream(events) → watermark +
     tumbling window → memory sink (complete mode, availableNow). The
@@ -2283,6 +2328,8 @@ def queries() -> _T:
             # round 10: the mergeable HLL distinct-count family — exact NDV
             # recomputed by DuckDB, sketch-accuracy booleans pinned TRUE
             ("ndv", _ndv_profile_variant(_read(s, d, "lineitem"))),
+            # and its grouped dimension (per-l_returnflag sketches)
+            ("ndv_grp", _ndv_group_variant(_read(s, d, "lineitem"))),
         ),
         # the same events⋈orders aggregate from two plans that must both
         # equal the plain-join oracle: the salted batch join (salting must
@@ -4863,6 +4910,16 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT 'l_returnflag',
                          count(DISTINCT l_returnflag) FROM lineitem
                 )
+                """,
+            ),
+            (
+                "ndv_grp",
+                """
+                SELECT l_returnflag || '|l_orderkey' AS column,
+                       count(DISTINCT l_orderkey) AS n_rows,
+                       CAST(NULL AS BIGINT) AS n_nulls,
+                       1.0 AS min_value, 1.0 AS max_value, 1.0 AS mean_value
+                FROM lineitem GROUP BY l_returnflag
                 """,
             ),
         ),

@@ -650,7 +650,12 @@ def _ndv_check_columns(df: DataFrame, columns: list[str]) -> None:
             )
 
 
-def ndv_sketch_partial(df: DataFrame, columns: list[str], lg_k: int = 12) -> DataFrame:
+def ndv_sketch_partial(
+    df: DataFrame,
+    columns: list[str],
+    lg_k: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Mergeable per-shard distinct-count state: one Datasketches HLL sketch
     per column from ONE scan — (column, sketch), the statistic
     :func:`profile_partial` structurally cannot carry (counts and integer
@@ -671,9 +676,17 @@ def ndv_sketch_partial(df: DataFrame, columns: list[str], lg_k: int = 12) -> Dat
     transition), so downstream checks pin bounded relative error, never raw
     estimate equality — the driver gate's ndv variant pins the one-shot and
     merged estimates within 8% of the exact NDV (≈5σ at lg_k=12) and within
-    3% of each other."""
+    3% of each other.
+
+    ``group_cols`` adds a grouped dimension — one sketch per (group,
+    column), e.g. distinct users per event_type per daily shard — still
+    ONE map-side-combined aggregate over one scan (state = groups ×
+    columns × 4 KB); fold with ``merge_ndv_sketches(parts,
+    group_cols=...)``, where groups absent from a shard simply contribute
+    no row."""
     _ndv_check_columns(df, columns)
-    row = df.agg(
+    group_cols = list(group_cols or [])
+    row = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
         *[F.hll_sketch_agg(c, lg_k).alias(f"{c}__sk") for c in columns]
     )
     structs = [
@@ -682,32 +695,44 @@ def ndv_sketch_partial(df: DataFrame, columns: list[str], lg_k: int = 12) -> Dat
         )
         for c in columns
     ]
-    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return row.select(
+        *group_cols, F.explode(F.array(*structs)).alias("p")
+    ).select(*group_cols, "p.*")
 
 
-def merge_ndv_sketches(partials: DataFrame) -> DataFrame:
+def merge_ndv_sketches(
+    partials: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Fold :func:`ndv_sketch_partial` shard relations (union any number of
-    them first) into one sketch per column. lg_k must match across shards —
-    ``allowDifferentLgConfigK`` stays False so a mixed-precision merge fails
-    loudly instead of silently downgrading every estimate to the coarsest
-    shard (the same must-match posture as the substr window index)."""
-    return partials.groupBy("column").agg(
+    them first) into one sketch per (group,) column. lg_k must match across
+    shards — ``allowDifferentLgConfigK`` stays False so a mixed-precision
+    merge fails loudly instead of silently downgrading every estimate to
+    the coarsest shard (the same must-match posture as the substr window
+    index)."""
+    return partials.groupBy(*(group_cols or []), "column").agg(
         F.hll_union_agg("sketch", allowDifferentLgConfigK=False).alias("sketch")
     )
 
 
 def ndv_estimates(sketches: DataFrame) -> DataFrame:
-    """Finalize (column, sketch) rows to (column, ndv) estimates."""
+    """Finalize sketch rows to estimates: ``sketch`` → ``ndv``, any group
+    columns carried through."""
+    others = [c for c in sketches.columns if c != "sketch"]
     return sketches.select(
-        "column", F.hll_sketch_estimate("sketch").alias("ndv")
+        *others, F.hll_sketch_estimate("sketch").alias("ndv")
     )
 
 
-def approx_ndv(df: DataFrame, columns: list[str], lg_k: int = 12) -> DataFrame:
-    """One-shot approximate distinct counts: (column, ndv) from one scan.
-    The single-table convenience face of the sketch family above — same
-    accuracy contract, no persisted artifact."""
-    return ndv_estimates(ndv_sketch_partial(df, columns, lg_k))
+def approx_ndv(
+    df: DataFrame,
+    columns: list[str],
+    lg_k: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-shot approximate distinct counts: ((group,) column, ndv) from
+    one scan. The single-table convenience face of the sketch family
+    above — same accuracy contract, no persisted artifact."""
+    return ndv_estimates(ndv_sketch_partial(df, columns, lg_k, group_cols))
 
 
 def exact_ndv(df: DataFrame, columns: list[str]) -> DataFrame:

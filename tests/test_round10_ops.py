@@ -770,3 +770,60 @@ def test_stratified_sample_k_plans_as_window_group_limit(spark):
     )
     plan = formatted_plan(P.stratified_sample_k(df, 5))
     assert "WindowGroupLimit" in plan
+
+
+def test_ndv_grouped_exact_regime_and_merge(spark):
+    """group_cols adds the per-group dimension: in the exact coupon regime
+    the grouped one-shot and the grouped 3-shard fold both equal the true
+    per-group NDV, and a group absent from a shard simply contributes no
+    row to that shard's state."""
+    from spark_iforest_spark.operators import relational
+
+    rows = [
+        (i, "g0" if i % 2 == 0 else "g1", i % (30 if i % 2 == 0 else 50))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    want = {
+        (g, "v"): len({v for i, gg, v in rows if gg == g})
+        for g in ("g0", "g1")
+    }
+    one = {
+        (r["g"], r["column"]): r["ndv"]
+        for r in relational.approx_ndv(df, ["v"], group_cols=["g"]).collect()
+    }
+    assert one == want
+    # shard by id%3; shard 0 gets only even ids -> only g0 rows... (ids
+    # 0,3,6,9: mixed) — shards simply cover different group subsets
+    parts = [
+        relational.ndv_sketch_partial(
+            df.where(F.col("id") % 3 == k), ["v"], group_cols=["g"]
+        )
+        for k in range(3)
+    ]
+    merged = {
+        (r["g"], r["column"]): r["ndv"]
+        for r in relational.ndv_estimates(
+            relational.merge_ndv_sketches(
+                parts[0].unionByName(parts[1]).unionByName(parts[2]),
+                group_cols=["g"],
+            )
+        ).collect()
+    }
+    assert merged == want
+    # a shard missing a group entirely still folds correctly
+    only_g0 = relational.ndv_sketch_partial(
+        df.where(F.col("g") == "g0"), ["v"], group_cols=["g"]
+    )
+    only_g1 = relational.ndv_sketch_partial(
+        df.where(F.col("g") == "g1"), ["v"], group_cols=["g"]
+    )
+    split = {
+        (r["g"], r["column"]): r["ndv"]
+        for r in relational.ndv_estimates(
+            relational.merge_ndv_sketches(
+                only_g0.unionByName(only_g1), group_cols=["g"]
+            )
+        ).collect()
+    }
+    assert split == want

@@ -69,12 +69,12 @@ SCAN_BUDGET: dict[str, int] = {
     # 3/4-slice shingle_index build; no single pipeline re-reads its own
     # input
     "dedup_jaccard_pairs": 18,
-    # round 10: profile + skew (events) + ndv (exact anchor, one-shot
-    # sketch, 3 shard sketches) — seven independent single-scan
-    # aggregates across two tables (the incr/fold shard partials are
-    # snapshotted once and show as rdd, not scans); no pipeline re-reads
-    # its own input
-    "table_profile": 24,
+    # round 10: profile + skew (events) + ndv and ndv_grp (each: exact
+    # anchor, one-shot sketch, 3 shard sketches) — twelve independent
+    # single-scan aggregates across two tables (the incr/fold shard
+    # partials are snapshotted once and show as rdd, not scans); no
+    # pipeline re-reads its own input
+    "table_profile": 28,
 }
 
 PY_NODES = re.compile(
