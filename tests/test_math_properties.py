@@ -45,3 +45,37 @@ def test_morton_interleave_roundtrips(buckets):
         for d in range(k)
     ]
     assert back == buckets
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_profile_partial_fold_arithmetic(assigned):
+    """The mathematical claims behind merge_profile_partials (mirrored in
+    pure Python; the Column expressions apply the identical ops): for ANY
+    shard assignment, (1) per-shard round(min,6)/round(max,6) commute
+    with the global min/max because round is monotone, and (2) per-shard
+    integer-unit sums add to the global integer-unit sum exactly — which
+    together make the fold associative and shard-layout-independent."""
+    import math
+
+    vals = [v for v, _ in assigned]
+    shards = {}
+    for v, s in assigned:
+        shards.setdefault(s, []).append(v)
+    # (1) monotone rounding commutes with min/max across any sharding
+    assert min(round(min(xs), 6) for xs in shards.values()) == round(min(vals), 6)
+    assert max(round(max(xs), 6) for xs in shards.values()) == round(max(vals), 6)
+    # (2) fixed-point unit sums are exact integers, so shard sums add
+    units = lambda x: math.floor(x * 10_000.0)
+    assert sum(sum(units(x) for x in xs) for xs in shards.values()) == sum(
+        units(x) for x in vals
+    )
