@@ -574,6 +574,14 @@ def _variants_sql(*pairs: tuple[str, str]) -> str:
     )
 
 
+def _rel_close(a: str, b: str, tol: float):
+    """Shared tolerance boolean for the sketch-accuracy gate pins
+    (ndv + ndv_grp variants): |a/b − 1| ≤ tol as a 0.0/1.0 double —
+    single definition so the two variants cannot silently drift to
+    different bound semantics."""
+    return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).cast("double")
+
+
 def _profile_fold_variants(li: DataFrame) -> list:
     """table_profile's two shard-fold variants off ONE set of snapshotted
     shard partials: 'incr' = the one-shot merge_profiles fold (round 8),
@@ -629,8 +637,6 @@ def _ndv_profile_variant(li: DataFrame) -> DataFrame:
         relational.merge_ndv_sketches(shards)
     ).withColumnRenamed("ndv", "ndv_merged")
 
-    def _close(a: str, b: str, tol: float):
-        return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).cast("double")
 
     return (
         relational.exact_ndv(li, cols)
@@ -640,9 +646,9 @@ def _ndv_profile_variant(li: DataFrame) -> DataFrame:
             "column",
             F.col("ndv").alias("n_rows"),
             F.lit(None).cast("long").alias("n_nulls"),
-            _close("ndv_one", "ndv", 0.08).alias("min_value"),
-            _close("ndv_merged", "ndv", 0.08).alias("max_value"),
-            _close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
+            _rel_close("ndv_one", "ndv", 0.08).alias("min_value"),
+            _rel_close("ndv_merged", "ndv", 0.08).alias("max_value"),
+            _rel_close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
         )
     )
 
@@ -673,8 +679,6 @@ def _ndv_group_variant(li: DataFrame) -> DataFrame:
         F.countDistinct("l_orderkey").alias("ndv")
     )
 
-    def _close(a: str, b: str, tol: float):
-        return (F.abs(F.col(a) / F.col(b) - 1.0) <= tol).cast("double")
 
     return (
         exact.join(one.drop("column"), "l_returnflag")
@@ -685,9 +689,9 @@ def _ndv_group_variant(li: DataFrame) -> DataFrame:
             ),
             F.col("ndv").alias("n_rows"),
             F.lit(None).cast("long").alias("n_nulls"),
-            _close("ndv_one", "ndv", 0.08).alias("min_value"),
-            _close("ndv_merged", "ndv", 0.08).alias("max_value"),
-            _close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
+            _rel_close("ndv_one", "ndv", 0.08).alias("min_value"),
+            _rel_close("ndv_merged", "ndv", 0.08).alias("max_value"),
+            _rel_close("ndv_merged", "ndv_one", 0.03).alias("mean_value"),
         )
     )
 

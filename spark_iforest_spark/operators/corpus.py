@@ -179,8 +179,12 @@ def dataset_card(
         "n_docs": totals["n_docs"],
         "n_tokens": totals["n_tokens"],
         "n_chars": totals["n_chars"],
-        "exact_dup_rate": round(
-            1.0 - totals["n_distinct"] / max(totals["n_docs"], 1), 6
+        # clamped at 0: the sketch estimate can overshoot n_docs by its
+        # relative error on a dup-free corpus, and a negative rate would
+        # break any consumer rendering a percentage
+        "exact_dup_rate": max(
+            0.0,
+            round(1.0 - totals["n_distinct"] / max(totals["n_docs"], 1), 6),
         ),
         "sources": {
             r[source_col]: {
@@ -208,6 +212,11 @@ def dataset_card(
             for r in packing_efficiency(docs, id_col, text_col).collect()
         },
     }
+    if approx_ndv:
+        # the dup rate above came from a sketch estimate, not an exact
+        # distinct — record that so the card is honest about its one
+        # approximate number (the key name stays stable for consumers)
+        card["dup_rate_is_approx"] = True
     if baseline is not None:
         from spark_iforest_spark.operators.quality_model import _raw_features
 

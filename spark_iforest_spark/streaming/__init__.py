@@ -324,6 +324,21 @@ def _index_versions(spark: SparkSession, index_dir: str) -> list[int]:
     )
 
 
+def _latest_parent(
+    spark: SparkSession, versioned_dir: str, batch_id: int
+) -> str | None:
+    """The strict-parent resolve shared by every versioned FOLD sink
+    (digest index, ndv/profile monitor states): the newest version
+    directory STRICTLY older than ``batch_id``, or None when the batch
+    is the first. Strictly-older is the idempotence rule — a retried
+    batch can never read its own partial output. (The curation state's
+    ``curate_batch_version`` intentionally uses ``<=`` instead and is
+    NOT a caller: its state versions are v{batch+1}, so its retry reads
+    the same parent via a different inequality.)"""
+    parents = [v for v in _index_versions(spark, versioned_dir) if v < batch_id]
+    return f"{versioned_dir}/v{parents[-1]}" if parents else None
+
+
 def merge_index_version(
     spark: SparkSession,
     index_dir: str,
@@ -339,9 +354,9 @@ def merge_index_version(
     output."""
     from spark_iforest_spark.operators import dedup
 
-    parents = [v for v in _index_versions(spark, index_dir) if v < batch_id]
-    if parents:
-        index = spark.read.parquet(f"{index_dir}/v{parents[-1]}")
+    parent = _latest_parent(spark, index_dir, batch_id)
+    if parent is not None:
+        index = spark.read.parquet(parent)
         delta = dedup.exact_dedup_incremental(batch_df, index, id_col, text_col)
         merged = index.join(
             delta.select("content_hash"), "content_hash", "left_anti"
@@ -419,10 +434,11 @@ def merge_ndv_version(
     from spark_iforest_spark.operators import relational
 
     batch_sk = relational.ndv_sketch_partial(batch_df, columns, lg_k)
-    parents = [v for v in _index_versions(spark, state_dir) if v < batch_id]
-    if parents:
-        parent = spark.read.parquet(f"{state_dir}/v{parents[-1]}")
-        merged = relational.merge_ndv_sketches(parent.unionByName(batch_sk))
+    parent = _latest_parent(spark, state_dir, batch_id)
+    if parent is not None:
+        merged = relational.merge_ndv_sketches(
+            spark.read.parquet(parent).unionByName(batch_sk)
+        )
     else:
         merged = batch_sk
     merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
@@ -511,9 +527,8 @@ def merge_profile_version(
         if ndv_columns
         else None
     )
-    parents = [v for v in _index_versions(spark, state_dir) if v < batch_id]
-    if parents:
-        pdir = f"{state_dir}/v{parents[-1]}"
+    pdir = _latest_parent(spark, state_dir, batch_id)
+    if pdir is not None:
         prof = relational.merge_profile_partials(
             spark.read.parquet(f"{pdir}/profile").unionByName(prof)
         )

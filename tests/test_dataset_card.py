@@ -40,6 +40,11 @@ def test_dataset_card_approx_ndv_bounded(spark, docs):
     exact = corpus.dataset_card(docs)
     approx = corpus.dataset_card(docs, approx_ndv=True)
     assert abs(approx["exact_dup_rate"] - exact["exact_dup_rate"]) <= 0.02
+    # clamped and flagged: never negative on a dup-free corpus, and the
+    # card records that its one approximate number is approximate
+    assert approx["exact_dup_rate"] >= 0.0
+    assert approx["dup_rate_is_approx"] is True
+    assert "dup_rate_is_approx" not in exact
     for k in ("n_docs", "n_tokens", "n_chars", "sources", "langs",
               "quality_deciles", "pack_fill_deciles"):
         assert approx[k] == exact[k]

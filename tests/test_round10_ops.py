@@ -703,15 +703,14 @@ def test_ndv_merge_refuses_mixed_lg_k(spark):
     different precisions must fail loudly, not silently downgrade every
     estimate to the coarsest shard (same posture as the substr-window
     index's must-match window)."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from spark_iforest_spark.operators import relational
 
     df = spark.createDataFrame([(i,) for i in range(100)], "id long")
     a = relational.ndv_sketch_partial(df, ["id"], lg_k=12)
     b = relational.ndv_sketch_partial(df, ["id"], lg_k=14)
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+    # Spark's HLL_UNION_DIFFERENT_LG_K error — match the error class so
+    # the test pins THIS failure, not any incidental exception
+    with pytest.raises(Exception, match="lgConfigK|LG_K"):
         relational.merge_ndv_sketches(a.unionByName(b)).collect()
 
 
