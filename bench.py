@@ -520,6 +520,11 @@ def main() -> None:
         timings: dict[str, float | None] = {}
         all_runs: dict[str, list[float]] = {}
         unstable: list[str] = []
+        # per-ATTEMPT error capture (review fix): a query that failed
+        # under load in attempt 1 but succeeded on the healed re-run must
+        # not ship a stale exception next to a clean merged record — only
+        # queries whose merged timing is still None surface an error
+        att_errors: dict[str, list[str]] = {}
         # min-of-2 probes: the probe measures the machine's CAPABILITY
         # (like every other timing here); a single sample right after
         # session start can absorb JVM background-thread jitter and
@@ -541,7 +546,7 @@ def main() -> None:
                     # record the head, null the query, keep the suite
                     # running — a one-query failure must not cost the
                     # whole artifact
-                    py_errors[name] = traceback.format_exc().splitlines()[
+                    att_errors[name] = traceback.format_exc().splitlines()[
                         :_ERR_HEAD_LINES
                     ]
                     all_runs[name] = runs
@@ -573,6 +578,7 @@ def main() -> None:
             "calibration": {"probe_start_sec": p_start, "probe_end_sec": p_end},
             "probe_spread": round(spread, 3),
             "clean": not unstable and spread < 1.5,
+            "errors": att_errors,
         }
 
     # ---- self-healing measurement loop (round 10 — the driver's official
@@ -628,6 +634,12 @@ def main() -> None:
         ok = [v for v in per if v is not None]
         timings[q] = min(ok) if ok else None
         all_runs[q] = [r for a in attempts for r in a["runs"].get(q, [])]
+        if timings[q] is None:
+            # never succeeded in any attempt — surface the newest head
+            for a in reversed(attempts):
+                if q in a.get("errors", {}):
+                    py_errors[q] = a["errors"][q]
+                    break
     unstable = sorted(
         set.intersection(*[set(a["unstable"]) for a in attempts])
         if attempts

@@ -161,7 +161,23 @@ def check_batch_disjoint(
     bids = batch.select(F.col(id_col)).distinct()
     if broadcast_batch:
         bids = F.broadcast(bids)
-    idx_ids = indexed_ids.select(F.col(indexed_ids.columns[0]).alias(id_col))
+    # take the id column BY NAME when present; a positional grab from a
+    # wider/reordered relation would silently compare the wrong column
+    # and pass the guard (review fix). Single-column relations of any
+    # name (e.g. a bare SELECT id projection) stay accepted.
+    if id_col in indexed_ids.columns:
+        idx_ids = indexed_ids.select(F.col(id_col))
+    elif len(indexed_ids.columns) == 1:
+        idx_ids = indexed_ids.select(
+            F.col(indexed_ids.columns[0]).alias(id_col)
+        )
+    else:
+        raise ValueError(
+            f"indexed_ids has columns {indexed_ids.columns} — pass the id "
+            f"relation itself (a {id_col!r} column, or a single-column "
+            "projection of it); guessing a column from a wider relation "
+            "could silently verify the wrong one."
+        )
     overlap = idx_ids.join(bids, id_col, "left_semi").limit(1)
     if not overlap.isEmpty():
         raise ValueError(

@@ -314,8 +314,19 @@ def merge_shingle_indexes(
     minhash family), not the merge's."""
     from functools import reduce
 
+    # harmonize BEFORE the union (review fix): a mix of n-recording and
+    # n-less artifacts used to throw a column-count AnalysisException in
+    # unionByName before the tolerance check could run — the documented
+    # tolerance was unreachable. Same posture as
+    # merge_substr_window_indexes: all-recorded → verify; any legacy
+    # n-less input → drop the recording and skip verification.
+    have_n = all("n" in ix.columns for ix in indexes)
+    if not have_n:
+        indexes = tuple(
+            ix.drop("n") if "n" in ix.columns else ix for ix in indexes
+        )
     merged = reduce(DataFrame.unionByName, indexes)
-    if verify_n and all("n" in ix.columns for ix in indexes):
+    if verify_n and have_n:
         _assert_index_param(merged, "n", None, "merge_shingle_indexes")
     return merged
 
@@ -394,6 +405,7 @@ def ngram_jaccard_pairs_incremental(
     broadcast_batch: bool = True,
     assume_disjoint_ids: bool = False,
     verify_n: bool = True,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-jaccard member of the incremental dedup family: emits the
     same (doc_a, doc_b, jaccard) relation as ``ngram_jaccard_pairs(old ∪
@@ -416,12 +428,25 @@ def ngram_jaccard_pairs_incremental(
 
     Scale: per-batch work only — batch shingles hash/explode once; the
     corpus-sized index is probed twice through batch-derived semi-joins
-    (shingle keys, then candidate dids) and never shuffles whole."""
+    (shingle keys, then candidate dids) and never shuffles whole.
+    ``batch_shingles`` (optional) supplies ``new_docs``' already-exploded
+    (did, sh) rows — e.g. the :func:`shingle_index` relation a curation
+    loop builds for its state fold anyway; extra columns are ignored —
+    so the hash/explode runs once per batch instead of twice. MUST be
+    derived from ``new_docs`` at this same ``n`` (recorded-n artifacts
+    are verified like the index)."""
     if verify_n:
         _assert_index_param(index, "n", n, "ngram_jaccard_pairs_incremental")
-    batch_sh = _hashed_shingles(new_docs, id_col, text_col, n).select(
-        F.col("did"), F.explode("shset").alias("sh")
-    )
+    if batch_shingles is not None:
+        if verify_n:
+            _assert_index_param(
+                batch_shingles, "n", n, "ngram_jaccard_pairs_incremental"
+            )
+        batch_sh = batch_shingles.select("did", "sh")
+    else:
+        batch_sh = _hashed_shingles(new_docs, id_col, text_col, n).select(
+            F.col("did"), F.explode("shset").alias("sh")
+        )
     fresh = index.select("did", "sh")
     if not assume_disjoint_ids:
         batch_ids = new_docs.select(F.col(id_col).alias("did")).distinct()
@@ -1729,31 +1754,15 @@ def substr_window_index(
 
 
 def _assert_index_window(index: DataFrame, window: int | None, who: str) -> None:
-    """Verify a substr_window_index artifact's recorded window size.
-
-    Pre-round-10 artifacts lack the column and pass unchecked (the
-    must-match-window contract then rests on the caller, as before). The
-    check is one min/max aggregate over the artifact's int column — on a
-    persisted parquet index that is a stats-only scan; on a still-lazy
-    index it forces one computation, which the incremental/merge paths
-    materialize anyway."""
-    if "window" not in index.columns:
-        return
-    row = index.select(
-        F.min("window").alias("lo"), F.max("window").alias("hi")
-    ).first()
-    if row["lo"] is None:  # empty index constrains nothing
-        return
-    if row["lo"] != row["hi"]:
-        raise ValueError(
-            f"{who}: index mixes window sizes {row['lo']} and {row['hi']} — "
-            "indexes are only mergeable/applicable at one window size"
-        )
-    if window is not None and row["lo"] != int(window):
-        raise ValueError(
-            f"{who}: index was built at window={row['lo']}, "
-            f"called with window={int(window)}"
-        )
+    """Verify a substr_window_index artifact's recorded window size —
+    delegates to the generic :func:`_assert_index_param` (review fix:
+    this was a verbatim second copy of the min/max check with 'window'
+    hard-coded; one implementation keeps the empty-index and
+    pre-recording semantics in lockstep). On a persisted parquet index
+    the aggregate is a stats-only scan; on a still-lazy index it forces
+    one computation, which the incremental/merge paths materialize
+    anyway."""
+    _assert_index_param(index, "window", window, who)
 
 
 def merge_substr_window_indexes(

@@ -1234,12 +1234,24 @@ def dsir_merge(
     independently — one corpus pass each, an m-row artifact — persist,
     merge in milliseconds, re-merge when a shard is rebuilt. Everything
     here is m-row-keyed; no corpus is touched. ``n_buckets`` and
-    ``alpha`` MUST match the shard fits (every shard artifact always
-    carries its full m-row spine, so the merged spine is complete by
-    construction — a mismatched n_buckets would change the digest space,
-    same caveat as the substr window)."""
+    ``alpha`` MUST match the shard fits — and since every shard artifact
+    carries its full m-row spine, ``n_buckets`` is VERIFIED against each
+    artifact's row count (review fix: a mismatch would silently
+    mis-smooth every log ratio with the wrong a·m; the substr/shingle
+    indexes record their parameter, here the spine length IS the
+    recording). ``alpha`` remains caller-asserted (counts alone cannot
+    witness it)."""
     from functools import reduce
 
+    m = int(n_buckets)
+    for i, e in enumerate(estimators):
+        rows = e.count()
+        if rows != m:
+            raise ValueError(
+                f"dsir_merge: estimator {i} carries {rows} bucket rows but "
+                f"n_buckets={m} was requested — shards and merge must use "
+                "the same digest space (refit or pass the shards' n_buckets)."
+            )
     merged = (
         reduce(DataFrame.unionByName,
                [e.select("bucket", "cnt_t", "cnt_r") for e in estimators])
@@ -1249,7 +1261,7 @@ def dsir_merge(
             F.sum("cnt_r").cast("long").alias("cnt_r"),
         )
     )
-    return _dsir_rows(merged, int(n_buckets), alpha)
+    return _dsir_rows(merged, m, alpha)
 
 
 def dsir_weights(

@@ -925,10 +925,18 @@ def curate_stream(
 
     ``keep_versions`` (opt-in) prunes the state dir to the newest N
     versions after each committed batch — the self-contained retention a
-    long-running loop wants. Keep it >= 2 (or None) if batches can retry:
-    a retried batch whose parent was pruned fails loudly rather than
-    re-deriving from the wrong version (see :func:`prune_versions`).
+    long-running loop wants. ``keep_versions=1`` is rejected (review
+    fix): retries are always possible while a foreachBatch stream runs,
+    and a retried batch whose parent was just pruned has NO version <=
+    its batch id — the stream would fail unrecoverably on every restart.
+    2 is the minimum that keeps the retry window's parent alive.
     """
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError(
+            "curate_stream: keep_versions must be >= 2 (or None) — a "
+            "foreachBatch retry reads the previous version, and pruning it "
+            "would fail the stream unrecoverably on restart."
+        )
     spark = stream_docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:

@@ -104,7 +104,7 @@ def test_substr_index_merge_rejects_mixed_windows(spark):
     docs = _docs(spark)
     a = dedup.substr_window_index(docs.where("doc_id <= 2"), window=4)
     b = dedup.substr_window_index(docs.where("doc_id >= 3"), window=6)
-    with pytest.raises(ValueError, match="mixes window sizes"):
+    with pytest.raises(ValueError, match="mixes window"):
         dedup.merge_substr_window_indexes(a, b).count()
 
     merged = dedup.merge_substr_window_indexes(
