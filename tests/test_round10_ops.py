@@ -826,3 +826,108 @@ def test_ndv_grouped_exact_regime_and_merge(spark):
         ).collect()
     }
     assert split == want
+
+
+# ---------------------------------------------------------------------------
+# round-10 session-2 review fixes, each pinned
+# ---------------------------------------------------------------------------
+
+
+def test_merge_curation_states_rejects_overlapping_shards(spark):
+    from spark_iforest_spark.operators import corpus
+
+    docs = _docs(spark)
+    kw = dict(line_min_docs=2, substr_window=None, neardup=True, gopher=False)
+    a = corpus.curation_state(docs.where(F.col("doc_id") <= 2), **kw)
+    b = corpus.curation_state(docs.where(F.col("doc_id") >= 2), **kw)  # 2 in both
+    with pytest.raises(ValueError, match="share doc ids"):
+        corpus.merge_curation_states(a, b)
+
+
+def test_check_batch_disjoint_rejects_wide_indexed_ids(spark):
+    """A wider indexed_ids relation whose FIRST column is not the id must
+    raise instead of silently verifying the wrong column (the old
+    positional grab passed the guard on overlapping batches)."""
+    from spark_iforest_spark.functions import check_batch_disjoint
+
+    batch = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    wide = spark.createDataFrame(
+        [("x", 3), ("y", 9)], "text string, doc_id long"
+    )
+    # doc_id present by name -> found by name -> overlap on 3 raises
+    with pytest.raises(ValueError, match="overlap"):
+        check_batch_disjoint(batch, wide, "doc_id", False, True, "idx")
+    # wider relation WITHOUT the id column -> refuses to guess
+    anon = spark.createDataFrame([("x", 3), ("y", 9)], "a string, b long")
+    with pytest.raises(ValueError, match="guessing|id relation"):
+        check_batch_disjoint(batch, anon, "doc_id", False, True, "idx")
+    # single-column projection of any name stays accepted
+    ok = spark.createDataFrame([(9,), (10,)], "whatever long")
+    check_batch_disjoint(batch, ok, "doc_id", False, True, "idx")
+
+
+def test_curate_stream_rejects_keep_versions_one(spark, tmpdir):
+    from spark_iforest_spark import streaming as S2
+
+    import os
+
+    d = str(tmpdir)
+    os.makedirs(d + "/never-read", exist_ok=True)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        d + "/never-read"
+    )
+    with pytest.raises(ValueError, match="keep_versions"):
+        S2.curate_stream(
+            stream, d + "/state", d + "/out", keep_versions=1
+        )
+
+
+def test_dsir_merge_rejects_mismatched_n_buckets(spark, sf_dir):
+    from spark_iforest_spark.operators import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "de")
+    est = P.dsir_estimator(target, docs, n_buckets=512)
+    with pytest.raises(ValueError, match="n_buckets"):
+        P.dsir_merge(est, est, n_buckets=1024)
+
+
+def test_merge_shingle_indexes_tolerates_n_less_artifact(spark):
+    """The documented tolerance for pre-recording (did, sh) artifacts is
+    reachable (review fix: unionByName used to throw on the column-count
+    mismatch before the tolerance check ran)."""
+    from spark_iforest_spark.operators import dedup
+
+    docs = _docs(spark)
+    with_n = dedup.shingle_index(docs.where(F.col("doc_id") <= 2))
+    legacy = dedup.shingle_index(docs.where(F.col("doc_id") >= 3)).drop("n")
+    merged = dedup.merge_shingle_indexes(with_n, legacy)
+    assert "n" not in merged.columns
+    assert merged.count() == with_n.count() + legacy.count()
+
+
+def test_ngram_incremental_batch_shingles_hook_equivalent(spark):
+    """Passing the precomputed shingle_index relation through
+    batch_shingles must reproduce the self-shingled pairs bit-exactly,
+    and a mismatched recorded n must raise."""
+    from spark_iforest_spark.operators import dedup
+
+    docs = _docs(spark)
+    corp = docs.where(F.col("doc_id") <= 2)
+    batch = docs.where(F.col("doc_id") >= 3)
+    idx = dedup.shingle_index(corp, n=3)
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs_incremental(
+        batch, idx, n=3, threshold=0.1, assume_disjoint_ids=True
+    ).collect()))
+    pre = dedup.shingle_index(batch, n=3)
+    got = sorted(map(tuple, dedup.ngram_jaccard_pairs_incremental(
+        batch, idx, n=3, threshold=0.1, assume_disjoint_ids=True,
+        batch_shingles=pre,
+    ).collect()))
+    assert got == want and len(got) > 0
+    wrong_n = dedup.shingle_index(batch, n=4)
+    with pytest.raises(ValueError, match="built at n=4|n=4"):
+        dedup.ngram_jaccard_pairs_incremental(
+            batch, idx, n=3, threshold=0.1, assume_disjoint_ids=True,
+            batch_shingles=wrong_n,
+        ).collect()
