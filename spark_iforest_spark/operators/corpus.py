@@ -763,16 +763,19 @@ def _pretrain_incr_stage_list(
         cap["neardup_input"] = c
         # the batch's shingle rows and quality scores are each consumed
         # TWICE per batch — pair generation + the state fold, cluster
-        # resolution + the state fold — so compute them once here,
-        # snapshot, and capture for _state_from_capture (review fix:
-        # the steady-state loop used to pay both computations twice)
+        # resolution + the state fold. Quality (one tiny row per doc) is
+        # snapshotted and shared. The shingle relation is shared as ONE
+        # LAZY plan — measured at sf0.1, eagerly materializing the full
+        # (did, sh, n) explode cost MORE than recomputing it (storing
+        # tokens-many rows to RDD vs re-running a cheap hash/explode
+        # over the snapshotted stage block), so each consumer executes
+        # the shared plan itself; the pair generator lazily snapshots
+        # its projection internally for its own multiple probes
         from spark_iforest_spark.operators.dedup import (
             shingle_index as _shingle_index,
         )
 
-        batch_sh = snapshot(
-            _shingle_index(c, id_col, text_col, n=p["jaccard_n"])
-        )
+        batch_sh = _shingle_index(c, id_col, text_col, n=p["jaccard_n"])
         cap["batch_shingle_index"] = batch_sh
         batch_q = snapshot(
             quality_score(c, id_col, text_col).select(F.col(id_col), "quality")
