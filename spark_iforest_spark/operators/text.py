@@ -958,6 +958,15 @@ def perplexity_cutpoints(
     threshold's pinned convention); at 100 TB pass rel_err > 0 for the
     bounded-memory mergeable GK sketch instead."""
     cuts = scored.approxQuantile(score_col, [float(f) for f in fractions], rel_err)
+    if not cuts:
+        # approxQuantile returns [] on an empty relation; without this the
+        # caller dies later with a bare IndexError deep in perplexity_bands
+        # (seen when an upstream quality gate dropped every calibration doc)
+        raise ValueError(
+            "perplexity_cutpoints: the scored relation is empty — no "
+            "corpus rows survived to calibrate on (check the upstream "
+            "filters, e.g. gopher thresholds on short synthetic text)."
+        )
     return [int(c) for c in cuts]
 
 

@@ -931,3 +931,12 @@ def test_ngram_incremental_batch_shingles_hook_equivalent(spark):
             batch, idx, n=3, threshold=0.1, assume_disjoint_ids=True,
             batch_shingles=wrong_n,
         ).collect()
+
+
+def test_perplexity_cutpoints_empty_relation_raises_clearly(spark):
+    """An empty calibration relation (e.g. a quality gate dropped every
+    doc) must fail with a clear ValueError, not a bare IndexError deep
+    in perplexity_bands (found by the sf0.01 curation soak)."""
+    scored = spark.createDataFrame([], "doc_id long, avg_nll_micros long")
+    with pytest.raises(ValueError, match="empty"):
+        text.perplexity_cutpoints(scored)
