@@ -158,6 +158,13 @@ def dataset_card(
     ~1.6% rel. err. at the default precision), making the whole totals
     section a single map-side-combined scan. The dup RATE inherits the
     bounded error; every other card number is unchanged.
+
+    Card schema contract for the dup rate (round-10 advice fix):
+    ``dup_rate`` is always present; ``dup_rate_is_approx: True``
+    accompanies it iff it came from the sketch; ``exact_dup_rate`` is an
+    alias present ONLY on the exact path, so consumers keying on the
+    exact name get a KeyError — not a silently-approximate number —
+    under ``approx_ndv=True``.
     """
     from spark_iforest_spark.functions import tokens
     from spark_iforest_spark.operators import drift as drift_mod
@@ -175,17 +182,22 @@ def dataset_card(
         F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
         F.sum(F.length(text_col)).alias("n_chars"),
     ).collect()[0]
+    # clamped at 0: the sketch estimate can overshoot n_docs by its
+    # relative error on a dup-free corpus, and a negative rate would
+    # break any consumer rendering a percentage
+    dup_rate = max(
+        0.0, round(1.0 - totals["n_distinct"] / max(totals["n_docs"], 1), 6)
+    )
     card = {
         "n_docs": totals["n_docs"],
         "n_tokens": totals["n_tokens"],
         "n_chars": totals["n_chars"],
-        # clamped at 0: the sketch estimate can overshoot n_docs by its
-        # relative error on a dup-free corpus, and a negative rate would
-        # break any consumer rendering a percentage
-        "exact_dup_rate": max(
-            0.0,
-            round(1.0 - totals["n_distinct"] / max(totals["n_docs"], 1), 6),
-        ),
+        # ``dup_rate`` is the stable key (round-10 advice: the old
+        # ``exact_dup_rate`` name over-promised under approx_ndv);
+        # ``exact_dup_rate`` is kept as an alias ONLY on the exact path,
+        # so a consumer keying on the exact name never mis-trusts a
+        # sketch estimate — it simply finds the key absent.
+        "dup_rate": dup_rate,
         "sources": {
             r[source_col]: {
                 "n_docs": r["n_docs"],
@@ -215,8 +227,12 @@ def dataset_card(
     if approx_ndv:
         # the dup rate above came from a sketch estimate, not an exact
         # distinct — record that so the card is honest about its one
-        # approximate number (the key name stays stable for consumers)
+        # approximate number. Card-schema contract: ``dup_rate`` always
+        # present; ``dup_rate_is_approx`` present (True) iff the rate is
+        # a sketch estimate; ``exact_dup_rate`` present iff it is exact.
         card["dup_rate_is_approx"] = True
+    else:
+        card["exact_dup_rate"] = dup_rate
     if baseline is not None:
         from spark_iforest_spark.operators.quality_model import _raw_features
 
@@ -792,6 +808,15 @@ def _pretrain_incr_stage_list(
                 n=p["jaccard_n"], threshold=p["jaccard_threshold"],
                 assume_disjoint_ids=True,
                 batch_shingles=batch_sh,
+                # verify_n=False (round-10 advice): the loop built
+                # batch_sh at p["jaccard_n"] two lines up, and the state
+                # index's n is pinned by the params contract (curation
+                # states refuse mismatched params on merge/apply) — the
+                # min/max verification aggregate would force one extra
+                # full execution of the lazy batch shingle plan per batch
+                # just to re-check a literal, and a full column scan of
+                # the corpus-sized index besides
+                verify_n=False,
             )
         )
         # touched-only resolution (round 10): batch verdicts only depend
@@ -977,7 +1002,12 @@ def _funnel_of_stages(
     )
 
 
-def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
+def merge_curation_states(
+    a: CurationState,
+    b: CurationState,
+    assume_disjoint_ids: bool = False,
+    broadcast: bool = True,
+) -> CurationState:
     """Fold two doc-disjoint shard states into one. Mismatched params or
     cutpoints raise: merging states calibrated differently is a new
     calibration decision, not a fold.
@@ -1026,21 +1056,29 @@ def merge_curation_states(a: CurationState, b: CurationState) -> CurationState:
     p = a.params
     id_col = p["id_col"]
     # doc-disjointness is the fold's precondition and BOTH shard id
-    # relations are in hand, so verify it (review fix — every other
-    # incremental entry point runs a default-on guard; a doc in both
-    # shards would double its line/substr counts and duplicate its
+    # relations are in hand, so verify it by default (review fix — every
+    # other incremental entry point runs a default-on guard; a doc in
+    # both shards would double its line/substr counts and duplicate its
     # shingle rows, corrupting every jaccard computed against the merged
     # index). One bounded semi-join action, same shape as
-    # functions.check_batch_disjoint.
-    overlap = a.ids.join(
-        F.broadcast(b.ids.select(id_col).distinct()), id_col, "left_semi"
-    ).limit(1)
-    if not overlap.isEmpty():
-        raise ValueError(
-            "merge_curation_states: shard states share doc ids — the fold "
-            "would double-count their lines/windows and duplicate their "
-            "shingle rows. Rebuild the shards on disjoint doc slices."
-        )
+    # functions.check_batch_disjoint — and the same opt-outs (round-10
+    # advice): ``assume_disjoint_ids=True`` skips the driver action for
+    # shards sliced disjoint by construction (a deep shard-tree fold
+    # otherwise pays one action per merge level), and ``broadcast=False``
+    # swaps the shard-B id broadcast for a shuffle semi-join when B's id
+    # relation is itself corpus-scale.
+    if not assume_disjoint_ids:
+        b_ids = b.ids.select(id_col).distinct()
+        if broadcast:
+            b_ids = F.broadcast(b_ids)
+        overlap = a.ids.join(b_ids, id_col, "left_semi").limit(1)
+        if not overlap.isEmpty():
+            raise ValueError(
+                "merge_curation_states: shard states share doc ids — the "
+                "fold would double-count their lines/windows and duplicate "
+                "their shingle rows. Rebuild the shards on disjoint doc "
+                "slices."
+            )
     line_index = (
         merge_line_count_indexes(a.line_index, b.line_index)
         if a.line_index is not None

