@@ -2334,6 +2334,32 @@ def queries() -> _T:
             ("ndv", _ndv_profile_variant(_read(s, d, "lineitem"))),
             # and its grouped dimension (per-l_returnflag sketches)
             ("ndv_grp", _ndv_group_variant(_read(s, d, "lineitem"))),
+            # round 11: the single-scan expectations gate (Deequ shape),
+            # folded in as a variant so all local gates fit the driver's
+            # 50-entry window (round-4 merge pattern) — NULL verdicts
+            # count as violations; rules that genuinely fail on the data
+            # exercise the counting path. Panel mapping: column=rule,
+            # n_nulls=n_violations, mean_value=pass as 0.0/1.0.
+            (
+                "validate",
+                relational.validate_table(
+                    _read(s, d, "lineitem"),
+                    {
+                        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+                        "quantity_in_1_50": (F.col("l_quantity") >= 1)
+                        & (F.col("l_quantity") <= 50),
+                        "discount_le_8pct": F.col("l_discount") <= 0.08,
+                        "positive_price": F.col("l_extendedprice") > 0,
+                    },
+                ).select(
+                    F.col("rule").alias("column"),
+                    F.col("n_rows"),
+                    F.col("n_violations").alias("n_nulls"),
+                    F.lit(None).cast("double").alias("min_value"),
+                    F.lit(None).cast("double").alias("max_value"),
+                    F.col("pass").cast("double").alias("mean_value"),
+                ),
+            ),
         ),
         # the same events⋈orders aggregate from two plans that must both
         # equal the plain-join oracle: the salted batch join (salting must
@@ -2508,19 +2534,6 @@ def queries() -> _T:
         ).withColumn(
             "values_exact_match",
             F.lit(semantic.semantic_prune_self_check(_read(s, d, "embeddings"))),
-        ),
-        # single-scan expectations gate (Deequ shape): NULL verdicts count
-        # as violations; includes rules that genuinely fail on the data so
-        # the counting path is exercised
-        "validate_lineitem": lambda s, d: relational.validate_table(
-            _read(s, d, "lineitem"),
-            {
-                "orderkey_not_null": F.col("l_orderkey").isNotNull(),
-                "quantity_in_1_50": (F.col("l_quantity") >= 1)
-                & (F.col("l_quantity") <= 50),
-                "discount_le_8pct": F.col("l_discount") <= 0.08,
-                "positive_price": F.col("l_extendedprice") > 0,
-            },
         ),
     }
 
@@ -4318,7 +4331,6 @@ def oracle_sql() -> dict[str, str]:
                 "event_type_pivot",
                 "latest_event_per_user",
                 "semantic_prune_checks",
-                "validate_lineitem",
             )
         },
         # round 8: pretrain_funnel — the survival funnel recomputed
@@ -4924,6 +4936,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS BIGINT) AS n_nulls,
                        1.0 AS min_value, 1.0 AS max_value, 1.0 AS mean_value
                 FROM lineitem GROUP BY l_returnflag
+                """,
+            ),
+            # round 11: the expectations gate as a variant (gate-window
+            # merge) — the standalone validate SQL re-projected into the
+            # panel schema exactly as the Spark side maps it
+            (
+                "validate",
+                f"""
+                SELECT rule AS column, n_rows,
+                       n_violations AS n_nulls,
+                       CAST(NULL AS DOUBLE) AS min_value,
+                       CAST(NULL AS DOUBLE) AS max_value,
+                       CAST(pass AS DOUBLE) AS mean_value
+                FROM ({base["validate_lineitem"]})
                 """,
             ),
         ),
