@@ -379,6 +379,7 @@ def ndv_monitor_ingest(
     columns: list[str],
     lg_k: int = 12,
     series_dir: str | None = None,
+    layout: str = "versions",
 ):
     """Continuous distinct-count monitoring: every micro-batch folds its
     HLL sketches (``relational.ndv_sketch_partial``) into the persisted
@@ -402,14 +403,27 @@ def ndv_monitor_ingest(
     an id column is a duplicate-ingestion smell; a jump on a categorical
     column is a schema/vocabulary drift smell).
 
+    ``layout="parts"`` (round 11) writes each batch's OWN sketch partial
+    to ``state_dir/b{batch_id}`` instead of re-folding and re-persisting
+    the running state per version — readers fold on read; compact with
+    :func:`compact_ndv_parts`. Same estimates, file-per-batch instead of
+    state-per-batch (see the delta-layout block comment below).
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
+    if layout not in ("versions", "parts"):
+        raise ValueError(f"ndv_monitor_ingest: unknown layout {layout!r}")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        merge_ndv_version(
-            spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
-        )
+        if layout == "parts":
+            merge_ndv_part(
+                spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
+            )
+        else:
+            merge_ndv_version(
+                spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
+            )
 
     return (
         stream_df.writeStream.foreachBatch(fold)
@@ -451,11 +465,88 @@ def merge_ndv_version(
 
 
 def latest_ndv_sketches(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read the newest (column, sketch) state written by
-    ``ndv_monitor_ingest`` — feed to ``relational.ndv_estimates`` for the
-    current running NDV, or union with other tables' states and re-fold."""
+    """The current (column, sketch) state written by ``ndv_monitor_ingest``
+    — feed to ``relational.ndv_estimates`` for the current running NDV, or
+    union with other tables' states and re-fold. Reads both layouts: the
+    ``v{N}`` versions verbatim, the ``b{N}``/``c{M}`` parts folded on
+    read (sketch union is the fold — registers max under
+    ``merge_ndv_sketches``)."""
+    from functools import reduce
+
+    from spark_iforest_spark.operators import relational
+
+    live = _live_parts(spark, state_dir)
+    if live is not None:
+        return relational.merge_ndv_sketches(
+            reduce(
+                DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+            )
+        )
     versions = _index_versions(spark, state_dir)
     return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+
+def merge_ndv_part(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    columns: list[str],
+    lg_k: int = 12,
+    series_dir: str | None = None,
+) -> None:
+    """One parts-layout NDV fold step: write THIS batch's sketch partial
+    to ``state_dir/b{batch_id}`` (~4 KB/column, independent of both the
+    corpus and the batch count). The running state is the on-read fold of
+    the live parts; the optional estimate-series row is computed from the
+    fold over parts up to and including this batch — the same monotone
+    time series the versioned writer records."""
+    from spark_iforest_spark.operators import relational
+
+    relational.ndv_sketch_partial(batch_df, columns, lg_k).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/b{batch_id}")
+    if series_dir is not None:
+        from functools import reduce
+
+        live = _live_parts(spark, state_dir, before=batch_id + 1)
+        folded = relational.merge_ndv_sketches(
+            reduce(
+                DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+            )
+        )
+        relational.ndv_estimates(folded).select(
+            F.lit(batch_id).alias("batch_version"), "column", "ndv"
+        ).write.mode("overwrite").parquet(f"{series_dir}/b{batch_id}")
+
+
+def compact_ndv_parts(spark: SparkSession, state_dir: str) -> int:
+    """Fold the live NDV sketch parts into ``c{M}`` and garbage-collect
+    the folded parts — crash-safe by the parts read rule (see the delta-
+    layout block comment). Returns the new base id."""
+    from functools import reduce
+
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import relational
+
+    live = _live_parts(spark, state_dir)
+    if live is None:
+        raise ValueError(f"compact_ndv_parts: no parts under {state_dir}")
+    new_m = max(
+        _part_ids(spark, state_dir, "b") + _part_ids(spark, state_dir, "c")
+    )
+    if live == [f"{state_dir}/c{new_m}"]:
+        return new_m
+    relational.merge_ndv_sketches(
+        reduce(DataFrame.unionByName, [spark.read.parquet(p) for p in live])
+    ).write.mode("overwrite").parquet(f"{state_dir}/c{new_m}")
+    for v in _part_ids(spark, state_dir, "b"):
+        if v <= new_m:
+            hfs.delete(spark, f"{state_dir}/b{v}", recursive=True)
+    for v in _part_ids(spark, state_dir, "c"):
+        if v < new_m:
+            hfs.delete(spark, f"{state_dir}/c{v}", recursive=True)
+    return new_m
 
 
 def ndv_series(spark: SparkSession, series_dir: str) -> DataFrame:
@@ -471,6 +562,7 @@ def profile_monitor_ingest(
     columns: list[str],
     ndv_columns: list[str] | None = None,
     lg_k: int = 12,
+    layout: str = "versions",
 ):
     """Continuously-maintained table profile: every micro-batch folds its
     ``relational.profile_partial`` rows (count / nulls / min / max /
@@ -491,14 +583,30 @@ def profile_monitor_ingest(
     any additive aggregate — exactly-once row delivery (the file source,
     a transactional sink) is the profile fold's contract.
 
+    ``layout="parts"`` (round 11) removes that asymmetry for the
+    committed-batch case: each batch writes ONLY its own partial to
+    ``state_dir/b{batch_id}`` and the running profile is the on-read
+    fold of the parts — a re-executed batch id overwrites its own part
+    (last-writer-wins), so even the ADDITIVE sums fold exactly once
+    under foreachBatch's at-least-once re-delivery, the property the
+    version dance could not give the additive side. Compact with
+    :func:`compact_profile_parts`.
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
+    if layout not in ("versions", "parts"):
+        raise ValueError(f"profile_monitor_ingest: unknown layout {layout!r}")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        merge_profile_version(
-            spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
-        )
+        if layout == "parts":
+            merge_profile_part(
+                spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
+            )
+        else:
+            merge_profile_version(
+                spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
+            )
 
     return (
         stream_df.writeStream.foreachBatch(fold)
@@ -561,10 +669,44 @@ def latest_profile(
     """The current running profile in ``table_profile``'s schema; when the
     state carries NDV sketches, their estimates join on as an ``ndv``
     column (full outer on column name: unsketched columns carry NULL ndv,
-    sketch-only columns carry NULL profile stats)."""
+    sketch-only columns carry NULL profile stats).
+
+    Reads BOTH monitor layouts: the strict-parent ``v{N}`` full-rewrite
+    versions and the round-11 per-batch ``b{N}`` parts (+ ``c{M}``
+    compacted base) written by ``layout="parts"`` — parts are folded on
+    read with the same merge operators the version writer used, so the
+    two layouts are observationally identical."""
     from spark_iforest_spark import fs as hfs
     from spark_iforest_spark.operators import relational
 
+    live = _live_parts(spark, state_dir)
+    if live is not None:
+        prof_parts = [
+            spark.read.parquet(f"{p}/profile")
+            for p in live
+            if hfs.exists(spark, f"{p}/profile")
+        ]
+        from functools import reduce
+
+        prof = relational.finalize_profile(
+            relational.merge_profile_partials(
+                reduce(DataFrame.unionByName, prof_parts)
+            ),
+            scale,
+        )
+        sk_parts = [
+            spark.read.parquet(f"{p}/ndv")
+            for p in live
+            if hfs.exists(spark, f"{p}/ndv")
+        ]
+        if not sk_parts:
+            return prof
+        est = relational.ndv_estimates(
+            relational.merge_ndv_sketches(
+                reduce(DataFrame.unionByName, sk_parts)
+            )
+        )
+        return prof.join(est, "column", "full")
     vdir = f"{state_dir}/v{_index_versions(spark, state_dir)[-1]}"
     prof = relational.finalize_profile(
         spark.read.parquet(f"{vdir}/profile"), scale
@@ -574,6 +716,148 @@ def latest_profile(
         return prof
     est = relational.ndv_estimates(spark.read.parquet(f"{vdir}/ndv"))
     return prof.join(est, "column", "full")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 delta layout: per-batch parts + compacted base.
+#
+# The v{N} versioned sinks above re-persist the WHOLE state per batch —
+# harmless for the constant-size monitor states, corpus-proportional for
+# the growing indexes. The parts layout writes only each batch's own
+# contribution:
+#
+#   {dir}/b{batch_id}  — the batch's delta (overwritten on retry)
+#   {dir}/c{M}         — optional compacted base COVERING batches <= M
+#
+# Read rule (the crash-safety invariant): live parts = newest c{M} plus
+# every b{i} with i > M; b-parts at or below the newest c id are ignored
+# — already folded into the base — so a compaction crash between
+# writing c{M} and garbage-collecting old parts can never double-count,
+# and a stale foreachBatch retry of an already-compacted batch id
+# rewrites an ignored directory. Folding happens ON READ with the same
+# merge operators the version writer used (profile partials sum; NDV
+# registers max; digest rows last-writer-wins), so layouts are
+# observationally identical; compaction bounds the fold chain.
+#
+# Idempotence is strictly stronger than the v{N} dance for ADDITIVE
+# state (the round-10 verdict's documented asymmetry): a re-executed
+# batch id overwrites its own part — last-writer-wins per batch id — so
+# at-least-once re-delivery of a committed batch folds once, exactly,
+# even for the profile's additive sums. (Re-delivery of the same ROWS
+# under a NEW batch id remains indistinguishable from new data — that
+# horizon is the source's exactly-once contract, unchanged.)
+# ---------------------------------------------------------------------------
+
+
+def _part_ids(spark: SparkSession, d: str, prefix: str) -> list[int]:
+    from spark_iforest_spark import fs as hfs
+
+    return sorted(
+        int(c["name"][len(prefix):])
+        for c in hfs.list_children(spark, d)
+        if c["name"].startswith(prefix) and c["name"][len(prefix):].isdigit()
+    )
+
+
+def _live_parts(
+    spark: SparkSession, d: str, before: int | None = None
+) -> list[str] | None:
+    """Paths of the live parts under ``d`` in fold order (base first),
+    or None when ``d`` holds no parts layout (no b/c children). With
+    ``before`` set, only parts strictly older than that batch id are
+    returned — the strict-parent read a retried batch must perform."""
+    bases = _part_ids(spark, d, "c")
+    deltas = _part_ids(spark, d, "b")
+    if not bases and not deltas:
+        return None
+    if before is not None:
+        bases = [m for m in bases if m < before]
+        deltas = [i for i in deltas if i < before]
+    out = []
+    floor_ = -1
+    if bases:
+        floor_ = bases[-1]
+        out.append(f"{d}/c{floor_}")
+    out.extend(f"{d}/b{i}" for i in deltas if i > floor_)
+    return out or None
+
+
+def merge_profile_part(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    columns: list[str],
+    ndv_columns: list[str] | None = None,
+    lg_k: int = 12,
+) -> None:
+    """One parts-layout profile fold step: write THIS batch's partial
+    profile rows (and NDV sketches) to ``state_dir/b{batch_id}`` —
+    nothing else is read or rewritten, so the per-batch write volume is
+    O(#columns) regardless of how many batches precede it, and a
+    re-executed batch id lands on its own directory (idempotent for the
+    additive sums, not just the set-semantic sketches)."""
+    from spark_iforest_spark.operators import relational
+
+    bdir = f"{state_dir}/b{batch_id}"
+    relational.profile_partial(batch_df, columns).write.mode(
+        "overwrite"
+    ).parquet(f"{bdir}/profile")
+    if ndv_columns:
+        relational.ndv_sketch_partial(batch_df, ndv_columns, lg_k).write.mode(
+            "overwrite"
+        ).parquet(f"{bdir}/ndv")
+
+
+def compact_profile_parts(spark: SparkSession, state_dir: str) -> int:
+    """Fold every live part into a compacted base ``c{M}`` (M = newest
+    part id) and garbage-collect the folded parts. The read rule makes
+    this crash-safe in either half: parts at or below the newest c id
+    are ignored by readers, so a crash after writing the base but before
+    the deletes only leaves dead directories. Run on whatever cadence
+    bounds the read-side fold chain (the state is O(#columns) per part,
+    so even hundreds of parts fold in one small aggregate — compaction
+    here is about file-listing hygiene, not data volume). Returns the
+    new base id."""
+    from functools import reduce
+
+    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import relational
+
+    live = _live_parts(spark, state_dir)
+    if live is None:
+        raise ValueError(f"compact_profile_parts: no parts under {state_dir}")
+    new_m = max(
+        _part_ids(spark, state_dir, "b") + _part_ids(spark, state_dir, "c")
+    )
+    if live == [f"{state_dir}/c{new_m}"]:
+        return new_m  # already compact — rewriting a dir onto itself fails
+    prof_parts = [
+        spark.read.parquet(f"{p}/profile")
+        for p in live
+        if hfs.exists(spark, f"{p}/profile")
+    ]
+    sk_parts = [
+        spark.read.parquet(f"{p}/ndv")
+        for p in live
+        if hfs.exists(spark, f"{p}/ndv")
+    ]
+    cdir = f"{state_dir}/c{new_m}"
+    if prof_parts:
+        relational.merge_profile_partials(
+            reduce(DataFrame.unionByName, prof_parts)
+        ).write.mode("overwrite").parquet(f"{cdir}/profile")
+    if sk_parts:
+        relational.merge_ndv_sketches(
+            reduce(DataFrame.unionByName, sk_parts)
+        ).write.mode("overwrite").parquet(f"{cdir}/ndv")
+    for v in _part_ids(spark, state_dir, "b"):
+        if v <= new_m:
+            hfs.delete(spark, f"{state_dir}/b{v}", recursive=True)
+    for v in _part_ids(spark, state_dir, "c"):
+        if v < new_m:
+            hfs.delete(spark, f"{state_dir}/c{v}", recursive=True)
+    return new_m
 
 
 def incremental_neardup_ingest(

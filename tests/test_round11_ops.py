@@ -111,3 +111,133 @@ def test_merge_profile_version_ndv_reconfigured_midstream(spark, tmpdir):
     }
     assert prof2["x"]["n_rows"] == 6
     assert prof2["id"]["ndv"] == 2  # carried forward verbatim, not dropped
+
+
+# ---------------------------------------------------------------------------
+# 4. parts-layout monitors: batch-id-idempotent additive folds + delta
+#    write volume (verdict directives #1 monitor-half and #2)
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_profile_parts_rederivery_bit_exact(spark, tmpdir):
+    """THE round-10 asymmetry test that could not be written for the
+    additive side: a previously-committed batch id fully RE-EXECUTED with
+    the same rows leaves the running profile bit-exact — the parts layout
+    makes the additive sums last-writer-wins per batch id, matching the
+    sketch side's set semantics."""
+    state = str(tmpdir) + "/parts"
+    b0 = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, x double")
+    b1 = spark.createDataFrame([(3, 6.0), (4, None)], "id long, x double")
+    S.merge_profile_part(spark, state, b0, 0, ["x"], ndv_columns=["id"])
+    S.merge_profile_part(spark, state, b1, 1, ["x"], ndv_columns=["id"])
+    committed = _rows(S.latest_profile(spark, state))
+    # full re-delivery: same batch id, same rows, executed again
+    S.merge_profile_part(spark, state, b1, 1, ["x"], ndv_columns=["id"])
+    assert _rows(S.latest_profile(spark, state)) == committed
+    # and the fold equals profiling the concatenated batches one-shot
+    from spark_iforest_spark.operators import relational
+
+    want = _rows(
+        relational.table_profile(b0.unionByName(b1), ["x"]).join(
+            relational.exact_ndv(b0.unionByName(b1), ["id"]), "column", "full"
+        )
+    )
+    assert committed == want
+
+
+def test_profile_parts_compaction_preserves_fold_and_accepts_new_batches(
+    spark, tmpdir
+):
+    state = str(tmpdir) + "/parts"
+    batches = [
+        spark.createDataFrame(
+            [(b * 10 + i, float(b + i)) for i in range(5)], "id long, x double"
+        )
+        for b in range(3)
+    ]
+    for b, df in enumerate(batches[:2]):
+        S.merge_profile_part(spark, state, df, b, ["x"], ndv_columns=["id"])
+    before = _rows(S.latest_profile(spark, state))
+    m = S.compact_profile_parts(spark, state)
+    assert m == 1
+    assert _rows(S.latest_profile(spark, state)) == before
+    # a stale retry of an already-compacted batch id is IGNORED by the
+    # read rule (b1 <= c1) — the crash-/late-retry-safety invariant
+    S.merge_profile_part(
+        spark, state, batches[0], 1, ["x"], ndv_columns=["id"]
+    )
+    assert _rows(S.latest_profile(spark, state)) == before
+    # post-compaction batches keep folding
+    S.merge_profile_part(spark, state, batches[2], 2, ["x"], ndv_columns=["id"])
+    from spark_iforest_spark.operators import relational
+
+    allb = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = _rows(
+        relational.table_profile(allb, ["x"]).join(
+            relational.exact_ndv(allb, ["id"]), "column", "full"
+        )
+    )
+    assert _rows(S.latest_profile(spark, state)) == want
+    # double compaction is a no-op (already-compact guard)
+    S.compact_profile_parts(spark, state)
+    assert S.compact_profile_parts(spark, state) == 2
+
+
+def test_ndv_parts_layout_matches_versions_layout(spark, tmpdir):
+    from spark_iforest_spark.operators import relational
+
+    vs, ps = str(tmpdir) + "/v", str(tmpdir) + "/p"
+    batches = [
+        spark.createDataFrame(
+            [((b * 7 + i) % 20,) for i in range(10)], "id long"
+        )
+        for b in range(3)
+    ]
+    for b, df in enumerate(batches):
+        S.merge_ndv_version(spark, vs, df, b, ["id"])
+        S.merge_ndv_part(spark, ps, df, b, ["id"])
+    want = _rows(relational.ndv_estimates(S.latest_ndv_sketches(spark, vs)))
+    assert _rows(
+        relational.ndv_estimates(S.latest_ndv_sketches(spark, ps))
+    ) == want
+    S.compact_ndv_parts(spark, ps)
+    assert _rows(
+        relational.ndv_estimates(S.latest_ndv_sketches(spark, ps))
+    ) == want
+
+
+def test_monitor_ingest_parts_layout_streaming(spark, tmpdir):
+    """End-to-end through foreachBatch: the parts-layout streaming ingest
+    equals profiling the whole input, and its per-batch write volume is
+    part-sized (one b{N} dir per micro-batch, no version rewrite)."""
+    import glob
+
+    from spark_iforest_spark.operators import relational
+
+    src = str(tmpdir) + "/src"
+    state = str(tmpdir) + "/state"
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("x")
+    )
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = S.profile_monitor_ingest(
+        stream, state, ["x"], ndv_columns=["id"], layout="parts"
+    )
+    q.awaitTermination()
+    got = {r["column"]: r for r in S.latest_profile(spark, state).collect()}
+    want = {r["column"]: r for r in relational.table_profile(df, ["x"]).collect()}
+    assert got["x"]["n_rows"] == want["x"]["n_rows"]
+    assert got["x"]["mean_value"] == want["x"]["mean_value"]
+    assert got["id"]["ndv"] == 100
+    parts = glob.glob(state + "/b*")
+    assert len(parts) >= 2  # one part per micro-batch, no v{N} rewrites
+    assert not glob.glob(state + "/v*")
