@@ -273,6 +273,7 @@ def incremental_dedup_ingest(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    layout: str = "versions",
 ):
     """Continuous-ingestion exact dedup: every micro-batch dedups against
     the persisted digest index (``operators.dedup.exact_dedup`` relation)
@@ -288,20 +289,35 @@ def incremental_dedup_ingest(
     retried after a mid-write crash re-reads the same parent version and
     regenerates identical output (idempotent under foreachBatch's
     at-least-once contract; pytest-pinned). At 100 TB the full-index
-    rewrite per batch is the demo simplification — a format with MERGE
-    INTO (Delta/Iceberg) replaces the version dance with the row-level
-    upsert ``exact_dedup_incremental`` already emits; index reads/writes
-    there are metadata-pruned to touched digests.
+    rewrite per batch was the round-10 demo simplification;
+    ``layout="delta"`` (round 11) removes it: each batch writes ONLY the
+    row-level upsert ``exact_dedup_incremental`` already emits — the
+    batch-touched digest rows — to ``index_dir/b{batch_id}``, and the
+    logical index is the last-writer-wins fold of the parts (newest part
+    wins per digest), exactly the MERGE INTO a Delta/Iceberg table would
+    perform, expressed in plain parquet. Per-batch write volume is then
+    proportional to the BATCH, not the corpus; compact with
+    :func:`compact_dedup_index` on whatever cadence bounds the part
+    chain. Retries stay idempotent by the same strict-parent argument
+    (a batch folds only parts strictly older than its id and overwrites
+    its own part).
 
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains; ``awaitTermination`` to block).
     """
-    from spark_iforest_spark.operators import dedup
-
+    if layout not in ("versions", "delta"):
+        raise ValueError(f"incremental_dedup_ingest: unknown layout {layout!r}")
     spark = stream_docs.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        merge_index_version(spark, index_dir, batch_df, batch_id, id_col, text_col)
+        if layout == "delta":
+            merge_index_delta(
+                spark, index_dir, batch_df, batch_id, id_col, text_col
+            )
+        else:
+            merge_index_version(
+                spark, index_dir, batch_df, batch_id, id_col, text_col
+            )
 
     return (
         stream_docs.writeStream.foreachBatch(upsert)
@@ -367,10 +383,113 @@ def merge_index_version(
 
 
 def latest_dedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Read the newest index version written by ``incremental_dedup_ingest``
-    (Hadoop-FS listing — any filesystem URI)."""
+    """The current digest index written by ``incremental_dedup_ingest`` —
+    either layout. ``v{N}`` versions read verbatim (the newest IS the
+    index); ``b{N}``/``c{M}`` delta parts fold on read with last-writer-
+    wins per digest (one window shuffle over base+deltas — the terminal-
+    read/compaction cost, never paid on the per-batch ingest path, which
+    probes the parts batch-keyed instead)."""
+    live = _live_parts(spark, index_dir)
+    if live is not None:
+        return _lww_digest_fold(
+            [spark.read.parquet(p) for p in live]
+        )
     versions = _index_versions(spark, index_dir)
     return spark.read.parquet(f"{index_dir}/v{versions[-1]}")
+
+
+def _lww_digest_fold(parts: list[DataFrame]) -> DataFrame:
+    """Last-writer-wins fold of digest-index parts (oldest → newest
+    order): per ``content_hash`` the row from the newest part containing
+    it — every delta row is the post-merge CURRENT row for its digest
+    (``exact_dedup_incremental``'s contract), so newest-wins reconstructs
+    the full-rewrite relation exactly."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [p.withColumn("_v", F.lit(i)) for i, p in enumerate(parts)]
+    u = reduce(DataFrame.unionByName, tagged)
+    w = Window.partitionBy("content_hash").orderBy(F.col("_v").desc())
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_v", "_rn")
+    )
+
+
+def merge_index_delta(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One delta-layout ``incremental_dedup_ingest`` step: write ONLY the
+    batch's digest upserts to ``index_dir/b{batch_id}``.
+
+    Scale shape — the whole point of the layout: the corpus-sized parts
+    are each SEMI-JOINED down to the batch's digest set (broadcast)
+    before the last-writer-wins fold, so the per-batch job reads the
+    parts through a digest filter and shuffles only batch-proportional
+    rows; nothing corpus-sized moves, and the write is the batch's
+    touched-digest rows. Strict-parent idempotence: the fold sees parts
+    STRICTLY older than ``batch_id`` only, and a retry overwrites its
+    own part with bit-identical rows."""
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.operators import dedup
+
+    live = _live_parts(spark, index_dir, before=batch_id)
+    if live is None:
+        delta = dedup.exact_dedup(batch_df, id_col, text_col)
+    else:
+        bkeys = snapshot(
+            batch_df.select(
+                F.md5(F.col(text_col)).alias("content_hash")
+            ).distinct()
+        )
+        current = _lww_digest_fold(
+            [
+                spark.read.parquet(p).join(
+                    F.broadcast(bkeys), "content_hash", "left_semi"
+                )
+                for p in live
+            ]
+        )
+        delta = dedup.exact_dedup_incremental(batch_df, current, id_col, text_col)
+    delta.write.mode("overwrite").parquet(f"{index_dir}/b{batch_id}")
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold the live delta parts into a compacted base ``c{M}`` and
+    garbage-collect the folded parts — one full last-writer-wins pass,
+    the amortized cost the per-batch path no longer pays. Crash-safe by
+    the parts read rule (parts at or below the newest base id are
+    ignored, so a crash between the base write and the deletes — or a
+    stale retry of an already-compacted batch id — cannot double-fold).
+    Run with the stream stopped or past the retry window, same caveat
+    as :func:`prune_versions`. Returns the new base id."""
+    from spark_iforest_spark import fs as hfs
+
+    live = _live_parts(spark, index_dir)
+    if live is None:
+        raise ValueError(f"compact_dedup_index: no delta parts under {index_dir}")
+    new_m = max(
+        _part_ids(spark, index_dir, "b") + _part_ids(spark, index_dir, "c")
+    )
+    if live == [f"{index_dir}/c{new_m}"]:
+        return new_m
+    _lww_digest_fold([spark.read.parquet(p) for p in live]).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/c{new_m}")
+    for v in _part_ids(spark, index_dir, "b"):
+        if v <= new_m:
+            hfs.delete(spark, f"{index_dir}/b{v}", recursive=True)
+    for v in _part_ids(spark, index_dir, "c"):
+        if v < new_m:
+            hfs.delete(spark, f"{index_dir}/c{v}", recursive=True)
+    return new_m
 
 
 def ndv_monitor_ingest(

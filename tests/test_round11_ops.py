@@ -241,3 +241,81 @@ def test_monitor_ingest_parts_layout_streaming(spark, tmpdir):
     parts = glob.glob(state + "/b*")
     assert len(parts) >= 2  # one part per micro-batch, no v{N} rewrites
     assert not glob.glob(state + "/v*")
+
+
+# ---------------------------------------------------------------------------
+# 2. delta-encoded digest index (verdict directive #1, index half):
+#    per-batch write ∝ batch-touched digests, LWW fold == full rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_delta_dedup_ingest_matches_batch_and_versions(spark, sf_dir, tmpdir):
+    """Streaming ingest in delta layout converges to EXACTLY the one-shot
+    exact_dedup relation (cross-batch digest merges included) — same
+    contract the versioned layout is pinned to."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmpdir) + "/src"
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = S.incremental_dedup_ingest(
+        stream, str(tmpdir) + "/idx", layout="delta"
+    )
+    q.awaitTermination()
+    got = _rows(S.latest_dedup_index(spark, str(tmpdir) + "/idx"))
+    want = _rows(dedup.exact_dedup(docs))
+    assert got == want and len(got) > 0
+
+
+def test_merge_index_delta_retry_and_write_volume(spark, tmpdir):
+    """A retried batch regenerates a bit-identical delta part (strict-
+    parent: the fold sees only parts older than the batch id), and each
+    part holds only the batch's TOUCHED digest rows — the flat-write
+    property the full-rewrite layout lacked."""
+    import hashlib
+
+    idx = str(tmpdir) + "/idx"
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(4, "aaa"), (5, "ddd")], "doc_id long, text string")
+    S.merge_index_delta(spark, idx, b0, 0)
+    S.merge_index_delta(spark, idx, b1, 1)
+    first = _rows(spark.read.parquet(idx + "/b1"))
+    assert len(first) == 2  # only the two digests batch 1 touched
+    S.merge_index_delta(spark, idx, b1, 1)  # simulated retry
+    assert _rows(spark.read.parquet(idx + "/b1")) == first
+    merged = {r[0]: (r[1], r[2]) for r in _rows(S.latest_dedup_index(spark, idx))}
+    # 'aaa' merged across batches: rep = min id 1, copies = 2
+    assert merged[hashlib.md5(b"aaa").hexdigest()] == (1, 2)
+    assert len(merged) == 4
+
+
+def test_compact_dedup_index_preserves_fold(spark, tmpdir):
+    idx = str(tmpdir) + "/idx"
+    batches = [
+        spark.createDataFrame(
+            [(b * 10 + i, f"t{(b * 3 + i) % 7}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        for b in range(3)
+    ]
+    for b, df in enumerate(batches[:2]):
+        S.merge_index_delta(spark, idx, df, b)
+    before = _rows(S.latest_dedup_index(spark, idx))
+    assert S.compact_dedup_index(spark, idx) == 1
+    assert _rows(S.latest_dedup_index(spark, idx)) == before
+    # stale retry of an already-compacted batch id: ignored by the read rule
+    S.merge_index_delta(spark, idx, batches[1], 1)
+    assert _rows(S.latest_dedup_index(spark, idx)) == before
+    # post-compaction batches keep folding, equal to the one-shot relation
+    S.merge_index_delta(spark, idx, batches[2], 2)
+    allb = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    assert _rows(S.latest_dedup_index(spark, idx)) == _rows(
+        dedup.exact_dedup(allb)
+    )
