@@ -81,6 +81,20 @@ def is_file(spark, path: str) -> bool:
     return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isFile())
 
 
+def rename(spark, src: str, dst: str) -> bool:
+    """Directory/file rename through the Hadoop FileSystem — the commit
+    primitive the compaction paths use (write staged tree, swap into
+    place). Atomic on HDFS/local; object stores emulate it per-key, so
+    compactions there should run with their stream stopped (the same
+    caveat the callers document). Refuses (returns False) when the
+    destination exists, matching Hadoop's no-clobber contract — callers
+    delete the destination first at a point where losing it is
+    recoverable from the staged copy."""
+    fs, s = _resolve(spark, src)
+    _, d = _resolve(spark, dst)
+    return bool(fs.rename(s, d))
+
+
 def read_bytes(spark, path: str) -> bytes:
     """Whole-file read — bounded, metadata/artifact-sized payloads only."""
     with HadoopFile(spark, path) as fh:

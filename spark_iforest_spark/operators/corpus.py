@@ -830,6 +830,10 @@ def _pretrain_incr_stage_list(
             snapshot_pairs=False, snapshot_labels=False,
         )
         cap["labels_full"] = labels_full
+        # the touched relation IS the batch's label DELTA: untouched
+        # clusters carry verbatim, so labels_full == last-writer-wins of
+        # (state.labels, labels_touched) — the delta-layout state fold
+        cap["labels_touched"] = labels_touched
         quality = state.quality.unionByName(batch_q)
         keep = resolve_clusters(
             c, labels=labels_touched, quality=quality,
@@ -1235,6 +1239,86 @@ def _state_from_capture(
     )
 
 
+def _delta_from_capture(
+    state: CurationState, batch: DataFrame, cap: dict
+) -> dict:
+    """The batch's per-stage state CONTRIBUTIONS as delta relations — the
+    rows :func:`_state_from_capture` folds into the full state, unfolded:
+
+    * ``ids`` / ``shingle_index`` / ``quality`` — append rows (fold =
+      union);
+    * ``line_index`` / ``substr_index`` — the batch's own count partials
+      (fold = the associative index merges: counts sum, keeper = min
+      first-occurrence);
+    * ``labels`` — the TOUCHED-cluster relabels (fold = last-writer-wins
+      per doc id: untouched clusters carry verbatim, so LWW of
+      (parent labels, touched) reconstructs ``labels_full`` exactly).
+
+    Every relation is batch-proportional (touched clusters are bounded by
+    the batch's near-dup pairs), which is what makes the delta state
+    layout's per-version write flat while the corpus grows. The frozen
+    ``lm``/``cutpoints`` are NOT part of the delta — they live once in
+    the chain's base version."""
+    from spark_iforest_spark.operators.dedup import (
+        shingle_index as _shingle_index,
+        substr_window_index,
+    )
+    from spark_iforest_spark.operators.pipeline import line_count_index
+    from spark_iforest_spark.operators.text import quality_score
+
+    p = state.params
+    id_col, text_col = p["id_col"], p["text_col"]
+    delta: dict = {"ids": batch.select(F.col(id_col)).distinct()}
+    if p["line_min_docs"]:
+        delta["line_index"] = line_count_index(cap["line_input"], id_col, text_col)
+    if p["substr_window"]:
+        delta["substr_index"] = substr_window_index(
+            cap["substr_input"], window=p["substr_window"],
+            id_col=id_col, text_col=text_col,
+        )
+    if p["neardup"]:
+        batch_sh = cap.get("batch_shingle_index")
+        if batch_sh is None:
+            batch_sh = _shingle_index(
+                cap["neardup_input"], id_col, text_col, n=p["jaccard_n"]
+            )
+        delta["shingle_index"] = batch_sh
+        delta["labels"] = cap["labels_touched"]
+        batch_q = cap.get("batch_quality")
+        if batch_q is None:
+            batch_q = quality_score(
+                cap["neardup_input"], id_col, text_col
+            ).select(F.col(id_col), "quality")
+        delta["quality"] = batch_q
+    return delta
+
+
+def curate_and_state_delta(
+    batch: DataFrame,
+    state: CurationState,
+    benchmark: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
+    with_funnel: bool = False,
+) -> tuple:
+    """One chain run, delta-layout outputs: (curated batch, funnel-or-None,
+    delta dict for :func:`save_curation_delta`) — the per-crawl call of
+    the delta-encoded steady-state loop (:func:`streaming.curate_stream`
+    with ``state_layout="delta"``). Same single-execution sharing as
+    :func:`curate_report_and_update_state`; only the state fold is
+    deferred to read time."""
+    cap: dict = {}
+    stages = _pretrain_incr_stage_list(
+        batch, state, benchmark=benchmark,
+        assume_disjoint_ids=assume_disjoint_ids, capture=cap,
+    )
+    funnel = (
+        _funnel_of_stages(stages, state.params["text_col"], batch.sparkSession)
+        if with_funnel
+        else None
+    )
+    return stages[-1][1], funnel, _delta_from_capture(state, batch, cap)
+
+
 _STATE_RELATIONS = (
     "ids", "lm", "line_index", "substr_index", "shingle_index", "labels",
     "quality",
@@ -1271,31 +1355,223 @@ def save_curation_state(state: CurationState, path: str) -> None:
     )
 
 
-def load_curation_state(spark, path: str) -> CurationState:
-    """Rebuild a :class:`CurationState` saved by
-    :func:`save_curation_state`. Relations come back as parquet scans —
-    materialized by definition, broadcast-stats intact — and tuple-typed
-    params are restored from their JSON list form."""
+def save_curation_delta(
+    delta: dict, state: CurationState, path: str, parent: int
+) -> None:
+    """Persist a batch's state DELTA (:func:`_delta_from_capture` /
+    :func:`curate_and_state_delta` output) as version ``path`` with a
+    ``parent`` pointer — the delta-layout twin of
+    :func:`save_curation_state`. Only the batch-proportional delta
+    relations are written; params/cutpoints are recorded for chain
+    verification, and the frozen ``lm`` is inherited from the chain's
+    base version rather than re-persisted (it is identical across
+    versions by the frozen-calibration contract)."""
     from spark_iforest_spark import fs
 
-    meta = fs.load_json(spark, f"{path}/state.json")
-    params = dict(meta["params"])
+    spark = delta["ids"].sparkSession
+    present = []
+    for name in _STATE_RELATIONS:
+        rel = delta.get(name)
+        if rel is not None:
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+            present.append(name)
+    fs.save_json(
+        spark,
+        f"{path}/state.json",
+        {
+            "params": state.params,
+            "cutpoints": state.cutpoints,
+            "relations": present,
+            "delta": True,
+            "parent": int(parent),
+        },
+    )
+
+
+def _state_chain(spark, path: str) -> list[tuple[str, dict]]:
+    """The version chain from ``path`` back to its full base as
+    (version_path, state.json) pairs, BASE FIRST. Delta versions name
+    their parent by version id; the parent directory is the sibling
+    ``v{parent}`` under the same state dir. A cycle or a missing parent
+    raises — a delta chain must bottom out in a full save."""
+    from spark_iforest_spark import fs
+
+    out = []
+    seen = set()
+    p = path
+    while True:
+        if p in seen:
+            raise ValueError(f"curation-state version chain cycles at {p}")
+        seen.add(p)
+        meta = fs.load_json(spark, f"{p}/state.json")
+        out.append((p, meta))
+        if not meta.get("delta"):
+            return list(reversed(out))
+        parent = meta.get("parent")
+        if parent is None:
+            raise ValueError(
+                f"delta curation-state version {p} has no parent pointer"
+            )
+        head, _, leaf = p.rpartition("/")
+        p = f"{head}/v{int(parent)}"
+
+
+def load_curation_state(spark, path: str) -> CurationState:
+    """Rebuild a :class:`CurationState` saved by
+    :func:`save_curation_state` — or, when ``path`` is a DELTA version
+    (:func:`save_curation_delta`), the LOGICAL state of its whole chain,
+    folded on read: ids/shingles/quality union, line/substr count
+    partials merge through their associative index folds, and labels
+    resolve last-writer-wins per doc (the newest version's relabel wins
+    — exactly ``labels_full``'s carry-verbatim-or-retouch semantics).
+    Full-save relations come back as plain parquet scans. Chain folds
+    come back LAZY on purpose — the per-batch probes are batch-keyed
+    left-semi joins, and Catalyst's PushDownLeftSemiAntiJoin pushes them
+    through the fold's Union/Aggregate into each part's parquet scan
+    (plan-pinned in tests), so probing a folded index costs scans
+    filtered to batch keys, not a corpus-wide fold shuffle. The one
+    exception is ``labels``: its LWW fold is a Window the untouched-
+    carry anti-join (keyed by cluster_rep, not the window's partition
+    key) cannot push through, and the relation is consumed three times
+    per batch — it comes back snapshot-wrapped so the window runs once
+    per load."""
+    from spark_iforest_spark import fs
+
+    chain = _state_chain(spark, path)
+    base_path, base_meta = chain[0]
+    params = dict(base_meta["params"])
     params["ccnet_keep_bands"] = tuple(params["ccnet_keep_bands"])
-    rels = {
-        name: spark.read.parquet(f"{path}/{name}")
-        for name in meta["relations"]
-    }
+    for vp, m in chain[1:]:
+        mp = dict(m["params"])
+        mp["ccnet_keep_bands"] = tuple(mp["ccnet_keep_bands"])
+        if mp != params or m["cutpoints"] != base_meta["cutpoints"]:
+            raise ValueError(
+                f"curation-state chain mixes recipes: {vp} was written "
+                f"under different params/cutpoints than its base {base_path}"
+            )
+    per_version = [
+        {
+            name: spark.read.parquet(f"{vp}/{name}")
+            for name in m["relations"]
+        }
+        for vp, m in chain
+    ]
+    if len(chain) == 1:
+        rels = per_version[0]
+        return CurationState(
+            ids=rels["ids"],
+            lm=rels.get("lm"),
+            cutpoints=base_meta["cutpoints"],
+            line_index=rels.get("line_index"),
+            substr_index=rels.get("substr_index"),
+            shingle_index=rels.get("shingle_index"),
+            labels=rels.get("labels"),
+            quality=rels.get("quality"),
+            params=params,
+        )
+    from functools import reduce
+
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.operators.dedup import (
+        merge_shingle_indexes,
+        merge_substr_window_indexes,
+    )
+    from spark_iforest_spark.operators.pipeline import merge_line_count_indexes
+
+    def have(name):
+        return [rv[name] for rv in per_version if name in rv]
+
+    def fold(name, fn):
+        parts = have(name)
+        if not parts:
+            return None
+        return fn(parts) if len(parts) > 1 else parts[0]
+
+    id_col = params["id_col"]
+    labels_parts = have("labels")
+    labels = None
+    if labels_parts:
+        labels = snapshot(_lww_labels(labels_parts, id_col))
     return CurationState(
-        ids=rels["ids"],
-        lm=rels.get("lm"),
-        cutpoints=meta["cutpoints"],
-        line_index=rels.get("line_index"),
-        substr_index=rels.get("substr_index"),
-        shingle_index=rels.get("shingle_index"),
-        labels=rels.get("labels"),
-        quality=rels.get("quality"),
+        ids=fold("ids", lambda ps: reduce(DataFrame.unionByName, ps)),
+        lm=per_version[0].get("lm"),
+        cutpoints=base_meta["cutpoints"],
+        line_index=fold("line_index", lambda ps: merge_line_count_indexes(*ps)),
+        substr_index=fold(
+            "substr_index",
+            # the chain verified shared params above; skip the per-load
+            # recorded-window aggregate
+            lambda ps: merge_substr_window_indexes(*ps, verify_window=False),
+        ),
+        shingle_index=fold(
+            "shingle_index", lambda ps: merge_shingle_indexes(*ps, verify_n=False)
+        ),
+        labels=labels,
+        quality=fold("quality", lambda ps: reduce(DataFrame.unionByName, ps)),
         params=params,
     )
+
+
+def _lww_labels(parts: list[DataFrame], id_col: str) -> DataFrame:
+    """Last-writer-wins fold of (id, cluster_rep) label relations, oldest
+    → newest: per doc, the newest relation containing it wins. Because
+    every delta's labels are the TOUCHED-cluster relabels (untouched
+    clusters carried verbatim upstream), this reconstructs the one-shot
+    ``labels_full`` relation exactly — pytest-pinned against the full
+    state layout."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        p.select(id_col, "cluster_rep").withColumn("_v", F.lit(i))
+        for i, p in enumerate(parts)
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    w = Window.partitionBy(id_col).orderBy(F.col("_v").desc())
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_v", "_rn")
+    )
+
+
+def compact_curation_state(spark, state_dir: str) -> int:
+    """Rewrite the NEWEST state version from delta-chain form to a full
+    save in place — the compaction that bounds the chain a long-running
+    ``curate_stream(state_layout="delta")`` accumulates. Executes the
+    on-read folds once, stages the full state at a non-version sibling
+    path, then swaps it in (delete + rename); older chain versions
+    become pure retry-window history prunable with
+    ``streaming.prune_versions``. Run with the stream STOPPED (the swap
+    is not atomic on object stores; a crash between delete and rename
+    leaves the intact full state at ``{state_dir}/compact_tmp`` —
+    recover by renaming it to the reported version). Returns the
+    compacted version id."""
+    from spark_iforest_spark import fs
+
+    versions = sorted(
+        int(c["name"][1:])
+        for c in fs.list_children(spark, state_dir)
+        if c["name"].startswith("v") and c["name"][1:].isdigit()
+    )
+    if not versions:
+        raise ValueError(f"compact_curation_state: no versions in {state_dir}")
+    n = versions[-1]
+    vdir = f"{state_dir}/v{n}"
+    if not fs.load_json(spark, f"{vdir}/state.json").get("delta"):
+        return n  # already a full save
+    state = load_curation_state(spark, vdir)
+    tmp = f"{state_dir}/compact_tmp"  # not v{N}-shaped: invisible to readers
+    fs.delete(spark, tmp, recursive=True)
+    save_curation_state(state, tmp)
+    fs.delete(spark, vdir, recursive=True)
+    if not fs.rename(spark, tmp, vdir):
+        raise IOError(
+            f"compact_curation_state: rename {tmp} -> {vdir} failed; the "
+            f"intact full state is at {tmp}"
+        )
+    return n
 
 
 def materialize_curation_state(state: CurationState) -> CurationState:

@@ -1252,6 +1252,7 @@ def curate_batch_version(
     benchmark: DataFrame | None = None,
     assume_disjoint_ids: bool = False,
     funnel_dir: str | None = None,
+    state_layout: str = "full",
 ) -> None:
     """One ``curate_stream`` step: read the latest persisted CurationState
     version AT OR BELOW ``batch_id``, run the frozen-calibration 6-stage
@@ -1276,9 +1277,20 @@ def curate_batch_version(
     state's id relation, so a crawl that re-delivers an already-ingested
     document in a LATER batch fails loudly instead of double-counting
     (a same-batch retry passes: its parent predates its own ingest).
+
+    ``state_layout="delta"`` (round 11) writes ``v{batch_id + 1}`` as a
+    DELTA version — only the batch's own state contributions
+    (``corpus.save_curation_delta``), a batch-proportional write instead
+    of a corpus-proportional rewrite — with a parent pointer to the
+    version the batch read; ``load_curation_state`` folds chains on
+    read, and ``corpus.compact_curation_state`` bounds them. The retry
+    argument is unchanged: a retried batch resolves the same parent
+    chain and overwrites its own delta bit-identically.
     """
     from spark_iforest_spark.operators import corpus
 
+    if state_layout not in ("full", "delta"):
+        raise ValueError(f"curate_batch_version: unknown state_layout {state_layout!r}")
     parents = [v for v in _index_versions(spark, state_dir) if v <= batch_id]
     if not parents:
         raise ValueError(
@@ -1288,6 +1300,21 @@ def curate_batch_version(
             "starting the stream"
         )
     state = corpus.load_curation_state(spark, f"{state_dir}/v{parents[-1]}")
+    if state_layout == "delta":
+        curated, funnel, delta = corpus.curate_and_state_delta(
+            batch_df,
+            state,
+            benchmark=benchmark,
+            assume_disjoint_ids=assume_disjoint_ids,
+            with_funnel=funnel_dir is not None,
+        )
+        if funnel_dir is not None:
+            funnel.write.mode("overwrite").parquet(f"{funnel_dir}/b{batch_id}")
+        curated.write.mode("overwrite").parquet(f"{output_dir}/b{batch_id}")
+        corpus.save_curation_delta(
+            delta, state, f"{state_dir}/v{batch_id + 1}", parent=parents[-1]
+        )
+        return
     if funnel_dir is None:
         curated, new_state = corpus.curate_and_update_state(
             batch_df,
@@ -1315,6 +1342,7 @@ def curate_stream(
     assume_disjoint_ids: bool = False,
     funnel_dir: str | None = None,
     keep_versions: int | None = None,
+    state_layout: str = "full",
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -1326,13 +1354,17 @@ def curate_stream(
     and retries resume from the newest committed version).
 
     Per-batch cost is the incremental chain's: the batch's own stage work
-    plus bounded index probes (batch-keyed semi-joins); the state write
-    re-persists each artifact relation — at 100 TB the per-version full
-    rewrite is the demo simplification, exactly as for
-    ``incremental_dedup_ingest``: a MERGE INTO format (Delta/Iceberg)
-    replaces the version dance with the row-level count upserts the
-    merge folds already emit, and the frozen ``lm`` artifact (identical
-    across versions) becomes a write-once reference.
+    plus bounded index probes (batch-keyed semi-joins). With the default
+    ``state_layout="full"`` the state write re-persists each artifact
+    relation per version — corpus-proportional, the round-10 demo
+    simplification. ``state_layout="delta"`` (round 11) removes it:
+    each version holds only the batch's own contributions (new ids,
+    count partials, shingle rows, touched-cluster relabels — the
+    row-level upserts the merge folds emit), the logical state is the
+    on-read fold of the parent chain, and
+    ``corpus.compact_curation_state`` periodically collapses the chain
+    back to a full save. Steady-state write volume is then flat in the
+    batch size while the corpus grows (SCALE.md soak).
 
     Returns the started StreamingQuery (availableNow-triggered: it
     terminates when the backlog drains; ``awaitTermination`` to block).
@@ -1353,6 +1385,13 @@ def curate_stream(
             "foreachBatch retry reads the previous version, and pruning it "
             "would fail the stream unrecoverably on restart."
         )
+    if keep_versions is not None and state_layout == "delta":
+        raise ValueError(
+            "curate_stream: keep_versions is a full-layout retention knob — "
+            "delta versions REFERENCE their parents, so pruning mid-chain "
+            "would corrupt the state fold. Run corpus.compact_curation_state "
+            "(then prune_versions, stream stopped) instead."
+        )
     spark = stream_docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1365,6 +1404,7 @@ def curate_stream(
             benchmark=benchmark,
             assume_disjoint_ids=assume_disjoint_ids,
             funnel_dir=funnel_dir,
+            state_layout=state_layout,
         )
         if keep_versions is not None:
             prune_versions(spark, state_dir, keep=keep_versions)
@@ -1409,6 +1449,12 @@ def prune_versions(
     NOT for the append-only sinks (``incremental_neardup_ingest``'s
     ``b{N}`` parts): there every part IS live data — the union of parts is
     the relation; compact those with ``layout.compact_files`` instead.
+    NOT for DELTA-layout state dirs either (``curate_stream``'s
+    ``state_layout="delta"`` chains, the ``b{N}``/``c{M}`` parts of the
+    delta digest index and parts monitors): delta versions REFERENCE
+    older versions — compact first (``corpus.compact_curation_state`` /
+    the ``compact_*`` functions here), after which the superseded
+    versions/parts are history and those compactors GC them themselves.
 
     ``keep < 1`` raises (the newest version is the live state).
     """
