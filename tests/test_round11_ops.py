@@ -531,6 +531,23 @@ def test_delta_fold_probe_pushes_semi_join_to_scans(spark, tmpdir):
     assert plan.count("Join LeftSemi") == 2  # pushed into BOTH branches
 
 
+def test_salted_join_equals_plain_on_demo_skew_fixture(spark):
+    """tools/skew_demo's measured hot-key demo and this pin share ONE
+    fixture builder, so the equivalence the demo asserts at demo scale is
+    the equivalence CI checks: salted_join == plain inner join on a
+    relation where one key owns half the left side."""
+    from tools.skew_demo import make_skewed_fixture
+    from spark_iforest_spark.operators import relational
+
+    left, right = make_skewed_fixture(spark, n_rows=20_000, n_keys=50,
+                                      hot_frac=0.5)
+    plain = left.join(right, left["k"] == right["rk"])
+    salted = relational.salted_join(left, right, "k", "rk", salt=4)
+    assert _rows(salted) == _rows(plain)
+    rep = relational.skew_report(left, "k", top_k=1).collect()[0]
+    assert rep["key"] == 0 and rep["frac_of_table"] >= 0.49  # genuinely skewed
+
+
 def test_curate_stream_delta_rejects_keep_versions(spark, tmpdir):
     corp, _ = _curation_fixture(spark)
     stream = (
