@@ -531,6 +531,95 @@ def test_delta_fold_probe_pushes_semi_join_to_scans(spark, tmpdir):
     assert plan.count("Join LeftSemi") == 2  # pushed into BOTH branches
 
 
+def test_delta_ingest_resumes_from_stream_checkpoint(spark, tmpdir):
+    """Restart semantics end-to-end: an availableNow run with a
+    checkpointLocation drains the current backlog; after new files
+    arrive, a SECOND run from the same checkpoint processes ONLY them,
+    batch ids continue, and the delta-folded index still equals the
+    one-shot relation over everything ingested — the stop/deploy/restart
+    cycle a production ingest loop lives through."""
+    idx = str(tmpdir) + "/idx"
+    ckpt = str(tmpdir) + "/ckpt"
+    src = str(tmpdir) + "/src"
+    b0 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "aaa"), (4, "ccc")], "doc_id long, text string")
+    b0.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: S.merge_index_delta(spark, idx, df, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    parts_after_first = set(S._part_ids(spark, idx, "b"))
+    assert parts_after_first == {0}
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # resumes from the checkpoint: only the new file, batch id 1
+    assert set(S._part_ids(spark, idx, "b")) == {0, 1}
+    got = _rows(S.latest_dedup_index(spark, idx))
+    assert got == _rows(dedup.exact_dedup(b0.unionByName(b1)))
+
+
+def test_curate_stream_delta_resumes_from_stream_checkpoint(spark, tmpdir):
+    """Same restart cycle for the curation capstone in delta layout: the
+    second availableNow run from the checkpoint curates only the new
+    file, the state chain extends (not re-writes), and the final logical
+    state equals the uninterrupted sequential replay."""
+    corp, batches = _curation_fixture(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    ckpt, src = str(tmpdir) + "/ckpt", str(tmpdir) + "/src"
+    corpus.save_curation_state(
+        corpus.curation_state(
+            corp, reference=None, gopher=False, line_min_docs=3,
+            substr_window=4, neardup=True,
+        ),
+        state_dir + "/v0",
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: S.curate_batch_version(
+                    spark, state_dir, out_dir, df, bid, state_layout="delta"
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batches[0].coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert S._index_versions(spark, state_dir) == [0, 1]
+    batches[1].coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert S._index_versions(spark, state_dir) == [0, 1, 2]
+    replay = corpus.load_curation_state(spark, state_dir + "/v0")
+    for b in range(2):
+        out, replay = corpus.curate_and_update_state(batches[b], replay)
+        assert _rows(spark.read.parquet(f"{out_dir}/b{b}")) == _rows(out)
+    final = S.latest_curation_state(spark, state_dir)
+    for rel in _STATE_RELS:
+        assert _rows(getattr(final, rel)) == _rows(getattr(replay, rel)), rel
+
+
 def test_salted_join_equals_plain_on_demo_skew_fixture(spark):
     """tools/skew_demo's measured hot-key demo and this pin share ONE
     fixture builder, so the equivalence the demo asserts at demo scale is
