@@ -170,6 +170,19 @@ class _StderrTap:
         os.close(self._orig)
 
 
+def _is_clean_attempt(
+    unstable: list, spread: float, probe_min: float, ceiling: float
+) -> bool:
+    """The attempt-clean rule in one testable place: no unstable queries,
+    probe spread < 1.5 (load ARRIVED or LEFT mid-attempt), AND the better
+    endpoint probe under the absolute capability ceiling (round 11: a
+    UNIFORMLY loaded box inflates both probes in lockstep — spread alone
+    passed a 0.32/0.26 attempt while a 6.2 load average drained; the probe
+    is fixed work, so its idle value is a machine capability, 0.04-0.11 s
+    on this box across ten rounds of committed artifacts)."""
+    return not unstable and spread < 1.5 and probe_min <= ceiling
+
+
 def _calibration_probe() -> float:
     """Fixed-work single-thread probe (~0.3 s idle): repeated 256x256
     float64 matmuls. Identical work every call — on an unloaded machine the
@@ -571,13 +584,16 @@ def main() -> None:
         run_suite(spark, SF_DIR, timed)
         p_end = min(_calibration_probe(), _calibration_probe())
         spread = max(p_start, p_end) / max(min(p_start, p_end), 1e-9)
+        probe_ceiling = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN_SEC", "0.15"))
         return {
             "timings": timings,
             "runs": all_runs,
             "unstable": unstable,
             "calibration": {"probe_start_sec": p_start, "probe_end_sec": p_end},
             "probe_spread": round(spread, 3),
-            "clean": not unstable and spread < 1.5,
+            "clean": _is_clean_attempt(
+                unstable, spread, min(p_start, p_end), probe_ceiling
+            ),
             "errors": att_errors,
         }
 

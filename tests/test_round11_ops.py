@@ -243,6 +243,19 @@ def test_monitor_ingest_parts_layout_streaming(spark, tmpdir):
     assert not glob.glob(state + "/v*")
 
 
+def test_bench_clean_rule_rejects_uniform_load():
+    """The self-heal's attempt-clean rule must catch a UNIFORMLY loaded
+    box: both probes inflated in lockstep (spread fine) is still dirty
+    when the absolute capability ceiling is exceeded — the observed
+    0.32/0.26 case that round 10's spread-only rule passed."""
+    from bench import _is_clean_attempt
+
+    assert _is_clean_attempt([], 1.1, 0.055, 0.15)  # genuinely idle
+    assert not _is_clean_attempt([], 1.24, 0.26, 0.15)  # uniform load
+    assert not _is_clean_attempt([], 2.0, 0.05, 0.15)  # load mid-attempt
+    assert not _is_clean_attempt(["q"], 1.0, 0.05, 0.15)  # unstable query
+
+
 # ---------------------------------------------------------------------------
 # 2. delta-encoded digest index (verdict directive #1, index half):
 #    per-batch write ∝ batch-touched digests, LWW fold == full rewrite
