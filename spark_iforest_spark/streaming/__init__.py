@@ -1343,6 +1343,7 @@ def curate_stream(
     funnel_dir: str | None = None,
     keep_versions: int | None = None,
     state_layout: str = "full",
+    compact_every: int | None = None,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -1378,6 +1379,17 @@ def curate_stream(
     and a retried batch whose parent was just pruned has NO version <=
     its batch id — the stream would fail unrecoverably on every restart.
     2 is the minimum that keeps the retry window's parent alive.
+
+    ``compact_every`` (delta layout only) runs
+    ``corpus.compact_curation_state`` inside the step after every K
+    committed batches, bounding the read-side chain (the soak's
+    per-batch wall creeps with chain length without it). Compacting
+    INSIDE the foreachBatch step is safe where an external compactor
+    needs the stream stopped: steps are serial, so there is no
+    concurrent reader during the swap, and a retried batch that lands
+    after its successor version was compacted reads the same logical
+    parent (the compacted version is content-identical) and overwrites
+    its own version as usual.
     """
     if keep_versions is not None and keep_versions < 2:
         raise ValueError(
@@ -1390,8 +1402,16 @@ def curate_stream(
             "curate_stream: keep_versions is a full-layout retention knob — "
             "delta versions REFERENCE their parents, so pruning mid-chain "
             "would corrupt the state fold. Run corpus.compact_curation_state "
-            "(then prune_versions, stream stopped) instead."
+            "(then prune_versions, stream stopped) instead, or pass "
+            "compact_every=K for in-stream cadence."
         )
+    if compact_every is not None and state_layout != "delta":
+        raise ValueError(
+            "curate_stream: compact_every only applies to state_layout="
+            "'delta' — full-layout versions are already full saves."
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("curate_stream: compact_every must be >= 1")
     spark = stream_docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1408,6 +1428,10 @@ def curate_stream(
         )
         if keep_versions is not None:
             prune_versions(spark, state_dir, keep=keep_versions)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from spark_iforest_spark.operators import corpus
+
+            corpus.compact_curation_state(spark, state_dir)
 
     return (
         stream_docs.writeStream.foreachBatch(step)

@@ -661,3 +661,98 @@ def test_curate_stream_delta_rejects_keep_versions(spark, tmpdir):
             stream, str(tmpdir) + "/s", str(tmpdir) + "/o",
             keep_versions=2, state_layout="delta",
         )
+    with pytest.raises(ValueError, match="compact_every"):
+        S.curate_stream(
+            stream, str(tmpdir) + "/s", str(tmpdir) + "/o", compact_every=2,
+        )
+
+
+def test_curate_stream_delta_in_stream_compaction_and_funnel(spark, tmpdir):
+    """compact_every=2 inside the stream: the chain is collapsed after
+    every second batch (the version the next batch reads is FULL, so
+    the fold chain stays bounded), results still equal the sequential
+    replay, and funnel_dir works in delta layout (the report comes from
+    the same chain run)."""
+    from spark_iforest_spark import fs as hfs
+
+    corp, batches = _curation_fixture(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    funnel_dir, src = str(tmpdir) + "/funnel", str(tmpdir) + "/src"
+    corpus.save_curation_state(
+        corpus.curation_state(
+            corp, reference=None, gopher=False, line_min_docs=3,
+            substr_window=4, neardup=True,
+        ),
+        state_dir + "/v0",
+    )
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = S.curate_stream(
+        stream, state_dir, out_dir, state_layout="delta",
+        funnel_dir=funnel_dir, compact_every=2,
+    )
+    q.awaitTermination()
+    assert S._index_versions(spark, state_dir) == [0, 1, 2, 3]
+    # v2 was compacted after batch 1 (2 committed batches); v3 is a delta
+    # whose parent chain bottoms out at the full v2 — one-link chain
+    assert not hfs.load_json(spark, state_dir + "/v2/state.json").get("delta")
+    assert hfs.load_json(spark, state_dir + "/v3/state.json")["parent"] == 2
+    # order-faithful replay via the id deltas (v3) / id diffs (full v1,v2)
+    ids_of = {
+        v: {
+            r[0]
+            for r in spark.read.parquet(f"{state_dir}/v{v}/ids").collect()
+        }
+        for v in (0, 1, 2, 3)
+    }
+    all_docs = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    replay = corpus.load_curation_state(spark, state_dir + "/v0")
+    # per-version batch ids, layout-aware: delta versions hold ONLY the
+    # batch's ids; the compacted full v2 holds corpus ∪ batches 0-1
+    per_batch_ids = [
+        ids_of[1],                                  # v1 delta
+        ids_of[2] - ids_of[0] - ids_of[1],          # v2 full (compacted)
+        ids_of[3],                                  # v3 delta
+    ]
+    for b in range(3):
+        batch_ids = per_batch_ids[b]
+        batch_df = all_docs.where(F.col("doc_id").isin(*batch_ids))
+        out, replay = corpus.curate_and_update_state(batch_df, replay)
+        assert _rows(spark.read.parquet(f"{out_dir}/b{b}")) == _rows(out), b
+        # the funnel report exists and its input row matches the batch
+        fun = {
+            r["stage"]: r["n_docs"]
+            for r in spark.read.parquet(f"{funnel_dir}/b{b}").collect()
+        }
+        assert fun["input"] == len(batch_ids)
+    final = S.latest_curation_state(spark, state_dir)
+    for rel in _STATE_RELS:
+        assert _rows(getattr(final, rel)) == _rows(getattr(replay, rel)), rel
+
+
+def test_ndv_parts_series_monotone(spark, tmpdir):
+    """merge_ndv_part's estimate series: computed from the fold over parts
+    up to each batch — monotone non-decreasing, final point == the fold
+    over everything."""
+    from spark_iforest_spark.operators import relational
+
+    state, series = str(tmpdir) + "/s", str(tmpdir) + "/ser"
+    for b in range(3):
+        df = spark.createDataFrame(
+            [((b * 5 + i) % 12,) for i in range(8)], "id long"
+        )
+        S.merge_ndv_part(spark, state, df, b, ["id"], series_dir=series)
+    rows = sorted(
+        map(tuple, S.ndv_series(spark, series).collect())
+    )  # (batch_version, column, ndv)
+    vals = [r[2] for r in rows]
+    assert vals == sorted(vals)  # monotone
+    final = relational.ndv_estimates(
+        S.latest_ndv_sketches(spark, state)
+    ).collect()[0]["ndv"]
+    assert vals[-1] == final

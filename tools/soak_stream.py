@@ -14,8 +14,11 @@ the round-10 full-rewrite layout's write grows with the corpus. Output:
 one JSON line per (layout, batch) plus a markdown table for SCALE.md,
 and a final compaction row for the delta dir.
 
-Usage:  python tools/soak_stream.py [sf_dir] [n_batches]
-        (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 10)
+Usage:  python tools/soak_stream.py [sf_dir] [n_batches] [compact_every]
+        (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 10, none;
+        a compact_every value adds a THIRD leg — delta layout with
+        in-stream compaction cadence — whose per-batch wall should stay
+        flat where the unbounded chain's creeps)
 """
 
 import json
@@ -43,6 +46,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -76,8 +80,11 @@ def main() -> None:
         gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
     )
     rows = []
+    legs = ["full", "delta"]
+    if compact_every:
+        legs.append(f"delta_c{compact_every}")
     try:
-        for layout in ("full", "delta"):
+        for layout in legs:
             state_dir = f"{work}/{layout}/state"
             out_dir = f"{work}/{layout}/out"
             src = f"{work}/{layout}/src"
@@ -99,8 +106,12 @@ def main() -> None:
                 t = time.monotonic()
                 S.curate_batch_version(
                     spark, _sd, _od, batch_df, batch_id,
-                    state_layout=_layout if _layout == "delta" else "full",
+                    state_layout="full" if _layout == "full" else "delta",
                 )
+                if _layout.startswith("delta_c") and (
+                    (batch_id + 1) % compact_every == 0
+                ):
+                    corpus.compact_curation_state(spark, _sd)
                 _t.append(time.monotonic() - t)
 
             stream = (
