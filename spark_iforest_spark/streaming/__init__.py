@@ -1039,6 +1039,96 @@ def incremental_neardup_ingest(
     )
 
 
+def ann_ingest(
+    stream_emb: DataFrame,
+    index_dir: str,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous vector ingestion into a persisted IVF ANN index: every
+    micro-batch assigns against the FROZEN coarse quantizer
+    (``similarity.ivf_assign`` — one distance matmul per Arrow batch) and
+    appends its cell relation as a per-batch part, written PARTITIONED BY
+    cell so later probes keep their scan pruning. Completes the streaming
+    family: dedup, near-dup, profile/NDV, curation, and now similarity
+    all ingest continuously against frozen artifacts.
+
+    Same parts idempotence as the other b{N} sinks: a retried batch id
+    overwrites its own part; parts are append-only live data (vector ids
+    are the stream's, never rewritten), so the logical index is the union
+    of live parts and a stale retry of an already-compacted batch id is
+    ignored by the read rule. Zero stream-store state; ``centers`` is the
+    write-once artifact (``fs.save_numpy`` / ``load_numpy``).
+
+    Query with ``similarity.ivf_topk(..., centers=centers,
+    assigned=latest_ann_index(spark, index_dir))`` — the persisted-index
+    mode skips both the fit and the corpus assignment pass.
+
+    Returns the started StreamingQuery (availableNow-triggered streams
+    terminate when the backlog drains)."""
+    from spark_iforest_spark.operators import similarity
+
+    spark = stream_emb.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        similarity.ivf_assign(
+            batch_df, centers, id_col=id_col, vec_col=vec_col
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            f"{index_dir}/b{batch_id}"
+        )
+
+    return (
+        stream_emb.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The current assigned-cell relation written by :func:`ann_ingest`:
+    the union of live parts (newest compacted base + later batch parts).
+    Feed to ``similarity.ivf_topk(assigned=...)``. Cell-partition pruning
+    survives the union — each part is read with its own base path (cell
+    partition column intact) and a probe's cell predicate pushes through
+    the Union into every part's scan."""
+    from functools import reduce
+
+    live = _live_parts(spark, index_dir)
+    if live is None:
+        raise ValueError(f"latest_ann_index: no parts under {index_dir}")
+    return reduce(
+        DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+    )
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold the live ANN parts into one cell-partitioned base ``c{M}``
+    and garbage-collect the folded parts (plain union — vector ids are
+    append-only) — bounds file counts per cell. Crash-safe by the parts
+    read rule. Returns the new base id."""
+    from spark_iforest_spark import fs as hfs
+
+    live = _live_parts(spark, index_dir)
+    if live is None:
+        raise ValueError(f"compact_ann_index: no parts under {index_dir}")
+    new_m = max(
+        _part_ids(spark, index_dir, "b") + _part_ids(spark, index_dir, "c")
+    )
+    if live == [f"{index_dir}/c{new_m}"]:
+        return new_m
+    latest_ann_index(spark, index_dir).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/c{new_m}")
+    for v in _part_ids(spark, index_dir, "b"):
+        if v <= new_m:
+            hfs.delete(spark, f"{index_dir}/b{v}", recursive=True)
+    for v in _part_ids(spark, index_dir, "c"):
+        if v < new_m:
+            hfs.delete(spark, f"{index_dir}/c{v}", recursive=True)
+    return new_m
+
+
 def follow_pairs_stream(
     events: DataFrame,
     ts_col: str = "ts",

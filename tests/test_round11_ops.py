@@ -633,7 +633,58 @@ def test_curate_stream_delta_resumes_from_stream_checkpoint(spark, tmpdir):
         assert _rows(getattr(final, rel)) == _rows(getattr(replay, rel)), rel
 
 
-def test_salted_join_equals_plain_on_demo_skew_fixture(spark):
+# ---------------------------------------------------------------------------
+# 5. streaming ANN ingest (round-11 extension: the similarity family joins
+#    the continuous-ingestion story)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_ingest_matches_one_shot_and_compacts(spark, sf_dir, tmpdir):
+    """Stream-ingested IVF cell parts searched through ivf_topk's
+    persisted-index mode return EXACTLY the from-scratch relation; a
+    retried batch id overwrites its own part; compaction preserves the
+    search results and post-compaction batches keep appending."""
+    from spark_iforest_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    centers = similarity.ivf_centers(emb, n_centroids=8)
+    idx, src = str(tmpdir) + "/idx", str(tmpdir) + "/src"
+    for k in range(3):
+        emb.where(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest(stream, idx, centers).awaitTermination()
+    assert set(S._part_ids(spark, idx, "b")) == {0, 1, 2}
+
+    def search():
+        return _rows(
+            similarity.ivf_topk(
+                emb, q, n_centroids=8, n_probe=7,
+                centers=centers, assigned=S.latest_ann_index(spark, idx),
+            )
+        )
+
+    want = _rows(similarity.ivf_topk(emb, q, n_centroids=8, n_probe=7))
+    got = search()
+    assert got == want and len(got) > 0
+    # retry: re-executing batch 2 (whatever rows it actually held — file
+    # pickup order is the stream's) overwrites its own part bit-compatibly
+    b2_ids = [
+        r[0] for r in spark.read.parquet(idx + "/b2").select("neighbor_id").collect()
+    ]
+    similarity.ivf_assign(
+        emb.where(F.col("vec_id").isin(b2_ids)), centers
+    ).write.partitionBy("cell").mode("overwrite").parquet(idx + "/b2")
+    assert search() == want
+    # compaction folds to one cell-partitioned base; results unchanged
+    assert S.compact_ann_index(spark, idx) == 2
+    assert search() == want
     """tools/skew_demo's measured hot-key demo and this pin share ONE
     fixture builder, so the equivalence the demo asserts at demo scale is
     the equivalence CI checks: salted_join == plain inner join on a
