@@ -1751,6 +1751,30 @@ def queries() -> _T:
                     ),
                 ),
             ),
+            # round 11: snapshot diff between two corpus versions derived
+            # from the one table — A drops doc_id%11==0 (those are 'added'
+            # in B), B drops doc_id%7==3 ('removed') and edits the text of
+            # doc_id%13==0 ('changed'). Panel mapping: content_hash=change,
+            # rep_doc_id=doc_id, n_copies=1.
+            (
+                "diff",
+                corpus.corpus_diff(
+                    _read(s, d, "documents").where(F.col("doc_id") % 11 != 0),
+                    _read(s, d, "documents")
+                    .where(F.col("doc_id") % 7 != 3)
+                    .withColumn(
+                        "text",
+                        F.when(
+                            F.col("doc_id") % 13 == 0,
+                            F.concat(F.col("text"), F.lit(" EDITED")),
+                        ).otherwise(F.col("text")),
+                    ),
+                ).select(
+                    F.col("change").alias("content_hash"),
+                    F.col("doc_id").alias("rep_doc_id"),
+                    F.lit(1).cast("long").alias("n_copies"),
+                ),
+            ),
         ),
         # the exact inverted-index path and the minhash-LSH estimate-prefilter
         # path emit the SAME pair relation — one union, one jaccard oracle
@@ -5088,6 +5112,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'incr' AS variant, * FROM ({base["dedup_exact"]})
             WHERE content_hash IN
                   (SELECT md5(text) FROM documents WHERE doc_id % 4 = 0)
+            UNION ALL
+            SELECT 'diff' AS variant,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS content_hash,
+                   COALESCE(a.doc_id, b.doc_id) AS rep_doc_id,
+                   CAST(1 AS BIGINT) AS n_copies
+            FROM (SELECT doc_id, md5(text) AS h FROM documents
+                  WHERE doc_id % 11 <> 0) a
+            FULL JOIN (SELECT doc_id,
+                              md5(CASE WHEN doc_id % 13 = 0
+                                       THEN text || ' EDITED'
+                                       ELSE text END) AS h
+                       FROM documents WHERE doc_id % 7 <> 3) b
+              ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
         """,
         "event_type_stats": f"""
             SELECT c.event_type, c.n_users_exact, c.n_events,

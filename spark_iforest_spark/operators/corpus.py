@@ -249,6 +249,45 @@ def dataset_card(
     return card
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions, by content digest:
+    one row per differing doc — ``(doc_id, change, old_md5, new_md5)``
+    with ``change`` in ('added', 'removed', 'changed'); unchanged docs
+    emit nothing. The audit a data-versioned training pipeline runs
+    between crawl snapshots: what entered, what left, what was edited
+    in place — and the input to targeted re-processing (re-curate only
+    added/changed ids instead of the whole snapshot).
+
+    Scale shape: both sides project to (id, md5) SCAN-SIDE (32-byte
+    digest rows, never text) before one full-outer shuffle join on the
+    id — the minimal movement any exact diff needs. Change detection is
+    digest equality, so two snapshots stored with different layouts /
+    partitioning / encodings compare identically.
+    """
+    a = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_md5")
+    )
+    b = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_md5")
+    )
+    return (
+        a.join(b, id_col, "full")
+        .withColumn(
+            "change",
+            F.when(F.col("old_md5").isNull(), F.lit("added"))
+            .when(F.col("new_md5").isNull(), F.lit("removed"))
+            .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed")),
+        )
+        .where(F.col("change").isNotNull())
+        .select(id_col, "change", "old_md5", "new_md5")
+    )
+
+
 def pretrain_curate(
     docs: DataFrame,
     reference: DataFrame | None = None,

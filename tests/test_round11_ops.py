@@ -633,6 +633,34 @@ def test_curate_stream_delta_resumes_from_stream_checkpoint(spark, tmpdir):
         assert _rows(getattr(final, rel)) == _rows(getattr(replay, rel)), rel
 
 
+def test_corpus_diff_semantics(spark):
+    """added/removed/changed classified exactly; unchanged docs silent;
+    text never leaves the scan (the join moves only (id, md5) rows)."""
+    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "will vanish")])
+    new = _docs(spark, [(1, "same"), (2, "has changed"), (4, "brand new")])
+    got = {
+        r["doc_id"]: (r["change"], r["old_md5"] is None, r["new_md5"] is None)
+        for r in corpus.corpus_diff(old, new).collect()
+    }
+    assert got == {
+        2: ("changed", False, False),
+        3: ("removed", False, True),
+        4: ("added", True, False),
+    }
+    # scan shape: the digests are computed BELOW the join (each side is a
+    # Project to (id, md5) before the FullOuter), so only 32-byte digest
+    # rows shuffle — never document text
+    plan = (
+        corpus.corpus_diff(old, new)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    join_at = plan.index("Join FullOuter")
+    assert plan.index("AS old_md5") > join_at  # projected under the join
+    assert plan.index("AS new_md5") > join_at
+
+
 # ---------------------------------------------------------------------------
 # 5. streaming ANN ingest (round-11 extension: the similarity family joins
 #    the continuous-ingestion story)
