@@ -1442,6 +1442,15 @@ def _state_chain(spark, path: str) -> list[tuple[str, dict]]:
         if p in seen:
             raise ValueError(f"curation-state version chain cycles at {p}")
         seen.add(p)
+        if not fs.exists(spark, f"{p}/state.json"):
+            raise ValueError(
+                f"curation-state version {p} is missing (or torn: no "
+                "state.json). If this is a delta chain's parent, it was "
+                "pruned before the chain was compacted — the retention "
+                "order is compact_curation_state FIRST, then "
+                "prune_versions; a stale retry that lands here must be "
+                "replayed from the newest full version."
+            )
         meta = fs.load_json(spark, f"{p}/state.json")
         out.append((p, meta))
         if not meta.get("delta"):

@@ -633,6 +633,46 @@ def test_curate_stream_delta_resumes_from_stream_checkpoint(spark, tmpdir):
         assert _rows(getattr(final, rel)) == _rows(getattr(replay, rel)), rel
 
 
+def test_delta_retention_cycle_compact_then_prune(spark, tmpdir):
+    """The delta chain's full retention cycle: compact the newest version,
+    THEN prune — the latest state still loads, the next batch ingests
+    against it, and a stale retry whose pruned-parent chain is gone fails
+    LOUDLY with the ordering hint instead of silently mis-folding."""
+    corp, batches = _curation_fixture(spark)
+    state_dir, out_dir = str(tmpdir) + "/state", str(tmpdir) + "/out"
+    corpus.save_curation_state(
+        corpus.curation_state(
+            corp, reference=None, gopher=False, line_min_docs=3,
+            substr_window=4, neardup=True,
+        ),
+        state_dir + "/v0",
+    )
+    for b, df in enumerate(batches[:2]):
+        S.curate_batch_version(
+            spark, state_dir, out_dir, df, b, state_layout="delta"
+        )
+    assert corpus.compact_curation_state(spark, state_dir) == 2
+    pruned = S.prune_versions(spark, state_dir, keep=2)
+    assert pruned == [0]  # v1 (delta) + v2 (full) survive
+    # forward path intact: latest loads, next batch ingests
+    before = _rows(S.latest_curation_state(spark, state_dir).ids)
+    S.curate_batch_version(
+        spark, state_dir, out_dir, batches[2], 2, state_layout="delta"
+    )
+    assert len(_rows(S.latest_curation_state(spark, state_dir).ids)) > len(before)
+    # stale retries fail LOUDLY, never silently mis-fold: batch 0 finds
+    # no version <= 0 at all (v0 pruned); batch 1 resolves parent v1 — a
+    # delta whose own parent v0 is gone — and gets the ordering hint
+    with pytest.raises(ValueError, match="no CurationState version"):
+        S.curate_batch_version(
+            spark, state_dir, out_dir, batches[0], 0, state_layout="delta"
+        )
+    with pytest.raises(ValueError, match="compact_curation_state FIRST"):
+        S.curate_batch_version(
+            spark, state_dir, out_dir, batches[1], 1, state_layout="delta"
+        )
+
+
 def test_corpus_diff_semantics(spark):
     """added/removed/changed classified exactly; unchanged docs silent;
     text never leaves the scan (the join moves only (id, md5) rows)."""
