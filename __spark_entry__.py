@@ -5119,12 +5119,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS content_hash,
                    COALESCE(a.doc_id, b.doc_id) AS rep_doc_id,
                    CAST(1 AS BIGINT) AS n_copies
-            FROM (SELECT doc_id, md5(text) AS h FROM documents
+            FROM (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
                   WHERE doc_id % 11 <> 0) a
             FULL JOIN (SELECT doc_id,
-                              md5(CASE WHEN doc_id % 13 = 0
-                                       THEN text || ' EDITED'
-                                       ELSE text END) AS h
+                              md5(COALESCE(CASE WHEN doc_id % 13 = 0
+                                                THEN text || ' EDITED'
+                                                ELSE text END, '')) AS h
                        FROM documents WHERE doc_id % 7 <> 3) b
               ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h

@@ -268,12 +268,21 @@ def corpus_diff(
     id — the minimal movement any exact diff needs. Change detection is
     digest equality, so two snapshots stored with different layouts /
     partitioning / encodings compare identically.
+
+    NULL text digests as the empty string (a bare ``md5(NULL)`` is NULL,
+    which would misread a NULL→text edit as 'added' and a text→NULL edit
+    as 'removed' while both ids exist in both snapshots) — so NULL and
+    '' are the same content by convention. Ids must be unique per
+    snapshot (the standard corpus contract; duplicate ids would
+    cross-product the outer join).
     """
     a = old.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("old_md5")
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("old_md5"),
     )
     b = new.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("new_md5")
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("new_md5"),
     )
     return (
         a.join(b, id_col, "full")

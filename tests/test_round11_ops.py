@@ -676,16 +676,27 @@ def test_delta_retention_cycle_compact_then_prune(spark, tmpdir):
 def test_corpus_diff_semantics(spark):
     """added/removed/changed classified exactly; unchanged docs silent;
     text never leaves the scan (the join moves only (id, md5) rows)."""
-    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "will vanish")])
-    new = _docs(spark, [(1, "same"), (2, "has changed"), (4, "brand new")])
+    old = _docs(
+        spark,
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (5, None),
+         (6, None)],
+    )
+    new = _docs(
+        spark,
+        [(1, "same"), (2, "has changed"), (4, "brand new"),
+         (5, "null became text"), (6, None)],
+    )
     got = {
         r["doc_id"]: (r["change"], r["old_md5"] is None, r["new_md5"] is None)
         for r in corpus.corpus_diff(old, new).collect()
     }
+    # NULL text digests as '' (docstring convention): 5 is CHANGED (not
+    # 'added'), 6 (NULL -> NULL) is unchanged and silent
     assert got == {
         2: ("changed", False, False),
         3: ("removed", False, True),
         4: ("added", True, False),
+        5: ("changed", False, False),
     }
     # scan shape: the digests are computed BELOW the join (each side is a
     # Project to (id, md5) before the FullOuter), so only 32-byte digest
