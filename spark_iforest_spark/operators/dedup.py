@@ -104,11 +104,21 @@ def exact_dedup_incremental(
     retries idempotent.
     """
     batch = exact_dedup(new_docs, id_col, text_col)
+    # eqNullSafe, not a USING join (round-11 review fix): exact_dedup's
+    # groupBy treats NULL digests (NULL text) as ONE group, so the
+    # incremental contract — the full relation restricted to batch
+    # digests — requires the index lookup to match the NULL digest too;
+    # a plain equality join silently treated every NULL-text batch as
+    # never-seen and double-counted across batches.
     return (
         batch.alias("b")
-        .join(index.alias("i").hint("merge"), "content_hash", "left")
+        .join(
+            index.alias("i").hint("merge"),
+            F.col("b.content_hash").eqNullSafe(F.col("i.content_hash")),
+            "left",
+        )
         .select(
-            "content_hash",
+            F.col("b.content_hash"),
             # least() skips NULLs: unseen digests keep the batch's rep
             F.least(F.col("i.rep_doc_id"), F.col("b.rep_doc_id")).alias(
                 "rep_doc_id"

@@ -374,8 +374,14 @@ def merge_index_version(
     if parent is not None:
         index = spark.read.parquet(parent)
         delta = dedup.exact_dedup_incremental(batch_df, index, id_col, text_col)
-        merged = index.join(
-            delta.select("content_hash"), "content_hash", "left_anti"
+        # eqNullSafe anti-join (round-11 review fix): exact_dedup groups
+        # NULL digests as one group, so an index NULL row superseded by a
+        # delta NULL row must drop — a plain equality anti kept both and
+        # the merged index carried duplicate NULL-digest rows
+        merged = index.alias("i").join(
+            delta.select("content_hash").alias("d"),
+            F.col("i.content_hash").eqNullSafe(F.col("d.content_hash")),
+            "left_anti",
         ).unionByName(delta)
     else:
         merged = dedup.exact_dedup(batch_df, id_col, text_col)
@@ -451,8 +457,18 @@ def merge_index_delta(
         )
         current = _lww_digest_fold(
             [
-                spark.read.parquet(p).join(
-                    F.broadcast(bkeys), "content_hash", "left_semi"
+                # eqNullSafe semi (round-11 review fix): the NULL digest
+                # (NULL text) is a real exact_dedup group — an equality
+                # semi would never probe the parts' NULL row and the
+                # delta would re-count it as never-seen
+                spark.read.parquet(p)
+                .alias("i")
+                .join(
+                    F.broadcast(bkeys).alias("k"),
+                    F.col("i.content_hash").eqNullSafe(
+                        F.col("k.content_hash")
+                    ),
+                    "left_semi",
                 )
                 for p in live
             ]

@@ -309,6 +309,34 @@ def test_merge_index_delta_retry_and_write_volume(spark, tmpdir):
     assert len(merged) == 4
 
 
+def test_dedup_index_null_text_consistent_across_layouts(spark, tmpdir):
+    """exact_dedup's groupBy treats NULL digests (NULL text) as ONE group;
+    the incremental paths must honor that (round-11 review fix: plain
+    equality joins never matched NULL, double-counting NULL-text docs
+    across batches and duplicating the NULL row in the merged index).
+    Both layouts must equal the one-shot relation on NULL-bearing input."""
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, None), (3, "bbb")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(4, None), (5, "aaa"), (6, None)], "doc_id long, text string"
+    )
+    def nrows(df):  # None-tolerant sort (NULL digest rows are the point)
+        return sorted(map(tuple, df.collect()), key=repr)
+
+    want = nrows(dedup.exact_dedup(b0.unionByName(b1)))
+    vdir, ddir = str(tmpdir) + "/v", str(tmpdir) + "/d"
+    S.merge_index_version(spark, vdir, b0, 0)
+    S.merge_index_version(spark, vdir, b1, 1)
+    assert nrows(S.latest_dedup_index(spark, vdir)) == want
+    S.merge_index_delta(spark, ddir, b0, 0)
+    S.merge_index_delta(spark, ddir, b1, 1)
+    assert nrows(S.latest_dedup_index(spark, ddir)) == want
+    # one NULL-digest row, counted across batches: rep=min id 2, copies 3
+    nulls = [r for r in want if r[0] is None]
+    assert nulls == [(None, 2, 3)]
+
+
 def test_compact_dedup_index_preserves_fold(spark, tmpdir):
     idx = str(tmpdir) + "/idx"
     batches = [
