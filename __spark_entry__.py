@@ -3129,10 +3129,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """
-            SELECT md5(text) AS content_hash,
+            SELECT md5(COALESCE(text, '')) AS content_hash,
                    min(doc_id) AS rep_doc_id,
                    count(*) AS n_copies
-            FROM documents GROUP BY md5(text)
+            FROM documents GROUP BY md5(COALESCE(text, ''))
         """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         # Full value oracle for simhash (round 5 — was the last rows-only
@@ -5107,11 +5107,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stream' AS variant, content_hash,
                    CAST(NULL AS BIGINT) AS rep_doc_id,
                    CAST(NULL AS BIGINT) AS n_copies
-            FROM (SELECT DISTINCT md5(text) AS content_hash FROM documents)
+            FROM (SELECT DISTINCT md5(COALESCE(text, '')) AS content_hash
+                  FROM documents)
             UNION ALL
             SELECT 'incr' AS variant, * FROM ({base["dedup_exact"]})
             WHERE content_hash IN
-                  (SELECT md5(text) FROM documents WHERE doc_id % 4 = 0)
+                  (SELECT md5(COALESCE(text, '')) FROM documents
+                   WHERE doc_id % 4 = 0)
             UNION ALL
             SELECT 'diff' AS variant,
                    CASE WHEN a.doc_id IS NULL THEN 'added'

@@ -63,9 +63,23 @@ def exact_dedup(
 
     Grouping by the md5 digest, not the raw text, keeps shuffle rows small
     (32 bytes vs document bodies) — the digest is computed scan-side.
+
+    NULL text digests as the empty string (round-11 review fix, same
+    convention as ``corpus.corpus_diff``): a bare ``md5(NULL)`` is NULL,
+    and while groupBy treats NULLs as one group, every downstream
+    incremental JOIN (index lookup, supersede anti-join, delta probe)
+    would either miss the NULL key with plain equality — re-counting
+    NULL-text docs as never-seen each batch — or need null-safe joins,
+    which defeat bucketed co-location (the bucket spec no longer matches
+    the rewritten join key; plan-pinned in test_bucketed_join). With the
+    digest total, plain equality joins are exact and the bucket layout
+    holds; NULL and '' are the same content by convention.
     """
     return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        docs.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
+        )
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("rep_doc_id"),
@@ -104,21 +118,16 @@ def exact_dedup_incremental(
     retries idempotent.
     """
     batch = exact_dedup(new_docs, id_col, text_col)
-    # eqNullSafe, not a USING join (round-11 review fix): exact_dedup's
-    # groupBy treats NULL digests (NULL text) as ONE group, so the
-    # incremental contract — the full relation restricted to batch
-    # digests — requires the index lookup to match the NULL digest too;
-    # a plain equality join silently treated every NULL-text batch as
-    # never-seen and double-counted across batches.
+    # a USING equality join is exact because exact_dedup's digest is
+    # TOTAL (NULL text digests as '' — see its docstring): no NULL join
+    # keys exist, so bucketed co-location on content_hash keeps working
+    # (a null-safe join would rewrite the key and force the corpus-side
+    # shuffle the bucket layout exists to avoid)
     return (
         batch.alias("b")
-        .join(
-            index.alias("i").hint("merge"),
-            F.col("b.content_hash").eqNullSafe(F.col("i.content_hash")),
-            "left",
-        )
+        .join(index.alias("i").hint("merge"), "content_hash", "left")
         .select(
-            F.col("b.content_hash"),
+            "content_hash",
             # least() skips NULLs: unseen digests keep the batch's rep
             F.least(F.col("i.rep_doc_id"), F.col("b.rep_doc_id")).alias(
                 "rep_doc_id"

@@ -259,13 +259,19 @@ def dedup_stream(
         # node or the watermark is lost; it drops only afterwards
         return (
             docs.withWatermark(ts_col, delay)
-            .select(F.col(ts_col), F.md5(F.col(text_col)).alias("content_md5"))
+            .select(
+                F.col(ts_col),
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                    "content_md5"
+                ),
+            )
             .dropDuplicatesWithinWatermark(["content_md5"])
             .select("content_md5")
         )
-    return docs.select(F.md5(F.col(text_col)).alias("content_md5")).dropDuplicates(
-        ["content_md5"]
-    )
+    # same total-digest convention as exact_dedup (NULL text -> '')
+    return docs.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5")
+    ).dropDuplicates(["content_md5"])
 
 
 def incremental_dedup_ingest(
@@ -374,14 +380,10 @@ def merge_index_version(
     if parent is not None:
         index = spark.read.parquet(parent)
         delta = dedup.exact_dedup_incremental(batch_df, index, id_col, text_col)
-        # eqNullSafe anti-join (round-11 review fix): exact_dedup groups
-        # NULL digests as one group, so an index NULL row superseded by a
-        # delta NULL row must drop — a plain equality anti kept both and
-        # the merged index carried duplicate NULL-digest rows
-        merged = index.alias("i").join(
-            delta.select("content_hash").alias("d"),
-            F.col("i.content_hash").eqNullSafe(F.col("d.content_hash")),
-            "left_anti",
+        # plain equality is exact: exact_dedup's digest is total (NULL
+        # text digests as '' — no NULL join keys exist by construction)
+        merged = index.join(
+            delta.select("content_hash"), "content_hash", "left_anti"
         ).unionByName(delta)
     else:
         merged = dedup.exact_dedup(batch_df, id_col, text_col)
@@ -450,25 +452,19 @@ def merge_index_delta(
     if live is None:
         delta = dedup.exact_dedup(batch_df, id_col, text_col)
     else:
+        # same total-digest expression as exact_dedup (NULL text -> ''),
+        # so the equality semi-join probes every group the delta touches
         bkeys = snapshot(
             batch_df.select(
-                F.md5(F.col(text_col)).alias("content_hash")
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                    "content_hash"
+                )
             ).distinct()
         )
         current = _lww_digest_fold(
             [
-                # eqNullSafe semi (round-11 review fix): the NULL digest
-                # (NULL text) is a real exact_dedup group — an equality
-                # semi would never probe the parts' NULL row and the
-                # delta would re-count it as never-seen
-                spark.read.parquet(p)
-                .alias("i")
-                .join(
-                    F.broadcast(bkeys).alias("k"),
-                    F.col("i.content_hash").eqNullSafe(
-                        F.col("k.content_hash")
-                    ),
-                    "left_semi",
+                spark.read.parquet(p).join(
+                    F.broadcast(bkeys), "content_hash", "left_semi"
                 )
                 for p in live
             ]

@@ -310,31 +310,35 @@ def test_merge_index_delta_retry_and_write_volume(spark, tmpdir):
 
 
 def test_dedup_index_null_text_consistent_across_layouts(spark, tmpdir):
-    """exact_dedup's groupBy treats NULL digests (NULL text) as ONE group;
-    the incremental paths must honor that (round-11 review fix: plain
-    equality joins never matched NULL, double-counting NULL-text docs
-    across batches and duplicating the NULL row in the merged index).
-    Both layouts must equal the one-shot relation on NULL-bearing input."""
+    """NULL text is a real content group and must count consistently
+    (round-11 review fix, two iterations: equality joins first missed the
+    NULL key entirely — re-counting NULL-text docs every batch — and a
+    null-safe-join fix defeated bucketed co-location; final design makes
+    the DIGEST total instead: NULL digests as md5(''), the corpus_diff
+    convention, so plain equality joins are exact AND bucket layouts
+    hold). Both layouts must equal the one-shot relation on NULL-bearing
+    input, with NULL-text docs in ONE cross-batch group."""
+    import hashlib
+
     b0 = spark.createDataFrame(
         [(1, "aaa"), (2, None), (3, "bbb")], "doc_id long, text string"
     )
     b1 = spark.createDataFrame(
         [(4, None), (5, "aaa"), (6, None)], "doc_id long, text string"
     )
-    def nrows(df):  # None-tolerant sort (NULL digest rows are the point)
-        return sorted(map(tuple, df.collect()), key=repr)
-
-    want = nrows(dedup.exact_dedup(b0.unionByName(b1)))
+    want = _rows(dedup.exact_dedup(b0.unionByName(b1)))
     vdir, ddir = str(tmpdir) + "/v", str(tmpdir) + "/d"
     S.merge_index_version(spark, vdir, b0, 0)
     S.merge_index_version(spark, vdir, b1, 1)
-    assert nrows(S.latest_dedup_index(spark, vdir)) == want
+    assert _rows(S.latest_dedup_index(spark, vdir)) == want
     S.merge_index_delta(spark, ddir, b0, 0)
     S.merge_index_delta(spark, ddir, b1, 1)
-    assert nrows(S.latest_dedup_index(spark, ddir)) == want
-    # one NULL-digest row, counted across batches: rep=min id 2, copies 3
-    nulls = [r for r in want if r[0] is None]
-    assert nulls == [(None, 2, 3)]
+    assert _rows(S.latest_dedup_index(spark, ddir)) == want
+    # the NULL-text group digests as md5('') and counts across batches:
+    # rep = min id 2, copies 3; no NULL digest exists anywhere
+    by_hash = {r[0]: (r[1], r[2]) for r in want}
+    assert None not in by_hash
+    assert by_hash[hashlib.md5(b"").hexdigest()] == (2, 3)
 
 
 def test_compact_dedup_index_preserves_fold(spark, tmpdir):
