@@ -86,10 +86,18 @@ def rename(spark, src: str, dst: str) -> bool:
     primitive the compaction paths use (write staged tree, swap into
     place). Atomic on HDFS/local; object stores emulate it per-key, so
     compactions there should run with their stream stopped (the same
-    caveat the callers document). Refuses (returns False) when the
-    destination exists, matching Hadoop's no-clobber contract — callers
-    delete the destination first at a point where losing it is
-    recoverable from the staged copy."""
+    caveat the callers document).
+
+    Existing-destination semantics are NOT a uniform no-clobber refusal
+    (round-12 advice fix to this docstring): when ``dst`` is an existing
+    DIRECTORY, HDFS-family filesystems move ``src`` INTO it (landing at
+    ``dst/srcName``) and return True; an existing FILE destination
+    returns False on most implementations, and RawLocal can clobber.
+    Callers must therefore ensure the destination is GONE before calling
+    — delete it and check the delete actually happened (raise on a False
+    return while the path still exists) at a point where losing it is
+    recoverable from the staged copy. Every compaction caller in this
+    repo does exactly that."""
     fs, s = _resolve(spark, src)
     _, d = _resolve(spark, dst)
     return bool(fs.rename(s, d))

@@ -1622,7 +1622,16 @@ def compact_curation_state(spark, state_dir: str) -> int:
     tmp = f"{state_dir}/compact_tmp"  # not v{N}-shaped: invisible to readers
     fs.delete(spark, tmp, recursive=True)
     save_curation_state(state, tmp)
-    fs.delete(spark, vdir, recursive=True)
+    # verify the delete actually happened (round-12 advice fix): Hadoop
+    # rename onto an EXISTING directory destination moves the source
+    # INTO it (tmp would nest under v{N}) and reports success — a
+    # silently-failed delete would leave the old delta state live while
+    # this function returns as if compacted
+    if not fs.delete(spark, vdir, recursive=True) and fs.exists(spark, vdir):
+        raise IOError(
+            f"compact_curation_state: could not delete {vdir} before the "
+            f"swap; the intact full state is staged at {tmp}"
+        )
     if not fs.rename(spark, tmp, vdir):
         raise IOError(
             f"compact_curation_state: rename {tmp} -> {vdir} failed; the "

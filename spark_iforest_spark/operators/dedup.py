@@ -139,6 +139,36 @@ def exact_dedup_incremental(
     )
 
 
+def migrate_null_digest_rows(index: DataFrame) -> DataFrame:
+    """One-off migration of a digest index persisted BEFORE the digest
+    was made total (round 11: NULL text now digests as ``md5('')``): a
+    pre-change index carries one NULL ``content_hash`` row that the
+    total-digest equality joins and the last-writer-wins fold can never
+    match or supersede — NULL-text docs would be re-counted from zero
+    under ``md5('')`` while the stale NULL-keyed row reports forever
+    (round-12 advice). Rewrites the NULL row to the empty-string digest,
+    merging with an existing ``md5('')`` row under ``exact_dedup``'s own
+    semantics (min rep id, summed copies).
+
+    Scale shape: only the two affected keys (NULL and ``md5('')``) are
+    re-aggregated — a scan-side filter splits them out (≤2 rows through
+    the aggregate) and every other row passes through untouched; no
+    corpus-wide shuffle. Apply before resuming ingest, then persist
+    (:func:`spark_iforest_spark.streaming.migrate_null_digest_index`
+    does the read-rewrite-swap for a persisted index directory)."""
+    empty = F.md5(F.lit(""))
+    affected = F.col("content_hash").isNull() | (F.col("content_hash") == empty)
+    merged = (
+        index.where(affected)
+        .groupBy(empty.alias("content_hash"))
+        .agg(
+            F.min("rep_doc_id").alias("rep_doc_id"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+    return index.where(~affected).unionByName(merged)
+
+
 def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(did, shset array<long>) — distinct word n-grams hashed JVM-side."""
     return docs.select(

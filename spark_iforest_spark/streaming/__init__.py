@@ -280,6 +280,7 @@ def incremental_dedup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     layout: str = "versions",
+    compact_every: int | None = None,
 ):
     """Continuous-ingestion exact dedup: every micro-batch dedups against
     the persisted digest index (``operators.dedup.exact_dedup`` relation)
@@ -308,11 +309,28 @@ def incremental_dedup_ingest(
     (a batch folds only parts strictly older than its id and overwrites
     its own part).
 
+    ``compact_every=K`` (delta layout only, round 12) runs
+    :func:`compact_dedup_index` inside the step after every K committed
+    batches — the in-stream cadence that keeps the live part chain (and
+    with it the per-batch fold/probe cost, which the soak showed creeping
+    with part count) bounded without an external compactor. Safe inside
+    foreachBatch: steps are serial so no concurrent reader sees the
+    staged-rename swap, and a stale retry of an already-compacted batch
+    id rewrites a directory the read rule ignores (same argument as
+    ``curate_stream(compact_every=...)``).
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains; ``awaitTermination`` to block).
     """
     if layout not in ("versions", "delta"):
         raise ValueError(f"incremental_dedup_ingest: unknown layout {layout!r}")
+    if compact_every is not None and layout != "delta":
+        raise ValueError(
+            "incremental_dedup_ingest: compact_every only applies to "
+            "layout='delta' — versioned sinks are already full rewrites."
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("incremental_dedup_ingest: compact_every must be >= 1")
     spark = stream_docs.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -320,6 +338,8 @@ def incremental_dedup_ingest(
             merge_index_delta(
                 spark, index_dir, batch_df, batch_id, id_col, text_col
             )
+            if compact_every is not None and (batch_id + 1) % compact_every == 0:
+                compact_dedup_index(spark, index_dir)
         else:
             merge_index_version(
                 spark, index_dir, batch_df, batch_id, id_col, text_col
@@ -336,14 +356,17 @@ def _index_versions(spark: SparkSession, index_dir: str) -> list[int]:
     """Version ids under ``index_dir`` — listed through the Hadoop
     FileSystem API (spark_iforest_spark.fs) so the versioned-directory
     sinks work on hdfs://s3a:// URIs, not just the driver's local disk
-    (round-6 fix; was os.listdir)."""
-    from spark_iforest_spark import fs as hfs
+    (round-6 fix; was os.listdir). Raises when the directory also holds
+    b/c parts (round-12 advice fix): a versioned writer folding against
+    only the v versions would silently ignore the parts-layout state —
+    same mix guard as ``parts_store.live_parts``, from the other side."""
+    from spark_iforest_spark import parts_store
 
-    return sorted(
-        int(c["name"][1:])
-        for c in hfs.list_children(spark, index_dir)
-        if c["name"].startswith("v") and c["name"][1:].isdigit()
-    )
+    if parts_store.part_ids(spark, index_dir, "b") or parts_store.part_ids(
+        spark, index_dir, "c"
+    ):
+        raise parts_store._mix_error(index_dir)
+    return parts_store.part_ids(spark, index_dir, "v")
 
 
 def _latest_parent(
@@ -445,9 +468,11 @@ def merge_index_delta(
     touched-digest rows. Strict-parent idempotence: the fold sees parts
     STRICTLY older than ``batch_id`` only, and a retry overwrites its
     own part with bit-identical rows."""
+    from spark_iforest_spark import parts_store
     from spark_iforest_spark.checkpoint import snapshot
     from spark_iforest_spark.operators import dedup
 
+    parts_store.check_parts_writable(spark, index_dir)
     live = _live_parts(spark, index_dir, before=batch_id)
     if live is None:
         delta = dedup.exact_dedup(batch_df, id_col, text_col)
@@ -476,32 +501,66 @@ def merge_index_delta(
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> int:
     """Fold the live delta parts into a compacted base ``c{M}`` and
     garbage-collect the folded parts — one full last-writer-wins pass,
-    the amortized cost the per-batch path no longer pays. Crash-safe by
-    the parts read rule (parts at or below the newest base id are
-    ignored, so a crash between the base write and the deletes — or a
-    stale retry of an already-compacted batch id — cannot double-fold).
-    Run with the stream stopped or past the retry window, same caveat
-    as :func:`prune_versions`. Returns the new base id."""
+    the amortized cost the per-batch path no longer pays. Commit and
+    crash-safety are ``parts_store.compact``'s staged rename + read rule
+    (round-12 fix: the base used to be written in place, so a mid-write
+    crash left a torn ``c{M}`` that shadowed every part at or below its
+    id). Safe to run INSIDE the stream's own foreachBatch cadence
+    (``incremental_dedup_ingest(compact_every=K)``) — steps are serial,
+    so no concurrent reader sees the swap; an EXTERNAL call still wants
+    the stream stopped or past the retry window, same caveat as
+    :func:`prune_versions`. Returns the new base id."""
+    from spark_iforest_spark import parts_store
+
+    def fold(live: list[str], staging: str) -> None:
+        _lww_digest_fold([spark.read.parquet(p) for p in live]).write.mode(
+            "overwrite"
+        ).parquet(staging)
+
+    return parts_store.compact(spark, index_dir, fold)
+
+
+def migrate_null_digest_index(spark: SparkSession, index_dir: str) -> None:
+    """One-off in-place migration of a persisted digest index written
+    BEFORE the total-digest change (round 11): rewrite its NULL
+    ``content_hash`` row to ``md5('')``, merging copies
+    (``dedup.migrate_null_digest_rows`` — see its docstring for why the
+    stale NULL row is otherwise permanent). Parts layouts are compacted
+    first so the rewrite targets one base; either layout's newest
+    version/base is then swapped via the staged-rename commit. Run with
+    the stream stopped — this is a migration, not a concurrent-safe
+    step."""
     from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark.operators import dedup
 
     live = _live_parts(spark, index_dir)
-    if live is None:
-        raise ValueError(f"compact_dedup_index: no delta parts under {index_dir}")
-    new_m = max(
-        _part_ids(spark, index_dir, "b") + _part_ids(spark, index_dir, "c")
-    )
-    if live == [f"{index_dir}/c{new_m}"]:
-        return new_m
-    _lww_digest_fold([spark.read.parquet(p) for p in live]).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/c{new_m}")
-    for v in _part_ids(spark, index_dir, "b"):
-        if v <= new_m:
-            hfs.delete(spark, f"{index_dir}/b{v}", recursive=True)
-    for v in _part_ids(spark, index_dir, "c"):
-        if v < new_m:
-            hfs.delete(spark, f"{index_dir}/c{v}", recursive=True)
-    return new_m
+    if live is not None:
+        target = f"{index_dir}/c{compact_dedup_index(spark, index_dir)}"
+    else:
+        versions = _index_versions(spark, index_dir)
+        if not versions:
+            raise ValueError(
+                f"migrate_null_digest_index: no index under {index_dir}"
+            )
+        target = f"{index_dir}/v{versions[-1]}"
+    # the rewrite plan reads ``target`` and writes the staging sibling —
+    # the source stays intact until the staged copy is fully committed
+    fixed = dedup.migrate_null_digest_rows(spark.read.parquet(target))
+    staging = f"{index_dir}/_staging_migrate"
+    hfs.delete(spark, staging, recursive=True)
+    fixed.write.mode("overwrite").parquet(staging)
+    if not hfs.delete(spark, target, recursive=True) and hfs.exists(
+        spark, target
+    ):
+        raise IOError(
+            f"migrate_null_digest_index: could not delete {target}; the "
+            f"migrated index is staged at {staging}"
+        )
+    if not hfs.rename(spark, staging, target):
+        raise IOError(
+            f"migrate_null_digest_index: rename {staging} -> {target} "
+            f"failed; the migrated index is staged at {staging}"
+        )
 
 
 def ndv_monitor_ingest(
@@ -511,6 +570,7 @@ def ndv_monitor_ingest(
     lg_k: int = 12,
     series_dir: str | None = None,
     layout: str = "versions",
+    compact_every: int | None = None,
 ):
     """Continuous distinct-count monitoring: every micro-batch folds its
     HLL sketches (``relational.ndv_sketch_partial``) into the persisted
@@ -537,13 +597,23 @@ def ndv_monitor_ingest(
     ``layout="parts"`` (round 11) writes each batch's OWN sketch partial
     to ``state_dir/b{batch_id}`` instead of re-folding and re-persisting
     the running state per version — readers fold on read; compact with
-    :func:`compact_ndv_parts`. Same estimates, file-per-batch instead of
-    state-per-batch (see the delta-layout block comment below).
+    :func:`compact_ndv_parts`, or pass ``compact_every=K`` (round 12)
+    for the in-stream cadence (serial steps + staged-rename commit make
+    in-step compaction safe — same argument as
+    ``incremental_dedup_ingest``). Same estimates, file-per-batch
+    instead of state-per-batch (parts_store module docstring).
 
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
     if layout not in ("versions", "parts"):
         raise ValueError(f"ndv_monitor_ingest: unknown layout {layout!r}")
+    if compact_every is not None and layout != "parts":
+        raise ValueError(
+            "ndv_monitor_ingest: compact_every only applies to "
+            "layout='parts' — versioned sinks are already full rewrites."
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("ndv_monitor_ingest: compact_every must be >= 1")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -551,6 +621,8 @@ def ndv_monitor_ingest(
             merge_ndv_part(
                 spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
             )
+            if compact_every is not None and (batch_id + 1) % compact_every == 0:
+                compact_ndv_parts(spark, state_dir)
         else:
             merge_ndv_version(
                 spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
@@ -632,8 +704,10 @@ def merge_ndv_part(
     the live parts; the optional estimate-series row is computed from the
     fold over parts up to and including this batch — the same monotone
     time series the versioned writer records."""
+    from spark_iforest_spark import parts_store
     from spark_iforest_spark.operators import relational
 
+    parts_store.check_parts_writable(spark, state_dir)
     relational.ndv_sketch_partial(batch_df, columns, lg_k).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/b{batch_id}")
@@ -653,31 +727,23 @@ def merge_ndv_part(
 
 def compact_ndv_parts(spark: SparkSession, state_dir: str) -> int:
     """Fold the live NDV sketch parts into ``c{M}`` and garbage-collect
-    the folded parts — crash-safe by the parts read rule (see the delta-
-    layout block comment). Returns the new base id."""
+    the folded parts — staged-rename commit + parts read rule
+    (``parts_store.compact``), so it is also safe inside the stream's
+    own cadence (``ndv_monitor_ingest(compact_every=K)``). Returns the
+    new base id."""
     from functools import reduce
 
-    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark import parts_store
     from spark_iforest_spark.operators import relational
 
-    live = _live_parts(spark, state_dir)
-    if live is None:
-        raise ValueError(f"compact_ndv_parts: no parts under {state_dir}")
-    new_m = max(
-        _part_ids(spark, state_dir, "b") + _part_ids(spark, state_dir, "c")
-    )
-    if live == [f"{state_dir}/c{new_m}"]:
-        return new_m
-    relational.merge_ndv_sketches(
-        reduce(DataFrame.unionByName, [spark.read.parquet(p) for p in live])
-    ).write.mode("overwrite").parquet(f"{state_dir}/c{new_m}")
-    for v in _part_ids(spark, state_dir, "b"):
-        if v <= new_m:
-            hfs.delete(spark, f"{state_dir}/b{v}", recursive=True)
-    for v in _part_ids(spark, state_dir, "c"):
-        if v < new_m:
-            hfs.delete(spark, f"{state_dir}/c{v}", recursive=True)
-    return new_m
+    def fold(live: list[str], staging: str) -> None:
+        relational.merge_ndv_sketches(
+            reduce(
+                DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+            )
+        ).write.mode("overwrite").parquet(staging)
+
+    return parts_store.compact(spark, state_dir, fold)
 
 
 def ndv_series(spark: SparkSession, series_dir: str) -> DataFrame:
@@ -694,6 +760,7 @@ def profile_monitor_ingest(
     ndv_columns: list[str] | None = None,
     lg_k: int = 12,
     layout: str = "versions",
+    compact_every: int | None = None,
 ):
     """Continuously-maintained table profile: every micro-batch folds its
     ``relational.profile_partial`` rows (count / nulls / min / max /
@@ -721,12 +788,21 @@ def profile_monitor_ingest(
     (last-writer-wins), so even the ADDITIVE sums fold exactly once
     under foreachBatch's at-least-once re-delivery, the property the
     version dance could not give the additive side. Compact with
-    :func:`compact_profile_parts`.
+    :func:`compact_profile_parts`, or pass ``compact_every=K`` (round
+    12) for the in-stream cadence (serial steps + staged-rename commit
+    make in-step compaction safe).
 
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
     if layout not in ("versions", "parts"):
         raise ValueError(f"profile_monitor_ingest: unknown layout {layout!r}")
+    if compact_every is not None and layout != "parts":
+        raise ValueError(
+            "profile_monitor_ingest: compact_every only applies to "
+            "layout='parts' — versioned sinks are already full rewrites."
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("profile_monitor_ingest: compact_every must be >= 1")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -734,6 +810,8 @@ def profile_monitor_ingest(
             merge_profile_part(
                 spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
             )
+            if compact_every is not None and (batch_id + 1) % compact_every == 0:
+                compact_profile_parts(spark, state_dir)
         else:
             merge_profile_version(
                 spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
@@ -850,67 +928,29 @@ def latest_profile(
 
 
 # ---------------------------------------------------------------------------
-# Round-11 delta layout: per-batch parts + compacted base.
-#
-# The v{N} versioned sinks above re-persist the WHOLE state per batch —
-# harmless for the constant-size monitor states, corpus-proportional for
-# the growing indexes. The parts layout writes only each batch's own
-# contribution:
-#
-#   {dir}/b{batch_id}  — the batch's delta (overwritten on retry)
-#   {dir}/c{M}         — optional compacted base COVERING batches <= M
-#
-# Read rule (the crash-safety invariant): live parts = newest c{M} plus
-# every b{i} with i > M; b-parts at or below the newest c id are ignored
-# — already folded into the base — so a compaction crash between
-# writing c{M} and garbage-collecting old parts can never double-count,
-# and a stale foreachBatch retry of an already-compacted batch id
-# rewrites an ignored directory. Folding happens ON READ with the same
-# merge operators the version writer used (profile partials sum; NDV
-# registers max; digest rows last-writer-wins), so layouts are
-# observationally identical; compaction bounds the fold chain.
-#
-# Idempotence is strictly stronger than the v{N} dance for ADDITIVE
-# state (the round-10 verdict's documented asymmetry): a re-executed
-# batch id overwrites its own part — last-writer-wins per batch id — so
-# at-least-once re-delivery of a committed batch folds once, exactly,
-# even for the profile's additive sums. (Re-delivery of the same ROWS
-# under a NEW batch id remains indistinguishable from new data — that
-# horizon is the source's exactly-once contract, unchanged.)
+# Round-11 delta layout: per-batch parts + compacted base. The layout
+# contract, read rule, idempotence argument, and staged-rename compaction
+# commit live in ONE place — spark_iforest_spark.parts_store (round-12
+# consolidation: four sinks each carried a copy of this machinery). The
+# sinks below parameterize it with their fold: digest rows last-writer-
+# wins, NDV registers max, profile partials sum, ANN cell rows union.
 # ---------------------------------------------------------------------------
 
 
 def _part_ids(spark: SparkSession, d: str, prefix: str) -> list[int]:
-    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark import parts_store
 
-    return sorted(
-        int(c["name"][len(prefix):])
-        for c in hfs.list_children(spark, d)
-        if c["name"].startswith(prefix) and c["name"][len(prefix):].isdigit()
-    )
+    return parts_store.part_ids(spark, d, prefix)
 
 
 def _live_parts(
     spark: SparkSession, d: str, before: int | None = None
 ) -> list[str] | None:
-    """Paths of the live parts under ``d`` in fold order (base first),
-    or None when ``d`` holds no parts layout (no b/c children). With
-    ``before`` set, only parts strictly older than that batch id are
-    returned — the strict-parent read a retried batch must perform."""
-    bases = _part_ids(spark, d, "c")
-    deltas = _part_ids(spark, d, "b")
-    if not bases and not deltas:
-        return None
-    if before is not None:
-        bases = [m for m in bases if m < before]
-        deltas = [i for i in deltas if i < before]
-    out = []
-    floor_ = -1
-    if bases:
-        floor_ = bases[-1]
-        out.append(f"{d}/c{floor_}")
-    out.extend(f"{d}/b{i}" for i in deltas if i > floor_)
-    return out or None
+    """``parts_store.live_parts`` — kept as the module-local name the
+    sinks and their tests bound before the consolidation."""
+    from spark_iforest_spark import parts_store
+
+    return parts_store.live_parts(spark, d, before)
 
 
 def merge_profile_part(
@@ -928,8 +968,10 @@ def merge_profile_part(
     O(#columns) regardless of how many batches precede it, and a
     re-executed batch id lands on its own directory (idempotent for the
     additive sums, not just the set-semantic sketches)."""
+    from spark_iforest_spark import parts_store
     from spark_iforest_spark.operators import relational
 
+    parts_store.check_parts_writable(spark, state_dir)
     bdir = f"{state_dir}/b{batch_id}"
     relational.profile_partial(batch_df, columns).write.mode(
         "overwrite"
@@ -942,53 +984,42 @@ def merge_profile_part(
 
 def compact_profile_parts(spark: SparkSession, state_dir: str) -> int:
     """Fold every live part into a compacted base ``c{M}`` (M = newest
-    part id) and garbage-collect the folded parts. The read rule makes
-    this crash-safe in either half: parts at or below the newest c id
-    are ignored by readers, so a crash after writing the base but before
-    the deletes only leaves dead directories. Run on whatever cadence
-    bounds the read-side fold chain (the state is O(#columns) per part,
-    so even hundreds of parts fold in one small aggregate — compaction
-    here is about file-listing hygiene, not data volume). Returns the
-    new base id."""
+    part id) and garbage-collect the folded parts — staged-rename commit
+    + parts read rule (``parts_store.compact``; the nested profile/ndv
+    children are written under the staging dir and swap in as one
+    rename, where the old in-place write exposed a base with only one
+    child mid-commit). Safe inside the stream's own cadence
+    (``profile_monitor_ingest(compact_every=K)``). Run on whatever
+    cadence bounds the read-side fold chain (the state is O(#columns)
+    per part, so even hundreds of parts fold in one small aggregate —
+    compaction here is about file-listing hygiene, not data volume).
+    Returns the new base id."""
     from functools import reduce
 
-    from spark_iforest_spark import fs as hfs
+    from spark_iforest_spark import fs as hfs, parts_store
     from spark_iforest_spark.operators import relational
 
-    live = _live_parts(spark, state_dir)
-    if live is None:
-        raise ValueError(f"compact_profile_parts: no parts under {state_dir}")
-    new_m = max(
-        _part_ids(spark, state_dir, "b") + _part_ids(spark, state_dir, "c")
-    )
-    if live == [f"{state_dir}/c{new_m}"]:
-        return new_m  # already compact — rewriting a dir onto itself fails
-    prof_parts = [
-        spark.read.parquet(f"{p}/profile")
-        for p in live
-        if hfs.exists(spark, f"{p}/profile")
-    ]
-    sk_parts = [
-        spark.read.parquet(f"{p}/ndv")
-        for p in live
-        if hfs.exists(spark, f"{p}/ndv")
-    ]
-    cdir = f"{state_dir}/c{new_m}"
-    if prof_parts:
-        relational.merge_profile_partials(
-            reduce(DataFrame.unionByName, prof_parts)
-        ).write.mode("overwrite").parquet(f"{cdir}/profile")
-    if sk_parts:
-        relational.merge_ndv_sketches(
-            reduce(DataFrame.unionByName, sk_parts)
-        ).write.mode("overwrite").parquet(f"{cdir}/ndv")
-    for v in _part_ids(spark, state_dir, "b"):
-        if v <= new_m:
-            hfs.delete(spark, f"{state_dir}/b{v}", recursive=True)
-    for v in _part_ids(spark, state_dir, "c"):
-        if v < new_m:
-            hfs.delete(spark, f"{state_dir}/c{v}", recursive=True)
-    return new_m
+    def fold(live: list[str], staging: str) -> None:
+        prof_parts = [
+            spark.read.parquet(f"{p}/profile")
+            for p in live
+            if hfs.exists(spark, f"{p}/profile")
+        ]
+        sk_parts = [
+            spark.read.parquet(f"{p}/ndv")
+            for p in live
+            if hfs.exists(spark, f"{p}/ndv")
+        ]
+        if prof_parts:
+            relational.merge_profile_partials(
+                reduce(DataFrame.unionByName, prof_parts)
+            ).write.mode("overwrite").parquet(f"{staging}/profile")
+        if sk_parts:
+            relational.merge_ndv_sketches(
+                reduce(DataFrame.unionByName, sk_parts)
+            ).write.mode("overwrite").parquet(f"{staging}/ndv")
+
+    return parts_store.compact(spark, state_dir, fold)
 
 
 def incremental_neardup_ingest(
@@ -1057,6 +1088,7 @@ def ann_ingest(
     centers,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """Continuous vector ingestion into a persisted IVF ANN index: every
     micro-batch assigns against the FROZEN coarse quantizer
@@ -1077,18 +1109,31 @@ def ann_ingest(
     assigned=latest_ann_index(spark, index_dir))`` — the persisted-index
     mode skips both the fit and the corpus assignment pass.
 
+    ``compact_every=K`` (round 12) folds the parts into one
+    cell-partitioned base every K committed batches inside the step
+    (:func:`compact_ann_index`) — bounding per-cell file counts without
+    an external compactor; safe by the same serial-steps +
+    staged-rename argument as the other sinks.
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
     from spark_iforest_spark.operators import similarity
 
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("ann_ingest: compact_every must be >= 1")
     spark = stream_emb.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_iforest_spark import parts_store
+
+        parts_store.check_parts_writable(spark, index_dir)
         similarity.ivf_assign(
             batch_df, centers, id_col=id_col, vec_col=vec_col
         ).write.partitionBy("cell").mode("overwrite").parquet(
             f"{index_dir}/b{batch_id}"
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_ann_index(spark, index_dir)
 
     return (
         stream_emb.writeStream.foreachBatch(step)
@@ -1117,28 +1162,20 @@ def latest_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
 def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
     """Fold the live ANN parts into one cell-partitioned base ``c{M}``
     and garbage-collect the folded parts (plain union — vector ids are
-    append-only) — bounds file counts per cell. Crash-safe by the parts
-    read rule. Returns the new base id."""
-    from spark_iforest_spark import fs as hfs
+    append-only) — bounds file counts per cell. Staged-rename commit +
+    parts read rule (``parts_store.compact``), so it is also safe inside
+    the stream's own cadence (``ann_ingest(compact_every=K)``). Returns
+    the new base id."""
+    from functools import reduce
 
-    live = _live_parts(spark, index_dir)
-    if live is None:
-        raise ValueError(f"compact_ann_index: no parts under {index_dir}")
-    new_m = max(
-        _part_ids(spark, index_dir, "b") + _part_ids(spark, index_dir, "c")
-    )
-    if live == [f"{index_dir}/c{new_m}"]:
-        return new_m
-    latest_ann_index(spark, index_dir).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/c{new_m}")
-    for v in _part_ids(spark, index_dir, "b"):
-        if v <= new_m:
-            hfs.delete(spark, f"{index_dir}/b{v}", recursive=True)
-    for v in _part_ids(spark, index_dir, "c"):
-        if v < new_m:
-            hfs.delete(spark, f"{index_dir}/c{v}", recursive=True)
-    return new_m
+    from spark_iforest_spark import parts_store
+
+    def fold(live: list[str], staging: str) -> None:
+        reduce(
+            DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+        ).write.partitionBy("cell").mode("overwrite").parquet(staging)
+
+    return parts_store.compact(spark, index_dir, fold)
 
 
 def follow_pairs_stream(
