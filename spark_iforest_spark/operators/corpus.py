@@ -607,6 +607,27 @@ class CurationState:
       duplicate-cluster labels, and (id, quality) for cluster resolution.
     * ``params`` — the frozen recipe parameters; incremental application
       and state merging refuse mismatched params.
+
+    RETRACTABLE states (round 12, ``curation_state(retractable=True)``)
+    additionally carry the per-doc DETAIL relations whose aggregates the
+    indexes are — the multiset a MIN/COUNT aggregate cannot be subtracted
+    from (removing the doc holding a min first-occurrence needs the
+    remaining occurrences):
+
+    * ``line_detail`` — distinct (doc_id, line_md5) over the line stage's
+      input (the rows ``line_count_index`` counts).
+    * ``substr_detail`` — (doc_id, pos, h) window occurrences over the
+      ExactSubstr stage's input (the rows ``substr_window_index``
+      aggregates).
+    * ``nin_digest`` — (doc_id, clean_md5) of the near-dup stage's input
+      text (one row per doc), so the curated relation's digests are
+      state-derivable without re-reading any text.
+
+    Storage is corpus-token-proportional — the same magnitude as the
+    ``shingle_index`` the state already carries — and buys exact
+    retraction: :func:`spark_iforest_spark.operators.recurate.
+    recurate_with_diff` subtracts removed/changed docs' contributions
+    row-exactly and bounds re-processing to the flip fan-out.
     """
 
     def __init__(
@@ -620,6 +641,9 @@ class CurationState:
         labels: DataFrame | None,
         quality: DataFrame | None,
         params: dict,
+        line_detail: DataFrame | None = None,
+        substr_detail: DataFrame | None = None,
+        nin_digest: DataFrame | None = None,
     ):
         self.ids = ids
         self.lm = lm
@@ -630,6 +654,9 @@ class CurationState:
         self.labels = labels
         self.quality = quality
         self.params = dict(params)
+        self.line_detail = line_detail
+        self.substr_detail = substr_detail
+        self.nin_digest = nin_digest
 
 
 def curation_state(
@@ -643,9 +670,19 @@ def curation_state(
     neardup: bool = True,
     ccnet_keep_bands: tuple = (1, 2),
     gopher_thresholds: dict | None = None,
+    retractable: bool = False,
 ) -> CurationState:
     """Run the pretrain_curate chain over a corpus and capture the frozen
     per-stage state a later :func:`pretrain_curate_incremental` needs.
+
+    ``retractable=True`` (round 12) additionally captures the per-doc
+    detail relations (``line_detail``/``substr_detail``/``nin_digest`` —
+    the CurationState docstring's retraction contract) from the SAME
+    stage inputs the aggregate indexes summarize, enabling
+    :func:`~spark_iforest_spark.operators.recurate.recurate_with_diff`
+    to subtract removed/changed docs exactly. The details ride the
+    already-snapshotted stage blocks, so capturing them adds per-stage
+    projections, not extra chain executions.
 
     The chain executed here is EXACTLY :func:`_pretrain_stage_list` (same
     snapshots, same eager ccnet calibration), so the corpus-side stage
@@ -693,20 +730,23 @@ def curation_state(
     def _input_of(stage: str) -> DataFrame:
         return stages[by_name[stage] - 1][1]
 
-    line_index = (
-        line_count_index(_input_of("line_dedup"), id_col, text_col)
-        if line_min_docs
-        else None
-    )
-    substr_index = (
-        substr_window_index(
-            _input_of("exact_substr"), window=substr_window,
-            id_col=id_col, text_col=text_col,
+    from spark_iforest_spark.operators.dedup import _window_keys
+
+    line_index = line_detail = None
+    if line_min_docs:
+        line_in = _input_of("line_dedup")
+        line_index = line_count_index(line_in, id_col, text_col)
+        if retractable:
+            line_detail = _line_detail_of(line_in, id_col, text_col)
+    substr_index = substr_detail = None
+    if substr_window:
+        substr_in = _input_of("exact_substr")
+        substr_index = substr_window_index(
+            substr_in, window=substr_window, id_col=id_col, text_col=text_col
         )
-        if substr_window
-        else None
-    )
-    sh_idx = labels = quality = None
+        if retractable:
+            substr_detail = _window_keys(substr_in, id_col, text_col, substr_window)
+    sh_idx = labels = quality = nin_digest = None
     if neardup:
         # the near-dup input is the chain's LAST stage here (neardup=False
         # above), so it is not snapshot'd yet — and the three artifacts
@@ -718,6 +758,12 @@ def curation_state(
         quality = quality_score(nd_in, id_col, text_col).select(
             F.col(id_col), "quality"
         )
+        if retractable:
+            nin_digest = _nin_digest_of(nd_in, id_col, text_col)
+    elif retractable:
+        # no near-dup stage: the "curated" relation is the chain's last
+        # stage output — its digests are still the retraction surface
+        nin_digest = _nin_digest_of(stages[-1][1], id_col, text_col)
     return CurationState(
         ids=docs.select(F.col(id_col)).distinct(),
         lm=cap.get("lm"),
@@ -739,7 +785,11 @@ def curation_state(
             "has_ccnet": reference is not None,
             "jaccard_n": 3,
             "jaccard_threshold": 0.8,
+            "retractable": bool(retractable),
         },
+        line_detail=line_detail,
+        substr_detail=substr_detail,
+        nin_digest=nin_digest,
     )
 
 
@@ -920,6 +970,12 @@ def _pretrain_incr_stage_list(
             out = snapshot(out.repartition(n_parts))
         stages.append((name, out))
         cur = out
+    # the last pre-decontamination relation — the nin_digest append source
+    # for retractable recipes WITHOUT a near-dup stage (with one,
+    # cap["neardup_input"] is the right surface)
+    cap["pre_benchmark"] = (
+        stages[-2][1] if benchmark is not None else stages[-1][1]
+    )
     return stages
 
 
@@ -1168,6 +1224,9 @@ def merge_curation_states(
             # a.labels comes from a materialized/persisted shard state
             snapshot_pairs=False, snapshot_labels=False,
         )
+    def _u(x, y):
+        return x.unionByName(y) if x is not None else None
+
     return CurationState(
         ids=a.ids.unionByName(b.ids),
         lm=a.lm,  # identical under the shared-calibration contract
@@ -1178,6 +1237,10 @@ def merge_curation_states(
         labels=labels,
         quality=quality,
         params=p,
+        # doc-disjoint shards: the per-doc detail relations union exactly
+        line_detail=_u(a.line_detail, b.line_detail),
+        substr_detail=_u(a.substr_detail, b.substr_detail),
+        nin_digest=_u(a.nin_digest, b.nin_digest),
     )
 
 
@@ -1239,13 +1302,20 @@ def _state_from_capture(
 
     p = state.params
     id_col, text_col = p["id_col"], p["text_col"]
+    retract = bool(p.get("retractable"))
     line_index = state.line_index
+    line_detail = state.line_detail
     if p["line_min_docs"]:
         line_index = merge_line_count_indexes(
             state.line_index,
             line_count_index(cap["line_input"], id_col, text_col),
         )
+        if retract:
+            line_detail = state.line_detail.unionByName(
+                _line_detail_of(cap["line_input"], id_col, text_col)
+            )
     substr_index = state.substr_index
+    substr_detail = state.substr_detail
     if p["substr_window"]:
         substr_index = merge_substr_window_indexes(
             state.substr_index,
@@ -1254,9 +1324,23 @@ def _state_from_capture(
                 id_col=id_col, text_col=text_col,
             ),
         )
+        if retract:
+            from spark_iforest_spark.operators.dedup import _window_keys
+
+            substr_detail = state.substr_detail.unionByName(
+                _window_keys(
+                    cap["substr_input"], id_col, text_col, p["substr_window"]
+                )
+            )
     sh_idx, labels, quality = (
         state.shingle_index, state.labels, state.quality,
     )
+    nin_digest = state.nin_digest
+    if retract:
+        nin_src = cap["neardup_input"] if p["neardup"] else cap["pre_benchmark"]
+        nin_digest = state.nin_digest.unionByName(
+            _nin_digest_of(nin_src, id_col, text_col)
+        )
     if p["neardup"]:
         # the chain captured its snapshotted shingle/quality relations
         # (shared with pair generation and resolution — review fix);
@@ -1284,6 +1368,30 @@ def _state_from_capture(
         labels=labels,
         quality=quality,
         params=p,
+        line_detail=line_detail,
+        substr_detail=substr_detail,
+        nin_digest=nin_digest,
+    )
+
+
+def _line_detail_of(line_in: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, line_md5) rows of a line-stage input — the per-doc
+    detail the aggregated line counts cannot be subtracted without."""
+    from spark_iforest_spark.operators.pipeline import _doc_lines
+
+    return (
+        _doc_lines(line_in, id_col, text_col)
+        .select(F.col(id_col), F.col("_h").alias("line_md5"))
+        .distinct()
+    )
+
+
+def _nin_digest_of(nd_in: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_md5) of a near-dup stage input — the curated relation's
+    digest surface (``curated_digests``)."""
+    return nd_in.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("clean_md5"),
     )
 
 
@@ -1316,13 +1424,29 @@ def _delta_from_capture(
 
     p = state.params
     id_col, text_col = p["id_col"], p["text_col"]
+    retract = bool(p.get("retractable"))
     delta: dict = {"ids": batch.select(F.col(id_col)).distinct()}
     if p["line_min_docs"]:
         delta["line_index"] = line_count_index(cap["line_input"], id_col, text_col)
+        if retract:
+            delta["line_detail"] = _line_detail_of(
+                cap["line_input"], id_col, text_col
+            )
     if p["substr_window"]:
         delta["substr_index"] = substr_window_index(
             cap["substr_input"], window=p["substr_window"],
             id_col=id_col, text_col=text_col,
+        )
+        if retract:
+            from spark_iforest_spark.operators.dedup import _window_keys
+
+            delta["substr_detail"] = _window_keys(
+                cap["substr_input"], id_col, text_col, p["substr_window"]
+            )
+    if retract:
+        delta["nin_digest"] = _nin_digest_of(
+            cap["neardup_input"] if p["neardup"] else cap["pre_benchmark"],
+            id_col, text_col,
         )
     if p["neardup"]:
         batch_sh = cap.get("batch_shingle_index")
@@ -1369,7 +1493,7 @@ def curate_and_state_delta(
 
 _STATE_RELATIONS = (
     "ids", "lm", "line_index", "substr_index", "shingle_index", "labels",
-    "quality",
+    "quality", "line_detail", "substr_detail", "nin_digest",
 )
 
 
@@ -1525,6 +1649,9 @@ def load_curation_state(spark, path: str) -> CurationState:
             labels=rels.get("labels"),
             quality=rels.get("quality"),
             params=params,
+            line_detail=rels.get("line_detail"),
+            substr_detail=rels.get("substr_detail"),
+            nin_digest=rels.get("nin_digest"),
         )
     from functools import reduce
 
@@ -1549,8 +1676,9 @@ def load_curation_state(spark, path: str) -> CurationState:
     labels = None
     if labels_parts:
         labels = snapshot(_lww_labels(labels_parts, id_col))
+    union_fold = lambda ps: reduce(DataFrame.unionByName, ps)  # noqa: E731
     return CurationState(
-        ids=fold("ids", lambda ps: reduce(DataFrame.unionByName, ps)),
+        ids=fold("ids", union_fold),
         lm=per_version[0].get("lm"),
         cutpoints=base_meta["cutpoints"],
         line_index=fold("line_index", lambda ps: merge_line_count_indexes(*ps)),
@@ -1564,8 +1692,13 @@ def load_curation_state(spark, path: str) -> CurationState:
             "shingle_index", lambda ps: merge_shingle_indexes(*ps, verify_n=False)
         ),
         labels=labels,
-        quality=fold("quality", lambda ps: reduce(DataFrame.unionByName, ps)),
+        quality=fold("quality", union_fold),
         params=params,
+        # per-doc detail relations: append-only under doc-disjoint
+        # ingest, so the chain fold is a plain union (like shingles)
+        line_detail=fold("line_detail", union_fold),
+        substr_detail=fold("substr_detail", union_fold),
+        nin_digest=fold("nin_digest", union_fold),
     )
 
 
@@ -1638,6 +1771,47 @@ def compact_curation_state(spark, state_dir: str) -> int:
             f"intact full state is at {tmp}"
         )
     return n
+
+
+def cluster_losers(
+    labels: DataFrame, quality: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The doc ids a near-dup sweep DROPS, from the state artifacts alone:
+    every cluster member except its best-quality representative
+    (``resolve_clusters``' argmax — max quality, ties to min id). One
+    cluster-keyed aggregate + one anti-join; nothing text-sized."""
+    from spark_iforest_spark.operators.dedup import resolve_clusters
+
+    keep = resolve_clusters(
+        labels, labels=labels, quality=quality, id_col=id_col
+    )
+    return labels.join(
+        keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+
+
+def curated_digests(state: CurationState) -> DataFrame:
+    """(doc_id, clean_md5) of the curated corpus the state describes —
+    the near-dup stage's survivors with their rebuilt-text digests,
+    derived from the RETRACTABLE state alone (``nin_digest`` minus
+    ``cluster_losers``): the relation ``pretrain_curate`` would emit
+    (id, md5(text)) for, with no benchmark stage and no text re-read.
+    This is what makes re-curation auditable end-to-end — after
+    :func:`~spark_iforest_spark.operators.recurate.recurate_with_diff`
+    the digests must equal curating the new snapshot from scratch
+    (driver-gated)."""
+    if state.nin_digest is None:
+        raise ValueError(
+            "curated_digests needs a retractable state "
+            "(curation_state(..., retractable=True)) — nin_digest is absent"
+        )
+    p = state.params
+    id_col = p["id_col"]
+    if not p["neardup"]:
+        return state.nin_digest
+    return state.nin_digest.join(
+        cluster_losers(state.labels, state.quality, id_col), id_col, "left_anti"
+    )
 
 
 def materialize_curation_state(state: CurationState) -> CurationState:

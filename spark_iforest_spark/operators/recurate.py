@@ -1,0 +1,601 @@
+"""Diff-driven incremental RE-curation (round 12): retract removed and
+changed documents from a retractable :class:`~spark_iforest_spark.
+operators.corpus.CurationState` and re-ingest their replacements, so a
+new crawl snapshot updates the state (and the published curated corpus)
+without the full rebuild a changed snapshot used to force.
+
+North-star extension surface — the reference engine (titicaca/
+spark-iforest, SURVEY.md §2) is batch-only and has no curation state;
+this closes the loop the round-11 features opened: ``corpus_diff``
+classifies what changed between snapshots, ``curate_stream`` ingests
+ADDED docs — this module handles REMOVED and CHANGED.
+
+Exactness contract (driver-gated): after
+``recurate_with_diff(new_docs, corpus_diff(old, new), state_A)`` the
+returned state's artifacts equal ``curation_state(new_docs)`` built from
+scratch, and ``curated_digests`` of it equals the (id, md5(text)) of
+``pretrain_curate(new_docs)`` — under the SAME frozen calibration (for
+recipes with a ccnet stage the lm/cutpoints stay frozen; a true
+from-scratch run would recalibrate, which is a deliberate separate
+decision — the drift-cutpoint contract).
+
+Why this needs more than signed deltas: the line/substr/neardup stages
+are CORPUS-dependent, so retracting a doc can flip other docs' stage
+outputs — a removed doc can drop a line's count below ``min_docs``
+(the line re-enters every doc that contains it), deleting a window's
+keep-first keeper reassigns the exemption to another doc, and removing
+a cluster member can SPLIT a connected component (star edges encode old
+connectivity and cannot be trusted). The algorithm therefore cascades,
+but BOUNDEDLY — each stage recomputes only the flip fan-out:
+
+1. line counts patch exactly from the per-doc ``line_detail`` rows;
+   flipped digests identify the retained docs (D1) whose line-rebuilt
+   text changed.
+2. window count/keeper aggregates re-derive over ``substr_detail``
+   restricted to the affected digests; dup-status flips and keeper
+   moves identify D2.
+3. docs in (D1 ∪ D2 ∪ added/changed) re-run the per-row prefix + both
+   rebuilds against the PATCHED indexes (full-run semantics: each doc's
+   own occurrences are already counted in the index, so a plain
+   index join reproduces the one-shot chain's verdicts).
+4. clusters containing any affected doc are re-paired from their
+   members' ACTUAL current shingles (connectivity re-derived, so splits
+   are exact); changed docs pair against the rest of the corpus through
+   the standard batch-vs-index probes; untouched clusters carry
+   verbatim (``dup_clusters_incremental``).
+
+Scale shape: every index patch carries untouched rows verbatim through
+an anti-join on a bounded affected-key set; the corpus-sized detail
+relations are only read through affected-key semi-joins (digest-filtered
+parquet scans); per-doc re-processing is diff + flip-fan-out sized; and
+the cluster re-pairing is bounded by touched-cluster membership. Nothing
+corpus-sized shuffles except the detail scans' filtered reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spark_iforest_spark.checkpoint import snapshot
+from spark_iforest_spark.operators.corpus import (
+    CurationState,
+    _line_detail_of,
+    _nin_digest_of,
+    cluster_losers,
+    curated_digests,
+)
+
+
+def _row_stage_survivors(docs: DataFrame, state: CurationState) -> DataFrame:
+    """The chain's per-row prefix — non-empty filter, gopher battery,
+    frozen-calibration ccnet — recomputable for any doc at any time
+    (deterministic given text + the frozen artifacts). Returns
+    (id, text) with ORIGINAL text, the line stage's input rows."""
+    from spark_iforest_spark.operators.pipeline import gopher_filter
+    from spark_iforest_spark.operators.text import ccnet_apply
+
+    p = state.params
+    id_col, text_col = p["id_col"], p["text_col"]
+    cur = docs.where(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
+    ).select(id_col, text_col)
+    if p["gopher"]:
+        cur = (
+            gopher_filter(
+                cur, id_col, text_col, keep_cols=(text_col,),
+                **p["gopher_thresholds"],
+            )
+            .where("gopher_keep")
+            .select(id_col, text_col)
+        )
+    if p["has_ccnet"]:
+        kept = ccnet_apply(
+            cur, state.lm, state.cutpoints, id_col=id_col, text_col=text_col,
+            keep_bands=p["ccnet_keep_bands"],
+        ).select(id_col)
+        cur = cur.join(kept, id_col, "left_semi")
+    return cur
+
+
+def _line_rebuild_vs_index(
+    gdocs: DataFrame, line_index: DataFrame, min_docs: int,
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """Line-rebuild docs whose line contributions are ALREADY COUNTED in
+    ``line_index`` (the re-processing read): a plain digest join against
+    the index reproduces the one-shot ``line_dedup`` verdict — unlike the
+    incremental apply, no batch-count addition happens. The corpus-sized
+    index is semi-joined down to the docs' own digests first. Returns
+    (id, text) with the rebuilt text, empty docs dropped (the stage
+    filter)."""
+    from spark_iforest_spark.operators.pipeline import (
+        _doc_lines,
+        _rebuild_kept_lines,
+    )
+
+    lines = snapshot(_doc_lines(gdocs, id_col, text_col))
+    idx = line_index.select(F.col("line_md5").alias("_h"), "n_docs")
+    relevant = idx.join(
+        F.broadcast(lines.select("_h").distinct()), "_h", "left_semi"
+    )
+    # left join + coalesce(0): a digest missing from the index can only
+    # mean count 0 (kept) — the conservative direction for a read that
+    # expects every own-line to be indexed
+    kept = lines.join(relevant, "_h", "left").where(
+        F.coalesce(F.col("n_docs"), F.lit(0)) < int(min_docs)
+    )
+    reb = _rebuild_kept_lines(kept, gdocs, id_col, text_col, with_text=True)
+    return (
+        reb.select(F.col(id_col), F.col("clean_text").alias(text_col))
+        .where(F.length(text_col) > 0)
+    )
+
+
+def _substr_rebuild_vs_index(
+    docs: DataFrame, substr_index: DataFrame, window: int,
+    id_col: str, text_col: str, min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-rebuild docs whose window occurrences are ALREADY
+    COUNTED in ``substr_index``: cut = indexed count >= min_count and the
+    occurrence is not the indexed keep-first keeper — the one-shot
+    ``remove_repeated_substrings`` verdict from the index alone. Returns
+    (id, text), empty docs dropped."""
+    from spark_iforest_spark.operators.dedup import (
+        _apply_cut_spans,
+        _merge_cut_spans,
+        _window_keys,
+    )
+
+    wins = snapshot(_window_keys(docs, id_col, text_col, window))
+    idx = substr_index.select(
+        "h",
+        "n_occurrences",
+        F.struct(
+            F.col("first_id").alias("i"), F.col("first_pos").alias("p")
+        ).alias("_k"),
+    )
+    relevant = idx.join(
+        F.broadcast(wins.select("h").distinct()), "h", "left_semi"
+    )
+    cut = wins.join(
+        relevant.where(F.col("n_occurrences") >= int(min_count)).select(
+            "h", "_k"
+        ),
+        "h",
+    ).where(
+        ~(
+            (F.col(id_col) == F.col("_k.i"))
+            & (F.col("pos") == F.col("_k.p"))
+        )
+    )
+    spans = _merge_cut_spans(cut, id_col, window)
+    reb = _apply_cut_spans(docs, spans, id_col, text_col, with_text=True)
+    return (
+        reb.select(F.col(id_col), F.col("clean_text").alias(text_col))
+        .where(F.length(text_col) > 0)
+    )
+
+
+def _self_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard pairs WITHIN one exploded (did, sh) relation —
+    ``ngram_jaccard_pairs``' math over already-hashed shingle rows
+    (``_jaccard_pairs_vs_index`` requires disjoint sides; the re-pairing
+    of a touched cluster's members is inherently self-vs-self). Bounded
+    by the member shingle rows it is given — never corpus-wide here."""
+    sh = snapshot(sh.select("did", "sh"))
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.did"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.did"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= float(threshold))
+    )
+
+
+def _check_diff_consistent(
+    diff_ids: DataFrame, state_ids: DataFrame, id_col: str, change: str,
+    should_exist: bool,
+) -> None:
+    """One bounded driver action: removed/changed ids must exist in the
+    state, added ids must not — a diff computed against the wrong
+    snapshot would otherwise silently corrupt every count it patches."""
+    if should_exist:
+        bad = diff_ids.join(state_ids, id_col, "left_anti").limit(1)
+    else:
+        bad = diff_ids.join(state_ids, id_col, "left_semi").limit(1)
+    row = bad.collect()
+    if row:
+        raise ValueError(
+            f"recurate_with_diff: diff {change!r} id {row[0][0]!r} "
+            f"{'is missing from' if should_exist else 'already exists in'} "
+            "the state's id relation — the diff was not computed against "
+            "the snapshot this state describes."
+        )
+
+
+def recurate_with_diff(
+    new_docs: DataFrame,
+    diff: DataFrame,
+    state: CurationState,
+    assume_consistent_diff: bool = False,
+) -> tuple[DataFrame, CurationState]:
+    """Apply a snapshot diff to a retractable curation state: retract
+    REMOVED and CHANGED docs' contributions, ingest ADDED and CHANGED
+    docs' new text, and cascade exactly through the flip fan-out (module
+    docstring). Returns ``(changes, new_state)``:
+
+    * ``changes`` — the curated-corpus delta to apply to the previously
+      published output: (doc_id, change, clean_md5, clean_text) with
+      ``change`` in ('removed', 'upsert'). ``removed`` rows are docs that
+      no longer survive (their payload columns are NULL); ``upsert`` rows
+      carry the (new) rebuilt text for docs that are new, changed, had
+      their text flip through the cascade, or were RESURRECTED by a
+      cluster-winner change. Lazily composed — a caller that only wants
+      the state pays nothing for it.
+    * ``new_state`` — artifacts equal to ``curation_state(new_docs)``
+      under the frozen calibration (driver-gated via
+      :func:`~spark_iforest_spark.operators.corpus.curated_digests`).
+
+    ``diff`` is a :func:`~spark_iforest_spark.operators.corpus.
+    corpus_diff` relation (old → new). ``new_docs`` is the NEW snapshot —
+    the old snapshot's text is never needed: every old contribution is
+    retracted from the state's own detail relations.
+    ``assume_consistent_diff=True`` skips the two bounded id-consistency
+    probes (diff known derived from this state's snapshot).
+
+    The returned state is LAZY — persist it (``save_curation_state``) or
+    ``materialize_curation_state`` before ingesting against it. Delta
+    state layouts carry no tombstones: after a re-curation, save full
+    (re-curation is compaction-grade, not per-batch)."""
+    p = state.params
+    if not p.get("retractable"):
+        raise ValueError(
+            "recurate_with_diff needs a retractable state "
+            "(curation_state(..., retractable=True)): the aggregate "
+            "indexes alone cannot be subtracted from (min/count "
+            "aggregates are not invertible)."
+        )
+    id_col, text_col = p["id_col"], p["text_col"]
+    spark = new_docs.sparkSession
+
+    d = snapshot(diff.select(F.col(id_col), "change"))
+    r_ids = snapshot(
+        d.where(F.col("change").isin("removed", "changed")).select(id_col)
+    )
+    ad_ids = snapshot(
+        d.where(F.col("change").isin("added", "changed")).select(id_col)
+    )
+    if not assume_consistent_diff:
+        _check_diff_consistent(
+            d.where(F.col("change").isin("removed", "changed")).select(id_col),
+            state.ids, id_col, "removed/changed", should_exist=True,
+        )
+        _check_diff_consistent(
+            d.where(F.col("change") == "added").select(id_col),
+            state.ids, id_col, "added", should_exist=False,
+        )
+
+    def _semi(docs, ids):
+        return docs.join(F.broadcast(ids), id_col, "left_semi")
+
+    def _anti(rel, ids):
+        return rel.join(F.broadcast(ids), id_col, "left_anti")
+
+    ad_docs = _semi(new_docs, ad_ids)
+
+    # ---- stage: line dedup — patch counts from detail, find D1 --------
+    min_docs = p["line_min_docs"]
+    if min_docs:
+        g_ad = snapshot(_row_stage_survivors(ad_docs, state))
+        add_ld = snapshot(_line_detail_of(g_ad, id_col, text_col))
+        old_ld = state.line_detail
+        aff_h = snapshot(
+            _semi(old_ld, r_ids)
+            .select("line_md5")
+            .unionByName(add_ld.select("line_md5"))
+            .distinct()
+        )
+        remaining = _anti(old_ld, r_ids).join(
+            F.broadcast(aff_h), "line_md5", "left_semi"
+        )
+        patched_counts = (
+            remaining.unionByName(add_ld)
+            .groupBy("line_md5")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        line_index_b = snapshot(
+            state.line_index.join(
+                F.broadcast(aff_h), "line_md5", "left_anti"
+            ).unionByName(patched_counts)
+        )
+        line_detail_b = _anti(old_ld, r_ids).unionByName(add_ld)
+        # flipped digests: boilerplate status (n >= min_docs) changed
+        oldc = state.line_index.join(F.broadcast(aff_h), "line_md5", "left_semi")
+        flips = snapshot(
+            oldc.alias("o")
+            .join(patched_counts.alias("n"), "line_md5", "full")
+            .where(
+                (F.coalesce(F.col("o.n_docs"), F.lit(0)) >= min_docs)
+                != (F.coalesce(F.col("n.n_docs"), F.lit(0)) >= min_docs)
+            )
+            .select("line_md5")
+        )
+        d1_ids = snapshot(
+            _anti(old_ld, r_ids)
+            .join(F.broadcast(flips), "line_md5", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        line_index_b = line_detail_b = None
+        d1_ids = spark.createDataFrame([], state.ids.schema)
+
+    def _u_in(raw_docs):
+        """Line-stage OUTPUT of docs under the PATCHED index — the
+        ExactSubstr stage's input rows for any doc, one-shot semantics."""
+        g = _row_stage_survivors(raw_docs, state)
+        if not min_docs:
+            return g
+        return _line_rebuild_vs_index(g, line_index_b, min_docs, id_col, text_col)
+
+    # ---- stage: ExactSubstr — patch count/keeper from detail, find D2 --
+    window = p["substr_window"]
+    p1_ids = snapshot(d1_ids.unionByName(ad_ids).distinct())
+    u_p1 = snapshot(_u_in(_semi(new_docs, p1_ids)))
+    if window:
+        from spark_iforest_spark.operators.dedup import _window_keys
+
+        new_wins = snapshot(_window_keys(u_p1, id_col, text_col, window))
+        retract1 = snapshot(r_ids.unionByName(d1_ids).distinct())
+        old_sd = state.substr_detail
+        w_aff = snapshot(
+            _semi(old_sd, retract1)
+            .select("h")
+            .unionByName(new_wins.select("h"))
+            .distinct()
+        )
+        remaining_sd = _anti(old_sd, retract1).join(
+            F.broadcast(w_aff), "h", "left_semi"
+        )
+        patched_idx = (
+            remaining_sd.select(id_col, "pos", "h")
+            .unionByName(new_wins)
+            .groupBy("h")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("pos").alias("p")
+                    )
+                ).alias("_f"),
+            )
+            .select(
+                "h",
+                "n_occurrences",
+                F.col("_f.i").alias("first_id"),
+                F.col("_f.p").alias("first_pos"),
+                F.lit(int(window)).alias("window"),
+            )
+        )
+        substr_index_b = snapshot(
+            state.substr_index.join(F.broadcast(w_aff), "h", "left_anti")
+            .unionByName(patched_idx)
+        )
+        substr_detail_b = _anti(old_sd, retract1).unionByName(new_wins)
+        # flips: dup status (n >= 2) or — both sides still duplicated —
+        # the keep-first keeper moved (old and new keeper docs flip)
+        oldw = state.substr_index.join(F.broadcast(w_aff), "h", "left_semi")
+        cmp = snapshot(
+            oldw.select(
+                "h",
+                F.col("n_occurrences").alias("_no"),
+                F.col("first_id").alias("_oi"),
+                F.col("first_pos").alias("_op"),
+            )
+            .join(
+                patched_idx.select(
+                    "h",
+                    F.col("n_occurrences").alias("_nn"),
+                    F.col("first_id").alias("_ni"),
+                    F.col("first_pos").alias("_np"),
+                ),
+                "h",
+                "full",
+            )
+            .select(
+                "h",
+                (
+                    (F.coalesce(F.col("_no"), F.lit(0)) >= 2)
+                    != (F.coalesce(F.col("_nn"), F.lit(0)) >= 2)
+                ).alias("status_flip"),
+                (
+                    (F.coalesce(F.col("_no"), F.lit(0)) >= 2)
+                    & (F.coalesce(F.col("_nn"), F.lit(0)) >= 2)
+                    & (
+                        (F.col("_oi") != F.col("_ni"))
+                        | (F.col("_op") != F.col("_np"))
+                    )
+                ).alias("keeper_move"),
+                F.col("_oi"),
+                F.col("_ni"),
+            )
+        )
+        flip_h = cmp.where("status_flip").select("h")
+        d2_status = (
+            _anti(old_sd, retract1)
+            .join(F.broadcast(flip_h), "h", "left_semi")
+            .select(id_col)
+        )
+        d2_keepers = (
+            cmp.where("keeper_move")
+            .select(F.col("_oi").alias(id_col))
+            .unionByName(cmp.where("keeper_move").select(F.col("_ni").alias(id_col)))
+        )
+        d2_ids = snapshot(
+            _anti(
+                _anti(d2_status.unionByName(d2_keepers).distinct(), r_ids),
+                p1_ids,
+            )
+        )
+    else:
+        substr_index_b = substr_detail_b = None
+        d2_ids = spark.createDataFrame([], state.ids.schema)
+
+    # ---- stage: near-dup — re-shingle affected docs, re-pair touched
+    # clusters from actual shingles, carry untouched verbatim ------------
+    u_p2 = _u_in(_semi(new_docs, d2_ids))
+    u_all = u_p1.unionByName(u_p2)
+    if window:
+        nin_new = snapshot(
+            _substr_rebuild_vs_index(
+                u_all, substr_index_b, window, id_col, text_col
+            )
+        )
+    else:
+        nin_new = snapshot(u_all)
+    rm_ids = snapshot(
+        r_ids.unionByName(d1_ids).unionByName(d2_ids).distinct()
+    )
+    ids_b = _anti(state.ids, r_ids).unionByName(ad_ids)
+    if p["neardup"]:
+        from spark_iforest_spark.operators.dedup import (
+            _jaccard_pairs_vs_index,
+            dup_clusters_incremental,
+            shingle_index as _shingle_index,
+        )
+        from spark_iforest_spark.operators.text import quality_score
+
+        sh_new = snapshot(
+            _shingle_index(nin_new, id_col, text_col, n=p["jaccard_n"])
+        )
+        shingle_b = snapshot(
+            state.shingle_index.join(
+                F.broadcast(rm_ids.select(F.col(id_col).alias("did"))),
+                "did",
+                "left_anti",
+            ).unionByName(sh_new)
+        )
+        quality_b = snapshot(
+            _anti(state.quality, rm_ids).unionByName(
+                quality_score(nin_new, id_col, text_col).select(
+                    F.col(id_col), "quality"
+                )
+            )
+        )
+        nin_b = _anti(state.nin_digest, rm_ids).unionByName(
+            _nin_digest_of(nin_new, id_col, text_col)
+        )
+        # touched clusters: any cluster containing an affected doc — its
+        # connectivity may have SPLIT, so stars are not trusted; members
+        # re-pair from their actual current shingles
+        delta_ids = snapshot(rm_ids.unionByName(ad_ids).distinct())
+        t1 = snapshot(
+            _semi(state.labels, delta_ids).select("cluster_rep").distinct()
+        )
+        t1_members = state.labels.join(
+            F.broadcast(t1), "cluster_rep", "left_semi"
+        ).select(F.col(id_col).alias("did"))
+        labels_rest = state.labels.join(
+            F.broadcast(t1), "cluster_rep", "left_anti"
+        )
+        thr = p["jaccard_threshold"]
+        m_sh = shingle_b.select("did", "sh").join(
+            F.broadcast(t1_members), "did", "left_semi"
+        )
+        e1 = _self_jaccard_pairs(m_sh, thr)
+        ch_dids = nin_new.select(F.col(id_col).alias("did")).distinct()
+        e2 = _jaccard_pairs_vs_index(
+            sh_new.select("did", "sh"),
+            shingle_b.select("did", "sh").join(
+                F.broadcast(ch_dids), "did", "left_anti"
+            ),
+            thr,
+            True,
+        )
+        e3 = _self_jaccard_pairs(sh_new.select("did", "sh"), thr)
+        pairs = snapshot(
+            e1.select("doc_a", "doc_b")
+            .unionByName(e2.select("doc_a", "doc_b"))
+            .unionByName(e3.select("doc_a", "doc_b"))
+            .distinct()
+        )
+        labels_b = snapshot(
+            dup_clusters_incremental(
+                pairs, labels_rest, id_col=id_col, snapshot_pairs=False
+            )
+        )
+    else:
+        shingle_b = quality_b = labels_b = None
+        nin_b = _anti(state.nin_digest, rm_ids).unionByName(
+            _nin_digest_of(nin_new, id_col, text_col)
+        )
+
+    new_state = CurationState(
+        ids=ids_b,
+        lm=state.lm,
+        cutpoints=state.cutpoints,
+        line_index=line_index_b,
+        substr_index=substr_index_b,
+        shingle_index=shingle_b,
+        labels=labels_b,
+        quality=quality_b,
+        params=p,
+        line_detail=line_detail_b,
+        substr_detail=substr_detail_b,
+        nin_digest=nin_b,
+    )
+
+    # ---- the published-corpus delta (lazy) -----------------------------
+    surv_a = curated_digests(state)
+    surv_b = curated_digests(new_state)
+    removed_out = surv_a.select(id_col).join(
+        surv_b.select(id_col), id_col, "left_anti"
+    )
+    processed_ids = nin_new.select(id_col)
+    # resurrected: newly-surviving docs the cascade never re-processed
+    # (a cluster-winner flip) — their rebuilt text recomputes per-row
+    # against the patched indexes, digest-equal to their nin_digest row
+    resurrected = (
+        surv_b.select(id_col)
+        .join(surv_a.select(id_col), id_col, "left_anti")
+        .join(processed_ids, id_col, "left_anti")
+    )
+    res_docs = new_docs.join(resurrected, id_col, "left_semi")
+    res_u = _u_in(res_docs)
+    res_text = (
+        _substr_rebuild_vs_index(
+            res_u, substr_index_b, window, id_col, text_col
+        )
+        if window
+        else res_u
+    )
+    upsert_text = nin_new.join(
+        surv_b.select(id_col), id_col, "left_semi"
+    ).unionByName(res_text)
+    changes = removed_out.select(
+        F.col(id_col),
+        F.lit("removed").alias("change"),
+        F.lit(None).cast("string").alias("clean_md5"),
+        F.lit(None).cast("string").alias("clean_text"),
+    ).unionByName(
+        upsert_text.select(
+            F.col(id_col),
+            F.lit("upsert").alias("change"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("clean_md5"),
+            F.col(text_col).alias("clean_text"),
+        )
+    )
+    return changes, new_state
