@@ -1532,7 +1532,21 @@ def _pretrain_funnel_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup clusters fold over corpus + A shingles). The states are
     materialized (persisted-artifact stand-in: the chain probes the
     shingle index twice per pair generation; lazy they would rebuild per
-    probe)."""
+    probe).
+
+    Round 12 adds the 'recurate' leg — the diff-driven RE-curation
+    capstone: a retractable state is built over snapshot A (the reshaped
+    corpus), snapshot B removes doc_id%17==3, edits %17==5, NULLs the
+    text of %17==7, and adds near-duplicate copies of %17==11 under new
+    ids; ``recurate_with_diff(B, corpus_diff(A, B), state_A)`` retracts
+    and cascades, and the leg emits the resulting curated relation's
+    per-doc digests. The oracle recomputes the whole chain FROM SCRATCH
+    over B in DuckDB, so the gate pins 'snapshot-A-then-diff-to-B equals
+    curating B from scratch' value-exactly. Panel mapping (same device
+    as dedup_exact's diff variant): stage=clean_md5, n_docs=doc_id,
+    stage_idx=0, n_tokens=0."""
+    from spark_iforest_spark.operators import recurate
+
     rl = _lines_augmented(_read(spark, sf_dir, "documents"))
     bench = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
     state0 = corpus.materialize_curation_state(corpus.curation_state(
@@ -1555,7 +1569,49 @@ def _pretrain_funnel_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.materialize_curation_state(state1),
         benchmark=bench, assume_disjoint_ids=True,
     )
-    return _tagged_union(("batch_a", funnel_a), ("batch_b", funnel_b))
+    # --- recurate leg: no ccnet (a from-scratch oracle recalibrates
+    # cutpoints; the frozen-calibration equality is pytest-pinned
+    # instead), no benchmark (the state's last covered stage is neardup)
+    a_snap = rl.select("doc_id", "text")
+    b_snap = (
+        a_snap.where(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 5,
+                F.concat(F.col("text"), F.lit(" zq changed marker")),
+            )
+            .when(F.col("doc_id") % 17 == 7, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            a_snap.where(F.col("doc_id") % 17 == 11).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.concat(F.lit("zq added "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    state_a = corpus.materialize_curation_state(corpus.curation_state(
+        a_snap,
+        retractable=True,
+        line_min_docs=3,
+        substr_window=_SUBSTR_WINDOW,
+        neardup=True,
+        gopher_thresholds={"min_tokens": 20, "max_dup_token_frac": 0.9},
+    ))
+    _, state_b = recurate.recurate_with_diff(
+        b_snap, corpus.corpus_diff(a_snap, b_snap), state_a
+    )
+    leg = corpus.curated_digests(state_b).select(
+        F.lit(0).cast("int").alias("stage_idx"),
+        F.col("clean_md5").alias("stage"),
+        F.col("doc_id").cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+    return _tagged_union(
+        ("batch_a", funnel_a), ("batch_b", funnel_b), ("recurate", leg)
+    )
 
 
 def _event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4329,6 +4385,16 @@ def oracle_sql() -> dict[str, str]:
 
     incr_surv_a_sql = _incr_surv_sql("s4alla")
     incr_surv_b_sql = _incr_surv_sql("s4allb")
+    # round 12: the recurate leg's from-scratch chain over snapshot B —
+    # the same gopher / neardup fragments re-pointed at the r* CTEs
+    recurate_go_sql = _must_replace(
+        _must_replace(
+            _must_replace(base["gopher"], "FROM documents", "FROM r0"),
+            "WHEN n_tokens < 50 ", "WHEN n_tokens < 20 ",
+        ),
+        "WHEN dup_token_frac > 0.3 ", "WHEN dup_token_frac > 0.9 ",
+    )
+    recurate_surv_sql = _incr_surv_sql("r4")
     return {
         # ------------- pass-through oracles (gate == constituent) --------
         **{
@@ -4810,6 +4876,105 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0) b
                   ON c.sh = b.sh
               )
+            ),
+            -- round 12 recurate leg: snapshot B (removed %17==3, edited
+            -- %17==5, text->NULL %17==7, near-dup copies of %17==11 under
+            -- new ids) curated FROM SCRATCH — gopher -> line(3) ->
+            -- substr(w) -> neardup, no ccnet/benchmark — and emitted as
+            -- the per-doc curated digests the Spark side derives from the
+            -- re-curated state
+            rb AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 5
+                            THEN text || ' zq changed marker'
+                          WHEN doc_id % 17 = 7 THEN NULL
+                          ELSE text END AS text
+              FROM reshaped WHERE doc_id % 17 != 3
+              UNION ALL
+              SELECT doc_id + 10000000, 'zq added ' || text
+              FROM reshaped WHERE doc_id % 17 = 11
+            ),
+            r0 AS MATERIALIZED (
+              SELECT doc_id, text FROM rb
+              WHERE length(coalesce(text, '')) > 0
+            ),
+            rgo AS ({recurate_go_sql}),
+            r1 AS MATERIALIZED (
+              SELECT r0.doc_id, r0.text FROM r0 JOIN rgo USING (doc_id)
+              WHERE rgo.gopher_fail_mask = 0
+            ),
+            rlines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM r1
+            ),
+            rcnt AS (
+              SELECT line, count(DISTINCT doc_id) AS n FROM rlines GROUP BY line
+            ),
+            r3 AS MATERIALIZED (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM (SELECT l.doc_id, l.pos, l.line
+                    FROM rlines l JOIN rcnt c USING (line) WHERE c.n < 3)
+              GROUP BY doc_id
+              HAVING length(string_agg(line, chr(10) ORDER BY pos)) > 0
+            ),
+            rd3 AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
+              FROM r3
+            ),
+            rwins AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, len(toks) - {_SUBSTR_WINDOW} + 1),
+                         i -> {{'pos': i,
+                                'h': md5(array_to_string(
+                                       toks[i+1:i+{_SUBSTR_WINDOW}], ' '))}})) AS u
+                FROM rd3
+              )
+            ),
+            rdupk AS (SELECT h FROM rwins GROUP BY h HAVING count(*) >= 2),
+            rcut AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM (SELECT w.doc_id, w.pos, w.h
+                      FROM rwins w JOIN rdupk USING (h))
+              ) WHERE rn > 1
+            ),
+            risl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                          ORDER BY pos) <= {_SUBSTR_WINDOW}
+                                THEN 0 ELSE 1 END AS b
+                    FROM rcut)
+            ),
+            rspans AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS start,
+                     CAST(max(pos) + {_SUBSTR_WINDOW} AS INT) AS "end"
+              FROM risl GROUP BY doc_id, g
+            ),
+            r4 AS MATERIALIZED (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+              FROM (
+                SELECT p.doc_id, p.pos, p.t FROM (
+                  SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(toks)),
+                                  j -> {{'pos': j, 't': toks[j+1]}})) AS u
+                    FROM rd3
+                  )
+                ) p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM rspans s
+                  WHERE s.doc_id = p.doc_id AND p.pos >= s.start AND p.pos < s."end"
+                )
+              )
+              GROUP BY doc_id
+              HAVING length(string_agg(t, ' ' ORDER BY pos)) > 0
             )
             SELECT 'batch_a' AS variant, CAST(0 AS INT) AS stage_idx,
                    'input' AS stage, count(*) AS n_docs,
@@ -4882,6 +5047,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(len(regexp_split_to_array(text, '\\s+'))), 0)
                         AS BIGINT)
             FROM b6
+            UNION ALL
+            SELECT 'recurate' AS variant, CAST(0 AS INT) AS stage_idx,
+                   md5(r4.text) AS stage, r4.doc_id AS n_docs,
+                   CAST(0 AS BIGINT) AS n_tokens
+            FROM r4
+            WHERE r4.doc_id IN (SELECT doc_id FROM ({recurate_surv_sql}))
         """,
         # ------------- variant-tagged unions of same-schema twins --------
         # batch + stream-replay follow counts: the SAME IEJoin oracle per

@@ -331,13 +331,20 @@ def ivf_assign(
     centers: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_distance: bool = False,
 ) -> DataFrame:
     """(neighbor_id, nv, cell) — nearest-euclidean-center assignment
     against FROZEN centers, one distance matmul per Arrow batch (equality
     with Spark ML's own transform is pytest-pinned). This is the
     incremental ingest path: new vectors assign against the persisted
     quantizer and append to the stored cell relation (at scale: partition
-    the write by cell so probes keep pruning)."""
+    the write by cell so probes keep pruning).
+
+    ``with_distance=True`` adds ``d2`` — the exact squared euclidean
+    distance to the assigned center (the ``|x|^2`` term the argmin drops
+    is added back). The matmul already computed everything needed, so
+    the freshness stats ``streaming.ann_ingest`` records per batch are
+    free at ingest time."""
     C = np.asarray(centers, dtype=np.float64)
     c_sq = (C**2).sum(axis=1)
 
@@ -347,18 +354,26 @@ def ivf_assign(
                 continue
             V = np.asarray(pdf["nv"].to_list(), dtype=np.float64)
             d2 = c_sq[None, :] - 2.0 * (V @ C.T)  # argmin drops the |x|^2 term
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "nv": pdf["nv"],
-                    "cell": d2.argmin(axis=1).astype(np.int32),
-                }
-            )
+            cells = d2.argmin(axis=1)
+            cols = {
+                "neighbor_id": pdf["neighbor_id"],
+                "nv": pdf["nv"],
+                "cell": cells.astype(np.int32),
+            }
+            if with_distance:
+                cols["d2"] = np.maximum(
+                    d2[np.arange(len(cells)), cells] + (V**2).sum(axis=1),
+                    0.0,
+                )
+            yield pd.DataFrame(cols)
 
+    schema = "neighbor_id long, nv array<double>, cell int"
+    if with_distance:
+        schema += ", d2 double"
     return emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
-    ).mapInPandas(assign, schema="neighbor_id long, nv array<double>, cell int")
+    ).mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(

@@ -135,7 +135,7 @@ def _gc_stale(spark: SparkSession, d: str, base_id: int) -> None:
             hfs.delete(spark, c["path"], recursive=True)
 
 
-def compact(spark: SparkSession, d: str, fold_writer) -> int:
+def compact(spark: SparkSession, d: str, fold_writer, force: bool = False) -> int:
     """Fold the live parts of ``d`` into a compacted base ``c{M}``
     (M = newest part id) and garbage-collect the folded parts.
 
@@ -150,14 +150,23 @@ def compact(spark: SparkSession, d: str, fold_writer) -> int:
     garbage (cleaned by the next compaction's GC); between rename and GC
     leaves dead sub-base parts the read rule already ignores — re-running
     compact then takes the already-compact fast path, which FINISHES the
-    GC. Returns the new base id."""
+    GC. Returns the new base id.
+
+    ``force=True`` runs the fold even when the directory is already a
+    single compacted base — for REWRITING compactions whose fold changes
+    the content (``streaming.requantize_ann_index``). The live base is
+    then the fold's own input: it is deleted only after the staged
+    replacement is fully written, and a crash between that delete and
+    the rename leaves the intact replacement at the staging path (the
+    raised error names it) — acceptable under those callers' documented
+    stream-stopped contract."""
     from spark_iforest_spark import fs as hfs
 
     live = live_parts(spark, d)
     if live is None:
         raise ValueError(f"compact: no parts under {d}")
     new_m = max(part_ids(spark, d, "b") + part_ids(spark, d, "c"))
-    if live == [f"{d}/c{new_m}"]:
+    if live == [f"{d}/c{new_m}"] and not force:
         # already compact — but finish a crashed GC (dead b/c parts at
         # or below the base id, staging leftovers) before returning
         _gc_stale(spark, d, new_m)
@@ -166,10 +175,11 @@ def compact(spark: SparkSession, d: str, fold_writer) -> int:
     hfs.delete(spark, staging, recursive=True)
     fold_writer(live, staging)
     target = f"{d}/c{new_m}"
-    # target can only pre-exist as a torn base from the pre-staging code
-    # path (a crashed rename never leaves one; a committed one takes the
-    # already-compact branch above) — clear it, and verify the delete
-    # actually happened before the no-clobber rename
+    # without force, target can only pre-exist as a torn base from the
+    # pre-staging code path (a crashed rename never leaves one; a
+    # committed one takes the already-compact branch above); with force
+    # it is the fold's own input, now fully copied into staging — clear
+    # it either way, verifying the delete before the no-clobber rename
     if hfs.exists(spark, target) and not hfs.delete(
         spark, target, recursive=True
     ):

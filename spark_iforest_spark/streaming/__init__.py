@@ -274,6 +274,20 @@ def dedup_stream(
     ).dropDuplicates(["content_md5"])
 
 
+
+def _start_foreach(stream_df: DataFrame, step, checkpoint_dir: str | None):
+    """Shared foreachBatch starter for the ingest sinks: availableNow
+    trigger, optional checkpointLocation — WITH a checkpoint, a restarted
+    stream resumes from the committed offset and its batch ids CONTINUE
+    (the property the b{N} parts idempotence leans on across restarts);
+    without one, a re-run reprocesses the whole source from batch 0 —
+    fine for bounded replays, wrong for resumable production ingest."""
+    w = stream_df.writeStream.foreachBatch(step).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def incremental_dedup_ingest(
     stream_docs: DataFrame,
     index_dir: str,
@@ -281,6 +295,7 @@ def incremental_dedup_ingest(
     text_col: str = "text",
     layout: str = "versions",
     compact_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous-ingestion exact dedup: every micro-batch dedups against
     the persisted digest index (``operators.dedup.exact_dedup`` relation)
@@ -345,11 +360,7 @@ def incremental_dedup_ingest(
                 spark, index_dir, batch_df, batch_id, id_col, text_col
             )
 
-    return (
-        stream_docs.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_docs, upsert, checkpoint_dir)
 
 
 def _index_versions(spark: SparkSession, index_dir: str) -> list[int]:
@@ -571,6 +582,7 @@ def ndv_monitor_ingest(
     series_dir: str | None = None,
     layout: str = "versions",
     compact_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous distinct-count monitoring: every micro-batch folds its
     HLL sketches (``relational.ndv_sketch_partial``) into the persisted
@@ -628,11 +640,7 @@ def ndv_monitor_ingest(
                 spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
             )
 
-    return (
-        stream_df.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_df, fold, checkpoint_dir)
 
 
 def merge_ndv_version(
@@ -761,6 +769,7 @@ def profile_monitor_ingest(
     lg_k: int = 12,
     layout: str = "versions",
     compact_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Continuously-maintained table profile: every micro-batch folds its
     ``relational.profile_partial`` rows (count / nulls / min / max /
@@ -817,11 +826,7 @@ def profile_monitor_ingest(
                 spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
             )
 
-    return (
-        stream_df.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_df, fold, checkpoint_dir)
 
 
 def merge_profile_version(
@@ -1029,6 +1034,7 @@ def incremental_neardup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous NEAR-dup ingestion: every micro-batch minhash-dedups
     against the accumulated signature index and appends its pairs.
@@ -1075,11 +1081,7 @@ def incremental_neardup_ingest(
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/b{batch_id}")
         batch_idx.write.mode("overwrite").parquet(f"{index_dir}/b{batch_id}")
 
-    return (
-        stream_docs.writeStream.foreachBatch(step)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_docs, step, checkpoint_dir)
 
 
 def ann_ingest(
@@ -1089,6 +1091,8 @@ def ann_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    stats_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous vector ingestion into a persisted IVF ANN index: every
     micro-batch assigns against the FROZEN coarse quantizer
@@ -1115,6 +1119,17 @@ def ann_ingest(
     an external compactor; safe by the same serial-steps +
     staged-rename argument as the other sinks.
 
+    ``stats_dir`` (round 12 — the freshness contract the frozen
+    quantizer needs): each batch also writes its per-cell assignment
+    stats — (batch_version, cell, n, sum_d2) — to
+    ``stats_dir/b{batch_id}``. The assignment matmul already computes
+    every distance, so the stats are free at ingest; they feed
+    :func:`ann_drift_report`, which alarms when the embedding
+    distribution has drifted away from the quantizer's training sample
+    (cells unbalance and probe recall silently degrades otherwise).
+    Recover with :func:`requantize_ann_index`. A retried batch id
+    overwrites its own stats part (same idempotence as the index part).
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains)."""
     from spark_iforest_spark.operators import similarity
@@ -1127,19 +1142,34 @@ def ann_ingest(
         from spark_iforest_spark import parts_store
 
         parts_store.check_parts_writable(spark, index_dir)
-        similarity.ivf_assign(
-            batch_df, centers, id_col=id_col, vec_col=vec_col
-        ).write.partitionBy("cell").mode("overwrite").parquet(
-            f"{index_dir}/b{batch_id}"
-        )
+        if stats_dir is None:
+            similarity.ivf_assign(
+                batch_df, centers, id_col=id_col, vec_col=vec_col
+            ).write.partitionBy("cell").mode("overwrite").parquet(
+                f"{index_dir}/b{batch_id}"
+            )
+        else:
+            from spark_iforest_spark.checkpoint import snapshot
+
+            assigned = snapshot(
+                similarity.ivf_assign(
+                    batch_df, centers, id_col=id_col, vec_col=vec_col,
+                    with_distance=True,
+                )
+            )
+            assigned.drop("d2").write.partitionBy("cell").mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/b{batch_id}")
+            assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d2").alias("sum_d2"),
+            ).select(
+                F.lit(batch_id).alias("batch_version"), "cell", "n", "sum_d2"
+            ).write.mode("overwrite").parquet(f"{stats_dir}/b{batch_id}")
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             compact_ann_index(spark, index_dir)
 
-    return (
-        stream_emb.writeStream.foreachBatch(step)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_emb, step, checkpoint_dir)
 
 
 def latest_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1176,6 +1206,140 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
         ).write.partitionBy("cell").mode("overwrite").parquet(staging)
 
     return parts_store.compact(spark, index_dir, fold)
+
+
+def ann_baseline_stats(
+    emb: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell assignment stats — (cell, n, sum_d2) — of the quantizer's
+    TRAINING sample: the freshness baseline :func:`ann_drift_report`
+    compares ingested batches against. Persist it once next to the
+    centers artifact (parquet), same write-once lifecycle."""
+    from spark_iforest_spark.operators import similarity
+
+    return (
+        similarity.ivf_assign(
+            emb, centers, id_col=id_col, vec_col=vec_col, with_distance=True
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sum_d2"))
+    )
+
+
+def ann_drift_report(
+    spark: SparkSession,
+    stats_dir: str,
+    baseline: DataFrame,
+    last_batches: int | None = None,
+    psi_alarm: float = 0.25,
+    d2_ratio_alarm: float = 2.0,
+) -> dict:
+    """Freshness verdict for a streaming ANN index built against a FROZEN
+    quantizer: compares the ingested batches' per-cell assignment stats
+    (``ann_ingest(stats_dir=...)``) against the quantizer's training
+    baseline (:func:`ann_baseline_stats`).
+
+    Two complementary signals, both from stats already on disk — no
+    vector is re-read:
+
+    * ``cell_psi`` — categorical PSI between the baseline's and the
+      ingested batches' cell-assignment SHARES (the standard population-
+      stability form, ε-smoothed so empty cells stay finite). Cells
+      filling in different proportions than at fit time is exactly the
+      unbalancing that erodes probe recall.
+    * ``mean_d2_ratio`` — ingested mean squared distance-to-center over
+      the baseline's. Drift ORTHOGONAL to the cell structure (vectors
+      still landing in the same cells, but further from every center)
+      moves this even when shares stay flat.
+
+    ``last_batches`` restricts to the newest N stats parts (a sliding
+    drift window); default folds everything since fit. Returns a dict:
+    ``{"cell_psi", "mean_d2_ratio", "n_vectors", "alarm"}`` — ``alarm``
+    is True when either signal crosses its threshold; the documented
+    recovery is :func:`requantize_ann_index` with freshly fit centers.
+    One tiny aggregate job over O(#cells × #batches) rows."""
+    import math
+
+    from spark_iforest_spark import parts_store
+
+    ids = parts_store.part_ids(spark, stats_dir, "b")
+    if not ids:
+        raise ValueError(f"ann_drift_report: no stats parts under {stats_dir}")
+    if last_batches is not None:
+        ids = ids[-int(last_batches):]
+    cur = (
+        spark.read.parquet(*[f"{stats_dir}/b{i}" for i in ids])
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"), F.sum("sum_d2").alias("sum_d2"))
+    )
+    base_rows = {r["cell"]: r for r in baseline.collect()}
+    cur_rows = {r["cell"]: r for r in cur.collect()}
+    n_base = sum(r["n"] for r in base_rows.values())
+    n_cur = sum(r["n"] for r in cur_rows.values())
+    if n_base == 0 or n_cur == 0:
+        raise ValueError("ann_drift_report: empty baseline or ingested stats")
+    eps = 1e-6
+    psi = 0.0
+    for cell in set(base_rows) | set(cur_rows):
+        p = (base_rows[cell]["n"] / n_base) if cell in base_rows else 0.0
+        q = (cur_rows[cell]["n"] / n_cur) if cell in cur_rows else 0.0
+        p, q = max(p, eps), max(q, eps)
+        psi += (q - p) * math.log(q / p)
+    base_d2 = sum(r["sum_d2"] for r in base_rows.values()) / n_base
+    cur_d2 = sum(r["sum_d2"] for r in cur_rows.values()) / n_cur
+    ratio = cur_d2 / max(base_d2, 1e-12)
+    return {
+        "cell_psi": round(psi, 6),
+        "mean_d2_ratio": round(ratio, 6),
+        "n_vectors": int(n_cur),
+        "alarm": bool(psi >= psi_alarm or ratio >= d2_ratio_alarm),
+    }
+
+
+def requantize_ann_index(
+    spark: SparkSession, index_dir: str, n_centroids: int = 16
+):
+    """The drift-recovery compaction: refit the coarse quantizer on the
+    vectors the index CURRENTLY holds (the stored ``nv`` column — no
+    external corpus re-read), re-assign every vector against the new
+    centers, and commit the result as the compacted base ``c{M}`` via
+    the shared staged-rename path (old parts GC'd, read rule unchanged).
+    Returns ``(new_centers, new_base_id)`` — persist the centers
+    (``fs.save_numpy``) and resume ``ann_ingest`` / probe ``ivf_topk``
+    against them; record a fresh :func:`ann_baseline_stats` so the drift
+    monitor's baseline matches the new quantizer. Run with the stream
+    stopped (this REPLACES the quantizer — concurrent ingest against the
+    old centers would mix assignment spaces).
+
+    Cost shape: one KMeans fit + one assignment pass + one
+    cell-partitioned rewrite of the index — the same order as the
+    initial build, paid only when :func:`ann_drift_report` alarms."""
+    from spark_iforest_spark import parts_store
+    from spark_iforest_spark.operators import similarity
+
+    emb = latest_ann_index(spark, index_dir).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    centers = similarity.ivf_centers(emb, n_centroids=n_centroids)
+
+    def fold(live: list[str], staging: str) -> None:
+        from functools import reduce
+
+        cur = reduce(
+            DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+        ).select(
+            F.col("neighbor_id").alias("vec_id"), F.col("nv").alias("embedding")
+        )
+        similarity.ivf_assign(cur, centers).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(staging)
+
+    # force=True: this fold REWRITES content, so it must run even when
+    # the dir is already one compacted base
+    return centers, parts_store.compact(spark, index_dir, fold, force=True)
 
 
 def follow_pairs_stream(
@@ -1483,6 +1647,7 @@ def curate_stream(
     keep_versions: int | None = None,
     state_layout: str = "full",
     compact_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -1572,11 +1737,7 @@ def curate_stream(
 
             corpus.compact_curation_state(spark, state_dir)
 
-    return (
-        stream_docs.writeStream.foreachBatch(step)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach(stream_docs, step, checkpoint_dir)
 
 
 def latest_curation_state(spark: SparkSession, state_dir: str):

@@ -313,3 +313,135 @@ def test_migrate_null_digest_index_in_place(spark, tmpdir, layout):
     after = {r[0]: r for r in S.latest_dedup_index(spark, idx).collect()}
     assert after["d41d8cd98f00b204e9800998ecf8427e"]["n_copies"] == 7
     assert len(after) == 2  # no resurrected NULL-keyed row
+
+
+# ---------------------------------------------------------------------------
+# 4. ANN index freshness: ingest-time stats, drift alarm, re-quantize
+# ---------------------------------------------------------------------------
+
+
+def _emb_rows(rng, direction, n, start_id, noise=0.05):
+    import numpy as np
+
+    d = np.asarray(direction, dtype=float)
+    d = d / np.linalg.norm(d)
+    return [
+        (
+            start_id + i,
+            [float(x) for x in d + noise * rng.standard_normal(len(d))],
+        )
+        for i in range(n)
+    ]
+
+
+def test_ann_freshness_alarm_and_requantize(spark, tmpdir):
+    """The frozen-quantizer freshness loop end to end: baseline batches
+    report no drift; a drifted stream (a new direction cluster midway
+    between the fitted centers) trips the alarm via the distance signal,
+    probe recall on the drifted slice degrades below 0.9, and
+    requantize_ann_index restores it — with the index rewritten in place
+    through the staged-rename compaction."""
+    import numpy as np
+
+    from spark_iforest_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    mid = [1.0, 1.0] + [0.0] * (dim - 2)
+    base_rows = _emb_rows(rng, e0, 60, 0) + _emb_rows(rng, e1, 60, 100)
+    drift_rows = _emb_rows(rng, mid, 60, 200)
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    drift = spark.createDataFrame(drift_rows, schema)
+    centers = similarity.ivf_centers(base, n_centroids=2)
+    baseline = S.ann_baseline_stats(base, centers)
+
+    src = str(tmpdir) + "/src"
+    idx = str(tmpdir) + "/idx"
+    stats = str(tmpdir) + "/stats"
+    ck = str(tmpdir) + "/ck"
+    base.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest(
+        stream, idx, centers, stats_dir=stats, checkpoint_dir=ck
+    ).awaitTermination()
+    n_base_parts = len(S._part_ids(spark, stats, "b"))
+    assert n_base_parts >= 2
+    rep0 = S.ann_drift_report(spark, stats, baseline)
+    assert not rep0["alarm"], rep0
+
+    # the drifted batches arrive later on the SAME source + checkpoint:
+    # only the new files process, and batch ids CONTINUE past the
+    # committed offset (the restart-continuity contract)
+    drift.repartition(2).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest(
+        stream2, idx, centers, stats_dir=stats, checkpoint_dir=ck
+    ).awaitTermination()
+    n_drift_parts = len(S._part_ids(spark, stats, "b")) - n_base_parts
+    assert n_drift_parts >= 2
+    rep1 = S.ann_drift_report(spark, stats, baseline, last_batches=n_drift_parts)
+    assert rep1["alarm"], rep1
+    assert rep1["mean_d2_ratio"] >= 2.0
+
+    # probe recall on the drifted slice: the drifted cluster straddles
+    # the OLD cells, so a 1-probe query misses the far half
+    q = drift.where(F.col("vec_id") % 20 == 0)
+    full = base.unionByName(drift)
+    exact = similarity.cosine_topk(full, q, k=5)
+    pre = similarity.ivf_topk(
+        full, q, k=5, n_probe=1, centers=centers,
+        assigned=S.latest_ann_index(spark, idx),
+    )
+    pre_ok = similarity.topk_recall(exact, pre, floor=0.9).collect()[0]
+    assert not pre_ok["recall_ok"]
+
+    new_centers, base_id = S.requantize_ann_index(spark, idx, n_centroids=3)
+    names = {c["name"] for c in hfs.list_children(spark, idx)}
+    assert names == {f"c{base_id}"}  # rewritten in place, parts GC'd
+    post = similarity.ivf_topk(
+        full, q, k=5, n_probe=1, centers=new_centers,
+        assigned=S.latest_ann_index(spark, idx),
+    )
+    post_ok = similarity.topk_recall(exact, post, floor=0.9).collect()[0]
+    assert post_ok["recall_ok"]
+    # fresh baseline for the new quantizer closes the loop
+    rebase = S.ann_baseline_stats(
+        S.latest_ann_index(spark, idx).select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("nv").alias("embedding"),
+        ),
+        new_centers,
+    )
+    assert rebase.count() == 3
+
+
+def test_ivf_assign_with_distance_is_consistent(spark):
+    import numpy as np
+
+    from spark_iforest_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=4)]) for i in range(32)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = similarity.ivf_centers(emb, n_centroids=3)
+    plain = _rows(similarity.ivf_assign(emb, centers).select("neighbor_id", "cell"))
+    withd = similarity.ivf_assign(emb, centers, with_distance=True)
+    assert _rows(withd.select("neighbor_id", "cell")) == plain
+    C = np.asarray(centers)
+    for r in withd.collect():
+        v = np.asarray(r["nv"])
+        want = float(((v - C[r["cell"]]) ** 2).sum())
+        assert abs(r["d2"] - want) < 1e-9
