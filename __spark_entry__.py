@@ -1571,8 +1571,15 @@ def _pretrain_funnel_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # --- recurate leg: no ccnet (a from-scratch oracle recalibrates
     # cutpoints; the frozen-calibration equality is pytest-pinned
-    # instead), no benchmark (the state's last covered stage is neardup)
-    a_snap = rl.select("doc_id", "text")
+    # instead), no benchmark (the state's last covered stage is neardup).
+    # Both snapshots are materialized (localCheckpoint): a crawl snapshot
+    # is a STORED table in production, and the state build + diff +
+    # re-process waves each scan their snapshot — as reshape EXPRESSIONS
+    # they would re-evaluate the quadratic-ish reshape per scan
+    # (recurate_with_diff's docstring carries the contract)
+    from spark_iforest_spark.checkpoint import snapshot as _snap
+
+    a_snap = _snap(rl.select("doc_id", "text"))
     b_snap = (
         a_snap.where(F.col("doc_id") % 17 != 3)
         .select(
@@ -1592,6 +1599,7 @@ def _pretrain_funnel_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    b_snap = _snap(b_snap)
     state_a = corpus.materialize_curation_state(corpus.curation_state(
         a_snap,
         retractable=True,

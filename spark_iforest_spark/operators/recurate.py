@@ -176,21 +176,30 @@ def _substr_rebuild_vs_index(
     )
 
 
-def _self_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def _self_jaccard_pairs(
+    sh: DataFrame, threshold: float, block_col: str | None = None
+) -> DataFrame:
     """Exact jaccard pairs WITHIN one exploded (did, sh) relation —
     ``ngram_jaccard_pairs``' math over already-hashed shingle rows
     (``_jaccard_pairs_vs_index`` requires disjoint sides; the re-pairing
-    of a touched cluster's members is inherently self-vs-self). Bounded
-    by the member shingle rows it is given — never corpus-wide here."""
-    sh = snapshot(sh.select("did", "sh"))
+    of a touched cluster's members is inherently self-vs-self).
+
+    ``block_col`` restricts candidate pairs to rows sharing that column
+    — the touched-cluster re-pairing passes the OLD cluster rep, making
+    the shingle self-join block-diagonal (cluster-bounded) instead of
+    all-touched-members-pairwise: cross-cluster pairs between two
+    UNCHANGED docs cannot exist (a pair implies same old cluster), and
+    changed docs' pairs are covered by the batch-vs-corpus probes, so
+    blocking drops only impossible candidates."""
+    cols = ["did", "sh"] + ([block_col] if block_col else [])
+    sh = snapshot(sh.select(*cols))
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     inter = (
         sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.did") < F.col("b.did")),
-        )
+        .join(sh.alias("b"), cond)
         .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -231,6 +240,7 @@ def recurate_with_diff(
     diff: DataFrame,
     state: CurationState,
     assume_consistent_diff: bool = False,
+    broadcast_affected: bool = True,
 ) -> tuple[DataFrame, CurationState]:
     """Apply a snapshot diff to a retractable curation state: retract
     REMOVED and CHANGED docs' contributions, ingest ADDED and CHANGED
@@ -252,9 +262,20 @@ def recurate_with_diff(
     ``diff`` is a :func:`~spark_iforest_spark.operators.corpus.
     corpus_diff` relation (old → new). ``new_docs`` is the NEW snapshot —
     the old snapshot's text is never needed: every old contribution is
-    retracted from the state's own detail relations.
+    retracted from the state's own detail relations. ``new_docs`` is
+    scanned a handful of times (once per re-process wave) and should be
+    a STORED table (its natural production shape) or a snapshot() — a
+    heavy derived EXPRESSION would re-evaluate per scan, and the id
+    semi-joins that prune each wave cannot push below an expression the
+    way a stored-column scan filter can (measured: the benchmark
+    fixture's reshape expression cost ~150 s per wave at sf0.1 until
+    materialized).
     ``assume_consistent_diff=True`` skips the two bounded id-consistency
     probes (diff known derived from this state's snapshot).
+    ``broadcast_affected=False`` swaps the affected-key broadcasts (id
+    sets, flipped digests) for shuffle semi-joins — the same escape
+    hatch every incremental operator's ``broadcast_batch`` provides for
+    diffs whose key sets outgrow the broadcast limit.
 
     The returned state is LAZY — persist it (``save_curation_state``) or
     ``materialize_curation_state`` before ingesting against it. Delta
@@ -288,11 +309,13 @@ def recurate_with_diff(
             state.ids, id_col, "added", should_exist=False,
         )
 
+    bcast = F.broadcast if broadcast_affected else (lambda d: d)
+
     def _semi(docs, ids):
-        return docs.join(F.broadcast(ids), id_col, "left_semi")
+        return docs.join(bcast(ids), id_col, "left_semi")
 
     def _anti(rel, ids):
-        return rel.join(F.broadcast(ids), id_col, "left_anti")
+        return rel.join(bcast(ids), id_col, "left_anti")
 
     ad_docs = _semi(new_docs, ad_ids)
 
@@ -309,7 +332,7 @@ def recurate_with_diff(
             .distinct()
         )
         remaining = _anti(old_ld, r_ids).join(
-            F.broadcast(aff_h), "line_md5", "left_semi"
+            bcast(aff_h), "line_md5", "left_semi"
         )
         patched_counts = (
             remaining.unionByName(add_ld)
@@ -318,12 +341,12 @@ def recurate_with_diff(
         )
         line_index_b = snapshot(
             state.line_index.join(
-                F.broadcast(aff_h), "line_md5", "left_anti"
+                bcast(aff_h), "line_md5", "left_anti"
             ).unionByName(patched_counts)
         )
         line_detail_b = _anti(old_ld, r_ids).unionByName(add_ld)
         # flipped digests: boilerplate status (n >= min_docs) changed
-        oldc = state.line_index.join(F.broadcast(aff_h), "line_md5", "left_semi")
+        oldc = state.line_index.join(bcast(aff_h), "line_md5", "left_semi")
         flips = snapshot(
             oldc.alias("o")
             .join(patched_counts.alias("n"), "line_md5", "full")
@@ -335,7 +358,7 @@ def recurate_with_diff(
         )
         d1_ids = snapshot(
             _anti(old_ld, r_ids)
-            .join(F.broadcast(flips), "line_md5", "left_semi")
+            .join(bcast(flips), "line_md5", "left_semi")
             .select(id_col)
             .distinct()
         )
@@ -345,8 +368,11 @@ def recurate_with_diff(
 
     def _u_in(raw_docs):
         """Line-stage OUTPUT of docs under the PATCHED index — the
-        ExactSubstr stage's input rows for any doc, one-shot semantics."""
-        g = _row_stage_survivors(raw_docs, state)
+        ExactSubstr stage's input rows for any doc, one-shot semantics.
+        The per-row prefix is snapshotted: the line rebuild consumes it
+        twice (lines side + totals side), and the gopher battery is the
+        expensive per-row pass — lazy it would execute per consumer."""
+        g = snapshot(_row_stage_survivors(raw_docs, state))
         if not min_docs:
             return g
         return _line_rebuild_vs_index(g, line_index_b, min_docs, id_col, text_col)
@@ -368,7 +394,7 @@ def recurate_with_diff(
             .distinct()
         )
         remaining_sd = _anti(old_sd, retract1).join(
-            F.broadcast(w_aff), "h", "left_semi"
+            bcast(w_aff), "h", "left_semi"
         )
         patched_idx = (
             remaining_sd.select(id_col, "pos", "h")
@@ -391,13 +417,13 @@ def recurate_with_diff(
             )
         )
         substr_index_b = snapshot(
-            state.substr_index.join(F.broadcast(w_aff), "h", "left_anti")
+            state.substr_index.join(bcast(w_aff), "h", "left_anti")
             .unionByName(patched_idx)
         )
         substr_detail_b = _anti(old_sd, retract1).unionByName(new_wins)
         # flips: dup status (n >= 2) or — both sides still duplicated —
         # the keep-first keeper moved (old and new keeper docs flip)
-        oldw = state.substr_index.join(F.broadcast(w_aff), "h", "left_semi")
+        oldw = state.substr_index.join(bcast(w_aff), "h", "left_semi")
         cmp = snapshot(
             oldw.select(
                 "h",
@@ -436,7 +462,7 @@ def recurate_with_diff(
         flip_h = cmp.where("status_flip").select("h")
         d2_status = (
             _anti(old_sd, retract1)
-            .join(F.broadcast(flip_h), "h", "left_semi")
+            .join(bcast(flip_h), "h", "left_semi")
             .select(id_col)
         )
         d2_keepers = (
@@ -456,8 +482,10 @@ def recurate_with_diff(
 
     # ---- stage: near-dup — re-shingle affected docs, re-pair touched
     # clusters from actual shingles, carry untouched verbatim ------------
-    u_p2 = _u_in(_semi(new_docs, d2_ids))
-    u_all = u_p1.unionByName(u_p2)
+    # u_all is consumed twice by the substr rebuild (window keys + the
+    # span-apply side) — snapshotted so the D2 docs' line rebuild runs
+    # once (u_p1 is already checkpointed above)
+    u_all = snapshot(u_p1.unionByName(_u_in(_semi(new_docs, d2_ids))))
     if window:
         nin_new = snapshot(
             _substr_rebuild_vs_index(
@@ -465,7 +493,7 @@ def recurate_with_diff(
             )
         )
     else:
-        nin_new = snapshot(u_all)
+        nin_new = u_all
     rm_ids = snapshot(
         r_ids.unionByName(d1_ids).unionByName(d2_ids).distinct()
     )
@@ -483,7 +511,7 @@ def recurate_with_diff(
         )
         shingle_b = snapshot(
             state.shingle_index.join(
-                F.broadcast(rm_ids.select(F.col(id_col).alias("did"))),
+                bcast(rm_ids.select(F.col(id_col).alias("did"))),
                 "did",
                 "left_anti",
             ).unionByName(sh_new)
@@ -505,22 +533,30 @@ def recurate_with_diff(
         t1 = snapshot(
             _semi(state.labels, delta_ids).select("cluster_rep").distinct()
         )
-        t1_members = state.labels.join(
-            F.broadcast(t1), "cluster_rep", "left_semi"
-        ).select(F.col(id_col).alias("did"))
         labels_rest = state.labels.join(
-            F.broadcast(t1), "cluster_rep", "left_anti"
+            bcast(t1), "cluster_rep", "left_anti"
         )
         thr = p["jaccard_threshold"]
-        m_sh = shingle_b.select("did", "sh").join(
-            F.broadcast(t1_members), "did", "left_semi"
+        ch_dids = snapshot(
+            nin_new.select(F.col(id_col).alias("did")).distinct()
         )
-        e1 = _self_jaccard_pairs(m_sh, thr)
-        ch_dids = nin_new.select(F.col(id_col).alias("did")).distinct()
+        # E1: UNCHANGED touched-cluster members re-pair WITHIN their old
+        # cluster (block-diagonal — see _self_jaccard_pairs; changed
+        # members' pairs come from E2/E3, and unchanged cross-cluster
+        # pairs cannot exist)
+        member_reps = state.labels.join(
+            bcast(t1), "cluster_rep", "left_semi"
+        ).select(F.col(id_col).alias("did"), F.col("cluster_rep").alias("_rep"))
+        m_sh = (
+            shingle_b.select("did", "sh")
+            .join(bcast(ch_dids), "did", "left_anti")
+            .join(bcast(member_reps), "did")
+        )
+        e1 = _self_jaccard_pairs(m_sh, thr, block_col="_rep")
         e2 = _jaccard_pairs_vs_index(
             sh_new.select("did", "sh"),
             shingle_b.select("did", "sh").join(
-                F.broadcast(ch_dids), "did", "left_anti"
+                bcast(ch_dids), "did", "left_anti"
             ),
             thr,
             True,
