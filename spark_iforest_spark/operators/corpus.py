@@ -1560,6 +1560,139 @@ def save_curation_delta(
     )
 
 
+_RECURATE_RELATIONS = (
+    "retract_corpus_ids", "retract_line", "retract_substr", "retract_nin",
+    "line_index_drop", "substr_index_drop", "labels_tombstone",
+    "ids", "line_detail", "line_index", "substr_detail", "substr_index",
+    "shingle_index", "quality", "nin_digest", "labels",
+)
+
+
+def save_recurate_delta(delta: dict, state: CurationState, path: str, parent: int) -> None:
+    """Persist a re-curation's TOMBSTONE DELTA
+    (:func:`~spark_iforest_spark.operators.recurate.recurate_with_diff`
+    with ``with_delta=True``) as version ``path`` with a ``parent``
+    pointer — the churn-proportional persistence that makes re-curation
+    cheaper than a rebuild at scale: only the retraction id sets, the
+    replaced index keys + their patched rows, and the added rows are
+    written; every untouched row stays where it already is.
+    ``load_curation_state`` folds the chain back SEQUENTIALLY (a
+    recurate version REPLACES affected keys where ingest deltas merge
+    partials — replace is not associative with the count merges, so
+    chains containing a recurate version fold version-by-version)."""
+    from spark_iforest_spark import fs
+
+    spark = delta["ids"].sparkSession
+    present = []
+    for name in _RECURATE_RELATIONS:
+        rel = delta.get(name)
+        if rel is not None:
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+            present.append(name)
+    fs.save_json(
+        spark,
+        f"{path}/state.json",
+        {
+            "params": state.params,
+            "cutpoints": state.cutpoints,
+            "relations": present,
+            "delta": True,
+            "recurate": True,
+            "parent": int(parent),
+        },
+    )
+
+
+def _anti_on(acc: DataFrame, tomb: DataFrame, key: str) -> DataFrame:
+    return acc.join(tomb, key, "left_anti")
+
+
+def _apply_recurate_delta(acc: dict, rels: dict, id_col: str) -> dict:
+    """One sequential fold step over a recurate tombstone delta: drop the
+    retracted per-doc rows and the replaced index keys, then union the
+    delta's rows — exactly inverting :func:`save_recurate_delta`'s
+    encoding. Index rows REPLACE (the patched aggregates are post-merge
+    rows, not partials), per-doc rows append after their tombstones."""
+    out = dict(acc)
+    out["ids"] = _anti_on(
+        acc["ids"], rels["retract_corpus_ids"], id_col
+    ).unionByName(rels["ids"])
+    if "line_detail" in acc:
+        out["line_detail"] = _anti_on(
+            acc["line_detail"], rels["retract_line"], id_col
+        ).unionByName(rels["line_detail"])
+        out["line_index"] = _anti_on(
+            acc["line_index"], rels["line_index_drop"], "line_md5"
+        ).unionByName(rels["line_index"])
+    if "substr_detail" in acc:
+        out["substr_detail"] = _anti_on(
+            acc["substr_detail"], rels["retract_substr"], id_col
+        ).unionByName(rels["substr_detail"])
+        out["substr_index"] = _anti_on(
+            acc["substr_index"], rels["substr_index_drop"], "h"
+        ).unionByName(rels["substr_index"])
+    out["nin_digest"] = _anti_on(
+        acc["nin_digest"], rels["retract_nin"], id_col
+    ).unionByName(rels["nin_digest"])
+    if "shingle_index" in acc:
+        out["shingle_index"] = acc["shingle_index"].join(
+            rels["retract_nin"].select(F.col(id_col).alias("did")),
+            "did",
+            "left_anti",
+        ).unionByName(rels["shingle_index"])
+        out["quality"] = _anti_on(
+            acc["quality"], rels["retract_nin"], id_col
+        ).unionByName(rels["quality"])
+        out["labels"] = _anti_on(
+            acc["labels"], rels["labels_tombstone"], id_col
+        ).unionByName(rels["labels"])
+    return out
+
+
+def _apply_ingest_delta(acc: dict, rels: dict, id_col: str) -> dict:
+    """One sequential fold step over an append-only ingest delta — the
+    same merges the associative fast path uses, applied pairwise (the
+    sequential path exists for chains that also contain a recurate
+    version, whose key replacement is not associative with these)."""
+    from spark_iforest_spark.operators.dedup import (
+        merge_shingle_indexes,
+        merge_substr_window_indexes,
+    )
+    from spark_iforest_spark.operators.pipeline import merge_line_count_indexes
+
+    out = dict(acc)
+    out["ids"] = acc["ids"].unionByName(rels["ids"])
+    if "line_index" in rels:
+        out["line_index"] = merge_line_count_indexes(
+            acc["line_index"], rels["line_index"]
+        )
+    if "line_detail" in rels:
+        out["line_detail"] = acc["line_detail"].unionByName(rels["line_detail"])
+    if "substr_index" in rels:
+        out["substr_index"] = merge_substr_window_indexes(
+            acc["substr_index"], rels["substr_index"], verify_window=False
+        )
+    if "substr_detail" in rels:
+        out["substr_detail"] = acc["substr_detail"].unionByName(
+            rels["substr_detail"]
+        )
+    if "shingle_index" in rels:
+        out["shingle_index"] = merge_shingle_indexes(
+            acc["shingle_index"], rels["shingle_index"], verify_n=False
+        )
+    if "quality" in rels:
+        out["quality"] = acc["quality"].unionByName(rels["quality"])
+    if "nin_digest" in rels:
+        out["nin_digest"] = acc["nin_digest"].unionByName(rels["nin_digest"])
+    if "labels" in rels:
+        # last-writer-wins per doc, pairwise: the newer touched relabels
+        # replace, untouched carry — same fixed point as _lww_labels
+        out["labels"] = acc["labels"].join(
+            rels["labels"].select(id_col), id_col, "left_anti"
+        ).unionByName(rels["labels"].select(id_col, "cluster_rep"))
+    return out
+
+
 def _state_chain(spark, path: str) -> list[tuple[str, dict]]:
     """The version chain from ``path`` back to its full base as
     (version_path, state.json) pairs, BASE FIRST. Delta versions name
@@ -1661,6 +1794,36 @@ def load_curation_state(spark, path: str) -> CurationState:
         merge_substr_window_indexes,
     )
     from spark_iforest_spark.operators.pipeline import merge_line_count_indexes
+
+    id_col0 = params["id_col"]
+    if any(m.get("recurate") for _vp, m in chain):
+        # SEQUENTIAL fold: a recurate version REPLACES affected index
+        # keys and drops tombstoned per-doc rows — not associative with
+        # the ingest deltas' count merges, so the chain folds version by
+        # version (chains are bounded by the compaction cadence; the
+        # batch-probe pushdown story is unchanged — anti/semi joins on
+        # bounded key sets still push into the part scans)
+        acc = dict(per_version[0])
+        for (vp, m), rels in zip(chain[1:], per_version[1:]):
+            if m.get("recurate"):
+                acc = _apply_recurate_delta(acc, rels, id_col0)
+            else:
+                acc = _apply_ingest_delta(acc, rels, id_col0)
+        labels0 = acc.get("labels")
+        return CurationState(
+            ids=acc["ids"],
+            lm=per_version[0].get("lm"),
+            cutpoints=base_meta["cutpoints"],
+            line_index=acc.get("line_index"),
+            substr_index=acc.get("substr_index"),
+            shingle_index=acc.get("shingle_index"),
+            labels=snapshot(labels0) if labels0 is not None else None,
+            quality=acc.get("quality"),
+            params=params,
+            line_detail=acc.get("line_detail"),
+            substr_detail=acc.get("substr_detail"),
+            nin_digest=acc.get("nin_digest"),
+        )
 
     def have(name):
         return [rv[name] for rv in per_version if name in rv]

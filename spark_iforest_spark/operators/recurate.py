@@ -241,7 +241,8 @@ def recurate_with_diff(
     state: CurationState,
     assume_consistent_diff: bool = False,
     broadcast_affected: bool = True,
-) -> tuple[DataFrame, CurationState]:
+    with_delta: bool = False,
+) -> tuple:
     """Apply a snapshot diff to a retractable curation state: retract
     REMOVED and CHANGED docs' contributions, ingest ADDED and CHANGED
     docs' new text, and cascade exactly through the flip fan-out (module
@@ -278,9 +279,15 @@ def recurate_with_diff(
     diffs whose key sets outgrow the broadcast limit.
 
     The returned state is LAZY — persist it (``save_curation_state``) or
-    ``materialize_curation_state`` before ingesting against it. Delta
-    state layouts carry no tombstones: after a re-curation, save full
-    (re-curation is compaction-grade, not per-batch)."""
+    ``materialize_curation_state`` before ingesting against it.
+    ``with_delta=True`` returns ``(changes, new_state, delta)`` where
+    ``delta`` is the TOMBSTONE-DELTA encoding of the state update for
+    :func:`~spark_iforest_spark.operators.corpus.save_recurate_delta`:
+    per-relation retraction id sets, replaced index keys, and the added
+    rows — every relation CHURN-proportional, so persisting a
+    re-curation costs the diff + flip fan-out instead of the full-state
+    rewrite (the corpus-proportional term the A/B measured; the chain
+    folds it back on read, ``load_curation_state``)."""
     p = state.params
     if not p.get("retractable"):
         raise ValueError(
@@ -334,7 +341,7 @@ def recurate_with_diff(
         remaining = _anti(old_ld, r_ids).join(
             bcast(aff_h), "line_md5", "left_semi"
         )
-        patched_counts = (
+        patched_counts = snapshot(
             remaining.unionByName(add_ld)
             .groupBy("line_md5")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -396,7 +403,7 @@ def recurate_with_diff(
         remaining_sd = _anti(old_sd, retract1).join(
             bcast(w_aff), "h", "left_semi"
         )
-        patched_idx = (
+        patched_idx = snapshot(
             remaining_sd.select(id_col, "pos", "h")
             .unionByName(new_wins)
             .groupBy("h")
@@ -516,12 +523,11 @@ def recurate_with_diff(
                 "left_anti",
             ).unionByName(sh_new)
         )
+        q_new = quality_score(nin_new, id_col, text_col).select(
+            F.col(id_col), "quality"
+        )
         quality_b = snapshot(
-            _anti(state.quality, rm_ids).unionByName(
-                quality_score(nin_new, id_col, text_col).select(
-                    F.col(id_col), "quality"
-                )
-            )
+            _anti(state.quality, rm_ids).unionByName(q_new)
         )
         nin_b = _anti(state.nin_digest, rm_ids).unionByName(
             _nin_digest_of(nin_new, id_col, text_col)
@@ -568,13 +574,13 @@ def recurate_with_diff(
             .unionByName(e3.select("doc_a", "doc_b"))
             .distinct()
         )
-        labels_b = snapshot(
-            dup_clusters_incremental(
-                pairs, labels_rest, id_col=id_col, snapshot_pairs=False
-            )
+        labels_full, labels_touched = dup_clusters_incremental(
+            pairs, labels_rest, id_col=id_col, snapshot_pairs=False,
+            return_touched=True,
         )
+        labels_b = snapshot(labels_full)
     else:
-        shingle_b = quality_b = labels_b = None
+        shingle_b = quality_b = labels_b = labels_touched = None
         nin_b = _anti(state.nin_digest, rm_ids).unionByName(
             _nin_digest_of(nin_new, id_col, text_col)
         )
@@ -634,4 +640,39 @@ def recurate_with_diff(
             F.col(text_col).alias("clean_text"),
         )
     )
-    return changes, new_state
+    if not with_delta:
+        return changes, new_state
+
+    # ---- the tombstone-delta encoding (all relations churn-sized) ------
+    delta: dict = {
+        "retract_corpus_ids": d.where(F.col("change") == "removed").select(
+            id_col
+        ),
+        "ids": d.where(F.col("change") == "added").select(id_col),
+        "retract_nin": rm_ids,
+        "nin_digest": _nin_digest_of(nin_new, id_col, text_col),
+    }
+    if min_docs:
+        delta["retract_line"] = r_ids
+        delta["line_detail"] = add_ld
+        delta["line_index_drop"] = aff_h
+        delta["line_index"] = patched_counts
+    if window:
+        delta["retract_substr"] = retract1
+        delta["substr_detail"] = new_wins
+        delta["substr_index_drop"] = w_aff
+        delta["substr_index"] = patched_idx
+    if p["neardup"]:
+        delta["shingle_index"] = sh_new
+        delta["quality"] = q_new
+        # labels tombstone: every member of a cluster whose membership
+        # was re-derived (T1 — possibly split — plus rest clusters the
+        # new pairs touched); the re-derived rows are the touched labels
+        delta["labels_tombstone"] = (
+            state.labels.join(bcast(t1), "cluster_rep", "left_semi")
+            .select(id_col)
+            .unionByName(labels_touched.select(id_col))
+            .distinct()
+        )
+        delta["labels"] = labels_touched
+    return changes, new_state, delta

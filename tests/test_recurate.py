@@ -335,3 +335,99 @@ def test_retractable_state_survives_roundtrip_and_ingest(spark, tmpdir):
     _assert_states_equal(
         corpus.materialize_curation_state(back), _mk_state(a, **kw)
     )
+
+
+def test_recurate_delta_persistence_chain(spark, tmpdir):
+    """The tombstone-delta persistence: recurate writes only retraction
+    id sets + replaced index keys + added rows; loading the chain folds
+    back to EXACTLY the from-scratch state of B; an append-only ingest
+    delta stacks ON TOP of the recurate version (sequential fold), and
+    compaction collapses the whole mixed chain to a full save."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "the and is of to in that it was for on are with as"
+    )
+    a_rows = [
+        (1, base + " one\nshared nav line here"),
+        (2, base + " two\nshared nav line here"),
+        (3, None),
+        (4, base + " four distinct tail body"),
+    ]
+    b_rows = [
+        (1, base + " one\nshared nav line here"),
+        (2, None),
+        (3, base + " three fresh resurrected body"),
+        (4, base + " four distinct tail body CHANGED"),
+        (9, base + " four distinct tail body"),
+    ]
+    batch_rows = [(20, base + " twenty later crawl batch doc")]
+    kw = dict(
+        gopher=True,
+        gopher_thresholds={"min_tokens": 5, "max_dup_token_frac": 0.95},
+        line_min_docs=2, substr_window=6, neardup=True,
+    )
+    a, b = _docs(spark, a_rows), _docs(spark, b_rows)
+    state_dir = str(tmpdir) + "/state"
+    corpus.save_curation_state(
+        corpus.curation_state(a, retractable=True, **kw), f"{state_dir}/v0"
+    )
+    state_a = corpus.load_curation_state(spark, f"{state_dir}/v0")
+    changes, state_b, delta = recurate.recurate_with_diff(
+        b, corpus.corpus_diff(a, b), state_a, with_delta=True
+    )
+    corpus.save_recurate_delta(delta, state_a, f"{state_dir}/v1", parent=0)
+    loaded = corpus.load_curation_state(spark, f"{state_dir}/v1")
+    want_b = _mk_state(b, **kw)
+    _assert_states_equal(corpus.materialize_curation_state(loaded), want_b)
+
+    # ingest delta ON TOP of the recurate version (mixed chain)
+    batch = _docs(spark, batch_rows)
+    loaded2 = corpus.load_curation_state(spark, f"{state_dir}/v1")
+    _cur, _fun, ing = corpus.curate_and_state_delta(
+        batch, corpus.materialize_curation_state(loaded2),
+        assume_disjoint_ids=True,
+    )
+    corpus.save_curation_delta(ing, loaded2, f"{state_dir}/v2", parent=1)
+    chained = corpus.materialize_curation_state(
+        corpus.load_curation_state(spark, f"{state_dir}/v2")
+    )
+    _cur2, want_rolled = corpus.curate_and_update_state(
+        _docs(spark, batch_rows), corpus.materialize_curation_state(want_b),
+        assume_disjoint_ids=True,
+    )
+    want_rolled = corpus.materialize_curation_state(want_rolled)
+    for name in _STATE_REL_NAMES:
+        ga, wa = getattr(chained, name), getattr(want_rolled, name)
+        assert (ga is None) == (wa is None), name
+        if ga is not None:
+            assert _rows(ga) == _rows(wa), f"{name}: rows differ"
+
+    # compaction collapses the mixed chain to a full save
+    v = corpus.compact_curation_state(spark, state_dir)
+    assert v == 2
+    compacted = corpus.materialize_curation_state(
+        corpus.load_curation_state(spark, f"{state_dir}/v2")
+    )
+    for name in _STATE_REL_NAMES:
+        ga, wa = getattr(compacted, name), getattr(want_rolled, name)
+        if ga is not None:
+            assert _rows(ga) == _rows(wa), f"{name}: post-compaction differ"
+
+
+def test_recurate_delta_is_churn_sized(spark, tmpdir):
+    """The delta's row volumes are churn-proportional: per-doc add rows
+    cover only re-processed docs, and the index rows cover only affected
+    keys — NOT the corpus."""
+    rows = [(i, f"doc body {i} unique tail t{i} u{i} v{i} w{i}") for i in range(40)]
+    a = _docs(spark, rows)
+    b_rows = [r for r in rows if r[0] != 7] + [(99, "brand new doc body here x y z")]
+    b = _docs(spark, b_rows)
+    kw = dict(gopher=False, line_min_docs=2, substr_window=4, neardup=True)
+    state_a = _mk_state(a, **kw)
+    _ch, _sb, delta = recurate.recurate_with_diff(
+        b, corpus.corpus_diff(a, b), state_a, with_delta=True
+    )
+    full_detail = state_a.substr_detail.count()
+    assert delta["substr_detail"].count() < full_detail / 4
+    assert delta["retract_nin"].count() <= 4  # removed + tiny fanout
+    assert delta["ids"].count() == 1

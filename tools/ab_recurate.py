@@ -102,14 +102,35 @@ def main() -> None:
         corpus.save_curation_state(state_b, f"{work}/b_recurate")
         recur = time.monotonic() - t0
 
+        # round-12 delta persistence: the same re-curation persisted as
+        # a tombstone delta on top of the already-saved A state —
+        # churn-proportional write instead of the full-state rewrite
+        shutil.copytree(f"{work}/a", f"{work}/chain/v0")
+        t0 = time.monotonic()
+        state_a2 = corpus.load_curation_state(spark, f"{work}/chain/v0")
+        _c2, _s2, delta = recurate.recurate_with_diff(
+            b, corpus.corpus_diff(a, b), state_a2, with_delta=True
+        )
+        corpus.save_recurate_delta(delta, state_a2, f"{work}/chain/v1", parent=0)
+        recur_delta = time.monotonic() - t0
+
         t0 = time.monotonic()
         corpus.save_curation_state(
             corpus.curation_state(b, **kw), f"{work}/b_scratch"
         )
         scratch = time.monotonic() - t0
 
+        def dir_bytes(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs_ in os.walk(path) for f in fs_
+            )
+
         got = spark.read.parquet(f"{work}/b_recurate/nin_digest").count()
         want = spark.read.parquet(f"{work}/b_scratch/nin_digest").count()
+        got_delta = corpus.load_curation_state(
+            spark, f"{work}/chain/v1"
+        ).nin_digest.count()
         print(json.dumps({
             "sf_dir": sf_dir,
             "mod": mod,
@@ -117,9 +138,13 @@ def main() -> None:
             "n_docs_b": b.count(),
             "build_a_sec": round(build_a, 2),
             "recurate_sec": round(recur, 2),
+            "recurate_delta_sec": round(recur_delta, 2),
             "scratch_sec": round(scratch, 2),
             "speedup": round(scratch / max(recur, 1e-9), 2),
-            "nin_rows_equal": got == want,
+            "speedup_delta": round(scratch / max(recur_delta, 1e-9), 2),
+            "delta_bytes": dir_bytes(f"{work}/chain/v1"),
+            "full_save_bytes": dir_bytes(f"{work}/b_scratch"),
+            "nin_rows_equal": got == want and got_delta == want,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
