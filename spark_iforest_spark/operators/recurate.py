@@ -565,7 +565,7 @@ def recurate_with_diff(
                 bcast(ch_dids), "did", "left_anti"
             ),
             thr,
-            True,
+            broadcast_affected,
         )
         e3 = _self_jaccard_pairs(sh_new.select("did", "sh"), thr)
         pairs = snapshot(

@@ -157,13 +157,37 @@ def compact(spark: SparkSession, d: str, fold_writer, force: bool = False) -> in
     the content (``streaming.requantize_ann_index``). The live base is
     then the fold's own input: it is deleted only after the staged
     replacement is fully written, and a crash between that delete and
-    the rename leaves the intact replacement at the staging path (the
-    raised error names it) — acceptable under those callers' documented
-    stream-stopped contract."""
+    the rename leaves the intact replacement at the staging path — a
+    re-run of compact detects that state (zero live parts + staged base)
+    and finishes the rename itself — acceptable under those callers'
+    documented stream-stopped contract."""
     from spark_iforest_spark import fs as hfs
 
     live = live_parts(spark, d)
     if live is None:
+        # zero live parts + an intact staged base is exactly the
+        # force=True crash window (input base deleted, rename not yet
+        # run — the fold is complete by construction, since the delete
+        # only happens after fold_writer returns): finish the rename
+        # instead of raising an error that hides the recoverable state
+        # (round-12 advice fix). Newest staging id wins — an older
+        # mid-fold leftover can only carry a lower id.
+        staged = sorted(
+            int(c["name"][len("_staging_c"):])
+            for c in hfs.list_children(spark, d)
+            if c["name"].startswith("_staging_c")
+            and c["name"][len("_staging_c"):].isdigit()
+        )
+        if staged:
+            m = staged[-1]
+            if not hfs.rename(spark, f"{d}/_staging_c{m}", f"{d}/c{m}"):
+                raise IOError(
+                    f"compact: recovery rename {d}/_staging_c{m} -> "
+                    f"{d}/c{m} failed; the intact fold is staged at "
+                    f"{d}/_staging_c{m}"
+                )
+            _gc_stale(spark, d, m)
+            return m
         raise ValueError(f"compact: no parts under {d}")
     new_m = max(part_ids(spark, d, "b") + part_ids(spark, d, "c"))
     if live == [f"{d}/c{new_m}"] and not force:

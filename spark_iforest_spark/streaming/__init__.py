@@ -1300,7 +1300,10 @@ def ann_drift_report(
 
 
 def requantize_ann_index(
-    spark: SparkSession, index_dir: str, n_centroids: int = 16
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int = 16,
+    stats_dir: str | None = None,
 ):
     """The drift-recovery compaction: refit the coarse quantizer on the
     vectors the index CURRENTLY holds (the stored ``nv`` column — no
@@ -1313,6 +1316,16 @@ def requantize_ann_index(
     monitor's baseline matches the new quantizer. Run with the stream
     stopped (this REPLACES the quantizer — concurrent ingest against the
     old centers would mix assignment spaces).
+
+    Pass the ingest's ``stats_dir`` to FENCE the drift monitor (round-12
+    advice fix): the pre-requantize ``b{N}`` stats parts were computed in
+    the OLD assignment space, so a later ``ann_drift_report`` with the
+    default ``last_batches=None`` would fold them against the NEW
+    baseline and raise spurious PSI/d2 alarms. With ``stats_dir`` set,
+    those parts are archived in place (renamed to
+    ``_pre_c{new_base}_b{N}`` siblings — invisible to the part listing,
+    still auditable) after the index commit, so the monitor's default
+    window starts empty at the new quantizer epoch.
 
     Cost shape: one KMeans fit + one assignment pass + one
     cell-partitioned rewrite of the index — the same order as the
@@ -1339,7 +1352,17 @@ def requantize_ann_index(
 
     # force=True: this fold REWRITES content, so it must run even when
     # the dir is already one compacted base
-    return centers, parts_store.compact(spark, index_dir, fold, force=True)
+    new_base = parts_store.compact(spark, index_dir, fold, force=True)
+    if stats_dir is not None:
+        from spark_iforest_spark import fs as hfs
+
+        for i in parts_store.part_ids(spark, stats_dir, "b"):
+            hfs.rename(
+                spark,
+                f"{stats_dir}/b{i}",
+                f"{stats_dir}/_pre_c{new_base}_b{i}",
+            )
+    return centers, new_base
 
 
 def follow_pairs_stream(
