@@ -54,6 +54,13 @@ def word_shingles(tokens_col: Column, n: int = 3) -> Column:
 
     Docs shorter than n tokens contribute their whole token sequence as one
     shingle so every doc has a non-empty shingle set (mirrored in oracle SQL).
+
+    ``tokens_col`` should be a CHEAP column reference (a pre-projected
+    token array), not an inline ``tokens(...)`` expression: the per-gram
+    lambda slices it, and the interpreted higher-order-function path
+    re-evaluates non-trivial expressions per array element — an inline
+    regex split makes the shingle set O(tokens²) per doc (round 13;
+    callers project the split first).
     """
     whole = F.array(F.array_join(tokens_col, " "))
     grams = F.transform(

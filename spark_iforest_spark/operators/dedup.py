@@ -170,12 +170,42 @@ def migrate_null_digest_rows(index: DataFrame) -> DataFrame:
 
 
 def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(did, shset array<long>) — distinct word n-grams hashed JVM-side."""
+    """(did, shset array<long>) — distinct word n-grams hashed JVM-side.
+
+    The token split is projected before the shingle expression (round
+    13): word_shingles slices the token array inside a HOF lambda, and an
+    inline tokens() there re-evaluates the regex split per element —
+    O(tokens²) per doc, measured 12× slower at 480-token docs."""
     return docs.select(
-        F.col(id_col).alias("did"),
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "did",
         F.transform(
-            word_shingles(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+            word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
         ).alias("shset"),
+    )
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(did, sh) — exploded hashed-shingle rows, exploding the shingle
+    expression INLINE (round 13): exploding a NAMED array column lets
+    InferFiltersFromGenerate add ``size(col) > 0 AND isnotnull(col)``,
+    and filter pushdown re-inlines the aliased tokenize→shingle→hash
+    chain through the projections into the scan filter — with the token
+    split back inline inside the HOF lambda, i.e. the O(tokens²)
+    re-evaluation the projection existed to prevent, paid once more per
+    row (measured 13× at 480-token docs). With the generator input left
+    as an expression the rule skips inference (non-cheap input) and the
+    chain runs exactly once."""
+    return docs.select(
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "did",
+        F.explode(
+            F.transform(
+                word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
     )
 
 
@@ -198,8 +228,10 @@ def _md5_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
         return F.shiftleft(hi, 32).bitwiseOR(lo)
 
     return docs.select(
-        F.col(id_col).alias("did"),
-        F.transform(word_shingles(tokens(F.col(text_col)), n), _h64).alias("shset"),
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "did",
+        F.transform(word_shingles(F.col("_toks"), n), _h64).alias("shset"),
     )
 
 
@@ -236,9 +268,7 @@ def _ngram_pair_counts(
 ) -> DataFrame:
     """Shared inverted-index core of the exact n-gram pair family:
     (doc_a, doc_b, inter, sz_a, sz_b) for doc_a < doc_b with inter >= 1."""
-    sh = _hashed_shingles(docs, id_col, text_col, n).select(
-        "did", F.explode("shset").alias("sh")
-    )
+    sh = _shingle_rows(docs, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
         # no forced broadcast: the |rows|/cap bound on the hot set GROWS
@@ -322,10 +352,8 @@ def shingle_index(
     digest spaces, and merge/apply verify it instead of silently joining
     garbage. Doc-disjoint shard indexes merge with
     :func:`merge_shingle_indexes` (plain union — rows are per-doc)."""
-    return (
-        _hashed_shingles(docs, id_col, text_col, n)
-        .select("did", F.explode("shset").alias("sh"))
-        .withColumn("n", F.lit(int(n)))
+    return _shingle_rows(docs, id_col, text_col, n).withColumn(
+        "n", F.lit(int(n))
     )
 
 
@@ -508,9 +536,7 @@ def ngram_jaccard_pairs_incremental(
             )
         batch_sh = batch_shingles.select("did", "sh")
     else:
-        batch_sh = _hashed_shingles(new_docs, id_col, text_col, n).select(
-            F.col("did"), F.explode("shset").alias("sh")
-        )
+        batch_sh = _shingle_rows(new_docs, id_col, text_col, n)
     fresh = index.select("did", "sh")
     if not assume_disjoint_ids:
         batch_ids = new_docs.select(F.col(id_col).alias("did")).distinct()
@@ -1683,8 +1709,13 @@ def dup_clusters_incremental(
 
 
 def _window_keys(df: DataFrame, id_col: str, text_col: str, window: int):
-    """(id, pos, h): md5 key of each w-token window at 0-based token pos."""
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    """(id, pos, h): md5 key of each w-token window at 0-based token pos.
+
+    The token split is projected before the window expression (round 13):
+    the per-position lambda slices the token array, and an inline
+    tokens() there re-evaluates the regex split per position — O(tokens²)
+    per doc on the interpreted HOF path."""
+    toks = F.col("_toks")
     wins = F.when(
         F.size(toks) >= window,
         F.transform(
@@ -1695,7 +1726,11 @@ def _window_keys(df: DataFrame, id_col: str, text_col: str, window: int):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    return df.select(F.col(id_col), F.explode(wins).alias("w")).select(
+    pre = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    return pre.select(F.col(id_col), F.explode(wins).alias("w")).select(
         id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
     )
 
@@ -1745,12 +1780,15 @@ def _merge_cut_spans(cut: DataFrame, id_col: str, window: int) -> DataFrame:
     incremental span paths so both merge identically."""
     w = int(window)
     empty = F.array().cast("array<struct<start:int,end:int>>")
+    # the interval fold is exploded INLINE (round 13): exploding a named
+    # "_spans" column would let InferFiltersFromGenerate duplicate the
+    # whole fold into a pushed-down filter (see _shingle_rows)
     return (
         cut.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
         .select(
             id_col,
-            F.aggregate(
+            F.explode(F.aggregate(
                 F.col("_ps"),
                 empty,
                 lambda acc, p: F.when(
@@ -1775,9 +1813,8 @@ def _merge_cut_spans(cut: DataFrame, id_col: str, window: int) -> DataFrame:
                         ),
                     )
                 ),
-            ).alias("_spans"),
+            )).alias("s"),
         )
-        .select(id_col, F.explode("_spans").alias("s"))
         .select(id_col, F.col("s.start").alias("start"), F.col("s.end").alias("end"))
     )
 
@@ -2007,7 +2044,13 @@ def _apply_cut_spans(
 ) -> DataFrame:
     """Shared rebuild tail of remove_repeated_substrings[_incremental]:
     drop every token inside a cut span, emit (id, n_tokens, n_kept,
-    clean_md5[, clean_text]) for EVERY input doc."""
+    clean_md5[, clean_text]) for EVERY input doc.
+
+    Staged projections (round 13): the span-masking filter is O(tokens ×
+    spans) per doc — projecting ``_kept`` (and ``_clean``) once and
+    deriving size/md5/text from the column references keeps it at ONE
+    evaluation per row instead of one per consuming expression (the
+    multi-referenced aliases are retained by CollapseProject)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "end")).alias("_spans")
     )
@@ -2015,24 +2058,43 @@ def _apply_cut_spans(
     empty = F.array().cast("array<struct<start:int,end:int>>")
     sp = F.coalesce(F.col("_spans"), empty)
     indexed = F.transform(
-        toks, lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i"))
+        F.col("_toks"),
+        lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")),
     )
+    # reads the pre-projected _toks/_spans columns of s1's first select
     kept = F.filter(
         indexed,
         lambda s: ~F.exists(
-            sp, lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"])
+            F.col("_spans"),
+            lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"]),
         ),
     )
-    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    s1 = (
+        df.join(per_doc, id_col, "left")
+        .select(F.col(id_col), toks.alias("_toks"), sp.alias("_spans"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            kept.alias("_kept"),
+        )
+    )
+    s2 = s1.select(
+        F.col(id_col),
+        "n_tokens",
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["t"]), " "
+        ).alias("_clean"),
+    )
     cols = [
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.md5(clean).alias("clean_md5"),
+        F.col("n_tokens"),
+        F.col("n_kept"),
+        F.md5(F.col("_clean")).alias("clean_md5"),
     ]
     if with_text:
-        cols.append(clean.alias("clean_text"))
-    return df.join(per_doc, id_col, "left").select(*cols)
+        cols.append(F.col("_clean").alias("clean_text"))
+    return s2.select(*cols)
 
 
 def remove_repeated_substrings_incremental(

@@ -448,7 +448,7 @@ GOPHER_RULE_BITS = (
 )
 
 
-def structure_repetition_cols(text_col: str = "text") -> list:
+def structure_repetition_cols(text_col: str = "text", toks=None) -> list:
     """Gopher §A1.1 structural-repetition signals (round 8): duplicate
     LINE/PARAGRAPH fractions (by count and by character mass) and the
     character share of the most frequent word 2-/3-gram. Boilerplate,
@@ -462,8 +462,13 @@ def structure_repetition_cols(text_col: str = "text") -> list:
     ``top_Ngram_char_frac`` is count(modal gram) · len(gram) / doc chars.
     All pure array expressions over one projection — no shuffle, no
     Python; NULL/empty text yields 0.0 everywhere (no signal, no fail).
-    The modal-gram scan is O(|grams|·|distinct|) per row, same bound as
-    repetition_cols' top_token_share."""
+
+    ``toks`` takes a PRE-PROJECTED token-array column (round 13): the
+    modal-gram builder reads the token array inside a higher-order-
+    function lambda, and any non-trivial expression there is re-evaluated
+    PER ARRAY ELEMENT (the interpreted HOF path has no subexpression
+    caching) — with the default inline tokens() split that made the
+    signal O(tokens²) per document. See repetition_cols."""
     txt = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
@@ -496,17 +501,23 @@ def structure_repetition_cols(text_col: str = "text") -> list:
             .otherwise(F.lit(0.0))
         )
 
-    toks = tokens(txt)
+    if toks is None:
+        toks = tokens(txt)
     n_chars = F.length(txt)
 
     def top_gram_char_frac(n: int):
+        # zipped shifted slices, not element_at(toks, i+j) in the lambda
+        # — substitution-robust linearity (see repetition_cols' grams)
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                F.arrays_zip(
+                    *[
+                        F.slice(toks, j + 1, F.size(toks) - (n - 1))
+                        for j in range(n)
+                    ]
                 ),
+                lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
             ),
         ).otherwise(F.array().cast("array<string>"))
         # modal cover = max over distinct grams of count·len. A naive
@@ -618,13 +629,17 @@ def gopher_rule_mask(
     return mask
 
 
-def gopher_cols(text_col: str = "text") -> list:
+def gopher_cols(text_col: str = "text", toks=None) -> list:
     """The two Gopher signals not already on the shared panel factories:
     fraction of tokens containing a letter, and the integer EN-stopword
-    occurrence count (quality_cols only exposes the ratio)."""
+    occurrence count (quality_cols only exposes the ratio). ``toks``
+    takes a pre-projected token-array column (see repetition_cols);
+    the lowercased stopword split stays inline — its lambda reads only
+    the lambda variable, so the split evaluates once per row."""
     from spark_iforest_spark.functions import EN_STOPWORDS
 
-    toks = tokens(F.col(text_col))
+    if toks is None:
+        toks = tokens(F.col(text_col))
     low = tokens(F.lower(F.col(text_col)))
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     return [
@@ -658,8 +673,21 @@ def gopher_filter(
     driver's DuckDB oracle in the text_signals gate."""
     from spark_iforest_spark.operators.text import token_stat_cols
 
-    ts = token_stat_cols(text_col)  # n_chars, n_tokens, avg_token_len, n_subwords
-    rep = repetition_cols(text_col)  # n_tokens, dup_token_frac, top_token_share, ...
+    # project the whitespace split ONCE; the signal factories read it as
+    # a cheap column reference inside their HOF lambdas (round 13 — the
+    # inline split re-evaluated per array element made the battery
+    # O(tokens²) per doc; see repetition_cols). Catalyst keeps the
+    # projection (multi-referenced non-cheap expressions are not
+    # re-inlined by CollapseProject), so this is still one scan.
+    pre = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols if c != text_col],
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    _t = F.col("_toks")
+    ts = token_stat_cols(text_col, toks=_t)  # n_chars, n_tokens, avg_token_len, ...
+    rep = repetition_cols(text_col, toks=_t)  # n_tokens, dup_token_frac, ...
     n_chars = F.length(text_col)
     symbol_ratio = F.round(
         (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
@@ -667,10 +695,11 @@ def gopher_filter(
         6,
     ).alias("symbol_ratio")
     cols = [
-        ts[1], ts[2], symbol_ratio, *gopher_cols(text_col), rep[1], rep[2],
-        *structure_repetition_cols(text_col),
+        ts[1], ts[2], symbol_ratio, *gopher_cols(text_col, toks=_t),
+        rep[1], rep[2],
+        *structure_repetition_cols(text_col, toks=_t),
     ]
-    base = docs.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
+    base = pre.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
     mask = gopher_rule_mask(
         F.col("n_tokens"),
         F.col("avg_token_len"),
@@ -702,29 +731,66 @@ def repetition_stats(
     * ``top_token_share`` — frequency of the modal token / |tokens|.
     * ``dup_bigram_frac`` — 1 − |distinct bigrams| / |bigrams|.
 
-    All array expressions over the token list; the modal count is
-    O(|tokens|·|distinct|) per row, fine for documents (≤ a few k tokens) and
-    still embarrassingly parallel at corpus scale. No shuffle.
+    All array expressions over one pre-projected token split; the modal
+    count is an O(n log n) sort + run-length fold (round 13 — see
+    repetition_cols). Embarrassingly parallel at corpus scale; no shuffle.
     """
-    return docs.select(F.col(id_col), *repetition_cols(text_col))
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), *repetition_cols(text_col, toks=F.col("_toks")))
 
 
-def repetition_cols(text_col: str = "text") -> list:
+def repetition_cols(text_col: str = "text", toks=None) -> list:
     """Aliased repetition-signal expressions (shared by repetition_stats
-    and text.signals_panel)."""
-    toks = tokens(F.col(text_col))
+    and text.signals_panel).
+
+    ``toks`` takes a PRE-PROJECTED token-array column (round 13). Two
+    per-doc superlinearities lived here, invisible on the ~60-token
+    synthetic micro-docs but ruinous at realistic 500-5000-token
+    documents: (1) expressions referenced inside higher-order-function
+    lambdas are re-evaluated per array element (the interpreted HOF path
+    has no subexpression caching), so the default inline tokens() split
+    cost O(tokens) REGEX SPLITS per row wherever the lambda read it —
+    callers on a hot path should project the split once and pass the
+    column; (2) the modal-token count was a distinct×filter scan,
+    O(tokens²) even over a cheap column reference — replaced by the same
+    O(n log n) sort + run-length fold the modal-gram signal uses
+    (structure_repetition_cols), value-identical: equal tokens are
+    adjacent after the sort, so the longest run IS the modal count."""
+    if toks is None:
+        toks = tokens(F.col(text_col))
     n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    top = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda a: F.when(a["best"] > 0, a["best"]),
     )
+    # arrays_zip of two shifted slices, NOT element_at(toks, i) inside
+    # the lambda: a lambda that reads the token array re-evaluates it per
+    # element wherever an optimizer rule has substituted the projection
+    # away (predicate pushdown inlines filter aliases unconditionally —
+    # a downstream .where() on these signals restored the O(tokens²)
+    # split; round 13). Zip inputs are evaluated once per row always.
     grams = F.when(
         n >= 2,
         F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1)),
+            lambda s: F.concat_ws(" ", s["0"], s["1"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     ng = F.size(grams)
@@ -762,11 +828,15 @@ def decontaminate(
     decontamination).
     """
     def sh(df: DataFrame) -> DataFrame:
+        # tokens projected first — word_shingles reads the array inside
+        # a HOF lambda (round 13; see repetition_cols)
         return df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
             F.col(id_col),
             F.explode(
                 F.transform(
-                    word_shingles(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+                    word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
                 )
             ).alias("sh"),
         )

@@ -346,11 +346,17 @@ def recurate_with_diff(
             .groupBy("line_md5")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
-        line_index_b = snapshot(
-            state.line_index.join(
-                bcast(aff_h), "line_md5", "left_anti"
-            ).unionByName(patched_counts)
-        )
+        # LAZY on purpose (round 13): the patched index is CORPUS-sized
+        # — an eager/lazy checkpoint here materialized the whole relation
+        # once per re-curation even at 2% churn (the A/B's wall-clock
+        # inversion). Left lazy, every consumer is anti-join(scan) +
+        # union(churn-sized snapshot): the rebuild probes' digest
+        # semi-joins push through the Union into the state's parquet
+        # scan, and the final save streams scan→write. Nothing
+        # corpus-sized is ever pinned to executor memory/disk.
+        line_index_b = state.line_index.join(
+            bcast(aff_h), "line_md5", "left_anti"
+        ).unionByName(patched_counts)
         line_detail_b = _anti(old_ld, r_ids).unionByName(add_ld)
         # flipped digests: boilerplate status (n >= min_docs) changed
         oldc = state.line_index.join(bcast(aff_h), "line_md5", "left_semi")
@@ -423,10 +429,10 @@ def recurate_with_diff(
                 F.lit(int(window)).alias("window"),
             )
         )
-        substr_index_b = snapshot(
-            state.substr_index.join(bcast(w_aff), "h", "left_anti")
-            .unionByName(patched_idx)
-        )
+        # corpus-sized — lazy for the same reason as line_index_b
+        substr_index_b = state.substr_index.join(
+            bcast(w_aff), "h", "left_anti"
+        ).unionByName(patched_idx)
         substr_detail_b = _anti(old_sd, retract1).unionByName(new_wins)
         # flips: dup status (n >= 2) or — both sides still duplicated —
         # the keep-first keeper moved (old and new keeper docs flip)
@@ -516,19 +522,21 @@ def recurate_with_diff(
         sh_new = snapshot(
             _shingle_index(nin_new, id_col, text_col, n=p["jaccard_n"])
         )
-        shingle_b = snapshot(
-            state.shingle_index.join(
-                bcast(rm_ids.select(F.col(id_col).alias("did"))),
-                "did",
-                "left_anti",
-            ).unionByName(sh_new)
+        # corpus-sized — lazy (see line_index_b); the pair probes that
+        # read it (_jaccard_pairs_vs_index's shared-shingle semi-join,
+        # the touched-member join) cut it to bounded key sets first, so
+        # each consumption is a filtered scan, not a checkpointed copy
+        shingle_b = state.shingle_index.join(
+            bcast(rm_ids.select(F.col(id_col).alias("did"))),
+            "did",
+            "left_anti",
+        ).unionByName(sh_new)
+        q_new = snapshot(
+            quality_score(nin_new, id_col, text_col).select(
+                F.col(id_col), "quality"
+            )
         )
-        q_new = quality_score(nin_new, id_col, text_col).select(
-            F.col(id_col), "quality"
-        )
-        quality_b = snapshot(
-            _anti(state.quality, rm_ids).unionByName(q_new)
-        )
+        quality_b = _anti(state.quality, rm_ids).unionByName(q_new)
         nin_b = _anti(state.nin_digest, rm_ids).unionByName(
             _nin_digest_of(nin_new, id_col, text_col)
         )
@@ -574,11 +582,17 @@ def recurate_with_diff(
             .unionByName(e3.select("doc_a", "doc_b"))
             .distinct()
         )
+        # snapshot_labels=False: labels_rest is an anti-join over the
+        # state's own (stored/materialized) labels — corpus-sized, so
+        # checkpointing it inside would pin a full copy; its three
+        # consumptions are each a cheap filtered re-scan. labels_full
+        # stays lazy for the same reason (its touched half is CC-output-
+        # snapshot-backed; the untouched half is scan + anti-join).
         labels_full, labels_touched = dup_clusters_incremental(
             pairs, labels_rest, id_col=id_col, snapshot_pairs=False,
-            return_touched=True,
+            return_touched=True, snapshot_labels=False,
         )
-        labels_b = snapshot(labels_full)
+        labels_b = labels_full
     else:
         shingle_b = quality_b = labels_b = labels_touched = None
         nin_b = _anti(state.nin_digest, rm_ids).unionByName(

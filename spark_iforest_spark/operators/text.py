@@ -20,10 +20,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 from spark_iforest_spark.functions import EN_STOPWORDS, LANG_STOPWORDS, tokens
 
 
-def token_stat_cols(text_col: str = "text") -> list:
+def token_stat_cols(text_col: str = "text", toks=None) -> list:
     """Aliased per-row token-stat expressions (shared by token_stats and
-    the fused signals_panel — one definition, one hash-pinned semantics)."""
-    toks = tokens(F.col(text_col))
+    the fused signals_panel — one definition, one hash-pinned semantics).
+    ``toks`` takes a pre-projected token-array column (see
+    pipeline.repetition_cols for why hot-path callers should)."""
+    if toks is None:
+        toks = tokens(F.col(text_col))
     return [
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
@@ -43,7 +46,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     [A-Za-z0-9]+-or-single-symbol regex split — a deterministic, cheap
     stand-in for a real tokenizer at corpus-triage time.
     """
-    return docs.select(F.col(id_col), *token_stat_cols(text_col))
+    return docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), *token_stat_cols(text_col, toks=F.col("_toks")))
 
 
 def lang_id(
@@ -183,16 +188,25 @@ def signals_panel(
         structure_repetition_cols,
     )
 
-    rep = repetition_cols(text_col)
+    # the whitespace split is projected ONCE and read as a cheap column
+    # reference by every factory whose lambdas touch it (round 13 — the
+    # inline split was re-evaluated per array element; see
+    # pipeline.repetition_cols). Still one scan: the extra Project holds
+    # a multi-referenced expression CollapseProject won't re-inline.
+    pre = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    _t = F.col("_toks")
+    rep = repetition_cols(text_col, toks=_t)
     n_chars = F.length(text_col)
     symbol_ratio = F.round(
         (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
         / n_chars,
         6,
     ).alias("symbol_ratio")
-    per_row = docs.select(
+    per_row = pre.select(
         F.col(id_col),
-        *token_stat_cols(text_col),
+        *token_stat_cols(text_col, toks=_t),
         *lang_id_cols(text_col),
         *quality_cols(text_col),
         *fingerprint_cols(text_col),
@@ -202,10 +216,10 @@ def signals_panel(
         # derived from THIS panel's columns via the shared combinator —
         # equal to pipeline.gopher_filter by construction (pytest-pinned)
         symbol_ratio,
-        *gopher_cols(text_col),
+        *gopher_cols(text_col, toks=_t),
         # structural repetition (round 8): line/paragraph dup fractions +
         # modal-gram char shares, feeding the four new mask rules
-        *structure_repetition_cols(text_col),
+        *structure_repetition_cols(text_col, toks=_t),
     )
     mask = gopher_rule_mask(
         F.col("n_tokens"),

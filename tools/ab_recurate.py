@@ -20,6 +20,17 @@ materialization of every artifact. Usage:
 mod == 3/5/7/11, i.e. ~4/mod of ids touched (mod=17 is the gate's ~23%;
 mod=171 is a ~2.3% incremental-churn shape). Prints one JSON line:
 build/recurate/scratch wall seconds + doc counts.
+
+``fat`` (argv[3], default 8) sets realistic per-doc text volume (round
+13): the raw synthetic docs are ~300 chars — micro-docs whose text
+processing is nearly free, which hid the work re-curation AVOIDS and
+made the full rebuild look artificially cheap (round-12 verdict). Each
+doc becomes ``fat`` copies of its reshaped lines, where every 4th line
+stays verbatim (cross-doc shared boilerplate for the line/substr
+stages) and the rest get a doc-and-copy-unique salt token (so the
+line/substr/shingle indexes scale with corpus BYTES, like real unique
+text, instead of staying micro-doc-sized). fat=8 ≈ 2.4 KB/doc — a
+realistic web-document size. fat=1 reproduces the old micro-doc shape.
 """
 
 import json
@@ -39,6 +50,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     mod = int(sys.argv[2]) if len(sys.argv) > 2 else 17
+    fat = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -53,8 +65,40 @@ def main() -> None:
     from spark_iforest_spark.functions import reshape_lines
     from spark_iforest_spark.operators import corpus, recurate
 
+    reshaped = reshape_lines("text", 8)
+    if fat > 1:
+        lines = F.split(reshaped, "\n")
+
+        def one_copy(i):
+            # every 4th line verbatim (cross-doc boilerplate); the rest
+            # salted with a doc-and-copy-unique token so the text — and
+            # therefore the line/substr/shingle indexes — scales with
+            # corpus bytes like real unique content
+            return F.concat_ws(
+                "\n",
+                F.transform(
+                    lines,
+                    lambda l, j: F.when(j % 4 == 0, l).otherwise(
+                        F.concat(
+                            l,
+                            F.lit(" u"),
+                            (
+                                F.col("doc_id") * 10000
+                                + F.lit(i) * 100
+                                + j
+                            ).cast("string"),
+                        )
+                    ),
+                ),
+            )
+
+        text_expr = F.concat_ws(
+            "\n", F.array(*[one_copy(i) for i in range(fat)])
+        )
+    else:
+        text_expr = reshaped
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", reshape_lines("text", 8).alias("text")
+        "doc_id", text_expr.alias("text")
     )
     a = docs
     b = (
@@ -134,6 +178,7 @@ def main() -> None:
         print(json.dumps({
             "sf_dir": sf_dir,
             "mod": mod,
+            "fat": fat,
             "n_docs_a": a.count(),
             "n_docs_b": b.count(),
             "build_a_sec": round(build_a, 2),
