@@ -1005,6 +1005,35 @@ def pretrain_curate_incremental(
     )[-1][1]
 
 
+def ccnet_stage_stats(docs: DataFrame, state: CurationState) -> DataFrame:
+    """(band, n, sum_nll_micros) of ``docs``' ccnet-stage input (their
+    non-empty + gopher survivors under the state's recipe) scored
+    against the state's FROZEN (lm, cutpoints) — the per-batch drift
+    signal of the drift-cutpoint contract (round 13). Written per
+    ingested batch (``streaming.curate_stream(ccnet_stats_dir=...)``)
+    and folded by ``streaming.ccnet_drift_report`` against a baseline
+    recorded at calibration time; the alarm's recovery is
+    :func:`~spark_iforest_spark.operators.recurate.recalibrate_ccnet`.
+    Cost: one extra scoring pass over the BATCH (batch-proportional,
+    never corpus-sized); O(#bands) output rows."""
+    from spark_iforest_spark.operators.recurate import _pre_ccnet_survivors
+    from spark_iforest_spark.operators.text import ccnet_band_stats
+
+    p = state.params
+    if not p["has_ccnet"]:
+        raise ValueError(
+            "ccnet_stage_stats: the state has no ccnet stage "
+            "(curation_state was built without a reference corpus)."
+        )
+    return ccnet_band_stats(
+        _pre_ccnet_survivors(docs, state),
+        state.lm,
+        state.cutpoints,
+        id_col=p["id_col"],
+        text_col=p["text_col"],
+    )
+
+
 def pretrain_funnel_incremental(
     batch: DataFrame,
     state: CurationState,

@@ -66,13 +66,14 @@ from spark_iforest_spark.operators.corpus import (
 )
 
 
-def _row_stage_survivors(docs: DataFrame, state: CurationState) -> DataFrame:
-    """The chain's per-row prefix — non-empty filter, gopher battery,
-    frozen-calibration ccnet — recomputable for any doc at any time
-    (deterministic given text + the frozen artifacts). Returns
-    (id, text) with ORIGINAL text, the line stage's input rows."""
+def _pre_ccnet_survivors(docs: DataFrame, state: CurationState) -> DataFrame:
+    """The chain's per-row prefix UP TO (excluding) the ccnet stage —
+    non-empty filter + gopher battery under the state's recipe: the
+    ccnet stage's input rows, i.e. exactly the relation the calibration
+    quantiles are computed over (shared by recalibrate_ccnet and
+    corpus.ccnet_stage_stats so the drift/recalibration surface scores
+    the same population the original calibration did)."""
     from spark_iforest_spark.operators.pipeline import gopher_filter
-    from spark_iforest_spark.operators.text import ccnet_apply
 
     p = state.params
     id_col, text_col = p["id_col"], p["text_col"]
@@ -88,6 +89,19 @@ def _row_stage_survivors(docs: DataFrame, state: CurationState) -> DataFrame:
             .where("gopher_keep")
             .select(id_col, text_col)
         )
+    return cur
+
+
+def _row_stage_survivors(docs: DataFrame, state: CurationState) -> DataFrame:
+    """The chain's per-row prefix — non-empty filter, gopher battery,
+    frozen-calibration ccnet — recomputable for any doc at any time
+    (deterministic given text + the frozen artifacts). Returns
+    (id, text) with ORIGINAL text, the line stage's input rows."""
+    from spark_iforest_spark.operators.text import ccnet_apply
+
+    p = state.params
+    id_col, text_col = p["id_col"], p["text_col"]
+    cur = _pre_ccnet_survivors(docs, state)
     if p["has_ccnet"]:
         kept = ccnet_apply(
             cur, state.lm, state.cutpoints, id_col=id_col, text_col=text_col,
@@ -690,3 +704,112 @@ def recurate_with_diff(
         )
         delta["labels"] = labels_touched
     return changes, new_state, delta
+
+
+def recalibrate_ccnet(
+    new_docs: DataFrame,
+    state: CurationState,
+    fractions: tuple = (0.333333, 0.666667),
+    rel_err: float = 0.0,
+    broadcast_affected: bool = True,
+    with_delta: bool = False,
+) -> tuple:
+    """Close the drift-cutpoint contract (round 13): refit the ccnet
+    BANDING CUTPOINTS on the current snapshot and cascade exactly the
+    keep-decision flips through the curation state — the recovery the
+    ``streaming.ccnet_drift_report`` alarm names, mirroring the ANN
+    loop's ``requantize_ann_index``.
+
+    The frozen half of CCNet is (lm, cutpoints). The LM is fit on the
+    TRUSTED REFERENCE corpus — corpus drift does not invalidate it (a
+    new reference is a new ``curation_state`` decision). The cutpoints,
+    however, are corpus-fraction quantiles of the CURATED CORPUS's
+    scores: as churn accumulates, the frozen terciles band a population
+    they were not computed on, and the keep fraction silently migrates.
+    Recalibration recomputes ``perplexity_cutpoints`` over the current
+    snapshot's ccnet-stage input (non-empty + gopher survivors — the
+    same population the original calibration quantiled, via the shared
+    ``_pre_ccnet_survivors`` prefix), then treats exactly the docs whose
+    KEEP DECISION flipped under the new cutpoints as a ``changed`` diff
+    for :func:`recurate_with_diff` — the state comes out equal to
+    ``curation_state(new_docs, reference)`` built from scratch (which
+    would compute these same cutpoints), pytest-pinned INCLUDING the
+    ccnet stage, without re-processing any unflipped doc.
+
+    Returns ``(changes, new_state, report)`` — ``changes``/``new_state``
+    as :func:`recurate_with_diff` (plus ``delta`` before ``report`` when
+    ``with_delta=True``); ``report`` = ``{"old_cutpoints",
+    "new_cutpoints", "n_flips"}``. NOTE a recalibrated state must be
+    persisted as a FULL save (``save_curation_state``), not a delta on
+    the old chain — ``load_curation_state`` rejects chains that mix
+    cutpoints, by design.
+
+    Scale shape: one scoring pass over the snapshot's gopher survivors
+    (two vocabulary-keyed broadcast joins + the quantile sketch job —
+    the same cost calibration paid), then a flip-fan-out-sized
+    re-curation; nothing corpus-sized is materialized (the scored
+    relation is snapshotted once, band flips are a codegen CASE over
+    it)."""
+    from spark_iforest_spark.operators.text import (
+        lm_perplexity,
+        perplexity_cutpoints,
+    )
+
+    p = state.params
+    if not p["has_ccnet"]:
+        raise ValueError(
+            "recalibrate_ccnet: the state has no ccnet stage "
+            "(curation_state was built without a reference corpus)."
+        )
+    id_col = p["id_col"]
+    text_col = p["text_col"]
+    cur = _pre_ccnet_survivors(new_docs, state)
+    scored = snapshot(
+        lm_perplexity(cur, state.lm, id_col=id_col, text_col=text_col)
+    )
+    new_cuts = perplexity_cutpoints(scored, fractions, rel_err=rel_err)
+    keep = [int(b) for b in p["ccnet_keep_bands"]]
+
+    def _keep(cuts):
+        c1, c2 = int(cuts[0]), int(cuts[1])
+        band = (
+            F.when(F.col("avg_nll_micros") <= c1, 1)
+            .when(F.col("avg_nll_micros") <= c2, 2)
+            .otherwise(3)
+        )
+        return band.isin(keep)
+
+    flips = snapshot(
+        scored.where(_keep(state.cutpoints) != _keep(new_cuts)).select(id_col)
+    )
+    recal_state = CurationState(
+        ids=state.ids,
+        lm=state.lm,
+        cutpoints=new_cuts,
+        line_index=state.line_index,
+        substr_index=state.substr_index,
+        shingle_index=state.shingle_index,
+        labels=state.labels,
+        quality=state.quality,
+        params=p,
+        line_detail=state.line_detail,
+        substr_detail=state.substr_detail,
+        nin_digest=state.nin_digest,
+    )
+    diff = flips.select(
+        F.col(id_col), F.lit("changed").alias("change")
+    )
+    out = recurate_with_diff(
+        new_docs, diff, recal_state,
+        # the diff is derived from this state's own snapshot ids by
+        # construction — skip the two consistency probe jobs
+        assume_consistent_diff=True,
+        broadcast_affected=broadcast_affected,
+        with_delta=with_delta,
+    )
+    report = {
+        "old_cutpoints": list(state.cutpoints),
+        "new_cutpoints": list(new_cuts),
+        "n_flips": flips.count(),
+    }
+    return (*out, report)

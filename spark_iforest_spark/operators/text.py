@@ -1029,6 +1029,35 @@ def ccnet_apply(
     return banded.where(F.col("band").isin(list(keep_bands)))
 
 
+def ccnet_band_stats(
+    docs: DataFrame,
+    lm: DataFrame,
+    cutpoints: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(band, n, sum_nll_micros) of ``docs`` scored against a FROZEN
+    (lm, cutpoints) calibration — the freshness surface the drift-
+    cutpoint contract needs (round 13, mirroring the ANN loop's
+    ``ann_baseline_stats``): computed once over the calibration corpus
+    it is the BASELINE; computed per ingested batch it is the drift
+    signal ``streaming.ccnet_drift_report`` folds. O(#bands) output from
+    one scoring pass (two vocabulary-keyed broadcast joins + one
+    map-side-combined aggregate) — no corpus state, no quantile job.
+    The recovery on alarm is :func:`~spark_iforest_spark.operators.
+    recurate.recalibrate_ccnet`."""
+    scored = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col, alpha=alpha)
+    return (
+        perplexity_bands(scored, cutpoints)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("avg_nll_micros").cast("long").alias("sum_nll_micros"),
+        )
+    )
+
+
 def ccnet_filter(
     docs: DataFrame,
     reference: DataFrame,

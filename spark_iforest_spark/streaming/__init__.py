@@ -1261,41 +1261,104 @@ def ann_drift_report(
     is True when either signal crosses its threshold; the documented
     recovery is :func:`requantize_ann_index` with freshly fit centers.
     One tiny aggregate job over O(#cells × #batches) rows."""
+    psi, ratio, n_cur = _fold_drift_stats(
+        spark, stats_dir, baseline, "cell", "sum_d2", last_batches,
+        "ann_drift_report",
+    )
+    return {
+        "cell_psi": round(psi, 6),
+        "mean_d2_ratio": round(ratio, 6),
+        "n_vectors": int(n_cur),
+        "alarm": bool(psi >= psi_alarm or ratio >= d2_ratio_alarm),
+    }
+
+
+def _fold_drift_stats(
+    spark: SparkSession,
+    stats_dir: str,
+    baseline: DataFrame,
+    key_col: str,
+    sum_col: str,
+    last_batches: int | None,
+    who: str,
+) -> tuple:
+    """Shared (PSI, mean-ratio, n) fold behind the freshness reports —
+    per-key assignment-share population stability + ingested-vs-baseline
+    per-unit mean of ``sum_col`` — over a parts directory of
+    (batch_version, key, n, sum) aggregates (ann_drift_report's cells,
+    ccnet_drift_report's bands). Driver-side math over O(#keys) rows."""
     import math
 
     from spark_iforest_spark import parts_store
 
     ids = parts_store.part_ids(spark, stats_dir, "b")
     if not ids:
-        raise ValueError(f"ann_drift_report: no stats parts under {stats_dir}")
+        raise ValueError(f"{who}: no stats parts under {stats_dir}")
     if last_batches is not None:
         ids = ids[-int(last_batches):]
     cur = (
         spark.read.parquet(*[f"{stats_dir}/b{i}" for i in ids])
-        .groupBy("cell")
-        .agg(F.sum("n").alias("n"), F.sum("sum_d2").alias("sum_d2"))
+        .groupBy(key_col)
+        .agg(F.sum("n").alias("n"), F.sum(sum_col).alias(sum_col))
     )
-    base_rows = {r["cell"]: r for r in baseline.collect()}
-    cur_rows = {r["cell"]: r for r in cur.collect()}
+    base_rows = {r[key_col]: r for r in baseline.collect()}
+    cur_rows = {r[key_col]: r for r in cur.collect()}
     n_base = sum(r["n"] for r in base_rows.values())
     n_cur = sum(r["n"] for r in cur_rows.values())
     if n_base == 0 or n_cur == 0:
-        raise ValueError("ann_drift_report: empty baseline or ingested stats")
+        raise ValueError(f"{who}: empty baseline or ingested stats")
     eps = 1e-6
     psi = 0.0
-    for cell in set(base_rows) | set(cur_rows):
-        p = (base_rows[cell]["n"] / n_base) if cell in base_rows else 0.0
-        q = (cur_rows[cell]["n"] / n_cur) if cell in cur_rows else 0.0
+    for k in set(base_rows) | set(cur_rows):
+        p = (base_rows[k]["n"] / n_base) if k in base_rows else 0.0
+        q = (cur_rows[k]["n"] / n_cur) if k in cur_rows else 0.0
         p, q = max(p, eps), max(q, eps)
         psi += (q - p) * math.log(q / p)
-    base_d2 = sum(r["sum_d2"] for r in base_rows.values()) / n_base
-    cur_d2 = sum(r["sum_d2"] for r in cur_rows.values()) / n_cur
-    ratio = cur_d2 / max(base_d2, 1e-12)
+    base_mean = sum(r[sum_col] for r in base_rows.values()) / n_base
+    cur_mean = sum(r[sum_col] for r in cur_rows.values()) / n_cur
+    ratio = cur_mean / max(base_mean, 1e-12)
+    return psi, ratio, n_cur
+
+
+def ccnet_drift_report(
+    spark: SparkSession,
+    stats_dir: str,
+    baseline: DataFrame,
+    last_batches: int | None = None,
+    psi_alarm: float = 0.25,
+    nll_ratio_alarm: float = 1.2,
+) -> dict:
+    """Freshness verdict for a FROZEN ccnet calibration — the
+    drift-cutpoint contract's monitor (round 13), the exact twin of
+    :func:`ann_drift_report` over band stats instead of cell stats:
+    folds the ingested batches' (band, n, sum_nll_micros) parts
+    (``curate_stream(ccnet_stats_dir=...)`` /
+    ``corpus.ccnet_stage_stats``) against the calibration-time baseline
+    (``text.ccnet_band_stats`` over the calibration corpus).
+
+    Two complementary signals, both from stats already on disk:
+
+    * ``band_psi`` — population stability of the head/middle/tail band
+      SHARES. The cutpoints were corpus-fraction terciles; ingested
+      batches banding in different proportions is exactly the keep-rate
+      migration a frozen calibration suffers under corpus drift.
+    * ``mean_nll_ratio`` — ingested mean per-doc avg-NLL over the
+      baseline's. Catches drift ORTHOGONAL to banding (scores rising
+      uniformly move the mean before the shares).
+
+    ``alarm`` → recalibrate with :func:`~spark_iforest_spark.operators.
+    recurate.recalibrate_ccnet` and record a fresh baseline (stats
+    written before a recalibration score in the OLD band space — fence
+    or archive them, same caveat as requantize_ann_index's stats)."""
+    psi, ratio, n_cur = _fold_drift_stats(
+        spark, stats_dir, baseline, "band", "sum_nll_micros", last_batches,
+        "ccnet_drift_report",
+    )
     return {
-        "cell_psi": round(psi, 6),
-        "mean_d2_ratio": round(ratio, 6),
-        "n_vectors": int(n_cur),
-        "alarm": bool(psi >= psi_alarm or ratio >= d2_ratio_alarm),
+        "band_psi": round(psi, 6),
+        "mean_nll_ratio": round(ratio, 6),
+        "n_docs": int(n_cur),
+        "alarm": bool(psi >= psi_alarm or ratio >= nll_ratio_alarm),
     }
 
 
@@ -1579,6 +1642,7 @@ def curate_batch_version(
     assume_disjoint_ids: bool = False,
     funnel_dir: str | None = None,
     state_layout: str = "full",
+    ccnet_stats_dir: str | None = None,
 ) -> None:
     """One ``curate_stream`` step: read the latest persisted CurationState
     version AT OR BELOW ``batch_id``, run the frozen-calibration 6-stage
@@ -1626,6 +1690,15 @@ def curate_batch_version(
             "starting the stream"
         )
     state = corpus.load_curation_state(spark, f"{state_dir}/v{parents[-1]}")
+    if ccnet_stats_dir is not None:
+        # drift-cutpoint monitoring (round 13): the batch's band stats
+        # under the frozen calibration — one batch-proportional scoring
+        # pass, O(#bands) rows; a retried batch id overwrites its own
+        # part (same idempotence as the ann stats sink)
+        corpus.ccnet_stage_stats(batch_df, state).select(
+            F.lit(batch_id).alias("batch_version"), "band", "n",
+            "sum_nll_micros",
+        ).write.mode("overwrite").parquet(f"{ccnet_stats_dir}/b{batch_id}")
     if state_layout == "delta":
         curated, funnel, delta = corpus.curate_and_state_delta(
             batch_df,
@@ -1671,6 +1744,7 @@ def curate_stream(
     state_layout: str = "full",
     compact_every: int | None = None,
     checkpoint_dir: str | None = None,
+    ccnet_stats_dir: str | None = None,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -1717,6 +1791,15 @@ def curate_stream(
     after its successor version was compacted reads the same logical
     parent (the compacted version is content-identical) and overwrites
     its own version as usual.
+
+    ``ccnet_stats_dir`` (round 13 — the drift-cutpoint contract): for
+    states with a ccnet stage, each batch also writes its per-band
+    calibration stats — (batch_version, band, n, sum_nll_micros), the
+    batch's ccnet-stage input scored against the FROZEN (lm, cutpoints)
+    — to ``ccnet_stats_dir/b{batch_id}``. Feed
+    :func:`ccnet_drift_report` with a calibration-time baseline
+    (``text.ccnet_band_stats``); the alarm's recovery is
+    ``operators.recurate.recalibrate_ccnet``.
     """
     if keep_versions is not None and keep_versions < 2:
         raise ValueError(
@@ -1752,6 +1835,7 @@ def curate_stream(
             assume_disjoint_ids=assume_disjoint_ids,
             funnel_dir=funnel_dir,
             state_layout=state_layout,
+            ccnet_stats_dir=ccnet_stats_dir,
         )
         if keep_versions is not None:
             prune_versions(spark, state_dir, keep=keep_versions)

@@ -197,3 +197,161 @@ def test_requantize_fences_pre_requantize_stats(spark, tmpdir):
     ).write.parquet(f"{stats}/b2")
     rep = S.ann_drift_report(spark, stats, new_baseline)
     assert not rep["alarm"], rep
+
+
+# ---------------------------------------------------------------------------
+# 4. drift-cutpoint contract: monitor + recalibration (round-13 directive 2)
+# ---------------------------------------------------------------------------
+
+
+_CCNET_KW = dict(
+    gopher=False, line_min_docs=2, substr_window=None, neardup=True,
+    retractable=True,
+)
+
+_STATE_RELS = (
+    "ids", "line_index", "substr_index", "shingle_index", "labels",
+    "quality", "nin_digest", "line_detail", "substr_detail",
+)
+
+
+def _assert_states_equal(got, want):
+    for name in _STATE_RELS:
+        ga, wa = getattr(got, name), getattr(want, name)
+        assert (ga is None) == (wa is None), f"{name}: presence differs"
+        if ga is not None:
+            assert _rows(ga) == _rows(wa), f"{name}: rows differ"
+    assert _rows(corpus.curated_digests(got)) == _rows(
+        corpus.curated_digests(want)
+    )
+
+
+def _plain_rows(n0, k):
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    return [(n0 + i, f"{base} tail {n0 + i}\nshared nav line here") for i in range(k)]
+
+
+def _junk_rows(n0, k):
+    return [
+        (n0 + i, f"zzq{i} qqzx vvkw jjqz xxqv wwzk kkvq zzjx qvw{i} zkq")
+        for i in range(k)
+    ]
+
+
+def test_recalibrate_ccnet_equals_from_scratch(spark):
+    """The drift-cutpoint recovery: after churn under the FROZEN
+    calibration, recalibrate_ccnet refits the cutpoints on the current
+    snapshot and cascades exactly the keep-decision flips — the result
+    equals curation_state built from scratch over the same snapshot and
+    reference, INCLUDING the ccnet stage (the half the recurate oracle
+    deliberately froze)."""
+    from spark_iforest_spark.operators import recurate
+
+    ref = _docs(spark, _plain_rows(1000, 6))
+    a = _docs(spark, _plain_rows(0, 8))
+    state_a = corpus.materialize_curation_state(
+        corpus.curation_state(a, reference=ref, **_CCNET_KW)
+    )
+    # churn: drop one, change one, add three junk docs that shift the
+    # score terciles enough to move the cutpoints
+    b_rows = (
+        [r for r in _plain_rows(0, 8) if r[0] not in (3, 7)]
+        + [(7, _plain_rows(0, 8)[7][1] + " changed marker")]
+        + _junk_rows(100, 3)
+    )
+    b = _docs(spark, b_rows)
+    _, st_b = recurate.recurate_with_diff(b, corpus.corpus_diff(a, b), state_a)
+    st_b = corpus.materialize_curation_state(st_b)
+
+    _, st_b2, rep = recurate.recalibrate_ccnet(b, st_b)
+    want = corpus.materialize_curation_state(
+        corpus.curation_state(b, reference=ref, **_CCNET_KW)
+    )
+    assert rep["new_cutpoints"] == want.cutpoints
+    assert rep["new_cutpoints"] != rep["old_cutpoints"]
+    assert rep["n_flips"] >= 1  # the cascade actually exercised
+    _assert_states_equal(corpus.materialize_curation_state(st_b2), want)
+
+
+def test_recalibrate_ccnet_no_drift_is_identity(spark):
+    from spark_iforest_spark.operators import recurate
+
+    ref = _docs(spark, _plain_rows(1000, 6))
+    a = _docs(spark, _plain_rows(0, 8))
+    state_a = corpus.materialize_curation_state(
+        corpus.curation_state(a, reference=ref, **_CCNET_KW)
+    )
+    _, st2, rep = recurate.recalibrate_ccnet(a, state_a)
+    assert rep["new_cutpoints"] == rep["old_cutpoints"]
+    assert rep["n_flips"] == 0
+    assert _rows(corpus.curated_digests(st2)) == _rows(
+        corpus.curated_digests(state_a)
+    )
+
+
+def test_recalibrate_ccnet_requires_ccnet_state(spark):
+    from spark_iforest_spark.operators import recurate
+
+    a = _docs(spark, _plain_rows(0, 4))
+    st = corpus.curation_state(a, reference=None, **_CCNET_KW)
+    with pytest.raises(ValueError, match="no ccnet stage"):
+        recurate.recalibrate_ccnet(a, st)
+
+
+def test_ccnet_drift_monitor_end_to_end(spark, tmpdir):
+    """The churn-accumulating drift loop through the real streaming sink:
+    curate_stream(ccnet_stats_dir=...) writes per-batch band stats under
+    the frozen calibration; ccnet_drift_report is quiet on
+    calibration-like batches and alarms (band PSI + mean-NLL ratio) on
+    drifted ones."""
+    from spark_iforest_spark.operators import text as T
+
+    ref = _docs(spark, _plain_rows(1000, 6))
+    a = _docs(spark, _plain_rows(0, 10))
+    kw = dict(
+        gopher=False, line_min_docs=2, substr_window=None, neardup=False,
+    )
+    state = corpus.curation_state(a, reference=ref, **kw)
+    sd = str(tmpdir) + "/state"
+    corpus.save_curation_state(state, f"{sd}/v0")
+    state = corpus.load_curation_state(spark, f"{sd}/v0")
+    baseline = corpus.ccnet_stage_stats(a, state)
+    assert {r["band"] for r in baseline.collect()} <= {1, 2, 3}
+
+    src = str(tmpdir) + "/src"
+    out = str(tmpdir) + "/out"
+    stats = str(tmpdir) + "/ccstats"
+    quiet = _docs(spark, _plain_rows(50, 8))
+    quiet.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(quiet.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.curate_stream(
+        stream, sd, out, ccnet_stats_dir=stats,
+        checkpoint_dir=str(tmpdir) + "/ck",
+    ).awaitTermination()
+    n_quiet = len(parts_store.part_ids(spark, stats, "b"))
+    assert n_quiet >= 2
+    rep0 = S.ccnet_drift_report(spark, stats, baseline)
+    assert not rep0["alarm"], rep0
+
+    drift = _docs(spark, _junk_rows(200, 8))
+    drift.repartition(2).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(quiet.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.curate_stream(
+        stream2, sd, out, ccnet_stats_dir=stats,
+        checkpoint_dir=str(tmpdir) + "/ck",
+    ).awaitTermination()
+    n_drift = len(parts_store.part_ids(spark, stats, "b")) - n_quiet
+    assert n_drift >= 1
+    rep1 = S.ccnet_drift_report(
+        spark, stats, baseline, last_batches=n_drift
+    )
+    assert rep1["alarm"], rep1
+    assert rep1["mean_nll_ratio"] > 1.0
