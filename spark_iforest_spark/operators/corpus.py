@@ -1965,6 +1965,56 @@ def compact_curation_state(spark, state_dir: str) -> int:
     return n
 
 
+def prune_curation_history(
+    spark, state_dir: str, keep_full: int = 2
+) -> list[int]:
+    """Retention for a DELTA-layout curation-state directory (round 13 —
+    the in-stream twin of the cadence ``compact_every`` set): delete the
+    chain versions no retry can ever need and return the pruned ids.
+
+    ``streaming.prune_versions`` is correct only for full-rewrite sinks;
+    here a delta version references its whole parent chain back to the
+    nearest FULL save, so the safe retention boundary is a full-save
+    version, not a version count: everything from the ``keep_full``-th
+    newest full save onward is kept (that full save roots every chain a
+    redelivered batch inside the current retry window could read —
+    foreachBatch redelivers at most the in-flight batch, whose parent is
+    at or after the PREVIOUS compaction), and everything strictly older
+    is history. With ``compact_every=K`` this bounds the directory to at
+    most ``keep_full`` full saves plus ~K deltas each, instead of the
+    whole since-start chain (the combined soak's 23.4 MB growth term).
+    ``keep_full`` must be >= 2 while a stream may retry — the newest
+    full save can itself be OVERWRITTEN back to a delta by a redelivered
+    batch (the retry rewrites its own version), whose chain then roots
+    at the previous full save. No-op (returns []) until that many full
+    saves exist."""
+    from spark_iforest_spark import fs
+
+    if keep_full < 2:
+        raise ValueError(
+            "prune_curation_history: keep_full must be >= 2 — a retried "
+            "batch can overwrite the newest full save with a delta whose "
+            "chain roots at the previous one."
+        )
+    versions = sorted(
+        int(c["name"][1:])
+        for c in fs.list_children(spark, state_dir)
+        if c["name"].startswith("v") and c["name"][1:].isdigit()
+    )
+    fulls = [
+        v
+        for v in versions
+        if not fs.load_json(spark, f"{state_dir}/v{v}/state.json").get("delta")
+    ]
+    if len(fulls) < keep_full:
+        return []
+    floor_ = fulls[-keep_full]
+    pruned = [v for v in versions if v < floor_]
+    for v in pruned:
+        fs.delete(spark, f"{state_dir}/v{v}", recursive=True)
+    return pruned
+
+
 def cluster_losers(
     labels: DataFrame, quality: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -296,6 +296,7 @@ def incremental_dedup_ingest(
     layout: str = "versions",
     compact_every: int | None = None,
     checkpoint_dir: str | None = None,
+    keep_versions: int | None = None,
 ):
     """Continuous-ingestion exact dedup: every micro-batch dedups against
     the persisted digest index (``operators.dedup.exact_dedup`` relation)
@@ -334,6 +335,12 @@ def incremental_dedup_ingest(
     id rewrites a directory the read rule ignores (same argument as
     ``curate_stream(compact_every=...)``).
 
+    ``keep_versions`` (versions layout only, round 13 — the in-stream
+    retention the delta layout gets from its compaction GC): prune the
+    directory to the newest N versions after each committed batch
+    (:func:`prune_versions`); >= 2 so the at-least-once retry window's
+    parent stays readable, same rule as ``curate_stream``.
+
     Returns the started StreamingQuery (availableNow-triggered streams
     terminate when the backlog drains; ``awaitTermination`` to block).
     """
@@ -346,6 +353,7 @@ def incremental_dedup_ingest(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError("incremental_dedup_ingest: compact_every must be >= 1")
+    _check_keep_versions(keep_versions, layout, "incremental_dedup_ingest")
     spark = stream_docs.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -359,8 +367,34 @@ def incremental_dedup_ingest(
             merge_index_version(
                 spark, index_dir, batch_df, batch_id, id_col, text_col
             )
+            if keep_versions is not None:
+                prune_versions(spark, index_dir, keep=keep_versions)
 
     return _start_foreach(stream_docs, upsert, checkpoint_dir)
+
+
+def _check_keep_versions(
+    keep_versions: int | None, layout: str, who: str
+) -> None:
+    """Shared guard for the versioned sinks' in-stream retention knob
+    (round 13): >= 2 keeps the at-least-once retry window's parent
+    version alive (``prune_versions``' contract), and delta layouts
+    reject it — their versions reference parents, and the compaction GC
+    is their retention."""
+    if keep_versions is None:
+        return
+    if layout != "versions":
+        raise ValueError(
+            f"{who}: keep_versions is a versions-layout retention knob — "
+            "delta parts are retained/GC'd by their compaction cadence "
+            "(compact_every)."
+        )
+    if keep_versions < 2:
+        raise ValueError(
+            f"{who}: keep_versions must be >= 2 (or None) — a foreachBatch "
+            "retry reads the previous version, and pruning it would fail "
+            "the stream unrecoverably on restart."
+        )
 
 
 def _index_versions(spark: SparkSession, index_dir: str) -> list[int]:
@@ -583,6 +617,7 @@ def ndv_monitor_ingest(
     layout: str = "versions",
     compact_every: int | None = None,
     checkpoint_dir: str | None = None,
+    keep_versions: int | None = None,
 ):
     """Continuous distinct-count monitoring: every micro-batch folds its
     HLL sketches (``relational.ndv_sketch_partial``) into the persisted
@@ -626,6 +661,7 @@ def ndv_monitor_ingest(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError("ndv_monitor_ingest: compact_every must be >= 1")
+    _check_keep_versions(keep_versions, layout, "ndv_monitor_ingest")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -639,6 +675,8 @@ def ndv_monitor_ingest(
             merge_ndv_version(
                 spark, state_dir, batch_df, batch_id, columns, lg_k, series_dir
             )
+            if keep_versions is not None:
+                prune_versions(spark, state_dir, keep=keep_versions)
 
     return _start_foreach(stream_df, fold, checkpoint_dir)
 
@@ -770,6 +808,7 @@ def profile_monitor_ingest(
     layout: str = "versions",
     compact_every: int | None = None,
     checkpoint_dir: str | None = None,
+    keep_versions: int | None = None,
 ):
     """Continuously-maintained table profile: every micro-batch folds its
     ``relational.profile_partial`` rows (count / nulls / min / max /
@@ -812,6 +851,7 @@ def profile_monitor_ingest(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError("profile_monitor_ingest: compact_every must be >= 1")
+    _check_keep_versions(keep_versions, layout, "profile_monitor_ingest")
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -825,6 +865,8 @@ def profile_monitor_ingest(
             merge_profile_version(
                 spark, state_dir, batch_df, batch_id, columns, ndv_columns, lg_k
             )
+            if keep_versions is not None:
+                prune_versions(spark, state_dir, keep=keep_versions)
 
     return _start_foreach(stream_df, fold, checkpoint_dir)
 
@@ -1745,6 +1787,7 @@ def curate_stream(
     compact_every: int | None = None,
     checkpoint_dir: str | None = None,
     ccnet_stats_dir: str | None = None,
+    prune_history: bool = False,
 ):
     """Continuous crawl curation — the streaming driver of the one-call
     incremental-curation capstone: every micro-batch runs
@@ -1800,6 +1843,14 @@ def curate_stream(
     :func:`ccnet_drift_report` with a calibration-time baseline
     (``text.ccnet_band_stats``); the alarm's recovery is
     ``operators.recurate.recalibrate_ccnet``.
+
+    ``prune_history=True`` (round 13 — the retention twin of
+    ``compact_every``; delta layout + cadence only) runs
+    ``corpus.prune_curation_history`` after each in-stream compaction:
+    chain versions older than the second-newest FULL save are history no
+    retry can read, and without pruning they are the state dir's
+    unbounded-growth term (the combined soak's 23.4 vs 6.1 MB). Bounded
+    on-disk state becomes ~2 full saves + ~2K deltas.
     """
     if keep_versions is not None and keep_versions < 2:
         raise ValueError(
@@ -1822,6 +1873,12 @@ def curate_stream(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError("curate_stream: compact_every must be >= 1")
+    if prune_history and (state_layout != "delta" or compact_every is None):
+        raise ValueError(
+            "curate_stream: prune_history requires state_layout='delta' "
+            "with compact_every set — it prunes below the compaction "
+            "cadence's full saves (full layout: use keep_versions)."
+        )
     spark = stream_docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1843,6 +1900,8 @@ def curate_stream(
             from spark_iforest_spark.operators import corpus
 
             corpus.compact_curation_state(spark, state_dir)
+            if prune_history:
+                corpus.prune_curation_history(spark, state_dir)
 
     return _start_foreach(stream_docs, step, checkpoint_dir)
 

@@ -355,3 +355,244 @@ def test_ccnet_drift_monitor_end_to_end(spark, tmpdir):
     )
     assert rep1["alarm"], rep1
     assert rep1["mean_nll_ratio"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# 5. in-stream retention (round-13 directive 4)
+# ---------------------------------------------------------------------------
+
+
+def test_prune_curation_history_bounds_delta_chain(spark, tmpdir):
+    """prune_curation_history deletes chain versions older than the
+    second-newest FULL save — everything a retry could still read stays,
+    the loaded state is unchanged, and the directory stops growing."""
+    sd = str(tmpdir) + "/state"
+    corp = _docs(spark, [(1, "one body text"), (2, "two body text")])
+    kw = dict(gopher=False, line_min_docs=2, substr_window=None, neardup=False)
+    corpus.save_curation_state(corpus.curation_state(corp, **kw), f"{sd}/v0")
+    with pytest.raises(ValueError, match=">= 2"):
+        corpus.prune_curation_history(spark, sd, keep_full=1)
+    for b in range(6):
+        batch = _docs(spark, [(100 + 10 * b + i, f"batch {b} doc {i} body") for i in range(2)])
+        S.curate_batch_version(
+            spark, sd, str(tmpdir) + "/out", batch, b, state_layout="delta"
+        )
+        if (b + 1) % 2 == 0:
+            corpus.compact_curation_state(spark, sd)
+    # versions: v0(full) v1 v2(full) v3 v4(full) v5 v6(full)
+    want = _rows(S.latest_curation_state(spark, sd).ids)
+    pruned = corpus.prune_curation_history(spark, sd)
+    assert pruned  # something was actually deleted
+    left = sorted(
+        int(c["name"][1:]) for c in hfs.list_children(spark, sd)
+        if c["name"].startswith("v")
+    )
+    # boundary = second-newest full save; everything >= it survives
+    assert left[0] >= 2 and 6 in left
+    assert _rows(S.latest_curation_state(spark, sd).ids) == want
+    # idempotent second call with nothing newer
+    assert corpus.prune_curation_history(spark, sd) == []
+
+
+def test_curate_stream_prune_history_guard_and_bound(spark, tmpdir):
+    corp = _docs(spark, [(1, "one body text"), (2, "two body text")])
+    kw = dict(gopher=False, line_min_docs=2, substr_window=None, neardup=False)
+    sd = str(tmpdir) + "/state"
+    corpus.save_curation_state(corpus.curation_state(corp, **kw), f"{sd}/v0")
+    src = str(tmpdir) + "/src"
+    batches = _docs(
+        spark, [(100 + i, f"streamed doc {i} body") for i in range(6)]
+    )
+    batches.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batches.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="prune_history requires"):
+        S.curate_stream(stream, sd, str(tmpdir) + "/out", prune_history=True)
+    S.curate_stream(
+        stream, sd, str(tmpdir) + "/out", state_layout="delta",
+        compact_every=2, prune_history=True,
+        checkpoint_dir=str(tmpdir) + "/ck",
+        assume_disjoint_ids=True,
+    ).awaitTermination()
+    left = sorted(
+        int(c["name"][1:]) for c in hfs.list_children(spark, sd)
+        if c["name"].startswith("v")
+    )
+    # bounded: at most 2 full saves + the deltas between them
+    assert len(left) <= 5, left
+    st = S.latest_curation_state(spark, sd)
+    got_ids = {r[0] for r in st.ids.collect()}
+    assert got_ids == {1, 2} | {100 + i for i in range(6)}
+
+
+def test_versioned_sinks_keep_versions(spark, tmpdir):
+    """The three versioned-layout ingest wrappers prune in-stream to the
+    newest keep_versions; the folded relation is unchanged and the guard
+    rejects keep_versions<2 and non-versions layouts."""
+    src = str(tmpdir) + "/src"
+    docs = _docs(spark, [(i, f"text {i % 4}") for i in range(12)])
+    docs.repartition(4).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    idx = str(tmpdir) + "/idx"
+    S.incremental_dedup_ingest(
+        stream(), idx, keep_versions=2,
+        checkpoint_dir=str(tmpdir) + "/ck1",
+    ).awaitTermination()
+    vs = S._index_versions(spark, idx)
+    assert len(vs) <= 2
+    assert _rows(S.latest_dedup_index(spark, idx)) == _rows(
+        dedup.exact_dedup(docs)
+    )
+
+    ndv = str(tmpdir) + "/ndv"
+    S.ndv_monitor_ingest(
+        stream(), ndv, ["doc_id"], keep_versions=2,
+        checkpoint_dir=str(tmpdir) + "/ck2",
+    ).awaitTermination()
+    assert len(S._index_versions(spark, ndv)) <= 2
+    from spark_iforest_spark.operators import relational
+
+    est = {
+        r["column"]: r["ndv"]
+        for r in relational.ndv_estimates(
+            S.latest_ndv_sketches(spark, ndv)
+        ).collect()
+    }
+    assert est["doc_id"] == pytest.approx(12, rel=0.05)
+
+    prof = str(tmpdir) + "/prof"
+    S.profile_monitor_ingest(
+        stream(), prof, ["doc_id"], keep_versions=2,
+        checkpoint_dir=str(tmpdir) + "/ck3",
+    ).awaitTermination()
+    assert len(S._index_versions(spark, prof)) <= 2
+    prow = S.latest_profile(spark, prof).collect()
+    assert {r["column"] for r in prow} == {"doc_id"}
+
+    with pytest.raises(ValueError, match=">= 2"):
+        S.incremental_dedup_ingest(stream(), idx, keep_versions=1)
+    with pytest.raises(ValueError, match="versions-layout"):
+        S.incremental_dedup_ingest(
+            stream(), idx, layout="delta", keep_versions=2
+        )
+
+
+# ---------------------------------------------------------------------------
+# 6. kill/resume soak of the combined stream under cadence (directive 6)
+# ---------------------------------------------------------------------------
+
+
+def test_killresume_combined_stream_equals_uninterrupted(spark, tmpdir):
+    """The checkpointed-restart path under compaction cadence: the
+    combined doc-side step (curate delta + digest index + profile + NDV,
+    compact_every=3 with history pruning) is crashed MID-STEP twice —
+    once between sinks, once mid-compaction-sequence right after the
+    curation compact+prune — and resumed from the same checkpoint. The
+    staged-rename + strict-parent + checkpoint interaction must leave
+    every final relation equal to an uninterrupted run (round-13
+    directive 6: this is exactly where a torn state would hide)."""
+    from spark_iforest_spark.checkpoint import snapshot
+
+    kw = dict(
+        gopher=False, line_min_docs=2, substr_window=None, neardup=False,
+        retractable=True,
+    )
+    corp = _docs(spark, [(1, "seed one body"), (2, "seed two body")])
+    batches = [
+        [(100 + 10 * b + i, f"batch {b} doc {i} body") for i in range(2)]
+        for b in range(6)
+    ]
+    finals = {}
+    for leg in ("ref", "kill"):
+        base = f"{tmpdir}/{leg}"
+        sd, out = f"{base}/state", f"{base}/out"
+        idx, prof, ndv = f"{base}/idx", f"{base}/prof", f"{base}/ndv"
+        src, ck = f"{base}/src", f"{base}/ck"
+        corpus.save_curation_state(corpus.curation_state(corp, **kw), f"{sd}/v0")
+        for b, rows in enumerate(batches):
+            _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        # crash points fire exactly once each (first delivery crashes,
+        # the redelivery after restart runs through)
+        pending = {"between_sinks": 1, "mid_compact": 5} if leg == "kill" else {}
+
+        def step(batch_df, batch_id, _p=pending):
+            b = snapshot(batch_df, eager=True)
+            S.curate_batch_version(
+                spark, sd, out, b, batch_id, state_layout="delta"
+            )
+            if (batch_id + 1) % 3 == 0:
+                corpus.compact_curation_state(spark, sd)
+                corpus.prune_curation_history(spark, sd)
+                if _p.get("mid_compact") == batch_id:
+                    del _p["mid_compact"]
+                    raise RuntimeError("injected crash mid-compaction batch")
+            S.merge_index_delta(spark, idx, b, batch_id)
+            if _p.get("between_sinks") == batch_id:
+                del _p["between_sinks"]
+                raise RuntimeError("injected crash between sinks")
+            if (batch_id + 1) % 3 == 0:
+                S.compact_dedup_index(spark, idx)
+            S.merge_profile_part(
+                spark, prof, b.select(F.length("text").alias("len")),
+                batch_id, ["len"],
+            )
+            if (batch_id + 1) % 3 == 0:
+                S.compact_profile_parts(spark, prof)
+            S.merge_ndv_part(spark, ndv, b, batch_id, ["doc_id"])
+            if (batch_id + 1) % 3 == 0:
+                S.compact_ndv_parts(spark, ndv)
+
+        n_crashes = 0
+        while True:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(step)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                break
+            except Exception:
+                n_crashes += 1
+                assert n_crashes <= 3  # each injected crash fires once
+        if leg == "kill":
+            assert n_crashes == 2
+        from spark_iforest_spark.operators import relational
+
+        st = S.latest_curation_state(spark, sd)
+        finals[leg] = {
+            "ids": _rows(st.ids),
+            "digests": _rows(corpus.curated_digests(st)),
+            "index": _rows(S.latest_dedup_index(spark, idx)),
+            "profile": _rows(
+                S.latest_profile(spark, prof).select("column", "n_rows", "mean_value")
+            ),
+            "ndv": _rows(
+                relational.ndv_estimates(
+                    S.latest_ndv_sketches(spark, ndv)
+                ).select("column", "ndv")
+            ),
+            "out": sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{out}/b*").select(
+                    "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h")
+                ).collect()
+            ),
+        }
+    assert finals["kill"] == finals["ref"]
