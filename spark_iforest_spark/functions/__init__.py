@@ -26,6 +26,34 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(c, r"\s+")
 
 
+# Memo for EXPENSIVE Column expression trees (round 13). Building a large
+# Catalyst tree from Python is driver-side py4j round-trip work — measured
+# 0.6 s per gopher_filter call, 1.0 s per signals_panel, ~0.3-0.8 s for the
+# shingle/LM trees — and it recurs on EVERY query build, including each
+# bench re-run and every per-batch streaming step. Column objects are
+# immutable, name-resolved expression wrappers with no session, data, or
+# plan references, so one constructed tree is reusable across any number of
+# plans (analysis resolves a fresh copy per plan); caching them caches no
+# results and no data. Keys are the factories' full semantic parameter
+# tuples; the value is whatever the builder returned (a Column or a list of
+# aliased Columns). The JVM-side expression objects live for the driver
+# process — the key space is bounded by distinct parameterizations, a
+# handful per application.
+_EXPR_MEMO: dict = {}
+
+
+def memo_expr(key: tuple, builder):
+    """Return ``builder()`` memoized under ``key`` (module docstring above:
+    safe because Column trees are immutable and session-free). Use ONLY for
+    pure expression factories — never for DataFrames or anything holding a
+    session/plan reference."""
+    try:
+        return _EXPR_MEMO[key]
+    except KeyError:
+        val = _EXPR_MEMO[key] = builder()
+        return val
+
+
 def reshape_lines(text_col: str | Column, width: int = 8) -> Column:
     """Reshape a whitespace token stream into newline-separated lines of
     ``width`` tokens. Empty text yields one empty line; whitespace-only
@@ -38,15 +66,20 @@ def reshape_lines(text_col: str | Column, width: int = 8) -> Column:
     single-sourced here so the benchmarked workload is exactly the shape
     the correctness gate verifies (review fix: the two copies could
     silently drift)."""
-    toks = tokens(text_col)
-    n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("long")
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
-        ),
-        "\n",
-    )
+    def build():
+        toks = tokens(text_col)
+        n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("long")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+                lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+            ),
+            "\n",
+        )
+
+    if isinstance(text_col, str):
+        return memo_expr(("reshape_lines", text_col, width), build)
+    return build()
 
 
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:

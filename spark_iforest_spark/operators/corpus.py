@@ -921,6 +921,21 @@ def _pretrain_incr_stage_list(
         # on clusters containing a pair node — resolve those, not every
         # corpus cluster; labels_full (untouched carried verbatim, no
         # iteration) still feeds the state fold
+        # duplicate-free batch fast path (round 13): the common crawl
+        # batch touches zero near-dup pairs, in which case the verdict is
+        # already decided — no cluster changes, no losers, batch passes
+        # through verbatim. One take(1) against the just-materialized pair
+        # snapshot skips the CC fold, the quality-union argmax, and both
+        # anti-joins (~10 driver-sequenced jobs on empty relations); the
+        # capture relations are set to exactly what the skipped chain
+        # computes (labels carry verbatim, touched set empty), so the
+        # state fold is unchanged. Non-empty batches take the full path.
+        if pairs.isEmpty():
+            cap["labels_full"] = state.labels.select(id_col, "cluster_rep")
+            cap["labels_touched"] = (
+                state.labels.select(id_col, "cluster_rep").where(F.lit(False))
+            )
+            return c
         labels_full, labels_touched = dup_clusters_incremental(
             pairs.select("doc_a", "doc_b"), state.labels, id_col=id_col,
             return_touched=True,

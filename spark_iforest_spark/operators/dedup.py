@@ -176,14 +176,17 @@ def _hashed_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     13): word_shingles slices the token array inside a HOF lambda, and an
     inline tokens() there re-evaluates the regex split per element —
     O(tokens²) per doc, measured 12× slower at 480-token docs."""
+    from spark_iforest_spark.functions import memo_expr
+
+    shset = memo_expr(
+        ("hashed_shingle_set", n),
+        lambda: F.transform(
+            word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
+        ),
+    )
     return docs.select(
         F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "did",
-        F.transform(
-            word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
-        ).alias("shset"),
-    )
+    ).select("did", shset.alias("shset"))
 
 
 def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -197,16 +200,19 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     row (measured 13× at 480-token docs). With the generator input left
     as an expression the rule skips inference (non-cheap input) and the
     chain runs exactly once."""
-    return docs.select(
-        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "did",
-        F.explode(
+    from spark_iforest_spark.functions import memo_expr
+
+    exploded = memo_expr(
+        ("hashed_shingle_rows", n),
+        lambda: F.explode(
             F.transform(
                 word_shingles(F.col("_toks"), n), lambda s: F.xxhash64(s)
             )
-        ).alias("sh"),
+        ),
     )
+    return docs.select(
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
+    ).select("did", exploded.alias("sh"))
 
 
 def _md5_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -227,12 +233,15 @@ def _md5_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
         lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
         return F.shiftleft(hi, 32).bitwiseOR(lo)
 
+    from spark_iforest_spark.functions import memo_expr
+
+    shset = memo_expr(
+        ("md5_shingle_set", n),
+        lambda: F.transform(word_shingles(F.col("_toks"), n), _h64),
+    )
     return docs.select(
         F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "did",
-        F.transform(word_shingles(F.col("_toks"), n), _h64).alias("shset"),
-    )
+    ).select("did", shset.alias("shset"))
 
 
 def ngram_jaccard_pairs(
@@ -1465,6 +1474,17 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
     )
+    # empty-graph fast path (round 13): a well-deduped corpus batch often
+    # yields ZERO near-dup pairs, and the loop below would still pay a
+    # label snapshot plus one full hook+jump+convergence round on empty
+    # relations (~6 driver-sequenced jobs). The emptiness probe is one
+    # take(1) against the just-materialized edge snapshot — O(1) at any
+    # scale — and the non-empty path is unchanged.
+    if edges.isEmpty():
+        _connected_components.last_rounds = 0
+        return edges.select(
+            F.col("doc_a").alias("node"), F.col("doc_a").alias("label")
+        )
     labels = snapshot(
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -1474,16 +1494,25 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     while True:
         rounds += 1
         # hook: each node adopts the min label among itself and its
-        # neighbors (labels are node ids, so min is well-defined)
+        # neighbors (labels are node ids, so min is well-defined). The
+        # node's PREVIOUS label rides along as ``old`` (non-null exactly
+        # once per node, from the self row; max() ignores nulls) so the
+        # convergence check below is one scan of the round's snapshot
+        # instead of a join of two label generations (round 13 — one
+        # fewer shuffle join per round, same fixed point).
         neighbor_labels = (
             edges.join(labels, edges["doc_b"] == labels["node"])
-            .select(F.col("doc_a").alias("node"), "label")
+            .select(
+                F.col("doc_a").alias("node"),
+                "label",
+                F.lit(None).cast(_label_type(labels)).alias("old"),
+            )
         )
         hooked = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("old"))
             .union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # jump: label <- label(label). A label always names a node that is
         # itself in the label table (labels are node ids of this component),
@@ -1496,20 +1525,21 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         )
         new_labels = snapshot(
             hooked.join(jump_map, F.col("label") == F.col("jn"), "left").select(
-                "node", F.coalesce("jl", "label").alias("label")
+                "node", F.coalesce("jl", "label").alias("label"), "old"
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     _connected_components.last_rounds = rounds
     return labels
+
+
+def _label_type(labels: DataFrame):
+    """DataType of the ``label`` column (doc-id typed; long for the synthetic
+    corpora, string ids supported throughout the family)."""
+    return labels.schema["label"].dataType
 
 
 def resolve_clusters(
@@ -1541,7 +1571,15 @@ def resolve_clusters(
     if labels is None:
         labels = dup_clusters(docs, id_col, text_col)
     if quality is None:
-        quality = quality_score(docs, id_col, text_col)
+        # score CLUSTER MEMBERS only (round 13): the argmax never reads a
+        # non-member's quality, and labels is the small dedup artifact —
+        # semi-join it onto the corpus before the battery runs, so the
+        # quality pass is member-proportional instead of corpus-sized
+        # (at 100 TB the full-corpus battery here was the single largest
+        # avoidable pass in drop_near_duplicates). Values are unchanged:
+        # quality_score is row-local, so each member's score is identical.
+        members = docs.join(labels.select(id_col), id_col, "left_semi")
+        quality = quality_score(members, id_col, text_col)
     # LEFT join (round-7 review fix): a user-supplied quality relation may
     # not cover every member — an inner join would emit NO keeper for a
     # fully-uncovered cluster, and drop_near_duplicates would then delete
@@ -1593,6 +1631,16 @@ def drop_near_duplicates(
     corpus. Survivor count = n_docs − Σ(cluster_size − 1) by construction
     (pytest-pinned)."""
     labels = dup_clusters(docs, id_col, text_col, pairs=pairs)
+    # duplicate-free fast path (round 13): with no clusters there are no
+    # losers — the quality argmax, the keeper anti-join, and the corpus
+    # anti-join would all run on empty relations (and the default-quality
+    # path would still build its battery plan). The probe is one take(1)
+    # against the CC output (a materialized snapshot, or the empty-graph
+    # fast path's local relation), O(1) at any scale; the output is the
+    # input relation verbatim, exactly what the anti-join chain returns
+    # when losers is empty.
+    if labels.isEmpty():
+        return docs
     keep = resolve_clusters(docs, labels=labels, quality=quality, id_col=id_col,
                             text_col=text_col)
     losers = labels.join(
@@ -1662,6 +1710,21 @@ def dup_clusters_incremental(
     # the curation chain passes False (its state labels are materialized)
     if snapshot_labels:
         old_labels = snapshot(old_labels.select(id_col, "cluster_rep"))
+    # no-new-edges fast path (round 13): a batch that touches no near-dup
+    # pair leaves every cluster untouched — full == old_labels verbatim
+    # and touched is empty, which is exactly what the probe/star/CC/union
+    # chain below computes through ~8 jobs on empty relations. The probe
+    # is one take(1) against the (materialized per the contract above)
+    # pair relation; the steady-state crawl batch with zero duplicates is
+    # the COMMON case, so this is the batch path most batches take.
+    if pairs.isEmpty():
+        dup_clusters_incremental.last_rounds = 0
+        empty_touched = (
+            old_labels.select(id_col, "cluster_rep").where(F.lit(False))
+        )
+        if return_touched:
+            return old_labels.select(id_col, "cluster_rep"), empty_touched
+        return old_labels.select(id_col, "cluster_rep")
     nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))

@@ -73,7 +73,14 @@ def lang_id(
 
 
 def lang_id_cols(text_col: str = "text") -> list:
-    """Aliased lang-id expressions (shared by lang_id / signals_panel)."""
+    """Aliased lang-id expressions (shared by lang_id / signals_panel).
+    Memoized per text_col (round 13; functions.memo_expr)."""
+    from spark_iforest_spark.functions import memo_expr
+
+    return memo_expr(("lang_id_cols", text_col), lambda: _lang_id_cols(text_col))
+
+
+def _lang_id_cols(text_col: str) -> list:
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     ratios = {}
@@ -122,7 +129,14 @@ def quality_score(
 
 def quality_cols(text_col: str = "text") -> list:
     """Aliased quality-score expressions (shared by quality_score /
-    signals_panel)."""
+    signals_panel). Memoized per text_col (round 13; functions.memo_expr):
+    pure expression factory on the resolve/curation hot path."""
+    from spark_iforest_spark.functions import memo_expr
+
+    return memo_expr(("quality_cols", text_col), lambda: _quality_cols(text_col))
+
+
+def _quality_cols(text_col: str) -> list:
     toks = tokens(F.lower(F.col(text_col)))
     n_tokens = F.size(toks)
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
@@ -193,46 +207,61 @@ def signals_panel(
     # inline split was re-evaluated per array element; see
     # pipeline.repetition_cols). Still one scan: the extra Project holds
     # a multi-referenced expression CollapseProject won't re-inline.
+    from spark_iforest_spark.functions import memo_expr
+
     pre = docs.select(
         F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
     )
-    _t = F.col("_toks")
-    rep = repetition_cols(text_col, toks=_t)
-    n_chars = F.length(text_col)
-    symbol_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
-        / n_chars,
-        6,
-    ).alias("symbol_ratio")
+
+    # the full panel column list is a pure function of text_col — memoized
+    # (round 13): ~1 s of driver-side py4j tree construction per call
+    # otherwise, recurring on every gate build (see functions.memo_expr)
+    def build_panel_cols():
+        _t = F.col("_toks")
+        rep = repetition_cols(text_col, toks=_t)
+        n_chars = F.length(text_col)
+        symbol_ratio = F.round(
+            (n_chars
+             - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
+            / n_chars,
+            6,
+        ).alias("symbol_ratio")
+        return [
+            *token_stat_cols(text_col, toks=_t),
+            *lang_id_cols(text_col),
+            *quality_cols(text_col),
+            *fingerprint_cols(text_col),
+            rep[0].alias("rep_n_tokens"),
+            *rep[1:],
+            # Gopher battery (round 8): the two new signals + the rule mask
+            # derived from THIS panel's columns via the shared combinator —
+            # equal to pipeline.gopher_filter by construction (pytest-pinned)
+            symbol_ratio,
+            *gopher_cols(text_col, toks=_t),
+            # structural repetition (round 8): line/paragraph dup fractions +
+            # modal-gram char shares, feeding the four new mask rules
+            *structure_repetition_cols(text_col, toks=_t),
+        ]
+
     per_row = pre.select(
         F.col(id_col),
-        *token_stat_cols(text_col, toks=_t),
-        *lang_id_cols(text_col),
-        *quality_cols(text_col),
-        *fingerprint_cols(text_col),
-        rep[0].alias("rep_n_tokens"),
-        *rep[1:],
-        # Gopher battery (round 8): the two new signals + the rule mask
-        # derived from THIS panel's columns via the shared combinator —
-        # equal to pipeline.gopher_filter by construction (pytest-pinned)
-        symbol_ratio,
-        *gopher_cols(text_col, toks=_t),
-        # structural repetition (round 8): line/paragraph dup fractions +
-        # modal-gram char shares, feeding the four new mask rules
-        *structure_repetition_cols(text_col, toks=_t),
+        *memo_expr(("signals_panel_cols", text_col), build_panel_cols),
     )
-    mask = gopher_rule_mask(
-        F.col("n_tokens"),
-        F.col("avg_token_len"),
-        F.col("symbol_ratio"),
-        F.col("alpha_word_frac"),
-        F.col("stopword_hits"),
-        F.col("dup_token_frac"),
-        F.col("top_token_share"),
-        F.col("dup_line_frac"),
-        F.col("dup_para_frac"),
-        F.col("dup_line_char_frac"),
-        F.col("top_2gram_char_frac"),
+    mask = memo_expr(
+        ("gopher_rule_mask_default", text_col),
+        lambda: gopher_rule_mask(
+            F.col("n_tokens"),
+            F.col("avg_token_len"),
+            F.col("symbol_ratio"),
+            F.col("alpha_word_frac"),
+            F.col("stopword_hits"),
+            F.col("dup_token_frac"),
+            F.col("top_token_share"),
+            F.col("dup_line_frac"),
+            F.col("dup_para_frac"),
+            F.col("dup_line_char_frac"),
+            F.col("top_2gram_char_frac"),
+        ),
     )
     per_row = per_row.select(
         "*", mask.alias("gopher_fail_mask"), (mask == 0).alias("gopher_keep")
@@ -720,6 +749,8 @@ def lm_fit(
     vocabulary, never by corpus rows. The reference must contain at least
     one token (T >= 1); empty references yield a NULL-ln artifact.
     """
+    from spark_iforest_spark.functions import memo_expr
+
     toks = reference.select(_lm_toks(F.col(text_col)).alias("t"))
     # the unigram count relation feeds THREE union branches (its own rows,
     # the bigram conditional join, and the total/OOV aggregate) — lazy, the
@@ -735,21 +766,25 @@ def lm_fit(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     ).persist()
-    bi = (
-        toks.select(
-            F.explode(
-                F.when(
-                    F.size("t") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - 2),
-                        lambda i: F.struct(
-                            F.element_at(F.col("t"), i + 1).alias("w1"),
-                            F.element_at(F.col("t"), i + 2).alias("w2"),
-                        ),
+    # the bigram-pair explode tree reads only the fixed-name "t" column —
+    # memoized (round 13; functions.memo_expr)
+    bigram_explode = memo_expr(
+        ("lm_bigram_explode",),
+        lambda: F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("w1"),
+                        F.element_at(F.col("t"), i + 2).alias("w2"),
                     ),
-                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-            ).alias("p")
-        )
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ),
+    )
+    bi = (
+        toks.select(bigram_explode.alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -895,12 +930,15 @@ def lm_perplexity(
     does); a lazy fit plan re-executes against the reference corpus once
     per branch (measured: 12 scans vs 2).
     """
+    from spark_iforest_spark.functions import memo_expr
+
     alpha_micros = int(math.floor(math.log(float(alpha)) * _LM_MICRO + 0.5))
-    pairs = docs.select(
-        F.col(id_col), _lm_toks(F.col(text_col)).alias("t")
-    ).select(
-        id_col,
-        F.explode(
+    # the scoring-pair explode tree reads only the fixed-name "t" column —
+    # memoized (round 13; functions.memo_expr): rebuilt per scoring call
+    # otherwise (ccnet_filter, ccnet_apply, every curation batch)
+    pair_explode = memo_expr(
+        ("lm_scoring_pair_explode",),
+        lambda: F.explode(
             F.when(
                 F.size("t") >= 1,
                 F.transform(
@@ -911,8 +949,11 @@ def lm_perplexity(
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-        ).alias("p"),
-    ).select(id_col, "p.prev", "p.cur")
+        ),
+    )
+    pairs = docs.select(
+        F.col(id_col), _lm_toks(F.col(text_col)).alias("t")
+    ).select(id_col, pair_explode.alias("p")).select(id_col, "p.prev", "p.cur")
     bi = lm.where(F.col("ord") == 2).select(
         F.col("w1").alias("prev"), F.col("w2").alias("cur"),
         F.col("ln_micros").alias("ln2"),
