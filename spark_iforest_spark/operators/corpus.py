@@ -493,21 +493,31 @@ def _pretrain_stage_list(
         F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0
     ).select(id_col, text_col)
     stages = [("input", cur)]
-    # Stage outputs are repartitioned before materializing: AQE coalesces
-    # a small stage output to ONE partition (parallelismFirst only guards
-    # the shuffle that produced it, not the checkpointed RDD), and the
-    # NEXT stage's compute-heavy per-row work (Gopher battery, minhash
-    # signatures) then runs in a single task — the round-7 grouped-stage
-    # serialization, resurfacing at stage boundaries. One extra (id, text)
-    # exchange per boundary; at 100 TB stage outputs are wide anyway and
-    # this is a balanced no-op-sized shuffle next to each stage's own
-    # groupBy. (The RAW input's scan parallelism is the caller's
-    # responsibility — repartition after reading few/small files.)
+    # Stage boundaries materialize the survivors AS PRODUCED and only
+    # repartition lazily when the checkpointed layout is actually too
+    # narrow (round 13; was an unconditional repartition(n_parts) BEFORE
+    # the checkpoint). AQE coalesces a small stage output to ONE
+    # partition, and the NEXT stage's compute-heavy per-row work (Gopher
+    # battery, shingle hashing) would then run in a single task — but
+    # paying a full (id, text) exchange per boundary at EVERY scale to
+    # guard against that is backwards: at 100 TB stage outputs are wide
+    # and the exchange was pure cost. The partition count of a
+    # materialized snapshot is known driver-side for free, so the guard
+    # now fires only when needed, and the re-spread exchange moves an
+    # already-checkpointed small relation (it re-runs per consuming plan,
+    # which is exactly as cheap as the relation is small). (The RAW
+    # input's scan parallelism is the caller's responsibility —
+    # repartition after reading few/small files.)
     n_parts = shuffle_partitions(docs.sparkSession)
     for i, (name, fn) in enumerate(ops):
         out = fn(cur)
-        if i < len(ops) - 1:  # consumed again by the next stage
-            out = snapshot(out.repartition(n_parts))
+        if i < len(ops) - 1 and out is not cur:  # consumed again by the
+            # next stage; an identity return (a stage's no-op fast path)
+            # is already materialized — re-checkpointing it would only
+            # copy blocks
+            out = snapshot(out)
+            if out.rdd.getNumPartitions() < n_parts:
+                out = out.repartition(n_parts)
         stages.append((name, out))
         cur = out
     return stages
@@ -981,8 +991,14 @@ def _pretrain_incr_stage_list(
     stages = [("input", cur)]
     for i, (name, fn) in enumerate(ops):
         out = fn(cur)
-        if i < len(ops) - 1:
-            out = snapshot(out.repartition(n_parts))
+        if i < len(ops) - 1 and out is not cur:
+            # materialize as produced; lazy re-spread only when the
+            # checkpointed layout is too narrow (same rationale as
+            # _pretrain_stage_list, round 13); identity returns (no-op
+            # fast paths) are already materialized
+            out = snapshot(out)
+            if out.rdd.getNumPartitions() < n_parts:
+                out = out.repartition(n_parts)
         stages.append((name, out))
         cur = out
     # the last pre-decontamination relation — the nin_digest append source

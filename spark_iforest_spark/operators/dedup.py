@@ -818,30 +818,37 @@ def minhash_lsh_pairs(
     """
     rows = num_perms // bands
     shs = _hashed_shingles(docs, id_col, text_col, n)
-    # sigs feeds three plan branches (banding + both sides of the estimate
-    # join): localCheckpoint so the Python signature pass runs once, not
-    # three times. Bounded: n_docs × 128 × 8 B ≈ 1 GB per billion docs,
-    # spillable. Checkpoint (not persist): ContextCleaner reclaims the
-    # blocks when the returned DataFrame is dropped — a persist() here
-    # would pin executor memory with no unpersist hook in a lazy API.
-    # (Not fault-tolerant: executor loss fails the query instead of
+    # sigs feeds three plan branches (banding + both sides of the
+    # estimate/verify join): localCheckpoint so the Python signature pass
+    # runs once, not three times. It CARRIES the hashed shingle sets
+    # (round 13): the exact verify used to rebuild them from the raw text
+    # — two more full corpus scans plus two tokenize/shingle/hash passes
+    # and two extra doc-keyed joins, at every scale — when the signature
+    # pass had already computed exactly these sets (the same economics
+    # minhash_index documents for the incremental path). Size: signature
+    # 128×8 B/doc plus ~8 B per distinct shingle — the ngram-snapshot
+    # bound, spillable. Checkpoint (not persist): ContextCleaner reclaims
+    # the blocks when the returned DataFrame is dropped — a persist()
+    # here would pin executor memory with no unpersist hook in a lazy
+    # API. (Not fault-tolerant: executor loss fails the query instead of
     # recomputing; fine for a single bounded job, see dup_clusters note.)
     sigs = snapshot(
         shs.mapInPandas(
-            _signature_fn(num_perms, keep_shset=False),
-            schema="did long, sig array<long>",
+            _signature_fn(num_perms, keep_shset=True),
+            schema="did long, sig array<long>, shset array<long>",
         ),
         eager=False,
     )
     # band buckets derived JVM-side: xxhash64 over each signature slice
     buckets = _band_table(sigs, bands, rows)
     candidates = _bucket_pairs(buckets)
-    # Prefilter with the minhash Jaccard ESTIMATE (signature agreement rate)
-    # before the exact verify: bucket collisions on low-similarity corpora
-    # (small vocabularies) can be 1000x the true pair count, and the exact
-    # verify joins full shingle sets — the estimate join touches only the
-    # 128-long signatures. Margin 0.12 ≈ 3.4 sigma of the estimator's std
-    # at j≈threshold, so true pairs survive w.h.p.
+    # ONE pair of joins serves both the minhash Jaccard ESTIMATE
+    # prefilter (signature agreement rate; margin 0.12 ≈ 3.4 sigma of the
+    # estimator's std at j≈threshold, so true pairs survive w.h.p. —
+    # evaluated FIRST, below the exact-jaccard projection, so bucket
+    # collisions on low-similarity corpora never pay the set intersect)
+    # and the exact verify over the carried shingle sets — identical math
+    # to ngram_jaccard_pairs, so verified output stays oracle-comparable.
     #
     # Join strategy: sigs is CORPUS-SIZED (one row per document) — it must
     # never broadcast (the 1 GB/billion-docs table would have to fit on the
@@ -854,13 +861,16 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
-    prefiltered = (
+    inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
+    jac = F.round(inter / union, 6)
+    return (
         candidates.join(sigs.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
         .join(sigs.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
         .where(est_matches / num_perms >= threshold - 0.12)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
-    return _verify_candidates(prefiltered, docs, id_col, text_col, n, threshold)
 
 
 def _band_buckets(sim: F.Column, num_bands: int, band_bits: int) -> F.Column:
@@ -1817,23 +1827,33 @@ def exact_substring_spans(
     driver). The keeper exemption is one extra (ordered-struct min)
     aggregate on the same key. No suffix array, no all-pairs.
     """
-    # the window relation is referenced three times (dup-key counts, the
-    # cut join, the keeper exemption) — snapshot it once so the corpus is
-    # scanned/exploded once, the same discipline as the minhash shingles
+    # the window relation is referenced twice (key aggregate, cut join) —
+    # snapshot it once so the corpus is scanned/exploded once, the same
+    # discipline as the minhash shingles
     wins = snapshot(_window_keys(df, id_col, text_col, window))
-    dup_keys = wins.groupBy("h").agg(F.count("*").alias("_c")).where(
-        F.col("_c") >= int(min_count)
-    )
-    cut = wins.join(dup_keys.select("h"), "h")
+    # ONE digest-keyed aggregate computes both the duplicate counts and
+    # the keep-first keeper (round 13; previously the keeper was a SECOND
+    # groupBy("h") over the joined cut rows plus a second join — a full
+    # extra shuffle of the token-scale window relation at every scale).
+    # Identical values: the keeper min over ALL occurrences of a
+    # duplicated key equals the min over its cut rows, and non-duplicated
+    # keys' keepers are dropped with their count filter. This is exactly
+    # the fused shape substr_window_index and the incremental span path
+    # already use.
+    aggs = [F.count("*").alias("_c")]
     if keep_first:
-        keeper = cut.groupBy("h").agg(
-            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-                "_k"
-            )
+        aggs.append(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_k")
         )
-        cut = cut.join(keeper, "h").where(
+    dup_keys = wins.groupBy("h").agg(*aggs).where(F.col("_c") >= int(min_count))
+    if keep_first:
+        cut = wins.join(dup_keys.select("h", "_k"), "h").where(
             ~((F.col(id_col) == F.col("_k.i")) & (F.col("pos") == F.col("_k.p")))
         )
+    else:
+        cut = wins.join(dup_keys.select("h"), "h")
     return _merge_cut_spans(cut, id_col, window)
 
 
