@@ -783,9 +783,27 @@ def minhash_lsh_pairs_incremental(
     inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
     union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
     jac = F.round(inter / union, 6)
+    sa, sb = full, full
+    if broadcast_batch:
+        # candidate ids are batch-collision-bounded — the same size regime
+        # the broadcast_batch contract already assumes for the band table —
+        # so cut the corpus-sized index down to candidate rows with a
+        # BROADCAST semi-join BEFORE the verify joins (round 13; guide
+        # §3.2 shape). Previously both merge joins shuffled the ENTIRE
+        # index per batch; now the index is only scanned, and the sort-
+        # merge joins move candidate-scale rows. cand is snapshotted: it
+        # feeds the id probe and the join, and lazy it would re-run the
+        # band-collision join per consumer.
+        cand = snapshot(cand, eager=False)
+        cand_ids = F.broadcast(
+            cand.select(F.col("doc_a").alias("did"))
+            .unionByName(cand.select(F.col("doc_b").alias("did")))
+            .distinct()
+        )
+        sa = sb = full.join(cand_ids, "did", "left_semi")
     return (
-        cand.join(full.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
-        .join(full.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
+        cand.join(sa.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did"))
+        .join(sb.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
         .where(est_matches / num_perms >= threshold - 0.12)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

@@ -369,15 +369,17 @@ def test_incremental_minhash_never_broadcasts_corpus(spark, docs):
         bcast = formatted_plan(
             dedup.minhash_lsh_pairs_incremental(new, index, broadcast_batch=True)
         )
-        # batch-side broadcast nodes only: the band table (1) plus the
-        # superseded-id anti-join (round 6), which appears once per view
-        # of `full` (corpus_bands, sa, sb — runtime dedupes via
-        # ReuseExchange). All four are bounded by the BATCH, never the
-        # corpus — the broadcast_batch=False assertion above proves no
-        # hidden corpus-side hint exists.
+        # batch-side broadcast nodes only: the band table (1), the
+        # superseded-id anti-join (round 6) once per view of `full`
+        # (corpus_bands, sa, sb — runtime dedupes via ReuseExchange), and
+        # the candidate-id semi-join probe (round 13) once per verify
+        # side (sa, sb). All six are bounded by the BATCH (candidate ids
+        # are batch-collision-bounded), never the corpus — the
+        # broadcast_batch=False assertion above proves no hidden
+        # corpus-side hint exists.
         import re
 
-        assert len(re.findall(r"\(\d+\) BroadcastExchange", bcast)) == 4
+        assert len(re.findall(r"\(\d+\) BroadcastExchange", bcast)) == 6
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

