@@ -555,32 +555,6 @@ def ngram_jaccard_pairs_incremental(
     return _jaccard_pairs_vs_index(batch_sh, fresh, threshold, broadcast_batch)
 
 
-def _verify_candidates(
-    candidates: DataFrame,
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int,
-    threshold: float,
-) -> DataFrame:
-    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs.
-
-    Joins the (small) candidate set back to per-doc hashed shingle sets and
-    evaluates set Jaccard with array intersect — identical math to
-    ngram_jaccard_pairs, so verified output is oracle-comparable.
-    """
-    shs = _hashed_shingles(docs, id_col, text_col, n)
-    inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
-    union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
-    jac = F.round(inter / union, 6)
-    return (
-        candidates.join(shs.alias("sa"), F.col("doc_a") == F.col("sa.did"))
-        .join(shs.alias("sb"), F.col("doc_b") == F.col("sb.did"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
-
-
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any (band, bucket)."""
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -1069,12 +1043,28 @@ def simhash_pairs(
     num_bands = max_hamming + 1
     band_bits = 64 // num_bands
 
+    # sims feeds three plan branches (both sides of the band self-join +
+    # the verify joins): localCheckpoint so the Python simhash pass runs
+    # once, and CARRY the shingle sets (round 13) — the exact verify used
+    # to rebuild them from the raw text via a second corpus scan +
+    # tokenize/shingle/hash pass plus a candidates re-join, when the
+    # sketch pass had already computed exactly these sets. Same economics
+    # as minhash_lsh_pairs; simhash_pairs_incremental already verifies off
+    # carried index shsets, so this aligns the full path with it. Jaccard
+    # is hash-invariant (set overlap), so verifying over the md5-hashed
+    # sets gives the same values the xxhash64 rebuild did — and it is the
+    # basis the DuckDB oracle recomputes.
     mk_shingles = _md5_shingles if shingle_hash == "md5" else _hashed_shingles
-    shs = mk_shingles(docs, id_col, text_col, n)
-    sims = shs.mapInPandas(
-        _simhash_fn(keep_shset=False), schema="did long, sim long"
+    sims = snapshot(
+        mk_shingles(docs, id_col, text_col, n).mapInPandas(
+            _simhash_fn(keep_shset=True),
+            schema="did long, sim long, shset array<long>",
+        ),
+        eager=False,
     )
-    # band split JVM-side via posexplode: (band index, 16-bit bucket value)
+    # band split JVM-side via posexplode: (band index, 16-bit bucket value);
+    # shset deliberately NOT carried into the band table — the self-join
+    # and its distinct move 3 ints per row, not shingle arrays.
     bands = sims.select(
         "did",
         "sim",
@@ -1098,11 +1088,19 @@ def simhash_pairs(
         )
         .distinct()
     )
-    verified = _verify_candidates(
-        candidates.select("doc_a", "doc_b"), docs, id_col, text_col, n, threshold
-    )
-    return verified.join(candidates, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "hamming", "jaccard"
+    # exact-Jaccard verify off the carried sets — identical math to
+    # ngram_jaccard_pairs. sims is corpus-sized: merge-hinted, never
+    # broadcast (same contract as minhash_lsh_pairs, plan-tested there).
+    inter = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    union = F.size(F.col("sa.shset")) + F.size(F.col("sb.shset")) - inter
+    jac = F.round(inter / union, 6)
+    return (
+        candidates.join(
+            sims.alias("sa").hint("merge"), F.col("doc_a") == F.col("sa.did")
+        )
+        .join(sims.alias("sb").hint("merge"), F.col("doc_b") == F.col("sb.did"))
+        .select("doc_a", "doc_b", "hamming", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -123,3 +123,22 @@ def test_resolve_clusters_member_scoped_quality_matches_explicit(spark, docs):
         )
     )
     assert default == explicit
+
+
+def test_simhash_full_path_carried_shset_verify(spark, docs):
+    # the full simhash path verifies off the shingle sets its sketch pass
+    # carried (round 13) — no second corpus scan/tokenize, and with the
+    # auto-broadcast threshold off the only exchanges left are the
+    # merge-hinted verify joins + the band self-join: no BroadcastExchange
+    # (the corpus-sized sims relation must never be forced to broadcast)
+    from spark_iforest_spark.plans import formatted_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(dedup.simhash_pairs(docs))
+        assert "BroadcastExchange" not in plan
+        # one Python pass (the sketch); the old verify added a second
+        assert plan.count("MapInPandas") <= 2  # tree line + details entry
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
