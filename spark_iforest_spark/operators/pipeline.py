@@ -1000,16 +1000,27 @@ def line_dedup(
     pretrain_curate; md5(clean_text) == clean_md5 by construction, so the
     digest remains the oracle surface).
 
-    Scale shape: lines are keyed by md5(line) so the count-aggregate and the
-    count-join shuffle 16-byte digests, never line text (the text rides only
-    the lines side of one shuffle). Two digest-keyed shuffles + one doc_id
-    regroup; no all-pairs anywhere. 128-bit keys make digest collisions
-    negligible; a collision could only MERGE two lines' counts — the
-    conservative (over-removal) direction.
+    Scale shape: lines are keyed by md5(line) so the count-aggregate
+    shuffles 16-byte digests, never line text. The drop decision is an
+    anti-join against the HOT digest set only (round 13; was an inner
+    join carrying every distinct digest's count): a line survives iff its
+    digest is not among the >= min_docs digests, and that hot set is the
+    boilerplate vocabulary — a tiny fraction of all distinct lines — so
+    the join side collapses from all-digests to offenders-only and AQE
+    broadcasts it at realistic scales, removing the full line-text
+    shuffle the count-join used to pay. One digest-keyed count shuffle +
+    one doc_id regroup; no all-pairs anywhere. 128-bit keys make digest
+    collisions negligible; a collision could only MERGE two lines'
+    counts — the conservative (over-removal) direction.
     """
     lines = _doc_lines(docs, id_col, text_col)
-    counts = lines.groupBy("_h").agg(F.countDistinct(id_col).alias("n_docs"))
-    kept = lines.join(counts, "_h").where(F.col("n_docs") < min_docs)
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(hot, "_h", "left_anti")
     return _rebuild_kept_lines(kept, docs, id_col, text_col, with_text)
 
 
@@ -1138,10 +1149,19 @@ def line_dedup_incremental(
     if broadcast_batch:
         bkeys = F.broadcast(bkeys)
     relevant = idx.join(bkeys, "_h", "left_semi")
-    total = bcounts.join(relevant, "_h", "left").select(
-        "_h", (F.col("_bn") + F.coalesce(F.col("_in"), F.lit(0))).alias("n_docs")
+    # hot-set anti-join (round 13, same shape as line_dedup): only the
+    # digests whose batch+index count clears min_docs matter — a
+    # batch-bounded offenders set, far smaller than every batch digest —
+    # so the lines side anti-joins a relation AQE can broadcast instead
+    # of inner-joining the full per-digest count relation.
+    hot = (
+        bcounts.join(relevant, "_h", "left")
+        .where(
+            (F.col("_bn") + F.coalesce(F.col("_in"), F.lit(0))) >= min_docs
+        )
+        .select("_h")
     )
-    kept = lines.join(total, "_h").where(F.col("n_docs") < min_docs)
+    kept = lines.join(hot, "_h", "left_anti")
     return _rebuild_kept_lines(kept, batch, id_col, text_col, with_text)
 
 

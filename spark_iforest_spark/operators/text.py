@@ -708,21 +708,48 @@ def _lm_toks(text_col) -> F.Column:
     )
 
 
+def _lm_pair_explode() -> F.Column:
+    """The (prev, cur) adjacency-pair explode over a fixed-name token
+    array column ``t``: one row per token, ``prev`` NULL for the first.
+    Shared by ``lm_fit`` (counting — every token is exactly one ``cur``,
+    every bigram exactly one prev-non-null pair) and ``lm_perplexity``
+    (scoring), and memoized (round 13; functions.memo_expr) — the tree
+    reads only the fixed-name "t" column, so one build serves every call
+    (ccnet_filter, ccnet_apply, every curation batch)."""
+    from spark_iforest_spark.functions import memo_expr
+
+    return memo_expr(
+        ("lm_scoring_pair_explode",),
+        lambda: F.explode(
+            F.when(
+                F.size("t") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t")),
+                    lambda i: F.struct(
+                        F.when(i > 1, F.element_at(F.col("t"), i - 1)).alias("prev"),
+                        F.element_at(F.col("t"), i).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ),
+    )
+
+
 class LmFitHandle:
-    """Releases the vocabulary-sized count relation ``lm_fit`` persists.
+    """Releases the vocabulary-sized count relations ``lm_fit`` persists.
 
     ``lm_fit(..., return_handle=True)`` returns ``(lm, handle)``; call
     ``handle.release()`` once the LM relation has been materialized
     (collected, snapshotted, or written) — sessions that fit many LMs
-    would otherwise accumulate one cached relation per fit. Idempotent."""
+    would otherwise accumulate cached relations per fit. Idempotent."""
 
-    def __init__(self, uni: DataFrame):
-        self._uni = uni
+    def __init__(self, *rels: DataFrame):
+        self._rels = list(rels)
 
     def release(self) -> None:
-        if self._uni is not None:
-            self._uni.unpersist()
-            self._uni = None
+        for r in self._rels:
+            r.unpersist()
+        self._rels = []
 
 
 def lm_fit(
@@ -743,56 +770,58 @@ def lm_fit(
 
     Stupid backoff (Brants et al. 2007) needs exactly these three pieces;
     the backoff multiplier is applied at SCORING time in integer micro
-    space, so the artifact is alpha-free. Scale: one token-keyed and one
-    bigram-keyed count shuffle (both map-side combined), plus a
-    vocab-keyed join of bigrams to their left-token counts — all keyed by
-    vocabulary, never by corpus rows. The reference must contain at least
+    space, so the artifact is alpha-free. Scale: ONE corpus pass — a
+    single (prev, cur) pair-keyed count shuffle (map-side combined) over
+    the reference carries both statistics; unigram counts re-aggregate
+    from the bigram-TYPE relation (artifact-sized), plus a vocab-keyed
+    join of bigrams to their left-token counts — nothing after the first
+    shuffle is keyed by corpus rows. The reference must contain at least
     one token (T >= 1); empty references yield a NULL-ln artifact.
     """
-    from spark_iforest_spark.functions import memo_expr
-
     toks = reference.select(_lm_toks(F.col(text_col)).alias("t"))
-    # the unigram count relation feeds THREE union branches (its own rows,
-    # the bigram conditional join, and the total/OOV aggregate) — lazy, the
-    # explode+count shuffle over the REFERENCE re-runs once per branch.
-    # persist(), NOT snapshot(): a checkpoint would erase Catalyst's size
-    # estimate for the whole LM subtree and the CORPUS-side scoring joins
-    # degrade from broadcast to sort-merge (measured 2.55 → 6.2 s at
-    # sf0.1, caught by the no-SortMergeJoin plan pin) — persist keeps the
-    # logical plan (stats intact) while computing the shuffle once.
-    # Vocabulary-sized, never corpus-sized; release via return_handle.
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
+    # ONE corpus pass (round 13; was two — a unigram explode+count and a
+    # separate bigram explode+count, each re-scanning and re-tokenizing
+    # the reference): the scoring-style (prev, cur) pair explode already
+    # carries BOTH sufficient statistics. Every token appears exactly once
+    # as ``cur`` (so per-cur totals ARE the unigram counts), and the
+    # prev-non-null pairs are exactly the bigrams. The explode tree is
+    # the SAME memoized expression lm_perplexity scores with
+    # (functions.memo_expr key "lm_scoring_pair_explode").
+    #
+    # The unigram counts re-aggregate from the persisted pair counts —
+    # keyed over the bigram-TYPE relation, artifact-sized, never corpus-
+    # sized. (A single GROUPING SETS ((prev,cur),(cur)) aggregate was
+    # measured too: one shuffle, but its Expand node doubles Catalyst's
+    # size estimate for the whole LM subtree and the pinned corpus-side
+    # broadcast scoring joins degrade to SortMergeJoin — the two-stage
+    # shape keeps the estimates the broadcast decision needs.)
+    #
+    # persist(), NOT snapshot(), on both count relations: a checkpoint
+    # would erase Catalyst's size estimate for the whole LM subtree and
+    # the CORPUS-side scoring joins degrade from broadcast to sort-merge
+    # (measured 2.55 → 6.2 s at sf0.1, caught by the no-SortMergeJoin
+    # plan pin) — persist keeps the logical plan (stats intact) while
+    # computing each shuffle once. ``pairs`` feeds two branches (the
+    # bigram rows and the unigram re-agg); ``uni`` feeds three (its own
+    # rows, the bigram conditional join, the total/OOV aggregate).
+    # Release both via return_handle.
+    pairs = (
+        toks.select(_lm_pair_explode().alias("p"))
+        .select("p.prev", "p.cur")
+        .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("cnt"))
     ).persist()
-    # the bigram-pair explode tree reads only the fixed-name "t" column —
-    # memoized (round 13; functions.memo_expr)
-    bigram_explode = memo_expr(
-        ("lm_bigram_explode",),
-        lambda: F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i + 1).alias("w1"),
-                        F.element_at(F.col("t"), i + 2).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ),
-    )
-    bi = (
-        toks.select(bigram_explode.alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    uni = (
+        pairs.groupBy(F.col("cur").alias("w"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    ).persist()
+    bi = pairs.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("w1"), F.col("cur").alias("w2"), "cnt"
     )
     total = uni.agg(F.sum("cnt").alias("tot"))
     out = _lm_rows(uni, bi, total)
     if return_handle:
-        return out, LmFitHandle(uni)
+        return out, LmFitHandle(uni, pairs)
     return out
 
 
@@ -930,30 +959,12 @@ def lm_perplexity(
     does); a lazy fit plan re-executes against the reference corpus once
     per branch (measured: 12 scans vs 2).
     """
-    from spark_iforest_spark.functions import memo_expr
-
     alpha_micros = int(math.floor(math.log(float(alpha)) * _LM_MICRO + 0.5))
-    # the scoring-pair explode tree reads only the fixed-name "t" column —
-    # memoized (round 13; functions.memo_expr): rebuilt per scoring call
-    # otherwise (ccnet_filter, ccnet_apply, every curation batch)
-    pair_explode = memo_expr(
-        ("lm_scoring_pair_explode",),
-        lambda: F.explode(
-            F.when(
-                F.size("t") >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t")),
-                    lambda i: F.struct(
-                        F.when(i > 1, F.element_at(F.col("t"), i - 1)).alias("prev"),
-                        F.element_at(F.col("t"), i).alias("cur"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-        ),
-    )
     pairs = docs.select(
         F.col(id_col), _lm_toks(F.col(text_col)).alias("t")
-    ).select(id_col, pair_explode.alias("p")).select(id_col, "p.prev", "p.cur")
+    ).select(id_col, _lm_pair_explode().alias("p")).select(
+        id_col, "p.prev", "p.cur"
+    )
     bi = lm.where(F.col("ord") == 2).select(
         F.col("w1").alias("prev"), F.col("w2").alias("cur"),
         F.col("ln_micros").alias("ln2"),

@@ -142,3 +142,56 @@ def test_simhash_full_path_carried_shset_verify(spark, docs):
         assert plan.count("MapInPandas") <= 2  # tree line + details entry
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lm_fit_single_fused_corpus_explode(spark):
+    # the fused lm_fit (round 13) runs ONE corpus explode — the shared
+    # scoring-style (prev, cur) pair explode (sequence starts at 1) —
+    # instead of a unigram explode plus a separate size>=2 bigram explode
+    # (whose sequence started at 0). Every Generate in the artifact plan
+    # must be the pair explode; values stay pinned by
+    # test_lm_fit_hand_computed and the ccnet/lm oracle gates.
+    from spark_iforest_spark.operators import text
+    from spark_iforest_spark.plans import formatted_plan
+
+    ref = spark.createDataFrame([(1, "a b a"), (2, "c")], ["doc_id", "text"])
+    lm, h = text.lm_fit(ref, return_handle=True)
+    try:
+        plan = formatted_plan(lm)
+        gens = [
+            ln for ln in plan.splitlines()
+            if "explode" in ln and "Arguments" in ln
+        ]
+        assert gens, plan
+        assert all("sequence(1," in ln for ln in gens), gens
+        assert not any("sequence(0," in ln for ln in gens), gens
+        # single-token docs reach the unigram stats through the re-agg:
+        # 'c' appears only as a prev-NULL pair
+        rows = {(r["ord"], r["w1"], r["w2"]): r["cnt"] for r in lm.collect()}
+        assert rows[(1, "c", None)] == 1
+        assert rows[(1, "a", None)] == 2
+        assert rows[(2, "a", "b")] == 1
+        assert rows[(0, None, None)] == 4
+    finally:
+        h.release()
+
+
+def test_line_dedup_hot_set_anti_join(spark):
+    # the drop decision is an anti-join against the offenders-only digest
+    # set (round 13) — the full per-digest count relation never rides the
+    # lines join. Value check on a fixture straddling the min_docs
+    # boundary: lines in >= min_docs distinct docs drop, others survive.
+    from spark_iforest_spark.operators.pipeline import line_dedup
+    from spark_iforest_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "a\nb"), (3, "a")], ["doc_id", "text"]
+    )
+    ld = line_dedup(docs, min_docs=2, with_text=True)
+    assert "LeftAnti" in formatted_plan(ld)
+    rows = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+            for r in ld.collect()}
+    # 'a' in 3 docs, 'b' in 2 — both hot; 'c' only in doc 1 — kept
+    assert rows[1] == (3, 1, "c")
+    assert rows[2] == (2, 0, "")
+    assert rows[3] == (1, 0, "")
