@@ -405,6 +405,7 @@ def _pretrain_stage_list(
     oracle, so any drift from ccnet_filter's behavior hash-mismatches.
     """
     from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.functions import job_label
     from spark_iforest_spark.operators.dedup import (
         drop_near_duplicates,
         remove_repeated_substrings,
@@ -431,20 +432,47 @@ def _pretrain_stage_list(
             .select(id_col, text_col)
         )
 
+    # The reference LM is INDEPENDENT of every corpus stage — fit it on a
+    # background thread (guide §2.6: overlap independent jobs) so its
+    # ~dozen small AQE stage-jobs run while the main thread materializes
+    # the gopher boundary (whose battery compute is the other serial
+    # block of the ccnet leg's critical path). The snapshot is EAGER so
+    # the artifact is fully materialized before the scoring plan's three
+    # concurrent broadcast builds read it, and so the persisted count
+    # relations can be released inside the thread. Same operators, same
+    # values — only the submission order changes; a thread failure
+    # surfaces at the same place the sequential fit would have raised
+    # (future.result() in the ccnet stage).
+    lm_future = None
+    if reference is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit_lm():
+            with job_label(docs.sparkSession, "ccnet:lm_fit"):
+                lm_raw, lm_handle = lm_fit(
+                    reference, text_col=text_col, return_handle=True
+                )
+                try:
+                    return snapshot(lm_raw, eager=True)
+                finally:
+                    lm_handle.release()
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        lm_future = _pool.submit(_fit_lm)
+        _pool.shutdown(wait=False)
+
     def _ccnet(c: DataFrame) -> DataFrame:
         # ccnet_filter's exact internals (two snapshots closing the
-        # measured re-executions, handle released after the eager
-        # cutpoint jobs) — inlined so the frozen (lm, cutpoints) pair is
+        # measured re-executions; the lm fit runs ahead on the overlap
+        # thread above) — inlined so the frozen (lm, cutpoints) pair is
         # capturable for the incremental path
-        lm_raw, lm_handle = lm_fit(reference, text_col=text_col, return_handle=True)
-        try:
-            lm = snapshot(lm_raw)
+        lm = lm_future.result()
+        with job_label(c.sparkSession, "ccnet:score"):
             scored = snapshot(
                 lm_perplexity(c, lm, id_col=id_col, text_col=text_col)
             )
+        with job_label(c.sparkSession, "ccnet:cutpoints"):
             cuts = perplexity_cutpoints(scored)
-        finally:
-            lm_handle.release()
         if capture is not None:
             capture["lm"], capture["cutpoints"] = lm, cuts
         kept = (
@@ -510,14 +538,25 @@ def _pretrain_stage_list(
     # repartition after reading few/small files.)
     n_parts = shuffle_partitions(docs.sparkSession)
     for i, (name, fn) in enumerate(ops):
-        out = fn(cur)
-        if i < len(ops) - 1 and out is not cur:  # consumed again by the
-            # next stage; an identity return (a stage's no-op fast path)
-            # is already materialized — re-checkpointing it would only
-            # copy blocks
-            out = snapshot(out)
-            if out.rdd.getNumPartitions() < n_parts:
-                out = out.repartition(n_parts)
+        with job_label(docs.sparkSession, f"pretrain:{name}"):
+            out = fn(cur)
+            if i < len(ops) - 1 and out is not cur:  # consumed again by the
+                # next stage; an identity return (a stage's no-op fast path)
+                # is already materialized — re-checkpointing it would only
+                # copy blocks
+                # EAGER exactly when the lm overlap thread is (possibly
+                # still) running and the ccnet stage is next: the
+                # boundary's battery compute then runs CONCURRENTLY with
+                # the lm fit's jobs instead of serially inside the
+                # scoring stage's first job (guide §2.6). Other
+                # boundaries stay lazy — eager there only forfeits
+                # single-job pipelining.
+                eager = lm_future is not None and i + 1 < len(ops) and (
+                    ops[i + 1][0] == "ccnet"
+                )
+                out = snapshot(out, eager=eager)
+                if out.rdd.getNumPartitions() < n_parts:
+                    out = out.repartition(n_parts)
         stages.append((name, out))
         cur = out
     return stages
@@ -820,6 +859,7 @@ def _pretrain_incr_stage_list(
     from spark_iforest_spark.checkpoint import snapshot
     from spark_iforest_spark.functions import (
         check_batch_disjoint,
+        job_label,
         shuffle_partitions,
     )
     from spark_iforest_spark.operators.dedup import (
@@ -990,15 +1030,16 @@ def _pretrain_incr_stage_list(
     ).select(id_col, text_col)
     stages = [("input", cur)]
     for i, (name, fn) in enumerate(ops):
-        out = fn(cur)
-        if i < len(ops) - 1 and out is not cur:
-            # materialize as produced; lazy re-spread only when the
-            # checkpointed layout is too narrow (same rationale as
-            # _pretrain_stage_list, round 13); identity returns (no-op
-            # fast paths) are already materialized
-            out = snapshot(out)
-            if out.rdd.getNumPartitions() < n_parts:
-                out = out.repartition(n_parts)
+        with job_label(batch.sparkSession, f"pretrain_incr:{name}"):
+            out = fn(cur)
+            if i < len(ops) - 1 and out is not cur:
+                # materialize as produced; lazy re-spread only when the
+                # checkpointed layout is too narrow (same rationale as
+                # _pretrain_stage_list, round 13); identity returns (no-op
+                # fast paths) are already materialized
+                out = snapshot(out)
+                if out.rdd.getNumPartitions() < n_parts:
+                    out = out.repartition(n_parts)
         stages.append((name, out))
         cur = out
     # the last pre-decontamination relation — the nin_digest append source

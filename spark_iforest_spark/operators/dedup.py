@@ -1516,6 +1516,8 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    from spark_iforest_spark.functions import job_label
+
     rounds = 0
     while True:
         rounds += 1
@@ -1549,12 +1551,13 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         jump_map = hooked.select(
             F.col("node").alias("jn"), F.col("label").alias("jl")
         )
-        new_labels = snapshot(
-            hooked.join(jump_map, F.col("label") == F.col("jn"), "left").select(
-                "node", F.coalesce("jl", "label").alias("label"), "old"
+        with job_label(labels.sparkSession, f"cc:round{rounds}"):
+            new_labels = snapshot(
+                hooked.join(jump_map, F.col("label") == F.col("jn"), "left").select(
+                    "node", F.coalesce("jl", "label").alias("label"), "old"
+                )
             )
-        )
-        changed = new_labels.where(F.col("label") != F.col("old")).count()
+            changed = new_labels.where(F.col("label") != F.col("old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
