@@ -858,7 +858,18 @@ def _lm_rows(uni: DataFrame, bi: DataFrame, total: DataFrame) -> DataFrame:
         F.col("tot").alias("cnt"),
         _snap_ln(F.lit(1.0) / F.col("tot")).alias("ln_micros"),
     )
-    return uni_rows.unionByName(bi_rows).unionByName(oov_row)
+    # REBALANCE the artifact (round 13): the plain union carries each
+    # branch's partitioning (shuffle_partitions from uni + the same from
+    # bi + 1 from oov — 65 partitions locally for a few-hundred-row LM),
+    # and EVERY consumer then scans that many near-empty partitions —
+    # lm_perplexity's three per-call branch scans made it ~200 tiny tasks
+    # per scored batch. The AQE rebalance sizes partitions by bytes
+    # (advisoryPartitionSizeInBytes), so a small LM collapses to one
+    # partition while a 100 TB-corpus vocabulary still spreads — the
+    # scale-adaptive layout a persisted artifact would get from a sane
+    # parquet write. One artifact-sized exchange at fit time, paid once,
+    # never corpus-keyed; row set unchanged.
+    return uni_rows.unionByName(bi_rows).unionByName(oov_row).hint("rebalance")
 
 
 def _looks_materialized(df: DataFrame) -> bool:
