@@ -475,7 +475,12 @@ def _pretrain_stage_list(
             cuts = perplexity_cutpoints(scored)
         if capture is not None:
             capture["lm"], capture["cutpoints"] = lm, cuts
-        kept = (
+        # the stage's DECISION — the surviving id set — snapshotted (a
+        # narrow projection of the scored blocks; the write is id-sized)
+        # so the stage OUTPUT needs no checkpoint of its own: it is a
+        # semi-join of two materialized relations, cheap to re-evaluate
+        # per consumer (see the boundary-skip note in the loop below)
+        kept = snapshot(
             perplexity_bands(scored, cuts)
             .where(F.col("band").isin(list(ccnet_keep_bands)))
             .select(id_col)
@@ -509,7 +514,14 @@ def _pretrain_stage_list(
     if substr_window:
         ops.append(("exact_substr", _substr))
     if neardup:
-        ops.append(("neardup", lambda c: drop_near_duplicates(c, id_col, text_col)))
+        ops.append((
+            "neardup",
+            # losers snapshotted so the boundary-skip below never re-runs
+            # the quality battery / cluster argmax per consumer
+            lambda c: drop_near_duplicates(
+                c, id_col, text_col, snapshot_losers=True
+            ),
+        ))
     if benchmark is not None:
         ops.append(
             ("decontaminate", lambda c: decontaminate(c, benchmark, id_col, text_col))
@@ -540,10 +552,26 @@ def _pretrain_stage_list(
     for i, (name, fn) in enumerate(ops):
         with job_label(docs.sparkSession, f"pretrain:{name}"):
             out = fn(cur)
-            if i < len(ops) - 1 and out is not cur:  # consumed again by the
-                # next stage; an identity return (a stage's no-op fast path)
-                # is already materialized — re-checkpointing it would only
-                # copy blocks
+            # DECISION-ONLY boundaries (round 13): the ccnet and neardup
+            # stage outputs are a semi-/anti-join of the stage's
+            # (materialized) input against a SMALL materialized decision
+            # set — kept ids (snapshotted in _ccnet) and losers
+            # (snapshot_losers=True above). Checkpointing the joined
+            # output would copy the full corpus-sized (id, text) payload
+            # AGAIN just to spare downstream consumers a broadcast-join
+            # re-evaluation over blocks that already exist; skipping it
+            # drops one corpus-wide block write per stage at every scale
+            # while re-evaluation stays upstream-free (no battery, no
+            # scoring, no CC — those live behind their own snapshots).
+            # The rebuild stages (line_dedup, exact_substr) keep their
+            # boundaries: their outputs are REBUILT text, expensive to
+            # recompute per consumer.
+            if i < len(ops) - 1 and out is not cur and name not in (
+                "ccnet", "neardup"
+            ):
+                # consumed again by the next stage; an identity return (a
+                # stage's no-op fast path) is already materialized —
+                # re-checkpointing it would only copy blocks
                 # EAGER exactly when the lm overlap thread is (possibly
                 # still) running and the ccnet stage is next: the
                 # boundary's battery compute then runs CONCURRENTLY with
@@ -893,10 +921,17 @@ def _pretrain_incr_stage_list(
         )
 
     def _ccnet(c: DataFrame) -> DataFrame:
-        kept = ccnet_apply(
-            c, state.lm, state.cutpoints, id_col=id_col, text_col=text_col,
-            keep_bands=p["ccnet_keep_bands"],
-        ).select(id_col)
+        # the batch's scoring verdict (an id set) is the stage's decision
+        # — snapshot IT, not the joined (id, text) output: the boundary
+        # skip below then re-evaluates only a broadcast semi-join per
+        # consumer, never the explode/score pass (same decision-only
+        # discipline as the full list's _ccnet)
+        kept = snapshot(
+            ccnet_apply(
+                c, state.lm, state.cutpoints, id_col=id_col,
+                text_col=text_col, keep_bands=p["ccnet_keep_bands"],
+            ).select(id_col)
+        )
         return c.join(kept, id_col, "left_semi")
 
     def _line(c: DataFrame) -> DataFrame:
@@ -1002,9 +1037,14 @@ def _pretrain_incr_stage_list(
             c, labels=labels_touched, quality=quality,
             id_col=id_col, text_col=text_col,
         )
-        losers = labels_touched.join(
-            keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
-        ).select(id_col)
+        # decision-only boundary (round 13): snapshot the tiny losers id
+        # set so the skipped output checkpoint never re-runs the argmax
+        losers = snapshot(
+            labels_touched.join(
+                keep.select(F.col("keep_doc_id").alias(id_col)),
+                id_col, "left_anti",
+            ).select(id_col)
+        )
         return c.join(losers, id_col, "left_anti")
 
     ops: list[tuple[str, object]] = []
@@ -1032,7 +1072,15 @@ def _pretrain_incr_stage_list(
     for i, (name, fn) in enumerate(ops):
         with job_label(batch.sparkSession, f"pretrain_incr:{name}"):
             out = fn(cur)
-            if i < len(ops) - 1 and out is not cur:
+            # decision-only boundaries for ccnet/neardup, same rationale
+            # as _pretrain_stage_list: their outputs join a materialized
+            # input against a snapshotted batch-bounded id set (kept /
+            # losers), so re-evaluation per consumer is one broadcast
+            # join over existing blocks and the (id, text) re-checkpoint
+            # is pure copy cost
+            if i < len(ops) - 1 and out is not cur and name not in (
+                "ccnet", "neardup"
+            ):
                 # materialize as produced; lazy re-spread only when the
                 # checkpointed layout is too narrow (same rationale as
                 # _pretrain_stage_list, round 13); identity returns (no-op

@@ -1648,6 +1648,7 @@ def drop_near_duplicates(
     text_col: str = "text",
     pairs: DataFrame | None = None,
     quality: DataFrame | None = None,
+    snapshot_losers: bool = False,
 ) -> DataFrame:
     """The one-call near-dup sweep: ``docs`` minus every duplicate-cluster
     member EXCEPT each cluster's best-quality representative
@@ -1658,7 +1659,16 @@ def drop_near_duplicates(
     ``pairs`` relation: minhash at corpus scale) → ``resolve_clusters`` →
     one broadcast-able anti-join of the (small) losers set against the
     corpus. Survivor count = n_docs − Σ(cluster_size − 1) by construction
-    (pytest-pinned)."""
+    (pytest-pinned).
+
+    ``snapshot_losers=True`` materializes the losers id set (round 13) —
+    the sweep's DECISION, a few ids per duplicate cluster — so a caller
+    that consumes the returned relation several times re-runs only the
+    cheap anti-join against its (materialized) input instead of the
+    quality battery and cluster argmax per consumption. The curation
+    stage list uses this to drop its corpus-sized post-neardup
+    checkpoint: the heavy (id, text) bytes stay in the previous stage's
+    blocks, and only the decision is stored."""
     labels = dup_clusters(docs, id_col, text_col, pairs=pairs)
     # duplicate-free fast path (round 13): with no clusters there are no
     # losers — the quality argmax, the keeper anti-join, and the corpus
@@ -1675,6 +1685,8 @@ def drop_near_duplicates(
     losers = labels.join(
         keep.select(F.col("keep_doc_id").alias(id_col)), id_col, "left_anti"
     ).select(id_col)
+    if snapshot_losers:
+        losers = snapshot(losers)
     return docs.join(losers, id_col, "left_anti")
 
 
