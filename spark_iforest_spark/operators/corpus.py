@@ -952,6 +952,14 @@ def _pretrain_incr_stage_list(
             c, state.substr_index, window=p["substr_window"],
             id_col=id_col, text_col=text_col, with_text=True,
             assume_disjoint_ids=True,
+            # verify_window=False (round 13, the verify_n=False argument
+            # one stage over): the window passed here IS the state's
+            # recorded param — the params contract refuses mismatched
+            # states at merge/apply — so the default-on min/max re-check
+            # would pay a full scan of the corpus-sized substr index per
+            # ingested batch to re-verify a pinned literal. Direct index
+            # users keep the default-on guard.
+            verify_window=False,
         )
         return (
             rs.select(F.col(id_col), F.col("clean_text").alias(text_col))
@@ -2187,11 +2195,20 @@ def materialize_curation_state(state: CurationState) -> CurationState:
     per batch RUN when benchmarking), and a lazy artifact re-executes
     its build per consumption. After :func:`load_curation_state` this is
     a no-op-shaped convenience (parquet scans are already materialized).
+
+    Each artifact is REBALANCED before checkpointing (round 13): the
+    build plans leave layouts inherited from their shuffles and unions
+    (32-64 near-empty partitions per artifact at test scale), and every
+    per-batch probe then schedules that many tiny scan tasks — forever.
+    The AQE rebalance sizes partitions by bytes (one partition for a
+    small artifact, spread for a 100 TB index), the same layout a sane
+    parquet save would produce; the exchange is artifact-sized and paid
+    once at materialization, amortized over every batch that follows.
     """
     from spark_iforest_spark.checkpoint import snapshot
 
     for name in _STATE_RELATIONS:
         rel = getattr(state, name)
         if rel is not None:
-            setattr(state, name, snapshot(rel, eager=True))
+            setattr(state, name, snapshot(rel.hint("rebalance"), eager=True))
     return state
