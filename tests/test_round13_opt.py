@@ -195,3 +195,70 @@ def test_line_dedup_hot_set_anti_join(spark):
     assert rows[1] == (3, 1, "c")
     assert rows[2] == (2, 0, "")
     assert rows[3] == (1, 0, "")
+
+
+def test_drop_near_duplicates_snapshot_losers_equality(docs):
+    # snapshot_losers changes only WHERE the losers set lives (a
+    # materialized id relation instead of a lazy subtree) — the swept
+    # output must be row-identical, and re-consuming it must not
+    # re-resolve clusters (the losers leaf is a snapshot)
+    from spark_iforest_spark.plans import formatted_plan
+
+    base = dedup.drop_near_duplicates(docs)
+    snap = dedup.drop_near_duplicates(docs, snapshot_losers=True)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, snap.collect())
+    )
+    # the anti-join's right side is a materialized leaf, not the
+    # resolve/argmax subtree
+    plan = formatted_plan(snap)
+    assert "Scan ExistingRDD" in plan
+
+
+def test_lm_artifact_rebalanced_to_data_size(spark):
+    # change 11: a small LM artifact must materialize as ONE partition
+    # (the AQE rebalance sizes by bytes), not one partition per union
+    # branch per shuffle partition
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.operators import text
+
+    ref = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "c a")], ["doc_id", "text"]
+    )
+    lm, h = text.lm_fit(ref, return_handle=True)
+    try:
+        s = snapshot(lm, eager=True)
+        assert s.rdd.getNumPartitions() == 1
+    finally:
+        h.release()
+
+
+def test_curation_state_artifacts_right_sized(spark):
+    # change 13: materialize_curation_state rebalances every artifact —
+    # at fixture scale each must come back as a single partition while
+    # the incremental batch output stays bit-equal to the boundary'd
+    # chain's contract (pinned by the existing equality suites; here we
+    # pin the layout)
+    from spark_iforest_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"the tok{i % 3} is a word of text and it has k l m n o p q")
+         for i in range(24)],
+        ["doc_id", "text"],
+    )
+    state = corpus.materialize_curation_state(
+        corpus.curation_state(
+            docs,
+            reference=docs,
+            gopher=False,  # layout pin, not a battery fixture
+            line_min_docs=2,
+            substr_window=4,
+            neardup=True,
+        )
+    )
+    for name in ("ids", "lm", "line_index", "substr_index",
+                 "shingle_index", "labels", "quality"):
+        rel = getattr(state, name)
+        if rel is not None:
+            # <= 1: an EMPTY artifact rebalances to zero partitions
+            assert rel.rdd.getNumPartitions() <= 1, name
