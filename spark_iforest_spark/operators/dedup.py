@@ -1818,18 +1818,28 @@ def _window_keys(df: DataFrame, id_col: str, text_col: str, window: int):
     The token split is projected before the window expression (round 13):
     the per-position lambda slices the token array, and an inline
     tokens() there re-evaluates the regex split per position — O(tokens²)
-    per doc on the interpreted HOF path."""
-    toks = F.col("_toks")
-    wins = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i + 1, window), " ")).alias("h"),
+    per doc on the interpreted HOF path. The window tree reads only the
+    fixed-name ``_toks`` column, so it is memoized on ``window`` alone
+    (round 14; functions.memo_expr — this construction recurred at ~130 ms
+    per call on every substr span/index build and every ingested batch)."""
+    from spark_iforest_spark.functions import memo_expr
+
+    def build():
+        toks = F.col("_toks")
+        return F.when(
+            F.size(toks) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - window),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice(toks, i + 1, window), " ")
+                    ).alias("h"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    wins = memo_expr(("substr_window_keys", int(window)), build)
     pre = df.select(
         F.col(id_col),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
@@ -1893,42 +1903,47 @@ def _merge_cut_spans(cut: DataFrame, id_col: str, window: int) -> DataFrame:
     via the per-doc Catalyst array fold — shared by the full and
     incremental span paths so both merge identically."""
     w = int(window)
-    empty = F.array().cast("array<struct<start:int,end:int>>")
+    from spark_iforest_spark.functions import memo_expr
+
     # the interval fold is exploded INLINE (round 13): exploding a named
     # "_spans" column would let InferFiltersFromGenerate duplicate the
-    # whole fold into a pushed-down filter (see _shingle_rows)
+    # whole fold into a pushed-down filter (see _shingle_rows). The fold
+    # tree reads only the fixed-name ``_ps`` column — memoized on the
+    # window width (round 14; ~200 ms of py4j construction per call).
+    def build():
+        empty = F.array().cast("array<struct<start:int,end:int>>")
+        return F.explode(F.aggregate(
+            F.col("_ps"),
+            empty,
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["start"].alias("start"),
+                            (p + w).cast("int").alias("end"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            p.cast("int").alias("start"),
+                            (p + w).cast("int").alias("end"),
+                        )
+                    ),
+                )
+            ),
+        )).alias("s")
+
+    fold = memo_expr(("substr_merge_fold", w), build)
     return (
         cut.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
-        .select(
-            id_col,
-            F.explode(F.aggregate(
-                F.col("_ps"),
-                empty,
-                lambda acc, p: F.when(
-                    (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)["start"].alias("start"),
-                                (p + w).cast("int").alias("end"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(
-                                p.cast("int").alias("start"),
-                                (p + w).cast("int").alias("end"),
-                            )
-                        ),
-                    )
-                ),
-            )).alias("s"),
-        )
+        .select(id_col, fold)
         .select(id_col, F.col("s.start").alias("start"), F.col("s.end").alias("end"))
     )
 
@@ -2165,40 +2180,54 @@ def _apply_cut_spans(
     deriving size/md5/text from the column references keeps it at ONE
     evaluation per row instead of one per consuming expression (the
     multi-referenced aliases are retained by CollapseProject)."""
+    from spark_iforest_spark.functions import memo_expr
+
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "end")).alias("_spans")
     )
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     empty = F.array().cast("array<struct<start:int,end:int>>")
     sp = F.coalesce(F.col("_spans"), empty)
-    indexed = F.transform(
-        F.col("_toks"),
-        lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")),
-    )
-    # reads the pre-projected _toks/_spans columns of s1's first select
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.exists(
-            F.col("_spans"),
-            lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"]),
-        ),
-    )
+
+    # the masking/rebuild trees read only the fixed-name _toks/_spans/_kept
+    # columns of the staged projections below — memoized parameter-free
+    # (round 14; ~250 ms of py4j construction per call, paid by every
+    # substr apply: the dedup_substr bench query, both curate chains, and
+    # every ingested batch)
+    def build_kept():
+        indexed = F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")),
+        )
+        return F.filter(
+            indexed,
+            lambda s: ~F.exists(
+                F.col("_spans"),
+                lambda x: (s["i"] >= x["start"]) & (s["i"] < x["end"]),
+            ),
+        ).alias("_kept")
+
+    def build_clean():
+        return F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["t"]), " "
+        ).alias("_clean")
+
+    kept = memo_expr(("substr_apply_kept",), build_kept)
+    clean = memo_expr(("substr_apply_clean",), build_clean)
     s1 = (
         df.join(per_doc, id_col, "left")
         .select(F.col(id_col), toks.alias("_toks"), sp.alias("_spans"))
         .select(
             F.col(id_col),
             F.size("_toks").cast("long").alias("n_tokens"),
-            kept.alias("_kept"),
+            kept,
         )
     )
     s2 = s1.select(
         F.col(id_col),
         "n_tokens",
         F.size("_kept").cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(F.col("_kept"), lambda s: s["t"]), " "
-        ).alias("_clean"),
+        clean,
     )
     cols = [
         F.col(id_col),

@@ -1042,13 +1042,20 @@ def _rebuild_kept_lines(
     """Shared rebuild tail of line_dedup / line_dedup_incremental: regroup
     surviving (pos, line) rows per doc in original order, emit
     (id, n_lines, n_kept, clean_md5[, clean_text]) for EVERY input doc
-    (a doc with zero surviving lines keeps md5('')/empty text)."""
-    joined = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "line"))),
-            lambda s: s["line"],
+    (a doc with zero surviving lines keeps md5('')/empty text). The
+    rebuild tree reads only the fixed-name pos/line columns — memoized
+    parameter-free (round 14; functions.memo_expr)."""
+    from spark_iforest_spark.functions import memo_expr
+
+    joined = memo_expr(
+        ("line_rebuild_joined",),
+        lambda: F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
         ),
-        "\n",
     )
     aggs = [F.count(F.lit(1)).alias("n_kept"), F.md5(joined).alias("clean_md5")]
     if with_text:
