@@ -338,7 +338,39 @@ def recurate_with_diff(
     def _anti(rel, ids):
         return rel.join(bcast(ids), id_col, "left_anti")
 
-    ad_docs = _semi(new_docs, ad_ids)
+    # Re-process waves are CHURN-sized (id, text) slices of the stored
+    # snapshot, and the heavy per-row prefix that follows (the gopher
+    # battery's interpreted-HOF rules, the window/rebuild trees) must run
+    # over exactly those rows. Left as a plain semi-join plan, BOTH of
+    # those go wrong at once: Catalyst treats the (expensive) battery
+    # filter as pushable and sinks it BELOW the wave semi-join into the
+    # corpus-sized parquet scan — the battery then evaluates over every
+    # corpus row to keep a 2% wave (measured: three 15-19 s stages at
+    # sf0.1/fat=8, 79% of the re-curation wall) — and it runs at the
+    # scan's split count (2 tasks locally), not the cluster's width.
+    # The fix is one churn-sized materialization barrier per wave:
+    # repartition the wave to the session width and snapshot it, so the
+    # optimizer cannot push anything below the checkpointed leaf and the
+    # per-row compute runs wave-sized on every core. The exchanged and
+    # checkpointed bytes are churn-proportional by construction — never
+    # corpus-sized. Materialized downstream snapshots (rebuilt-text
+    # relations) use the round-13 conditional re-spread instead: their
+    # partition count is free to read, and the repartition moves
+    # already-checkpointed churn-sized blocks only when AQE coalesced
+    # them too narrow for the next per-row pass.
+    from spark_iforest_spark.functions import shuffle_partitions
+
+    n_parts = shuffle_partitions(spark)
+
+    def _spread(docs):
+        return snapshot(docs.repartition(n_parts))
+
+    def _respread(snap):
+        if snap.rdd.getNumPartitions() < n_parts:
+            return snap.repartition(n_parts)
+        return snap
+
+    ad_docs = _spread(_semi(new_docs, ad_ids))
 
     # ---- stage: line dedup — patch counts from detail, find D1 --------
     min_docs = p["line_min_docs"]
@@ -399,7 +431,7 @@ def recurate_with_diff(
         The per-row prefix is snapshotted: the line rebuild consumes it
         twice (lines side + totals side), and the gopher battery is the
         expensive per-row pass — lazy it would execute per consumer."""
-        g = snapshot(_row_stage_survivors(raw_docs, state))
+        g = snapshot(_row_stage_survivors(_spread(raw_docs), state))
         if not min_docs:
             return g
         return _line_rebuild_vs_index(g, line_index_b, min_docs, id_col, text_col)
@@ -407,7 +439,7 @@ def recurate_with_diff(
     # ---- stage: ExactSubstr — patch count/keeper from detail, find D2 --
     window = p["substr_window"]
     p1_ids = snapshot(d1_ids.unionByName(ad_ids).distinct())
-    u_p1 = snapshot(_u_in(_semi(new_docs, p1_ids)))
+    u_p1 = _respread(snapshot(_u_in(_semi(new_docs, p1_ids))))
     if window:
         from spark_iforest_spark.operators.dedup import _window_keys
 
@@ -512,13 +544,15 @@ def recurate_with_diff(
     # u_all is consumed twice by the substr rebuild (window keys + the
     # span-apply side) — snapshotted so the D2 docs' line rebuild runs
     # once (u_p1 is already checkpointed above)
-    u_all = snapshot(u_p1.unionByName(_u_in(_semi(new_docs, d2_ids))))
+    u_all = _respread(
+        snapshot(u_p1.unionByName(_u_in(_semi(new_docs, d2_ids))))
+    )
     if window:
-        nin_new = snapshot(
+        nin_new = _respread(snapshot(
             _substr_rebuild_vs_index(
                 u_all, substr_index_b, window, id_col, text_col
             )
-        )
+        ))
     else:
         nin_new = u_all
     rm_ids = snapshot(
