@@ -26,6 +26,8 @@ and recovery story changes.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.spark_iforest.reliableCheckpoint"
@@ -53,6 +55,11 @@ _DEFAULT_PIN = 8
 # points — after the consuming action returns — so reclamation happens in
 # the idle gap between queries instead of under the next one.
 _LIVE: dict[str, list[tuple[DataFrame, DataFrame]]] = {}
+# snapshot() is called concurrently since the LM-fit overlap thread
+# (corpus._pretrain_stage_list) — guard the pin list's append/trim so an
+# interleaving cannot evict a just-materialized pair early and re-expose
+# the round-7 accumulator-GC storm the pin suppresses (round-14 advice fix)
+_LIVE_LOCK = threading.Lock()
 
 
 def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -72,8 +79,9 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
     # snapshot drops every other app's list (one live local session is the
     # operating mode; a stopped session's DataFrames are unreclaimable
     # garbage otherwise — round-7 advice fix)
-    for stale in [k for k in _LIVE if k != app_id]:
-        del _LIVE[stale]
+    with _LIVE_LOCK:
+        for stale in [k for k in _LIVE if k != app_id]:
+            del _LIVE[stale]
     if pin > 0:
         # pin the INPUT df alongside the checkpointed output (round 7):
         # a LAZY localCheckpoint truncates lineage when the consuming job
@@ -84,10 +92,11 @@ def snapshot(df: DataFrame, eager: bool = False) -> DataFrame:
         # pinning the input records 0 lines at unchanged cost, where
         # eager=True also records 0 but is ~20% slower by losing
         # single-job pipelining).
-        live = _LIVE.setdefault(app_id, [])
-        live.append((df, out))
-        if len(live) > pin:
-            del live[: len(live) - pin]
+        with _LIVE_LOCK:
+            live = _LIVE.setdefault(app_id, [])
+            live.append((df, out))
+            if len(live) > pin:
+                del live[: len(live) - pin]
     return out
 
 
@@ -96,6 +105,7 @@ def release_snapshots() -> int:
     ContextCleaner reclaim their blocks. Returns how many snapshot PAIRS
     (input + checkpoint) were released. Call between queries, after
     actions complete — never mid-plan."""
-    n = sum(len(v) for v in _LIVE.values())
-    _LIVE.clear()
+    with _LIVE_LOCK:
+        n = sum(len(v) for v in _LIVE.values())
+        _LIVE.clear()
     return n

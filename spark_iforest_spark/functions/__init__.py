@@ -162,7 +162,14 @@ class job_label:
     caller's own description, so wrapping library internals never
     clobbers an application-level label — callers that set their own
     description see the library labels appended as a suffix. Cost: two
-    driver-local property calls per labelled block, no jobs, no data."""
+    driver-local property calls per labelled block, no jobs, no data.
+
+    Thread scoping: local properties are per-PYTHON-thread only in
+    PySpark's pinned-thread mode (``PYSPARK_PIN_THREAD``, the default
+    since Spark 3.2). With pinning disabled, Python threads share JVM
+    threads and a label set from a background thread (the LM-fit overlap)
+    can clobber the main thread's description — cosmetic only (labels
+    never affect results), but worth knowing when reading the UI."""
 
     def __init__(self, spark, text: str):
         self._sc = spark.sparkContext

@@ -447,7 +447,16 @@ def _pretrain_stage_list(
     if reference is not None:
         from concurrent.futures import ThreadPoolExecutor
 
+        # the caller's job group is a thread-local property — propagate it
+        # so cancelJobGroup covers the fit's jobs too (round-14 advice
+        # fix; without this, pinned-thread mode leaves the background fit
+        # uncancellable from the caller's group)
+        _sc = docs.sparkSession.sparkContext
+        _parent_group = _sc.getLocalProperty("spark.jobGroup.id")
+
         def _fit_lm():
+            if _parent_group is not None:
+                _sc.setLocalProperty("spark.jobGroup.id", _parent_group)
             with job_label(docs.sparkSession, "ccnet:lm_fit"):
                 lm_raw, lm_handle = lm_fit(
                     reference, text_col=text_col, return_handle=True
@@ -549,8 +558,31 @@ def _pretrain_stage_list(
     # input's scan parallelism is the caller's responsibility —
     # repartition after reading few/small files.)
     n_parts = shuffle_partitions(docs.sparkSession)
+    try:
+        return _run_stage_ops(
+            ops, cur, stages, docs, n_parts, lm_future, "pretrain"
+        )
+    except BaseException:
+        # join the overlap thread on ANY construction failure (round-14
+        # advice fix): a stage raising before the ccnet stage consumed
+        # the future would otherwise leave the non-daemon fit thread
+        # running its cluster jobs to completion unobserved, its own
+        # exception silently swallowed
+        if lm_future is not None:
+            lm_future.cancel()
+            try:
+                lm_future.result()
+            except Exception:
+                pass
+        raise
+
+
+def _run_stage_ops(ops, cur, stages, docs, n_parts, lm_future, label):
+    from spark_iforest_spark.checkpoint import snapshot
+    from spark_iforest_spark.functions import job_label
+
     for i, (name, fn) in enumerate(ops):
-        with job_label(docs.sparkSession, f"pretrain:{name}"):
+        with job_label(docs.sparkSession, f"{label}:{name}"):
             out = fn(cur)
             # DECISION-ONLY boundaries (round 13): the ccnet and neardup
             # stage outputs are a semi-/anti-join of the stage's
