@@ -1257,17 +1257,6 @@ def dsir_grams(text_col) -> F.Column:
     return F.concat(toks, F.filter(bi, lambda g: g.isNotNull()))
 
 
-def _dsir_bucket_counts(
-    df: DataFrame, text_col: str, n_buckets: int, salt: str
-) -> DataFrame:
-    g = df.select(F.explode(dsir_grams(F.col(text_col))).alias("g"))
-    return (
-        g.select((_md5_u32(F.col("g"), salt) % n_buckets).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 def dsir_estimator(
     target: DataFrame,
     raw: DataFrame,
@@ -1284,30 +1273,39 @@ def dsir_estimator(
     with parquet; mirrors the ivf_centers / pq codebook pattern): fit once
     on a sample, then weight/resample any number of raw shards against it.
 
-    Scale: ONE explode+groupBy aggregate per side (map-side combined,
-    shuffle bounded by m per partition) — the gram totals are derived
-    from the m-row count relation itself with a window sum rather than a
-    separate ``agg``, because Spark does NOT reuse the count subtree
-    across the two references (verified on the executed plan: the
-    agg-based form re-scanned the corpus for each total — 2 extra full
-    passes at 100 TB; the window runs over m rows, cost ~0). The
-    estimator itself is m rows — broadcastable by construction.
+    Scale: ONE tagged-union explode+groupBy aggregate over BOTH sides
+    (round 14; was one aggregate per side + two m-row joins): each side's
+    gram stream carries an ``is_t`` flag and the per-bucket counts are
+    conditional sums in a single map-side-combined shuffle — half the
+    aggregate jobs and one exchange instead of two, with the exact same
+    integer counts (a gram contributes to exactly the side it came from;
+    the gate's DuckDB oracle pins the result). The gram totals are
+    derived from the m-row count relation itself with a window sum
+    rather than a separate ``agg``, because Spark does NOT reuse the
+    count subtree across the two references (verified on the executed
+    plan: the agg-based form re-scanned the corpus for each total — 2
+    extra full passes at 100 TB; the window runs over m rows, cost ~0).
+    The estimator itself is m rows — broadcastable by construction.
     """
     spark = target.sparkSession
     m = int(n_buckets)
     buckets = spark.range(m).select(F.col("id").alias("bucket"))
-    t = _dsir_bucket_counts(target, text_col, m, salt).withColumnRenamed(
-        "cnt", "cnt_t"
+
+    def _grams(df: DataFrame, is_t: bool) -> DataFrame:
+        return df.select(
+            F.explode(dsir_grams(F.col(text_col))).alias("g"),
+            F.lit(is_t).alias("is_t"),
+        ).select((_md5_u32(F.col("g"), salt) % m).alias("bucket"), "is_t")
+
+    tagged = _grams(target, True).unionByName(_grams(raw, False))
+    tr = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"),
     )
-    r = _dsir_bucket_counts(raw, text_col, m, salt).withColumnRenamed("cnt", "cnt_r")
-    counts = (
-        buckets.join(t, "bucket", "left")
-        .join(r, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
-            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
-        )
+    counts = buckets.join(tr, "bucket", "left").select(
+        "bucket",
+        F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+        F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
     )
     return _dsir_rows(counts, m, alpha)
 

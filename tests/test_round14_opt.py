@@ -1,5 +1,6 @@
 """Round-14 optimization internals: substr/line expression-tree memoization
-keying and the fused single-pass DSIR estimator.
+keying, the fused single-pass DSIR estimator, and the BPE driver fit's
+heap-based argmin.
 
 These pin the NEW mechanics this optimization round introduced; the value
 contracts stay pinned by the existing operator suites and the oracle gates
@@ -56,6 +57,129 @@ def test_substr_apply_memoized_values_roundtrip(spark, docs):
         assert r["n_kept"] == len([t for t in r["clean_text"].split(" ") if t != ""]) or (
             r["clean_text"] == "" and r["n_kept"] == 0
         )
+
+
+def test_bpe_fit_heap_matches_full_rescan():
+    # the lazy-deletion heap + net-delta merge application must reproduce
+    # the former full-rescan argmin byte-for-byte: same (-count, pair)
+    # key, same lex tie-break, same <2 stop — checked against a reference
+    # reimplementation of the old algorithm on tie-heavy vocabularies
+    import random
+
+    from spark_iforest_spark.operators.tokenizer import _bpe_fit, _word_symbols
+
+    def reference_fit(word_counts, n_merges):
+        seqs, counts = {}, {}
+        for i, (w, c) in enumerate(word_counts.items()):
+            seqs[i] = list(_word_symbols(w))
+            counts[i] = c
+        pair_count, pair_words = {}, {}
+
+        def add(wid, sign):
+            s, c = seqs[wid], counts[wid]
+            for p in zip(s, s[1:]):
+                pair_count[p] = pair_count.get(p, 0) + sign * c
+                if sign > 0:
+                    pair_words.setdefault(p, set()).add(wid)
+                elif pair_count.get(p, 0) <= 0:
+                    pair_count.pop(p, None)
+                    pair_words.pop(p, None)
+
+        for wid in seqs:
+            add(wid, +1)
+        merges = []
+        for _ in range(n_merges):
+            if not pair_count:
+                break
+            best = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pair_count[best] < 2:
+                break
+            merges.append([best[0], best[1]])
+            merged = best[0] + best[1]
+            for wid in list(pair_words.get(best, ())):
+                add(wid, -1)
+                s = seqs[wid]
+                out, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == best[0]
+                        and s[i + 1] == best[1]
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[wid] = out
+                add(wid, +1)
+        return merges
+
+    # overlap-heavy fixed cases (aaa self-overlap, equal-count ties)
+    small = {"aaab": 5, "abab": 5, "bbba": 5, "ab": 3, "ba": 3, "aaaa": 4, "aaa": 7}
+    assert _bpe_fit(small, 50) == reference_fit(small, 50)
+    # tie-dense random two-letter vocabularies stress the heap's stale
+    # handling: counts collide constantly, every round is a tie-break
+    for seed in range(5):
+        rng = random.Random(seed)
+        wc = {
+            "".join(rng.choice("ab") for _ in range(rng.randint(2, 8))): rng.randint(1, 9)
+            for _ in range(500)
+        }
+        assert _bpe_fit(wc, 300) == reference_fit(wc, 300), f"seed {seed}"
+
+
+def test_dsir_estimator_fused_union_matches_two_pass(spark):
+    # the tagged-union single aggregate must produce the exact integer
+    # counts (and therefore snapped log ratios) of the former per-side
+    # aggregates — checked against an inline reimplementation of the old
+    # two-pass shape
+    from pyspark.sql import functions as F
+
+    from spark_iforest_spark.operators.pipeline import (
+        _dsir_rows,
+        _md5_u32,
+        dsir_estimator,
+        dsir_grams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "der hund la le lu"),
+            (2, "de", "die katze la le"),
+            (3, "en", "the dog la le lu"),
+            (4, "en", "the cat miau miau"),
+            (5, "en", None),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    target, raw, m, salt = docs.where(F.col("lang") == "de"), docs, 64, "dsir"
+
+    def old_counts(df):
+        return (
+            df.select(F.explode(dsir_grams(F.col("text"))).alias("g"))
+            .select((_md5_u32(F.col("g"), salt) % m).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    buckets = spark.range(m).select(F.col("id").alias("bucket"))
+    t = old_counts(target).withColumnRenamed("cnt", "cnt_t")
+    r = old_counts(raw).withColumnRenamed("cnt", "cnt_r")
+    old = _dsir_rows(
+        buckets.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+        ),
+        m,
+        1.0,
+    )
+    new = dsir_estimator(target, raw, n_buckets=m)
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
 
 
 def test_line_rebuild_memoized_order_preserved(spark):

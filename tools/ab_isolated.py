@@ -37,6 +37,8 @@ SUPPORTED = [
     "dedup_incremental",
     "ccnet_ppl",
     "bpe_tokenize",
+    "bpe_pack",
+    "dsir_select",
 ]
 
 
@@ -61,7 +63,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from spark_iforest_spark.operators import dedup, text, tokenizer
+    from spark_iforest_spark.operators import dedup, pipeline, text, tokenizer
     from spark_iforest_spark.sources import read_table
 
     spark = (
@@ -130,6 +132,25 @@ def main() -> None:
             ).count()
         ),
         "bpe_tokenize": dict(fn=_bpe),
+        # round-14 additions: the two queries the round-13 verdict flagged
+        # for a quiet-box re-measure (bpe_pack) and this round's dsir
+        # fusion A/B (dsir_select) — bench.py's exact definitions
+        "bpe_pack": dict(
+            fn=lambda m: tokenizer.pack_token_ids(
+                docs, m, seq_len=2048
+            ).count(),
+            prepare=lambda: tokenizer.bpe_train(docs, n_merges=500),
+        ),
+        "dsir_select": dict(
+            fn=lambda _: pipeline.dsir_resample(
+                docs,
+                pipeline.dsir_estimator(
+                    docs.where(F.col("lang") == "de"), docs, n_buckets=2048
+                ),
+                500,
+                n_buckets=2048,
+            ).count()
+        ),
     }
 
     out = {q: run(q, **defs[q]) for q in wanted}
