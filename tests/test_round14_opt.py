@@ -182,6 +182,192 @@ def test_dsir_estimator_fused_union_matches_two_pass(spark):
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
 
 
+def _emb_rows(rng, direction, n, start_id, noise=0.05):
+    import numpy as np
+
+    d = np.asarray(direction, dtype=float)
+    d = d / np.linalg.norm(d)
+    return [
+        (
+            start_id + i,
+            [float(x) for x in d + noise * rng.standard_normal(len(d))],
+        )
+        for i in range(n)
+    ]
+
+
+def _topk_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_ivf_topk_grouped_single_group_matches_ivf_topk(spark, tmpdir):
+    # one (centers, assigned) group must reduce to ivf_topk's
+    # persisted-index mode exactly — the extraction of _ivf_candidates is
+    # pure code motion
+    import numpy as np
+
+    from spark_iforest_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    rows = (
+        _emb_rows(rng, [1, 0, 0, 0], 40, 0)
+        + _emb_rows(rng, [0, 1, 0, 0], 40, 100)
+        + _emb_rows(rng, [0, 0, 1, 0], 40, 200)
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id % 30 = 0")
+    centers = similarity.ivf_centers(emb, n_centroids=3)
+    assigned = similarity.ivf_assign(emb, centers)
+    want = _topk_rows(
+        similarity.ivf_topk(
+            emb, q, k=4, n_probe=2, centers=centers, assigned=assigned,
+            two_phase=False,
+        )
+    )
+    got = _topk_rows(
+        similarity.ivf_topk_grouped(q, [(centers, assigned)], k=4, n_probe=2)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_requantize_live_with_concurrent_ingest(spark, tmpdir):
+    """The live requantize contract end to end: epoch-scoped parts keep a
+    running ingest correct THROUGH a re-quantization — pre-requantize
+    parts, an in-flight old-space straggler landing after the epoch bump,
+    a late retry of an already-folded batch id, and post-requantize
+    batches are all probeable, with exact all-cell probes matching brute
+    force at every step and 1-probe recall restored on the drifted slice."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spark_iforest_spark import streaming as S
+    from spark_iforest_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    mid = [1.0, 1.0] + [0.0] * (dim - 2)
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(
+        _emb_rows(rng, e0, 60, 0) + _emb_rows(rng, e1, 60, 100), schema
+    )
+    drift = spark.createDataFrame(_emb_rows(rng, mid, 60, 200), schema)
+    straggler = spark.createDataFrame(_emb_rows(rng, mid, 10, 400), schema)
+
+    src = str(tmpdir) + "/src"
+    idx = str(tmpdir) + "/idx"
+    cdir = str(tmpdir) + "/centers"
+    ck = str(tmpdir) + "/ck"
+
+    assert S.publish_ann_centers(
+        spark, cdir, similarity.ivf_centers(base, n_centroids=2)
+    ) == 0
+
+    def exact_all_probe(full, q, k=5):
+        groups = S.latest_ann_index_live(spark, idx, cdir)
+        n_cells = max(len(c) for c, _ in groups)
+        got = _topk_rows(
+            similarity.ivf_topk_grouped(q, groups, k=k, n_probe=n_cells)
+        )
+        want = _topk_rows(similarity.cosine_topk(full, q, k=k))
+        assert got == want and len(got) > 0
+
+    # epoch 0: base corpus over >= 2 batches (checkpointed — batch ids
+    # must CONTINUE across the later re-starts)
+    base.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest_live(stream, idx, cdir, checkpoint_dir=ck).awaitTermination()
+    assert S._index_epochs(spark, idx) == [0]
+    exact_all_probe(base, base.where("vec_id % 40 = 0"))
+
+    # drifted batches arrive on the same source/checkpoint, still epoch 0
+    drift.repartition(2).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest_live(stream2, idx, cdir, checkpoint_dir=ck).awaitTermination()
+    full = base.unionByName(drift)
+    q = drift.where(F.col("vec_id") % 20 == 0)
+    exact = similarity.cosine_topk(full, q, k=5)
+    groups0 = S.latest_ann_index_live(spark, idx, cdir)
+    pre = similarity.ivf_topk_grouped(q, groups0, k=5, n_probe=1)
+    pre_ok = similarity.topk_recall(exact, pre, floor=0.9).collect()[0]
+    assert not pre_ok["recall_ok"]  # drift straddles the old cells
+
+    old_epoch_ids = S._part_ids(spark, idx + "/e0", "b")
+    old_centers = S.current_ann_centers(spark, cdir)[1]
+
+    # LIVE requantize — no stream stopped, new epoch published
+    new_centers, new_epoch = S.requantize_ann_index_live(
+        spark, idx, cdir, n_centroids=3
+    )
+    assert new_epoch == 1
+    # old epoch tombstoned at its max folded id, folded parts GC'd
+    assert S._part_ids(spark, idx + "/e0", "c") == [max(old_epoch_ids)]
+    assert S._part_ids(spark, idx + "/e0", "b") == []
+
+    # 1-probe recall on the drifted slice is restored by the new quantizer
+    post = similarity.ivf_topk_grouped(
+        q, S.latest_ann_index_live(spark, idx, cdir), k=5, n_probe=1
+    )
+    post_ok = similarity.topk_recall(exact, post, floor=0.9).collect()[0]
+    assert post_ok["recall_ok"]
+    exact_all_probe(full, q)
+
+    # an IN-FLIGHT old-space batch commits after the epoch bump: its id is
+    # above the tombstone, so it stays live in e0 and is probed under the
+    # OLD centers — the exact-ranking merge keeps results correct
+    straggler_bid = max(old_epoch_ids) + 1
+    similarity.ivf_assign(straggler, old_centers).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{idx}/e0/b{straggler_bid}")
+    full2 = full.unionByName(straggler)
+    exact_all_probe(full2, straggler.where("vec_id % 3 = 0"))
+
+    # a LATE RETRY of an already-folded batch id re-writes its old part:
+    # at or below the tombstone, the read rule ignores it — no duplicates
+    retry_bid = old_epoch_ids[0]
+    similarity.ivf_assign(
+        base.where(F.col("vec_id") < 5), old_centers
+    ).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{idx}/e0/b{retry_bid}"
+    )
+    exact_all_probe(full2, straggler.where("vec_id % 3 = 0"))
+    n_live = sum(
+        df.count() for _, df in S.latest_ann_index_live(spark, idx, cdir)
+    )
+    assert n_live == full2.count()  # no duplicates, nothing lost
+
+    # post-requantize ingest continues on the same checkpoint into e1
+    extra = spark.createDataFrame(_emb_rows(rng, mid, 12, 500), schema)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream3 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.ann_ingest_live(stream3, idx, cdir, checkpoint_dir=ck).awaitTermination()
+    full3 = full2.unionByName(extra)
+    exact_all_probe(full3, extra.where("vec_id % 2 = 0"))
+
+    # a second requantize folds the straggler and the new-epoch parts
+    _, epoch2 = S.requantize_ann_index_live(spark, idx, cdir, n_centroids=3)
+    assert epoch2 == 2
+    exact_all_probe(full3, extra.where("vec_id % 2 = 0"))
+    n_live = sum(
+        df.count() for _, df in S.latest_ann_index_live(spark, idx, cdir)
+    )
+    assert n_live == full3.count()
+
+
 def test_line_rebuild_memoized_order_preserved(spark):
     # the line-rebuild tree is memoized parameter-free; surviving lines
     # must still come back in original document order
