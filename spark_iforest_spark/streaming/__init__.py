@@ -1696,11 +1696,20 @@ def requantize_ann_index_live(
         folded.append((e, live, max(ids)))
     if not folded:
         raise ValueError(f"requantize_ann_index_live: no parts under {index_dir}")
-    cur = reduce(
-        DataFrame.unionByName,
-        [spark.read.parquet(p) for _, live, _ in folded for p in live],
-    ).select(
-        F.col("neighbor_id").alias("vec_id"), F.col("nv").alias("embedding")
+    cur = (
+        reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(p) for _, live, _ in folded for p in live],
+        )
+        .select(
+            F.col("neighbor_id").alias("vec_id"), F.col("nv").alias("embedding")
+        )
+        # idempotent re-run guard: a crash between the new-epoch base
+        # commit and an old epoch's tombstone leaves a vector live in
+        # BOTH epochs until the requantize is retried — the retry's
+        # refold must not double-count it (ids are unique in normal
+        # operation, so this is a no-op there)
+        .dropDuplicates(["vec_id"])
     )
     new_centers = similarity.ivf_centers(cur, n_centroids=n_centroids)
 
@@ -1716,18 +1725,45 @@ def requantize_ann_index_live(
     similarity.ivf_assign(cur, new_centers).write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(staging)
-    hfs.rename(spark, staging, f"{new_edir}/c{base_id}")
+    # the epoch dir is freshly numbered, so the target cannot pre-exist;
+    # still verify the commit rename (fs.rename's documented contract)
+    if not hfs.rename(spark, staging, f"{new_edir}/c{base_id}"):
+        raise IOError(
+            f"requantize_ann_index_live: commit rename {staging} -> "
+            f"{new_edir}/c{base_id} failed; the intact migration is staged"
+        )
 
     # (4) tombstone + GC each old epoch: an empty base at ITS max folded
     # id makes the read rule ignore the folded parts (and any late retry
     # of a folded batch id), while parts above it — in-flight old-space
-    # writes — stay live and probeable under the old centers
+    # writes — stay live and probeable under the old centers. The target
+    # may pre-exist (a REAL within-epoch compacted base whose rows were
+    # just migrated, or a previous requantize's tombstone): delete-then-
+    # rename, verifying each step (the parts_store.compact discipline).
+    # Crash windows are safe in both directions: before the delete the
+    # old base double-counts with the already-committed new base until a
+    # RETRIED requantize refolds (dedup guard above); between delete and
+    # rename the folded rows are already live in the new epoch's base.
     empty = spark.createDataFrame([], "neighbor_id long, nv array<double>, cell int")
     for e, live, mx in folded:
         edir = f"{index_dir}/e{e}"
         stag = f"{edir}/_staging_c{mx}"
+        hfs.delete(spark, stag, recursive=True)
         empty.write.mode("overwrite").parquet(stag)
-        hfs.rename(spark, stag, f"{edir}/c{mx}")
+        target = f"{edir}/c{mx}"
+        if hfs.exists(spark, target) and not hfs.delete(
+            spark, target, recursive=True
+        ):
+            raise IOError(
+                f"requantize_ann_index_live: could not delete folded base "
+                f"{target}; its rows are already committed in the new "
+                f"epoch's base — retry the requantize"
+            )
+        if not hfs.rename(spark, stag, target):
+            raise IOError(
+                f"requantize_ann_index_live: tombstone rename {stag} -> "
+                f"{target} failed — retry the requantize"
+            )
         parts_store._gc_stale(spark, edir, mx)
     return new_centers, new_epoch
 

@@ -367,6 +367,17 @@ def test_requantize_live_with_concurrent_ingest(spark, tmpdir):
     )
     assert n_live == full3.count()
 
+    # a third, back-to-back requantize: every old epoch's live set is now
+    # a single base at an id that ALREADY EXISTS as its tombstone/real
+    # base — exercises the delete-then-rename re-tombstone path
+    _, epoch3 = S.requantize_ann_index_live(spark, idx, cdir, n_centroids=3)
+    assert epoch3 == 3
+    exact_all_probe(full3, extra.where("vec_id % 2 = 0"))
+    n_live = sum(
+        df.count() for _, df in S.latest_ann_index_live(spark, idx, cdir)
+    )
+    assert n_live == full3.count()
+
 
 def test_line_rebuild_memoized_order_preserved(spark):
     # the line-rebuild tree is memoized parameter-free; surviving lines
